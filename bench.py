@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+value = total wall seconds across the headline set (lower is better). Each query
+is fully materialized via a count-ish action so the measured time includes the
+whole plan, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference hot path at scale
+    "q_mapper_route_events",
+    "q_mapper_dead_letter_events",
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_window_rank",
+    "q_events_sessionize",
+    # training-data ops
+    "q_dedup_exact_docs",
+    "q_dedup_minhash",
+    "q_embed_cosine_topk",
+    "q_doc_lang_signal",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from plenario_mapper_spark.plans import QUERIES
+    from plenario_mapper_spark.session import get_spark
+
+    spark = get_spark(app_name="plenario-mapper-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once with a trivial action so q1 doesn't pay startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""JS-exact type coercion as pure Spark Column expressions.
+
+Reproduces the reference's coercion switch (app/mapper.js:192-243) over JSON values
+whose runtime type matters: JS `Number(true)` is 1 but `Number("true")` is NaN;
+`parseInt("7px")` is 7 but `Number("7px")` is NaN; booleans accept exactly
+1/'1'/true and 0/'0'/false plus case-insensitive "TRUE"/"FALSE" strings
+(app/mapper.js:218-232). The full truth table lives in FIXTURES.md §5.
+
+Values are carried as Spark VARIANT (parse_json of the raw payload), so the JSON
+runtime type (string/number/boolean/null) survives into the plan and every rule below
+compiles to JVM-side expressions — no Python on the hot path, whole-stage codegen.
+
+Type-name families follow app/mapper.js:199-239 (matched on the lower-cased metadata
+type string): varchar|string, integer|int, float|double|"double precision",
+bool|boolean; anything else is a coercion error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# --- variant runtime-type probes -------------------------------------------------
+
+def vtype(v: Column) -> Column:
+    """JSON runtime type of a variant value: schema_of_variant returns STRING /
+    BOOLEAN / BIGINT / DOUBLE / DECIMAL(p,s) / VOID (JSON null)."""
+    return F.schema_of_variant(v)
+
+
+def is_json_number(v: Column) -> Column:
+    t = vtype(v)
+    return (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+
+
+def is_json_string(v: Column) -> Column:
+    return vtype(v) == "STRING"
+
+
+def is_json_bool(v: Column) -> Column:
+    return vtype(v) == "BOOLEAN"
+
+
+def is_json_null(v: Column) -> Column:
+    return vtype(v) == "VOID"
+
+
+def js_typeof(v: Column) -> Column:
+    """JS `typeof` of the JSON value — used in alert messages (app/mapper.js:449)."""
+    return (
+        F.when(is_json_number(v), F.lit("number"))
+        .when(is_json_string(v), F.lit("string"))
+        .when(is_json_bool(v), F.lit("boolean"))
+        .otherwise(F.lit("object"))  # typeof null === 'object'
+    )
+
+
+def js_string(v: Column) -> Column:
+    """JS `String(v)` (app/mapper.js:200). Variant->string cast renders numbers
+    canonically (decimal 12.90 -> "12.9" matches JS), booleans as true/false,
+    strings unquoted, null as NULL -> mapped to "null"."""
+    return F.when(is_json_null(v), F.lit("null")).otherwise(v.cast("string"))
+
+
+def json_literal(v: Column) -> Column:
+    """The value re-serialized as a JSON literal (for residue / emit payloads) —
+    equivalent of JSON.stringify on a scalar (app/mapper.js:309)."""
+    return F.to_json(v)
+
+
+# --- type-name families (app/mapper.js:199-239) ----------------------------------
+
+STRING_TYPES = ("varchar", "string")
+INT_TYPES = ("integer", "int")
+FLOAT_TYPES = ("float", "double", "double precision")
+BOOL_TYPES = ("bool", "boolean")
+
+
+def _is_in(t: Column, names: tuple[str, ...]) -> Column:
+    return t.isin(*names)
+
+
+# --- per-family coercions --------------------------------------------------------
+# Each returns (ok: Column<bool>, value: Column<typed>). A record-level error is
+# ok == False; the reference then routes the key to the dead letter and alerts.
+
+def _parse_int_prefix(s: Column) -> Column:
+    """JS parseInt: skip leading whitespace, optional sign, longest digit prefix;
+    NaN if no digits (app/mapper.js:203-209). parseInt("12.9")=12, parseInt("7px")=7."""
+    m = F.regexp_extract(F.ltrim(s), r"^[+-]?[0-9]+", 0)
+    return F.when(m == "", F.lit(None).cast("long")).otherwise(m.cast("long"))
+
+
+def coerce_int(v: Column) -> tuple[Column, Column]:
+    # JS parseInt stringifies its argument first: parseInt(true) -> parseInt("true")
+    # -> NaN; parseInt(12.9) -> parseInt("12.9") -> 12; parseInt(null) -> NaN.
+    out = F.when(
+        is_json_bool(v) | is_json_null(v), F.lit(None).cast("long")
+    ).otherwise(_parse_int_prefix(js_string(v)))
+    return out.isNotNull(), out
+
+
+def _js_number_of_string(s: Column) -> Column:
+    """JS Number(string): trimmed empty string -> 0; else numeric parse, NaN on
+    failure (app/mapper.js:211-217). "NaN" is NaN in JS (an error per isNaN guard)."""
+    t = F.trim(s)
+    return (
+        F.when(t == "", F.lit(0.0))
+        .when(F.upper(t) == "NAN", F.lit(None).cast("double"))
+        .otherwise(t.try_cast("double"))
+    )
+
+
+def coerce_double(v: Column) -> tuple[Column, Column]:
+    out = (
+        F.when(is_json_bool(v), v.cast("boolean").cast("int").cast("double"))  # Number(true)=1
+        .when(is_json_number(v), v.cast("double"))
+        .when(is_json_null(v), F.lit(0.0))  # Number(null) = 0
+        .otherwise(_js_number_of_string(v.cast("string")))
+    )
+    return out.isNotNull(), out
+
+
+def coerce_bool(v: Column) -> tuple[Column, Column]:
+    # Acceptance set is exact (app/mapper.js:218-232): loose-equality '1'/'0'
+    # matches number 1/0 and string "1"/"0" (NOT "01"); plus case-insensitive
+    # TRUE/FALSE strings; plus real booleans. Everything else errors (incl. 10,
+    # "12.9", null).
+    s = v.cast("string")
+    num = F.when(is_json_number(v), v.cast("double"))
+    out = (
+        F.when(is_json_bool(v), v.cast("boolean"))
+        .when(is_json_number(v) & (num == 1.0), F.lit(True))
+        .when(is_json_number(v) & (num == 0.0), F.lit(False))
+        .when(is_json_string(v) & ((s == "1") | (F.upper(s) == "TRUE")), F.lit(True))
+        .when(is_json_string(v) & ((s == "0") | (F.upper(s) == "FALSE")), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return out.isNotNull(), out
+
+
+def coerce_string(v: Column) -> tuple[Column, Column]:
+    return F.lit(True), js_string(v)
+
+
+# --- dynamic dispatch (type known only per-row, from the metadata join) ----------
+
+def coerce_ok(v: Column, t: Column) -> Column:
+    """Whether JS coercion of variant `v` to metadata type-string `t` succeeds.
+
+    Used inside higher-order map functions for error detection (the `errors` object
+    of coerce_types, app/mapper.js:192-243). Unknown/null type strings are errors
+    (app/mapper.js:233-239)."""
+    return (
+        F.when(_is_in(t, STRING_TYPES), F.lit(True))
+        .when(_is_in(t, INT_TYPES), coerce_int(v)[0])
+        .when(_is_in(t, FLOAT_TYPES), coerce_double(v)[0])
+        .when(_is_in(t, BOOL_TYPES), coerce_bool(v)[0])
+        .otherwise(F.lit(False))
+    )
+
+
+def coerce_typed(v: Column, sql_type: str) -> Column:
+    """Statically-typed coercion for sink projection — the metadata type of a sink
+    column is known at plan-build time, so this compiles to a plain typed column
+    (feature_query_text value rendering, app/mapper.js:336-354)."""
+    t = sql_type.strip().lower()
+    if t in STRING_TYPES:
+        return coerce_string(v)[1]
+    if t in INT_TYPES:
+        return coerce_int(v)[1].cast("int")
+    if t in FLOAT_TYPES:
+        return coerce_double(v)[1]
+    if t in BOOL_TYPES:
+        return coerce_bool(v)[1]
+    return F.lit(None).cast("string")
+
+
+def json_quote(s: Column) -> Column:
+    """Render a plain string column as a JSON string literal (with escaping):
+    to_json of a 1-element array, brackets stripped."""
+    arr = F.to_json(F.array(s))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def coerced_json_literal(v: Column, t: Column) -> Column:
+    """Coerced value rendered as a JSON literal (for emit messages, whose `results`
+    object carries typed values — format_obs, app/mapper.js:365-403)."""
+    dbl = coerce_double(v)[1]
+    return (
+        F.when(
+            _is_in(t, STRING_TYPES),
+            # Already a JSON string -> reuse the variant literal; otherwise quote
+            # the JS String() rendition.
+            F.when(is_json_string(v), F.to_json(v)).otherwise(json_quote(js_string(v))),
+        )
+        .when(_is_in(t, INT_TYPES), coerce_int(v)[1].cast("string"))
+        .when(
+            _is_in(t, FLOAT_TYPES),
+            # Render integral doubles the way JS does (1, not 1.0); otherwise keep
+            # the shortest decimal text the variant already carries when numeric.
+            F.when(is_json_number(v) & ~vtype(v).startswith("DOUBLE"), v.cast("string"))
+            .when(dbl == F.floor(dbl), dbl.cast("long").cast("string"))
+            .otherwise(dbl.cast("string")),
+        )
+        .when(_is_in(t, BOOL_TYPES), coerce_bool(v)[1].cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly) — no Python UDFs: at
+100 TB a per-row Python tokenizer is the difference between hours and days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# A small multilingual stopword sample per language for the n-gram/stopword
+# language-ID heuristic. Public common words only.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+# BPE-ish word-piece pattern: words, numbers, or single non-space symbols —
+# approximates subword tokenizer pre-splitting (GPT-2-style regex, public).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased word tokens."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9_]+"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pieces (regex pre-tokenization approximation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    reasonable mean word length. Deterministic and JVM-only."""
+    n_tok = token_count(text)
+    mean_word = F.length(text) / F.greatest(n_tok, F.lit(1))
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    word_ok = (mean_word >= 2.0) & (mean_word <= 12.0)
+    p = punct_ratio(text)
+    return (
+        len_ok.cast("double") * 0.4
+        + word_ok.cast("double") * 0.3
+        + (p < 0.2).cast("double") * 0.3
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-voting language ID over the supported set; 'und' if no votes."""
+    toks = tokens(text)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (normalized-token rolling hash):
+    xxhash64 over the canonical token stream — key for exact near-layout dedup."""
+    return F.xxhash64(F.array_join(tokens(text), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), the MinHash input unit."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )

@@ -1,0 +1,126 @@
+"""Metadata subsystem: the schema registry driving validation/coercion/routing.
+
+The reference caches two Postgres tables in process memory as hash maps
+(`map`, `type_map` — app/mapper.js:39-40, loaders :131-179) and re-pulls them on any
+discrepancy. Spark-first equivalent: read the two small dimension tables (JDBC in
+prod, parquet/DataFrame fixtures in tests), lower-case exactly as the reference does
+(names + the whole observed_properties JSON, app/mapper.js:139-140 and :169-172),
+flatten them into ONE mapping table `(sensor, raw_key, feature, property, type)`,
+and broadcast-join it against the stream — the in-memory hash lookup becomes a
+broadcast hash join (SURVEY §2 C1/C2).
+
+At 100 TB the stream side is huge but this dimension is a schema registry (KBs-MBs):
+it is always broadcastable, so the whole validation pipeline is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Columns of the flattened registry.
+MAPPING_COLS = ("sensor", "raw_key", "feature", "property", "type")
+
+
+def lower_sensor_metadata(sensor_meta: DataFrame) -> DataFrame:
+    """name -> lower; observed_properties keys AND values -> lower (the reference
+    lowercases the whole JSON blob, app/mapper.js:139-140)."""
+    return sensor_meta.select(
+        F.lower("name").alias("name"),
+        F.transform_keys(
+            F.transform_values("observed_properties", lambda _, v: F.lower(v)),
+            lambda k, _: F.lower(k),
+        ).alias("observed_properties"),
+    )
+
+
+def lower_feature_metadata(feature_meta: DataFrame) -> DataFrame:
+    """name, property names and type strings -> lower (app/mapper.js:169-172)."""
+    return feature_meta.select(
+        F.lower("name").alias("name"),
+        F.transform(
+            "observed_properties",
+            lambda p: F.struct(
+                F.lower(p["name"]).alias("name"), F.lower(p["type"]).alias("type")
+            ),
+        ).alias("observed_properties"),
+    )
+
+
+def build_mapping(sensor_meta: DataFrame, feature_meta: DataFrame) -> DataFrame:
+    """Flatten both dimensions into (sensor, raw_key, feature, property, type).
+
+    `feature.property` splits like the reference: feature = text before the first
+    dot, property = everything after it (split(/\\.(.+)?/), app/mapper.js:196-197).
+    A (feature, property) with no type row keeps type NULL — which downstream is a
+    coercion error, matching the reference's unrecognized-type branch
+    (app/mapper.js:233-239).
+    """
+    sm = lower_sensor_metadata(sensor_meta)
+    fm = lower_feature_metadata(feature_meta)
+
+    keys = sm.select(
+        F.col("name").alias("sensor"),
+        F.explode("observed_properties").alias("raw_key", "fp"),
+    ).select(
+        "sensor",
+        "raw_key",
+        F.substring_index("fp", ".", 1).alias("feature"),
+        F.when(
+            F.col("fp").contains("."),
+            F.expr("substring(fp, instr(fp, '.') + 1)"),
+        ).alias("property"),
+    )
+
+    types = fm.select(
+        F.col("name").alias("feature"),
+        F.explode("observed_properties").alias("p"),
+    ).select("feature", F.col("p.name").alias("property"), F.col("p.type").alias("type"))
+
+    return keys.join(types, ["feature", "property"], "left").select(*MAPPING_COLS)
+
+
+def sensor_kmap(mapping: DataFrame) -> DataFrame:
+    """One row per sensor with a MAP raw_key -> struct(feature, property, type, fp).
+
+    This is the broadcast side of the stream join; a per-record O(1) hash lookup in
+    the reference (map[obs.sensor][key], app/mapper.js:196) becomes a broadcast hash
+    join on `sensor` plus JVM map functions over the row's payload.
+    """
+    return mapping.groupBy("sensor").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("raw_key"),
+                    F.struct(
+                        F.col("feature"),
+                        F.col("property"),
+                        F.col("type"),
+                        F.concat_ws(".", "feature", "property").alias("fp"),
+                    ),
+                )
+            )
+        ).alias("kmap")
+    )
+
+
+def feature_registry(feature_meta: DataFrame) -> list[dict]:
+    """Driver-side list of features and their typed properties — the sink-table
+    registry (DDL pre-created in the reference, tests/configure_tests.js:79-161).
+    Small by construction (a schema registry), so collecting it is correct."""
+    fm = lower_feature_metadata(feature_meta)
+    return [
+        {
+            "feature": r["name"],
+            "properties": [(p["name"], p["type"]) for p in r["observed_properties"]],
+        }
+        for r in fm.collect()
+    ]
+
+
+def empty_kmap(spark) -> DataFrame:
+    """Empty schema registry — models the reference's startup state (map = {},
+    type_map = {}, app/mapper.js:36-40), where every record is a discrepancy."""
+    return spark.createDataFrame(
+        [],
+        "sensor string, kmap map<string, struct<feature:string, property:string, type:string, fp:string>>",
+    )

@@ -1,0 +1,234 @@
+"""The mapper pipeline: normalize → validate → coerce → split → route.
+
+Reproduces app/mapper.js parse_data/insert_emit/format_obs semantics as ONE
+shuffle-free DataFrame pipeline:
+
+- normalization (lower-case node_id/sensor/data keys, app/mapper.js:60-68);
+- validation (invalid_keys, app/mapper.js:411-419) and coercion-error detection
+  (coerce_types, :192-243) via JVM map functions against a broadcast schema
+  registry — the reference's in-memory `map`/`type_map` hash lookups;
+- record split into a clean half and a misfit half (insert_emit, :251-271);
+- routing: per-(network, feature) typed projections (feature_query_text, :319-358),
+  a dead-letter projection (misfit_query_text, :306-310), and per-feature emit
+  messages (format_obs, :365-403).
+
+Scale notes: the only join is a broadcast against a KB-sized schema registry, so the
+whole pipeline is narrow (no shuffle), pipelined inside whole-stage codegen, and
+scales linearly with input splits. Routing to per-feature tables is filter+project
+per registry entry (registry is small by construction); the lake-mode sink is a
+single write partitioned by (network, feature).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from plenario_mapper_spark.functions import coercion as C
+
+ENVELOPE = ("node_id", "datetime", "meta_id", "sensor", "network")
+
+
+def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
+    """Lower-case node_id, sensor, and every data key (values untouched) —
+    app/mapper.js:60-68. `data` arrives as raw JSON object text and leaves as
+    MAP<STRING, VARIANT> (JSON runtime types preserved for coercion).
+
+    Duplicate keys after lowercasing follow JS last-wins object assignment;
+    requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set by session.get_spark).
+    """
+    parsed = F.try_parse_json(F.col(data_col)).cast("map<string, variant>")
+    return obs.withColumns(
+        {
+            "node_id": F.lower("node_id"),
+            "sensor": F.lower("sensor"),
+            data_col: F.transform_keys(parsed, lambda k, _: F.lower(k)),
+        }
+    )
+
+
+def _entry_info(kmap: Column, key: Column) -> Column:
+    return F.element_at(kmap, key)
+
+
+def annotate(obs: DataFrame, kmap_df: DataFrame) -> DataFrame:
+    """Join the broadcast schema registry and derive the validation/split columns.
+
+    Adds:
+      kmap            raw_key -> (feature, property, type, fp) for this sensor
+                      (NULL when the sensor is unknown — ref app/mapper.js:78)
+      invalid_keys    data keys absent from the registry (invalid_keys, :411-419)
+      error_keys      known keys whose value fails JS coercion (:192-243)
+      bad_keys        invalid ∪ error — drives the record split (:255)
+      misfit_data     the bad half of `data` (dead-letter residue, :306-310)
+      clean_data      the good half of `data`
+      features        distinct features touched by clean_data (:275-281)
+    """
+    df = obs.join(F.broadcast(kmap_df), "sensor", "left")
+
+    kmap = F.col("kmap")
+    data = F.col("data")
+
+    invalid = F.when(kmap.isNull(), F.map_keys(data)).otherwise(
+        F.filter(F.map_keys(data), lambda k: ~F.map_contains_key(kmap, k))
+    )
+    df = df.withColumn("invalid_keys", invalid)
+
+    errors = F.when(kmap.isNull(), F.array().cast("array<string>")).otherwise(
+        F.map_keys(
+            F.map_filter(
+                data,
+                lambda k, v: F.map_contains_key(kmap, k)
+                & ~C.coerce_ok(v, _entry_info(kmap, k)["type"]),
+            )
+        )
+    )
+    df = df.withColumn("error_keys", errors)
+    df = df.withColumn("bad_keys", F.concat("invalid_keys", "error_keys"))
+
+    bad = F.col("bad_keys")
+    df = df.withColumn(
+        "misfit_data", F.map_filter(data, lambda k, v: F.array_contains(bad, k))
+    ).withColumn(
+        "clean_data", F.map_filter(data, lambda k, v: ~F.array_contains(bad, k))
+    )
+
+    df = df.withColumn(
+        "features",
+        F.array_distinct(
+            F.transform(
+                F.map_keys("clean_data"), lambda k: _entry_info(kmap, k)["feature"]
+            )
+        ),
+    )
+    return df
+
+
+def dead_letter(annotated: DataFrame) -> DataFrame:
+    """Rows for <network>__unknown_feature: the misfit residue as a JSON object
+    string — JSON.stringify of the bad half (app/mapper.js:306-310). Emitted once
+    per record that has any bad key (insert_emit split, :251-268)."""
+    return annotated.filter(F.size("bad_keys") > 0).select(
+        "network",
+        "node_id",
+        "datetime",
+        "meta_id",
+        "sensor",
+        F.to_json("misfit_data").alias("data"),
+    )
+
+
+def clean_rows(annotated: DataFrame) -> DataFrame:
+    """Records (post-split) that carry at least one clean key — the recursion input
+    of insert_emit (app/mapper.js:269-271)."""
+    return annotated.filter(F.size("clean_data") > 0)
+
+
+def feature_rows(
+    annotated: DataFrame, feature: str, properties: list[tuple[str, str]]
+) -> DataFrame:
+    """Typed projection for one feature table (<network>__<feature>).
+
+    Only properties observed in the record get values; the rest are NULL —
+    NULL-filling proven by tests/travis_tests/integration_tests.js:354-370.
+    `properties` is [(name, metadata_type)] from the registry; the type is static
+    here so coercion compiles to plain typed columns.
+    """
+    kmap = F.col("kmap")
+    fp_map = F.map_from_entries(
+        F.transform(
+            F.map_entries("clean_data"),
+            lambda e: F.struct(
+                _entry_info(kmap, e["key"])["fp"].alias("fp"), e["value"].alias("v")
+            ),
+        )
+    )
+    df = clean_rows(annotated).filter(F.array_contains("features", feature))
+    df = df.withColumn("_fp", fp_map)
+    cols = [F.col(c) for c in ENVELOPE]
+    for prop, typ in properties:
+        v = F.element_at("_fp", F.lit(f"{feature}.{prop}"))
+        cols.append(
+            F.when(v.isNotNull(), C.coerce_typed(v, typ)).alias(prop)
+        )
+    return df.select(*cols)
+
+
+def emit_messages(annotated: DataFrame) -> DataFrame:
+    """Per-feature socket messages (format_obs, app/mapper.js:365-403; emit
+    :292-296): one row per (record, feature) with results = {property: coerced}
+    as a JSON object string. Only the clean half emits; a record whose data was
+    entirely bad emits nothing (insert_emit recursion guard, :269-271)."""
+    kmap = F.col("kmap")
+    df = clean_rows(annotated).select(
+        *ENVELOPE,
+        "kmap",
+        "clean_data",
+        F.explode("features").alias("feature"),
+    )
+    results = F.map_filter(
+        F.transform_values(
+            F.map_filter(
+                F.col("clean_data"),
+                lambda k, v: _entry_info(kmap, k)["feature"] == F.col("feature"),
+            ),
+            lambda k, v: C.coerced_json_literal(v, _entry_info(kmap, k)["type"]),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    # results as a JSON object keyed by property name
+    results_json = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries(results),
+                lambda e: F.concat(
+                    C.json_quote(_entry_info(kmap, e["key"])["property"]),
+                    F.lit(":"),
+                    e["value"],
+                ),
+            ),
+        ),
+        F.lit("}"),
+    )
+    return df.select(
+        F.col("node_id").alias("node"),
+        "datetime",
+        "sensor",
+        "network",
+        "feature",
+        results_json.alias("results"),
+    )
+
+
+@dataclass
+class MapperResult:
+    """All outputs of one mapper pass over a batch of observations."""
+
+    annotated: DataFrame
+    dead_letter: DataFrame
+    emits: DataFrame
+    features: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def run_mapper(
+    obs: DataFrame, kmap_df: DataFrame, registry: list[dict]
+) -> MapperResult:
+    """Full batch pass: normalize + annotate once, then derive every output.
+
+    `registry` comes from metadata.feature_registry; each entry yields one typed
+    per-feature DataFrame keyed "<feature>" (callers prepend the network when
+    materializing per-(network, feature) tables, or write the lot as one lake table
+    partitioned by (network, feature))."""
+    ann = annotate(normalize(obs), kmap_df)
+    return MapperResult(
+        annotated=ann,
+        dead_letter=dead_letter(ann),
+        emits=emit_messages(ann),
+        features={
+            entry["feature"]: feature_rows(ann, entry["feature"], entry["properties"])
+            for entry in registry
+        },
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k — the exact baseline (and the oracle-checked one):
+  broadcast the query set, score every (query, item) pair with JVM fold
+  expressions, rank per query. Fine when |queries| is small; O(N*Q) otherwise.
+- LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures put items in
+  buckets; queries probe their own bucket across L tables; only candidates are
+  scored. Recall tunable via (planes, tables); verified in tests against the
+  brute-force truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from plenario_mapper_spark.functions import vector as V
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. The query side broadcasts (it is the small
+    side by construction); scoring is a single narrow pass over items; ranking
+    shuffles once on query_id. Ties broken by item id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("iv"))
+    scored = it.join(F.broadcast(q), F.col("query_id") != F.col("item_id")).select(
+        "query_id",
+        "item_id",
+        V.cosine(
+            F.col("qv").cast("array<double>"), F.col("iv").cast("array<double>")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only items sharing a hyperplane-sign bucket with
+    the query in ANY of `n_tables` hash tables.
+
+    Scale shape: bucket ids are scan-stage expressions; the candidate join is an
+    equi-join on (table, bucket) — shuffle proportional to candidates, not N*Q.
+    Recall rises with n_tables, candidate count falls with n_planes.
+    """
+    def with_buckets(df, id_alias, v_alias):
+        vd = F.col(vec_col).cast("array<double>")
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    V.simhash_bucket(vd, _random_planes(dim, n_planes, seed + t)).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            vd.alias(v_alias),
+            F.explode(buckets).alias("bk"),
+        )
+
+    it = with_buckets(items, "item_id", "iv")
+    q = with_buckets(queries, "query_id", "qv")
+    cand = (
+        it.join(F.broadcast(q), (it["bk"] == q["bk"]) & (F.col("item_id") != F.col("query_id")))
+        .select("query_id", "item_id", "qv", "iv")
+        .dropDuplicates(["query_id", "item_id"])
+    )
+    scored = cand.select(
+        "query_id", "item_id", V.cosine(F.col("qv"), F.col("iv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same bucket trick, self-join
+    flavored (id_a < id_b), exact cosine verified on candidates only."""
+    vd = F.col(vec_col).cast("array<double>")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                V.simhash_bucket(vd, _random_planes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = items.select(F.col(id_col).alias("id"), vd.alias("v"), F.explode(buckets).alias("bk"))
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,386 @@
+"""Training-data-pipeline operator surface (SURVEY §2.H) + mapper-over-events.
+
+Everything here runs on the driver's tables (documents/embeddings/events) and is
+oracle-checked where ANSI SQL can express the semantics; the LSH/ANN family is
+rows-only at the driver (no SQL equivalent) and brute-force-verified in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from plenario_mapper_spark.functions import text as TX
+from plenario_mapper_spark.operators import dedup as DD
+from plenario_mapper_spark.operators import mapper as M
+from plenario_mapper_spark.operators import similarity as SIM
+from plenario_mapper_spark.plans.registry import register
+from plenario_mapper_spark.plans.relational import _events
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# DuckDB token expression mirroring functions.text.tokens()
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+)
+
+
+# --------------------------------------------------------------------------------
+# The mapper pipeline itself, driven at scale over the events table
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_mapper_route_events",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS node_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS datetime,
+           CAST(event_id AS DOUBLE) AS meta_id,
+           event_type AS sensor,
+           'events_net' AS network,
+           CAST(props->>'$.k' AS INT) AS k
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_mapper_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full hot path (normalize -> broadcast registry join ->
+    validate -> coerce -> split -> route) exercised over the events stream table:
+    each event becomes an observation (sensor = event_type, payload = props), the
+    registry maps key 'k' of sensor 'click' to feature 'click_feature' typed int.
+    The oracle is the straight-SQL equivalent of the routed feature table."""
+    from plenario_mapper_spark import metadata
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+
+    e = _events(spark, sf_dir)
+    obs = e.select(
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("event_id").cast("double").alias("meta_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
+        F.col("event_type").alias("sensor"),
+        F.lit("events_net").alias("network"),
+        F.col("props").alias("data"),
+    )
+    sensor_meta = spark.createDataFrame(
+        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+    )
+    feature_meta = spark.createDataFrame(
+        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+    )
+    kmap_df = metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+    ann = M.annotate(M.normalize(obs), kmap_df)
+    return M.feature_rows(ann, "click_feature", [("k", "INTEGER")]).select(
+        "node_id", "datetime", "meta_id", "sensor", "network", "k"
+    )
+
+
+@register(
+    "q_mapper_dead_letter_events",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS node_id,
+           event_type AS sensor,
+           'events_net' AS network,
+           props AS data
+    FROM events WHERE event_type <> 'click'
+    """,
+)
+def q_mapper_dead_letter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing at scale: every non-click event type is an unknown
+    sensor, so its whole payload lands in <network>__unknown_feature as a JSON
+    string (app/mapper.js:306-310). Residue text matches the compact original."""
+    from plenario_mapper_spark import metadata
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+
+    e = _events(spark, sf_dir)
+    obs = e.select(
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("event_id").cast("double").alias("meta_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
+        F.col("event_type").alias("sensor"),
+        F.lit("events_net").alias("network"),
+        F.col("props").alias("data"),
+    )
+    sensor_meta = spark.createDataFrame(
+        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+    )
+    feature_meta = spark.createDataFrame(
+        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+    )
+    kmap_df = metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+    ann = M.annotate(M.normalize(obs), kmap_df)
+    # driver oracle carries the raw props text; our residue is the re-serialized
+    # variant map, which for {"k": N} is byte-identical modulo whitespace
+    return (
+        M.dead_letter(ann)
+        .select(
+            "node_id",
+            "sensor",
+            "network",
+            F.regexp_replace("data", '":', '": ').alias("data"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------
+# Text analysis (token counts, quality, language signal, fingerprints)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           len({_SQL_TOKENS}) AS n_word_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + word tokens) — per-doc, scan-stage only."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_doc_quality",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(ROUND(SUM(ROUND(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6)), 6) AS DOUBLE) AS sum_punct_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals aggregated per source: length-band pass counts and
+    punctuation-density mass. (The composite score is engine-side policy —
+    functions.text.quality_score — its inputs are what the oracle checks.)"""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = TX.token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((n_tok >= 10).cast("int")).cast("long").alias("n_len_ok"),
+        F.round(F.sum(F.round(TX.punct_ratio(F.col("text")), 6)), 6)
+        .cast("double")
+        .alias("sum_punct_ratio"),
+    )
+
+
+@register(
+    "q_doc_lang_signal",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter({_SQL_TOKENS}, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))) AS BIGINT) AS en_hits,
+           CAST(SUM(len(list_filter({_SQL_TOKENS}, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x)))) AS BIGINT) AS es_hits,
+           CAST(SUM(len(list_filter({_SQL_TOKENS}, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x)))) AS BIGINT) AS fr_hits,
+           CAST(SUM(len(list_filter({_SQL_TOKENS}, x -> list_contains(['der','die','und','das','ist','von','mit','den','ein','zu'], x)))) AS BIGINT) AS de_hits
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evidence: stopword hits per candidate language, aggregated by
+    the ground-truth lang label. (The argmax vote is lang_id(); tested in pytest
+    for accuracy — here the oracle pins the underlying counts.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    aggs = [F.count("*").alias("n_docs")]
+    for lang, words in TX.STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        aggs.append(F.sum(hits).cast("long").alias(f"{lang}_hits"))
+    return d.groupBy("lang").agg(*aggs)
+
+
+@register(
+    "q_dedup_exact_docs",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           COUNT(DISTINCT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''), ' '))) AS n_unique_fingerprints
+    FROM documents
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + canonical-fingerprint dedup cardinalities (content hash dedup is a
+    two-phase distinct agg: map-side partial dedup, single shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    canon = F.md5(F.array_join(TX.tokens(F.col("text")), " ").cast("binary"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique_texts"),
+        F.countDistinct(canon).alias("n_unique_fingerprints"),
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 60) t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-trigram Jaccard near-dup pairs on a bounded slice (doc_id<60) —
+    the brute-force truth the MinHash path approximates. Quadratic by design;
+    the unbounded-scale variant is q_dedup_minhash."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.1, shingle_n=3)
+
+
+@register("q_dedup_minhash")  # rows-only: LSH not SQL-expressible; verified in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16x4) near-dup pairs over ALL documents, exact-Jaccard
+    verified on candidates — the linear-scale dedup path."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@register("q_dedup_simhash")  # rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 3) via 4x16-bit band join."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_embed_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             list_sum([q.v[j] * i.v[j] FOR j IN generate_series(1, len(q.v))])
+             / (sqrt(list_sum([q.v[j] * q.v[j] FOR j IN generate_series(1, len(q.v))]))
+              * sqrt(list_sum([i.v[j] * i.v[j] FOR j IN generate_series(1, len(i.v))]))) AS cos
+      FROM e q JOIN e i ON i.vec_id <> q.vec_id
+      WHERE q.vec_id < 10)
+    SELECT query_id, item_id, rank, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine FROM (
+      SELECT query_id, item_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors — the exact ANN
+    baseline, fold-expression dot products (JVM, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register("q_ann_lsh_topk")  # rows-only: approximate; recall-tested vs brute force
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 for the same query set — the 100 TB path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("q_embed_near_dup")  # rows-only
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= 0.9) via hyperplane buckets."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.9)
+
+
+# --------------------------------------------------------------------------------
+# Multimodal: binary payload plumbing (metadata lives SQL-side; decode is stubbed)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: payload byte length + content digest —
+    the typed-metadata side of the multimodal pattern (decode itself is a
+    stubbed mapInPandas, see operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+# --------------------------------------------------------------------------------
+# Sessionization (stream-analytics shape in batch; streaming twin in streaming/)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — batch twin of the
+    session_window streaming aggregation; one shuffle on user_id shared by both
+    windows and the final agg."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,615 @@
+"""The declared relational surface (SURVEY §2.C/D/E [absent] rows + scalar fns).
+
+The reference implements none of these (it is a stream mapper); the engine declares
+them as stock Spark SQL, and every query here is verified against a DuckDB oracle on
+the driver's TPC-H-ish tables. Numeric discipline: money aggregates are computed in
+DECIMAL (exact, order-independent) and presented as DOUBLE, so Spark and DuckDB hash
+identically regardless of partial-agg ordering — a float SUM over a shuffled 100 TB
+table is not reproducible, a decimal one is.
+
+Scale notes per query are in the docstrings; broadly: filters are expressed
+pre-join so Catalyst pushes them into the parquet scan, small dimensions broadcast
+(AQE converts automatically at runtime; region/nation are hinted), and every
+aggregation is a partial+final hash agg with map-side combine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from plenario_mapper_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as a microsecond TIMESTAMP.
+
+    The driver writes TIMESTAMP(NANOS) parquet; Spark has no nanos timestamp, so
+    the session reads it as a nanos LONG (legacy.parquet.nanosAsLong) and this
+    converts via integer division — float division would lose precision at 1e18
+    magnitudes. DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically."""
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------------
+# Aggregations (SURVEY §2.D)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg. The filter reaches the parquet
+    scan (PushedFilters on l_shipdate); only 7 of 11 columns are read; the agg is
+    partial+final with map-side combine, so at 100 TB it shuffles one tiny row per
+    (partition x group)."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count("*")).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum_distinct(_dec("o_totalprice")).cast("double").alias("sum_distinct_price"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical totals in one pass)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(_dec("o_totalprice")).cast("double").alias("total")
+    )
+
+
+# --------------------------------------------------------------------------------
+# Joins (SURVEY §2.C)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> join -> agg -> top-k.
+    Filters sit on each input so they push into the scans; the final top-k is
+    TakeOrderedAndProject (no global sort). At scale AQE broadcast-converts the
+    filtered customer side."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with tiny dims. nation/region/supplier broadcast
+    (explicit hint — they are catalog-small at every scale factor), so the only
+    shuffles are the fact-fact joins, which AQE plans off runtime stats."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (COUNT of the null side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): membership without duplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the reference's unknown-sensor routing is this
+    operator (SURVEY §2 C3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_orders, b.n_lines
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT l_suppkey AS k, COUNT(*) AS n_lines FROM lineitem GROUP BY l_suppkey) b
+    ON a.k = b.k
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return a.join(b, "k", "full_outer").select(
+        F.coalesce(a["k"], b["k"]).alias("k"), "n_orders", "n_lines"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n_matches
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+    WHERE p.p_size <= 15
+    GROUP BY p.p_partkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: the equi key carries the shuffle, the range
+    predicate evaluates post-match — no nested-loop blowup."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            p,
+            (l.l_partkey == p.p_partkey)
+            & (l.l_quantity >= p.p_size - 5)
+            & (l.l_quantity <= p.p_size + 5),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+# --------------------------------------------------------------------------------
+# Windows / sorts / top-k / set ops (SURVEY §2.E)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer. Deterministic tiebreak on
+    o_orderkey. At scale this is one shuffle on the partition key; Spark's
+    WindowGroupLimit pushes the rn<=3 limit below the sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("status_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg3
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/sliding frame aggregates (rowsBetween)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.avg(_dec("o_totalprice"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS DOUBLE) AS value_delta
+    FROM events
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over the event stream (sessionization building block)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject — per-partition heaps plus a
+    driver merge, never a full sort. Essential at 100 TB."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q_setops",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    UNION ALL
+    SELECT c_custkey, 'only_negative' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one plan."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    both = building.intersect(positive).select("c_custkey", F.lit("both").alias("tag"))
+    only_neg = negative.exceptAll(building).distinct().select(
+        "c_custkey", F.lit("only_negative").alias("tag")
+    )
+    return both.unionAll(only_neg)
+
+
+# --------------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.B [absent] rows: datetime / string / regex /
+# case / json — the reference keeps datetime opaque; the engine does not)
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_scalar_datetime",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(dow FROM o_orderdate) AS dow,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / extract family. DuckDB dow is 0=Sunday; Spark dayofweek is
+    1=Sunday — aligned via dayofweek-1."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        )
+        .groupBy("order_month", "order_year", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT UPPER(SUBSTR(p_name, 1, 8)) AS prefix,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           LENGTH(p_name) AS name_len,
+           REGEXP_EXTRACT(p_type, '^[A-Z]+') AS type_head,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar surface (the reference's toLowerCase/toUpperCase/split
+    family generalized)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.regexp_extract("p_type", "^[A-Z]+", 0).alias("type_head"),
+        )
+        .groupBy("prefix", "brand_type", "name_len", "type_head")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_scalar_case_math",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS qty_band,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(ROUND(ABS(l_extendedprice) / 100.0, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS hundreds,
+           CAST(MIN(CEIL(l_discount * 100)) AS BIGINT) AS min_disc_pct,
+           CAST(MAX(FLOOR(l_tax * 100)) AS BIGINT) AS max_tax_pct
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE + math scalar surface (abs/ceil/floor/round)."""
+    l = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        l.select(
+            band.alias("qty_band"),
+            F.round(F.abs(F.col("l_extendedprice")) / 100.0, 2).alias("h"),
+            F.ceil(F.col("l_discount") * 100).alias("dp"),
+            F.floor(F.col("l_tax") * 100).alias("tp"),
+        )
+        .groupBy("qty_band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("h").cast("decimal(18,2)")), 2).cast("double").alias("hundreds"),
+            F.min("dp").cast("long").alias("min_disc_pct"),
+            F.max("tp").cast("long").alias("max_tax_pct"),
+        )
+    )
+
+
+@register(
+    "q_scalar_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the event stream's props payload — the engine analog
+    of the reference's JSON.parse surface (kcl_app.js:44)."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+    )
+
+
+@register(
+    "q_events_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch shape of the Structured
+    Streaming windowed agg (same F.window call works under readStream with a
+    watermark; hour-aligned windows equal date_trunc('hour'))."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,171 @@
+"""Structured Streaming wrapper around the batch mapper core.
+
+The reference's runtime (SURVEY §3 EP1-EP3) maps as:
+
+- Kinesis shard consumption + KCL checkpointing/lease FSM (717 LoC of shim,
+  app/lib/kcl/*) -> `readStream` + `checkpointLocation`: the offset WAL + commit
+  log give the same at-least-once replay (exactly-once with idempotent sinks —
+  an upgrade: the reference's Redshift PK is unenforced, so its replays duplicate);
+- base64+JSON decode (kcl_app.js:38,44) -> F.unbase64 + permissive from_json with a
+  corrupt-record column (the try/catch at kcl_app.js:43-48);
+- per-record metadata refresh-on-discrepancy (app/mapper.js:72-112) -> per-BATCH
+  refresh: the registry is re-read at the top of every micro-batch and the batch's
+  discrepant rows are re-evaluated against it. Documented divergence (SURVEY §7):
+  a record landing in the same batch as its metadata fix alerts once where the
+  reference might not, and vice versa — the steady-state behavior is identical;
+- alert blacklist (process memory, lost on crash) -> a persisted state table
+  threaded through batches (durable across restarts).
+
+In production the source is `spark.readStream.format("kinesis")
+.option("streamName", "ObservationStream").option("startingPosition",
+"trim_horizon")` (stream name/position per app/consumer/sample.properties:7,26);
+tests use a file source with the same schema — the pipeline below is
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from plenario_mapper_spark import metadata
+from plenario_mapper_spark.operators import alerts as A
+from plenario_mapper_spark.operators import mapper as M
+from plenario_mapper_spark.schemas import OBS_JSON_SCHEMA
+
+
+def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFrame:
+    """base64 payload -> observation columns, with malformed JSON routed to a
+    `_corrupt` column instead of killing the stream (kcl_app.js:38-48)."""
+    schema = OBS_JSON_SCHEMA
+    json_text = F.unbase64(F.col(payload_col)).cast("string")
+    parsed = F.from_json(
+        json_text,
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return raw.select(json_text.alias("_raw"), parsed.alias("o")).select(
+        "o.*", F.when(F.col("o.node_id").isNull(), F.col("_raw")).alias("_corrupt")
+    )
+
+
+@dataclass
+class StreamSinks:
+    """Where a micro-batch lands. Lake mode: ONE partitioned write for all clean
+    rows (scales to any number of features without per-table fan-out); the
+    per-(network, feature) JDBC loop of the reference (app/mapper.js:282-290) is
+    available via `per_feature_writer` for literal Redshift-style parity."""
+
+    lake_dir: str
+    dead_letter_dir: str
+    emit_dir: str
+    alert_dir: str
+    state_dir: str
+    per_feature_writer: Callable[[str, str, DataFrame], None] | None = None
+
+
+class MapperStream:
+    """foreachBatch driver: per-batch registry refresh + mapper + alert state."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata_provider: Callable[[SparkSession], tuple[DataFrame, DataFrame]],
+        sinks: StreamSinks,
+    ):
+        self.spark = spark
+        self.metadata_provider = metadata_provider
+        self.sinks = sinks
+        # stale snapshot starts empty — the reference's startup state
+        # (map={}, type_map={}, app/mapper.js:36-40)
+        self._stale_kmap = metadata.empty_kmap(spark)
+
+    # -- state table ----------------------------------------------------------
+    def _load_blacklist(self) -> DataFrame:
+        path = self.sinks.state_dir
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return A.empty_blacklist(self.spark)
+
+    def _save_blacklist(self, bl: DataFrame) -> None:
+        bl.write.mode("overwrite").parquet(self.sinks.state_dir)
+
+    # -- the micro-batch body -------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = self.spark
+        # F3: refresh the registry once per batch (vs per-record in the ref)
+        sensor_meta, feature_meta = self.metadata_provider(spark)
+        mapping = metadata.build_mapping(sensor_meta, feature_meta)
+        fresh_kmap = metadata.sensor_kmap(mapping).cache()
+        registry = metadata.feature_registry(feature_meta)
+
+        obs = batch_df.withColumn("seq", F.monotonically_increasing_id())
+        norm = M.normalize(obs)
+        stale_ann = M.annotate(norm, self._stale_kmap)
+        fresh_ann = M.annotate(norm, fresh_kmap)
+
+        result = M.MapperResult(
+            annotated=fresh_ann,
+            dead_letter=M.dead_letter(fresh_ann),
+            emits=M.emit_messages(fresh_ann),
+            features={
+                e["feature"]: M.feature_rows(fresh_ann, e["feature"], e["properties"])
+                for e in registry
+            },
+        )
+
+        # clean rows -> one lake write partitioned by (network, feature);
+        # at 100 TB this is the sink: partition pruning on read, no fan-out loop
+        for feature, fdf in result.features.items():
+            out = fdf.withColumn("feature", F.lit(feature))
+            if self.sinks.per_feature_writer is not None:
+                for net in [r["network"] for r in fdf.select("network").distinct().collect()]:
+                    self.sinks.per_feature_writer(
+                        net, feature, fdf.filter(F.col("network") == net)
+                    )
+            out.write.mode("append").partitionBy("network", "feature").parquet(
+                self.sinks.lake_dir
+            )
+
+        result.dead_letter.write.mode("append").partitionBy("network").parquet(
+            self.sinks.dead_letter_dir
+        )
+        result.emits.write.mode("append").json(self.sinks.emit_dir)
+
+        # F4: alert derivation + durable blacklist state
+        blacklist = self._load_blacklist()
+        alerts, new_blacklist = A.derive_alerts(stale_ann, fresh_ann, blacklist)
+        alerts.write.mode("append").json(self.sinks.alert_dir)
+        new_bl = new_blacklist.collect()  # tiny (per-sensor)
+        self._save_blacklist(
+            self.spark.createDataFrame(new_bl, A.BLACKLIST_SCHEMA)
+            if new_bl
+            else A.empty_blacklist(self.spark)
+        )
+
+        # next batch validates against this batch's registry (the ref's cached map)
+        self._stale_kmap = fresh_kmap
+
+    def start(
+        self,
+        source: DataFrame,
+        checkpoint_dir: str,
+        trigger_once: bool = False,
+    ):
+        writer = (
+            source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def file_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
+    """JSON-lines observation source for tests (schema-locked)."""
+    return spark.readStream.schema(OBS_JSON_SCHEMA).json(input_dir)

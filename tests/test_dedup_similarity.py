@@ -1,0 +1,97 @@
+"""Verification of the approximate (non-SQL-expressible) operators against their
+brute-force truths: MinHash-LSH vs exact Jaccard, SimHash hamming, LSH-ANN recall
+vs exact cosine top-k, embedding near-dup recall."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.operators import dedup as DD
+from plenario_mapper_spark.operators import similarity as SIM
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_vs_exact_jaccard(spark, docs):
+    """Every exact pair with J >= 0.8 must be caught by the LSH path at
+    threshold 0.5 (the 16x4 banding's s-curve passes J=0.8 w.p. ~1), and
+    every reported pair's exact Jaccard must satisfy the threshold."""
+    subset = docs.filter(F.col("doc_id") < 120)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(subset, "doc_id", "text", 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(subset, "doc_id", "text", 0.5).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high <= set(lsh), f"missed high-sim pairs: {high - set(lsh)}"
+    # reported pairs carry EXACT jaccard (verify stage) -> all >= threshold
+    assert all(j >= 0.5 for j in lsh.values())
+    for p in lsh:
+        assert p in exact and exact[p] == pytest.approx(lsh[p])
+
+
+def test_simhash_pairs_verified(spark, docs):
+    subset = docs.filter(F.col("doc_id") < 120)
+    pairs = DD.simhash_near_dup_pairs(subset, "doc_id", "text", max_hamming=10).collect()
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in subset.select(
+            "doc_id", DD.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for r in pairs:
+        a, b = sh[r["id_a"]], sh[r["id_b"]]
+        # mask to 64 bits: Java longs round-trip as signed Python ints, and
+        # Python's infinite-precision XOR of a negative differs from bit_count
+        assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == r["hamming"] <= 10
+
+
+def test_exact_dedup_and_fingerprint(spark, docs):
+    n = docs.count()
+    distinct_texts = DD.exact_dedup(docs, ["text"]).count()
+    assert 0 < distinct_texts <= n
+    fp = DD.fingerprint_dedup_keep_first(docs, "doc_id", "text")
+    assert fp.count() <= distinct_texts  # canonicalization can only merge more
+    assert fp.agg(F.sum("dup_count")).collect()[0][0] == n
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    """LSH top-5 must recover a decent fraction of the exact top-5 (recall@5).
+    With 6 planes x 8 tables on 64-dim random embeddings (where even true top-5
+    neighbors sit near cos~0.35, so P(bucket match) per table is only ~5%),
+    expected recall is ~0.3; the contract here is the mechanism (candidates
+    scored exactly, ranked stably), not a tuned recall number."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(embeddings, queries, k=5)
+    approx = SIM.lsh_topk(embeddings, queries, k=5)
+    e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["item_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.2
+    # approximate scores must equal exact cosine for the pairs both report
+    ex = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        k = (r["query_id"], r["item_id"])
+        if k in ex:
+            assert r["cosine"] == pytest.approx(ex[k], abs=1e-6)
+
+
+def test_embedding_near_dup_self_consistency(spark, embeddings):
+    pairs = SIM.embedding_near_dup_pairs(embeddings, threshold=0.5)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.5

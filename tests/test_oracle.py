@@ -1,0 +1,78 @@
+"""Local DuckDB-oracle harness: mirrors the driver's t2 gate.
+
+Every registered query with an oracle runs through Spark AND DuckDB at sf0.001;
+results are compared order-insensitively after sorting columns by name — the same
+discipline as CORRECTNESS_r{N}.json. Rows-only queries are smoke-run.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def _query_names():
+    from plenario_mapper_spark.plans import ORACLES, QUERIES
+
+    return sorted(QUERIES), ORACLES
+
+
+ALL_NAMES, _ = _query_names()
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_vs_oracle(spark, ddb, name):
+    from plenario_mapper_spark.plans import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = sdf.collect()
+    cols = sdf.columns
+    if name not in ORACLES:
+        # rows-only contract: runs and yields a stable schema
+        assert cols
+        return
+    oracle = ddb.execute(ORACLES[name])
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+    assert sorted(cols) == sorted(o_cols), f"{name}: column sets differ"
+    got = _canon([[r[c] for c in cols] for r in spark_rows], cols)
+    want = _canon(o_rows, o_cols)
+    assert len(got) == len(want), f"{name}: row counts {len(got)} != {len(want)}"
+    assert got == want, f"{name}: value mismatch (first diff: "\
+        f"{next(((g, w) for g, w in zip(got, want) if g != w), None)})"

@@ -1,0 +1,156 @@
+"""End-to-end streaming test: file source -> foreachBatch mapper -> parquet/json
+sinks, reproducing the integration suite's aggregate counts (7 emits / 4 resolves /
+5 error messages, integration_tests.js:334-338) across TWO micro-batches with the
+blacklist state carried between them."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.streaming.pipeline import (
+    MapperStream,
+    StreamSinks,
+    decode_kinesis_records,
+    file_obs_source,
+)
+from tests.conftest import CANONICAL_OBS, FEATURE_META_ROWS, SENSOR_META_ROWS
+
+
+def _write_obs_json(path, obs_list):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "batch.json"), "w") as f:
+        for n, m, d, s, net, data in obs_list:
+            f.write(
+                json.dumps(
+                    {
+                        "node_id": n,
+                        "meta_id": m,
+                        "datetime": d,
+                        "sensor": s,
+                        "network": net,
+                        "data": json.dumps(data),
+                    }
+                )
+                + "\n"
+            )
+
+
+@pytest.fixture()
+def sinks(tmp_path):
+    return StreamSinks(
+        lake_dir=str(tmp_path / "lake"),
+        dead_letter_dir=str(tmp_path / "dead"),
+        emit_dir=str(tmp_path / "emit"),
+        alert_dir=str(tmp_path / "alerts"),
+        state_dir=str(tmp_path / "state"),
+    )
+
+
+def _metadata_provider(spark):
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+
+    return (
+        spark.createDataFrame(SENSOR_META_ROWS, SENSOR_METADATA_SCHEMA),
+        spark.createDataFrame(FEATURE_META_ROWS, FEATURE_METADATA_SCHEMA),
+    )
+
+
+def test_stream_end_to_end(spark, tmp_path, sinks):
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    q = stream.start(
+        file_obs_source(spark, src_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    lake = spark.read.parquet(sinks.lake_dir)
+    # 001 temp+hum, 002 mag, 003 mag, 004 cv, 007 cv, 008 temp = 7 feature rows
+    assert lake.count() == 7
+    temps = lake.filter(
+        (F.col("feature") == "temperature")
+        & (F.col("network") == "array_of_things_chicago")
+    )
+    assert temps.select("temperature").collect()[0][0] == pytest.approx(37.91)
+
+    dead = spark.read.parquet(sinks.dead_letter_dir)
+    assert dead.count() == 4  # obs 3,4,5,6
+
+    emits = spark.read.json(sinks.emit_dir)
+    assert emits.count() == 7
+
+    alerts = spark.read.json(sinks.alert_dir)
+    rows = alerts.collect()
+    assert sum(1 for r in rows if r["kind"] == "resolve") == 4
+    assert (
+        sum(len(json.loads(r["value"])) for r in rows if r["kind"] == "error") == 5
+    )
+    # durable blacklist after batch 1: hmc5883l + wubdb89 (see test_alerts)
+    bl = spark.read.parquet(sinks.state_dir)
+    assert sorted(r["sensor"] for r in bl.collect()) == ["hmc5883l", "wubdb89"]
+
+
+def test_stream_state_carries_across_batches(spark, tmp_path, sinks):
+    """Batch 2 re-sends obs3 (hmc5883l error): suppressed because the sensor is
+    already blacklisted from batch 1 — cross-batch dedup via the state table."""
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    q = stream.start(
+        file_obs_source(spark, src_dir), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    src2 = str(tmp_path / "in2")
+    _write_obs_json(src2, [CANONICAL_OBS[2]])  # obs3 again
+    stream2 = MapperStream(spark, _metadata_provider, sinks)
+    # NOTE: stale snapshot is empty on a fresh MapperStream; obs3 is discrepant
+    # against fresh metadata too, so it yields an error event — suppressed by the
+    # carried blacklist.
+    q2 = stream2.start(
+        file_obs_source(spark, src2), str(tmp_path / "ckpt2"), trigger_once=True
+    )
+    q2.awaitTermination(120)
+
+    alerts = spark.read.json(sinks.alert_dir)
+    hmc_errors = [
+        r
+        for r in alerts.collect()
+        if r["name"] == "hmc5883l" and r["kind"] == "error"
+    ]
+    assert len(hmc_errors) == 1  # batch 1 only; batch 2 suppressed
+
+
+def test_decode_kinesis_records(spark):
+    import base64
+
+    good = json.dumps(
+        {
+            "node_id": "00A",
+            "meta_id": 1.0,
+            "datetime": "2017-01-01T00:00:00",
+            "sensor": "HTU21D",
+            "network": "n",
+            "data": json.dumps({"temp": 1.5}),
+        }
+    )
+    bad = "{not json"
+    raw = spark.createDataFrame(
+        [(base64.b64encode(good.encode()).decode(),),
+         (base64.b64encode(bad.encode()).decode(),)],
+        "data string",
+    )
+    out = decode_kinesis_records(raw)
+    rows = out.collect()
+    ok = [r for r in rows if r["_corrupt"] is None]
+    corrupt = [r for r in rows if r["_corrupt"] is not None]
+    assert len(ok) == 1 and ok[0]["sensor"] == "HTU21D"
+    assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt"]

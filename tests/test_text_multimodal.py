@@ -1,0 +1,80 @@
+"""Text-analysis function tests (lang-id accuracy, token counts, fingerprints)
+and multimodal binary plumbing tests (stub decode via mapInPandas)."""
+
+import hashlib
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.functions import text as TX
+from plenario_mapper_spark.operators import multimodal as MM
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_count_matches_python(spark):
+    df = spark.createDataFrame(
+        [("hello world  foo",), ("",), ("  a b ",), ("one",)], "text string"
+    )
+    got = [r[0] for r in df.select(TX.token_count(F.col("text"))).collect()]
+    assert got == [3, 0, 2, 1]
+
+
+def test_lang_id_accuracy(docs):
+    """Stopword-vote lang-id should beat 60% on the labeled synthetic corpus for
+    the supported languages (zh has no latin stopwords -> excluded)."""
+    scored = docs.filter(F.col("lang").isin("en", "es", "fr", "de")).select(
+        "lang", TX.lang_id(F.col("text")).alias("pred")
+    )
+    rows = scored.collect()
+    acc = sum(1 for r in rows if r["pred"] == r["lang"]) / len(rows)
+    assert acc >= 0.6, f"lang-id accuracy {acc}"
+
+
+def test_fingerprint_layout_insensitive(spark):
+    df = spark.createDataFrame(
+        [("Hello,   World!",), ("hello world",), ("different text",)], "text string"
+    )
+    fps = [r[0] for r in df.select(TX.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(TX.shingles(F.col("text"), 3)).collect()]
+    assert sorted(got[0]) == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than n -> single whole-text shingle
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(TX.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_multimodal_stub_features(spark):
+    payloads = [b"\x00\x01\x02\x03" * 10, b"same byte " * 5, b""]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    wrapped = MM.attach_binary_meta(df, "doc_id", "payload")
+    meta = {r["doc_id"]: r["meta"] for r in wrapped.collect()}
+    assert meta[0]["n_bytes"] == 40
+    assert meta[0]["sha256"] == hashlib.sha256(payloads[0]).hexdigest()
+
+    feats = {r["doc_id"]: r for r in MM.extract_features(wrapped).collect()}
+    assert feats[0]["n_bytes"] == 40
+    assert feats[0]["mean_byte"] == pytest.approx(1.5)
+    assert feats[0]["entropy"] == pytest.approx(2.0)  # 4 equiprobable bytes
+    assert feats[2]["n_bytes"] == 0 and feats[2]["entropy"] == 0.0
+
+
+def test_decode_real_is_gated():
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(None)
