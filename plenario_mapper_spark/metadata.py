@@ -79,27 +79,38 @@ def build_mapping(sensor_meta: DataFrame, feature_meta: DataFrame) -> DataFrame:
     return keys.join(types, ["feature", "property"], "left").select(*MAPPING_COLS)
 
 
+KMAP_SCHEMA = (
+    "sensor string, kmap map<string, "
+    "struct<feature:string, property:string, type:string, fp:string>>"
+)
+
+
 def sensor_kmap(mapping: DataFrame) -> DataFrame:
     """One row per sensor with a MAP raw_key -> struct(feature, property, type, fp).
 
     This is the broadcast side of the stream join; a per-record O(1) hash lookup in
     the reference (map[obs.sensor][key], app/mapper.js:196) becomes a broadcast hash
     join on `sensor` plus JVM map functions over the row's payload.
+
+    The registry is KB-sized by construction (a schema registry, not data), so it
+    is assembled on the DRIVER and shipped as LocalTableScan -> BroadcastExchange:
+    no groupBy shuffle just to build a dimension, and the stream-side plan stays
+    completely exchange-free (verified by test_pipeline_is_shuffle_free).
     """
-    return mapping.groupBy("sensor").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("raw_key"),
-                    F.struct(
-                        F.col("feature"),
-                        F.col("property"),
-                        F.col("type"),
-                        F.concat_ws(".", "feature", "property").alias("fp"),
-                    ),
-                )
-            )
-        ).alias("kmap")
+    spark = mapping.sparkSession
+    by_sensor: dict[str, dict] = {}
+    for r in mapping.collect():
+        # concat_ws semantics: a NULL property yields fp == feature
+        fp = r["feature"] if r["property"] is None else f"{r['feature']}.{r['property']}"
+        by_sensor.setdefault(r["sensor"], {})[r["raw_key"]] = (
+            r["feature"],
+            r["property"],
+            r["type"],
+            fp,
+        )
+    rows = sorted(by_sensor.items())
+    return (
+        spark.createDataFrame(rows, KMAP_SCHEMA) if rows else empty_kmap(spark)
     )
 
 
@@ -120,7 +131,4 @@ def feature_registry(feature_meta: DataFrame) -> list[dict]:
 def empty_kmap(spark) -> DataFrame:
     """Empty schema registry — models the reference's startup state (map = {},
     type_map = {}, app/mapper.js:36-40), where every record is a discrepancy."""
-    return spark.createDataFrame(
-        [],
-        "sensor string, kmap map<string, struct<feature:string, property:string, type:string, fp:string>>",
-    )
+    return spark.createDataFrame([], KMAP_SCHEMA)

@@ -60,20 +60,29 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as an array<long>, fully JVM-side.
 
-    Shingle hashes are computed ONCE (xxhash64), then each permutation is an
-    affine map + array_min — O(shingles x num_hashes) cheap long ops inside
-    codegen, no UDF, no shuffle."""
+    Shingle hashes are computed ONCE (xxhash64); then ONE fold over them carries
+    a num_hashes-wide running-min vector, with zip_with applying every affine
+    permutation h_i = (a_i*h + b_i) mod p per step. Same O(shingles x num_hashes)
+    arithmetic as the naive form but a single array traversal and a compact
+    expression tree — the 64-separate-array_min version was ~40x slower (each
+    permutation re-walked the array through interpreted HOF nodes)."""
     sh = TX.shingles(text, shingle_n)
     hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sigs = [
-        F.array_min(
-            F.transform(
-                hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-            )
-        )
-        for a, b in _perm_coeffs(num_hashes, seed)
-    ]
-    return F.array(*sigs)
+    coeffs = _perm_coeffs(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in coeffs
+        ]
+    )
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE)))
+        ),
+    )
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:

@@ -534,7 +534,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_quantity < 30 THEN 'medium'
                 ELSE 'large' END AS qty_band,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(ROUND(ABS(l_extendedprice) / 100.0, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS hundreds,
+           CAST(ROUND(SUM(CAST(ABS(l_extendedprice) AS DECIMAL(18,2))) / 100, 2) AS DOUBLE) AS hundreds,
            CAST(MIN(CEIL(l_discount * 100)) AS BIGINT) AS min_disc_pct,
            CAST(MAX(FLOOR(l_tax * 100)) AS BIGINT) AS max_tax_pct
     FROM lineitem
@@ -542,7 +542,10 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE + math scalar surface (abs/ceil/floor/round)."""
+    """CASE + math scalar surface (abs/ceil/floor/round). Numeric discipline:
+    ROUND on a float halfway case differs between engines (Spark HALF_UP vs
+    DuckDB round-half-even on doubles), so the sum goes through DECIMAL and
+    rounds once, after aggregation."""
     l = _t(spark, sf_dir, "lineitem")
     band = (
         F.when(F.col("l_quantity") < 10, "small")
@@ -552,14 +555,14 @@ def q_scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.select(
             band.alias("qty_band"),
-            F.round(F.abs(F.col("l_extendedprice")) / 100.0, 2).alias("h"),
+            F.abs(F.col("l_extendedprice")).cast("decimal(18,2)").alias("h"),
             F.ceil(F.col("l_discount") * 100).alias("dp"),
             F.floor(F.col("l_tax") * 100).alias("tp"),
         )
         .groupBy("qty_band")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("h").cast("decimal(18,2)")), 2).cast("double").alias("hundreds"),
+            F.round(F.sum("h") / 100, 2).cast("double").alias("hundreds"),
             F.min("dp").cast("long").alias("min_disc_pct"),
             F.max("tp").cast("long").alias("max_tax_pct"),
         )

@@ -54,10 +54,11 @@ def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFra
 
 @dataclass
 class StreamSinks:
-    """Where a micro-batch lands. Lake mode: ONE partitioned write for all clean
-    rows (scales to any number of features without per-table fan-out); the
-    per-(network, feature) JDBC loop of the reference (app/mapper.js:282-290) is
-    available via `per_feature_writer` for literal Redshift-style parity."""
+    """Where a micro-batch lands. Lake mode: one typed parquet table per feature
+    under lake_dir/<feature>, partitioned by network (the reference's per-feature
+    DDL, schema-stable per table); the per-(network, feature) JDBC loop of the
+    reference (app/mapper.js:282-290) is available via `per_feature_writer` for
+    literal Redshift-style parity."""
 
     lake_dir: str
     dead_letter_dir: str
@@ -118,17 +119,20 @@ class MapperStream:
             },
         )
 
-        # clean rows -> one lake write partitioned by (network, feature);
-        # at 100 TB this is the sink: partition pruning on read, no fan-out loop
+        # clean rows -> one lake TABLE PER FEATURE (lake_dir/<feature>, partitioned
+        # by network inside). Each feature table has its own stable typed schema —
+        # mirroring the reference's per-feature DDL (tests/configure_tests.js:79-161)
+        # — so readers of lake_dir/<feature> never need schema merging, and network
+        # partition pruning applies on read. At 100 TB, add a time partition column
+        # here; the loop is over the (small) registry, not the data.
         for feature, fdf in result.features.items():
-            out = fdf.withColumn("feature", F.lit(feature))
             if self.sinks.per_feature_writer is not None:
                 for net in [r["network"] for r in fdf.select("network").distinct().collect()]:
                     self.sinks.per_feature_writer(
                         net, feature, fdf.filter(F.col("network") == net)
                     )
-            out.write.mode("append").partitionBy("network", "feature").parquet(
-                self.sinks.lake_dir
+            fdf.write.mode("append").partitionBy("network").parquet(
+                os.path.join(self.sinks.lake_dir, feature)
             )
 
         result.dead_letter.write.mode("append").partitionBy("network").parquet(

@@ -72,12 +72,16 @@ def test_stream_end_to_end(spark, tmp_path, sinks):
     )
     q.awaitTermination(120)
 
-    lake = spark.read.parquet(sinks.lake_dir)
-    # 001 temp+hum, 002 mag, 003 mag, 004 cv, 007 cv, 008 temp = 7 feature rows
-    assert lake.count() == 7
-    temps = lake.filter(
-        (F.col("feature") == "temperature")
-        & (F.col("network") == "array_of_things_chicago")
+    # 001 temp+hum, 002 mag, 003 mag, 004 cv, 007 cv, 008 temp = 7 feature rows,
+    # spread across the per-feature tables lake_dir/<feature>
+    feature_counts = {}
+    for feat in os.listdir(sinks.lake_dir):
+        feature_counts[feat] = spark.read.parquet(
+            os.path.join(sinks.lake_dir, feat)
+        ).count()
+    assert sum(feature_counts.values()) == 7
+    temps = spark.read.parquet(os.path.join(sinks.lake_dir, "temperature")).filter(
+        F.col("network") == "array_of_things_chicago"
     )
     assert temps.select("temperature").collect()[0][0] == pytest.approx(37.91)
 

@@ -27,15 +27,32 @@ def test_token_count_matches_python(spark):
     assert got == [3, 0, 2, 1]
 
 
-def test_lang_id_accuracy(docs):
-    """Stopword-vote lang-id should beat 60% on the labeled synthetic corpus for
-    the supported languages (zh has no latin stopwords -> excluded)."""
-    scored = docs.filter(F.col("lang").isin("en", "es", "fr", "de")).select(
-        "lang", TX.lang_id(F.col("text")).alias("pred")
-    )
-    rows = scored.collect()
+def test_lang_id_real_text(spark):
+    """Stopword-vote lang-id on genuine language samples. (The synthetic corpus
+    can't test this: all five lang labels share one identical 31-token vocabulary,
+    so its labels carry no text signal — verified empirically; max achievable
+    accuracy there is the majority-class rate.)"""
+    samples = [
+        ("en", "the cat is in the house and it is warm for a winter day"),
+        ("en", "it is the best of times and the worst of times for a reader"),
+        ("es", "el perro esta en la casa y es un dia de invierno con los amigos"),
+        ("es", "la vida es un viaje que hay que vivir con los que quieres"),
+        ("fr", "le chien est dans la maison et les enfants du village sont une famille"),
+        ("fr", "la vie est une aventure et les amis du quartier sont la pour nous"),
+        ("de", "der hund ist in dem haus und die kinder sind mit den eltern zu hause"),
+        ("de", "das leben ist eine reise und die freunde sind von anfang an mit dabei"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    rows = df.select("lang", TX.lang_id(F.col("text")).alias("pred")).collect()
     acc = sum(1 for r in rows if r["pred"] == r["lang"]) / len(rows)
-    assert acc >= 0.6, f"lang-id accuracy {acc}"
+    assert acc >= 0.85, f"lang-id accuracy {acc}: {rows}"
+
+
+def test_lang_id_corpus_stable(docs):
+    """On the (signal-free) synthetic corpus the classifier must still be total:
+    every doc gets a prediction from the closed label set."""
+    preds = {r["pred"] for r in docs.select(TX.lang_id(F.col("text")).alias("pred")).collect()}
+    assert preds <= {"en", "es", "fr", "de", "und"}
 
 
 def test_fingerprint_layout_insensitive(spark):
