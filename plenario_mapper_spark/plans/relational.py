@@ -141,6 +141,132 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------------
 
 @register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube) — one Expand +
+    hash agg pass, no multi-scan union."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p95,
+           CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_v,
+           CAST(ROUND(MAX(value), 6) AS DOUBLE) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+    `percentile_cont` share the definition). At scale prefer approx_percentile;
+    this pins the exact path."""
+    e = _events(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            pct.alias("p"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p95"),
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+@register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality path (no
+    exact distinct shuffle). Not oracle-hashable (sketch estimates are
+    engine-specific); error bound asserted in tests vs exact counts."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's most recent click at-or-before
+    it (point-in-time correctness; checked against DuckDB's native ASOF JOIN).
+    Implementation is the union-tag/last-carry composition — one shuffle on
+    user_id, no range blowup (operators/asof.py)."""
+    from plenario_mapper_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+
+
+@register(
+    "q_explode_tokens",
+    oracle="""
+    SELECT doc_id, s.i AS pos, s.tok FROM (
+      SELECT doc_id,
+             unnest([{'i': i, 'tok': toks[i]} FOR i IN generate_series(1, len(toks))]) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 25) t)
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/UDTF surface: posexplode of a computed array (generator in the
+    project list, no join) — the engine analog of UNNEST WITH ORDINALITY."""
+    from plenario_mapper_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    return d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok")
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,

@@ -1,0 +1,92 @@
+"""As-of join semantics (tolerance, ties, unmatched rows) and the HLL
+approx-distinct error bound — the parts the DuckDB oracle can't pin."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:00:00"), 100.0),
+            ("a", _ts("2024-01-01T00:00:10"), 101.0),
+            ("a", _ts("2024-01-01T00:01:00"), 102.0),
+            ("b", _ts("2024-01-01T00:00:05"), 50.0),
+        ],
+        "sym string, qts timestamp, quote double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:00:10"), 1),  # tie: matches the 00:00:10 quote
+            ("a", _ts("2024-01-01T00:00:30"), 2),  # between quotes -> 101.0
+            ("a", _ts("2024-01-01T00:02:00"), 3),  # after last -> 102.0
+            ("b", _ts("2024-01-01T00:00:01"), 4),  # before any quote -> NULL
+            ("c", _ts("2024-01-01T00:00:01"), 5),  # key with no quotes -> NULL
+        ],
+        "sym string, tts timestamp, trade_id int",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_inclusive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+        right_cols=["quote", "qts"],
+    )
+    got = {r["trade_id"]: (r["quote"], r["qts"]) for r in out.collect()}
+    assert got[1] == (101.0, _ts("2024-01-01T00:00:10"))  # inclusive tie
+    assert got[2] == (101.0, _ts("2024-01-01T00:00:10"))
+    assert got[3] == (102.0, _ts("2024-01-01T00:01:00"))
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert out.count() == 5  # every left row survives (left join)
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, by=["sym"], left_ts="tts", right_ts="qts",
+        right_cols=["quote"], tolerance_seconds=30,
+    )
+    got = {r["trade_id"]: r["quote"] for r in out.collect()}
+    assert got[1] == 101.0   # 0s old
+    assert got[2] == 101.0   # 20s old
+    assert got[3] is None    # 60s old > 30s tolerance
+    assert got[4] is None
+
+
+def test_asof_name_collision_suffix(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    q2 = quotes.withColumnRenamed("quote", "trade_id")  # force a collision
+    out = asof_join(
+        trades, q2, by=["sym"], left_ts="tts", right_ts="qts",
+        right_cols=["trade_id"],
+    )
+    assert "trade_id_right" in out.columns and "trade_id" in out.columns
+
+
+def test_approx_count_distinct_bound(spark):
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(5, 0.06 * r["exact"]), (
+            r["o_orderpriority"], r["approx"], r["exact"],
+        )
