@@ -8,7 +8,15 @@ whose runtime type matters: JS `Number(true)` is 1 but `Number("true")` is NaN;
 
 Values are carried as Spark VARIANT (parse_json of the raw payload), so the JSON
 runtime type (string/number/boolean/null) survives into the plan and every rule below
-compiles to JVM-side expressions — no Python on the hot path, whole-stage codegen.
+compiles to JVM-side expressions — no Python on the hot path.
+
+Performance contract: every function has a `_vt` variant taking the PRE-COMPUTED
+`schema_of_variant(v)` string. The mapper computes vt once per map entry (inside a
+single HOF pass, where the lambda variable acts as a let-binding) and threads it
+through; the convenience single-argument forms re-derive vt inline and are only for
+cold paths (alert message formatting). schema_of_variant is not free, and variant
+HOF trees are interpreted — calling it O(probes) times per value was the dominant
+cost of the whole pipeline before this split.
 
 Type-name families follow app/mapper.js:199-239 (matched on the lower-cased metadata
 type string): varchar|string, integer|int, float|double|"double precision",
@@ -27,38 +35,61 @@ def vtype(v: Column) -> Column:
     return F.schema_of_variant(v)
 
 
+def _is_num(vt: Column) -> Column:
+    return (vt == "BIGINT") | (vt == "DOUBLE") | vt.startswith("DECIMAL")
+
+
+def _is_str(vt: Column) -> Column:
+    return vt == "STRING"
+
+
+def _is_bool(vt: Column) -> Column:
+    return vt == "BOOLEAN"
+
+
+def _is_null(vt: Column) -> Column:
+    return vt == "VOID"
+
+
 def is_json_number(v: Column) -> Column:
-    t = vtype(v)
-    return (t == "BIGINT") | (t == "DOUBLE") | t.startswith("DECIMAL")
+    return _is_num(vtype(v))
 
 
 def is_json_string(v: Column) -> Column:
-    return vtype(v) == "STRING"
+    return _is_str(vtype(v))
 
 
 def is_json_bool(v: Column) -> Column:
-    return vtype(v) == "BOOLEAN"
+    return _is_bool(vtype(v))
 
 
 def is_json_null(v: Column) -> Column:
-    return vtype(v) == "VOID"
+    return _is_null(vtype(v))
 
 
-def js_typeof(v: Column) -> Column:
+def js_typeof_vt(v: Column, vt: Column) -> Column:
     """JS `typeof` of the JSON value — used in alert messages (app/mapper.js:449)."""
     return (
-        F.when(is_json_number(v), F.lit("number"))
-        .when(is_json_string(v), F.lit("string"))
-        .when(is_json_bool(v), F.lit("boolean"))
+        F.when(_is_num(vt), F.lit("number"))
+        .when(_is_str(vt), F.lit("string"))
+        .when(_is_bool(vt), F.lit("boolean"))
         .otherwise(F.lit("object"))  # typeof null === 'object'
     )
 
 
-def js_string(v: Column) -> Column:
+def js_typeof(v: Column) -> Column:
+    return js_typeof_vt(v, vtype(v))
+
+
+def js_string_vt(v: Column, vt: Column) -> Column:
     """JS `String(v)` (app/mapper.js:200). Variant->string cast renders numbers
     canonically (decimal 12.90 -> "12.9" matches JS), booleans as true/false,
     strings unquoted, null as NULL -> mapped to "null"."""
-    return F.when(is_json_null(v), F.lit("null")).otherwise(v.cast("string"))
+    return F.when(_is_null(vt), F.lit("null")).otherwise(v.cast("string"))
+
+
+def js_string(v: Column) -> Column:
+    return js_string_vt(v, vtype(v))
 
 
 def json_literal(v: Column) -> Column:
@@ -90,13 +121,17 @@ def _parse_int_prefix(s: Column) -> Column:
     return F.when(m == "", F.lit(None).cast("long")).otherwise(m.cast("long"))
 
 
-def coerce_int(v: Column) -> tuple[Column, Column]:
+def coerce_int_vt(v: Column, vt: Column) -> tuple[Column, Column]:
     # JS parseInt stringifies its argument first: parseInt(true) -> parseInt("true")
     # -> NaN; parseInt(12.9) -> parseInt("12.9") -> 12; parseInt(null) -> NaN.
     out = F.when(
-        is_json_bool(v) | is_json_null(v), F.lit(None).cast("long")
-    ).otherwise(_parse_int_prefix(js_string(v)))
+        _is_bool(vt) | _is_null(vt), F.lit(None).cast("long")
+    ).otherwise(_parse_int_prefix(js_string_vt(v, vt)))
     return out.isNotNull(), out
+
+
+def coerce_int(v: Column) -> tuple[Column, Column]:
+    return coerce_int_vt(v, vtype(v))
 
 
 def _js_number_of_string(s: Column) -> Column:
@@ -110,69 +145,87 @@ def _js_number_of_string(s: Column) -> Column:
     )
 
 
-def coerce_double(v: Column) -> tuple[Column, Column]:
+def coerce_double_vt(v: Column, vt: Column) -> tuple[Column, Column]:
     out = (
-        F.when(is_json_bool(v), v.cast("boolean").cast("int").cast("double"))  # Number(true)=1
-        .when(is_json_number(v), v.cast("double"))
-        .when(is_json_null(v), F.lit(0.0))  # Number(null) = 0
+        F.when(_is_bool(vt), v.cast("boolean").cast("int").cast("double"))  # Number(true)=1
+        .when(_is_num(vt), v.cast("double"))
+        .when(_is_null(vt), F.lit(0.0))  # Number(null) = 0
         .otherwise(_js_number_of_string(v.cast("string")))
     )
     return out.isNotNull(), out
 
 
-def coerce_bool(v: Column) -> tuple[Column, Column]:
+def coerce_double(v: Column) -> tuple[Column, Column]:
+    return coerce_double_vt(v, vtype(v))
+
+
+def coerce_bool_vt(v: Column, vt: Column) -> tuple[Column, Column]:
     # Acceptance set is exact (app/mapper.js:218-232): loose-equality '1'/'0'
     # matches number 1/0 and string "1"/"0" (NOT "01"); plus case-insensitive
     # TRUE/FALSE strings; plus real booleans. Everything else errors (incl. 10,
     # "12.9", null).
     s = v.cast("string")
-    num = F.when(is_json_number(v), v.cast("double"))
+    num = F.when(_is_num(vt), v.cast("double"))
     out = (
-        F.when(is_json_bool(v), v.cast("boolean"))
-        .when(is_json_number(v) & (num == 1.0), F.lit(True))
-        .when(is_json_number(v) & (num == 0.0), F.lit(False))
-        .when(is_json_string(v) & ((s == "1") | (F.upper(s) == "TRUE")), F.lit(True))
-        .when(is_json_string(v) & ((s == "0") | (F.upper(s) == "FALSE")), F.lit(False))
+        F.when(_is_bool(vt), v.cast("boolean"))
+        .when(_is_num(vt) & (num == 1.0), F.lit(True))
+        .when(_is_num(vt) & (num == 0.0), F.lit(False))
+        .when(_is_str(vt) & ((s == "1") | (F.upper(s) == "TRUE")), F.lit(True))
+        .when(_is_str(vt) & ((s == "0") | (F.upper(s) == "FALSE")), F.lit(False))
         .otherwise(F.lit(None).cast("boolean"))
     )
     return out.isNotNull(), out
 
 
+def coerce_bool(v: Column) -> tuple[Column, Column]:
+    return coerce_bool_vt(v, vtype(v))
+
+
+def coerce_string_vt(v: Column, vt: Column) -> tuple[Column, Column]:
+    return F.lit(True), js_string_vt(v, vt)
+
+
 def coerce_string(v: Column) -> tuple[Column, Column]:
-    return F.lit(True), js_string(v)
+    return coerce_string_vt(v, vtype(v))
 
 
 # --- dynamic dispatch (type known only per-row, from the metadata join) ----------
 
-def coerce_ok(v: Column, t: Column) -> Column:
-    """Whether JS coercion of variant `v` to metadata type-string `t` succeeds.
-
-    Used inside higher-order map functions for error detection (the `errors` object
-    of coerce_types, app/mapper.js:192-243). Unknown/null type strings are errors
-    (app/mapper.js:233-239)."""
+def coerce_ok_vt(v: Column, vt: Column, t: Column) -> Column:
+    """Whether JS coercion of variant `v` (runtime type string `vt`) to metadata
+    type-string `t` succeeds — the error detection of coerce_types
+    (app/mapper.js:192-243). Unknown/null type strings are errors (:233-239)."""
     return (
         F.when(_is_in(t, STRING_TYPES), F.lit(True))
-        .when(_is_in(t, INT_TYPES), coerce_int(v)[0])
-        .when(_is_in(t, FLOAT_TYPES), coerce_double(v)[0])
-        .when(_is_in(t, BOOL_TYPES), coerce_bool(v)[0])
+        .when(_is_in(t, INT_TYPES), coerce_int_vt(v, vt)[0])
+        .when(_is_in(t, FLOAT_TYPES), coerce_double_vt(v, vt)[0])
+        .when(_is_in(t, BOOL_TYPES), coerce_bool_vt(v, vt)[0])
         .otherwise(F.lit(False))
     )
 
 
-def coerce_typed(v: Column, sql_type: str) -> Column:
+def coerce_ok(v: Column, t: Column) -> Column:
+    return coerce_ok_vt(v, vtype(v), t)
+
+
+def coerce_typed_vt(v: Column, vt: Column, sql_type: str) -> Column:
     """Statically-typed coercion for sink projection — the metadata type of a sink
     column is known at plan-build time, so this compiles to a plain typed column
     (feature_query_text value rendering, app/mapper.js:336-354)."""
     t = sql_type.strip().lower()
     if t in STRING_TYPES:
-        return coerce_string(v)[1]
+        return coerce_string_vt(v, vt)[1]
     if t in INT_TYPES:
-        return coerce_int(v)[1].cast("int")
+        return coerce_int_vt(v, vt)[1].cast("int")
     if t in FLOAT_TYPES:
-        return coerce_double(v)[1]
+        return coerce_double_vt(v, vt)[1]
     if t in BOOL_TYPES:
-        return coerce_bool(v)[1]
+        return coerce_bool_vt(v, vt)[1]
     return F.lit(None).cast("string")
+
+
+def coerce_typed(v: Column, sql_type: str) -> Column:
+    return coerce_typed_vt(v, vtype(v), sql_type)
 
 
 def json_quote(s: Column) -> Column:
@@ -182,26 +235,30 @@ def json_quote(s: Column) -> Column:
     return arr.substr(F.lit(2), F.length(arr) - 2)
 
 
-def coerced_json_literal(v: Column, t: Column) -> Column:
+def coerced_json_literal_vt(v: Column, vt: Column, t: Column) -> Column:
     """Coerced value rendered as a JSON literal (for emit messages, whose `results`
     object carries typed values — format_obs, app/mapper.js:365-403)."""
-    dbl = coerce_double(v)[1]
+    dbl = coerce_double_vt(v, vt)[1]
     return (
         F.when(
             _is_in(t, STRING_TYPES),
             # Already a JSON string -> reuse the variant literal; otherwise quote
             # the JS String() rendition.
-            F.when(is_json_string(v), F.to_json(v)).otherwise(json_quote(js_string(v))),
+            F.when(_is_str(vt), F.to_json(v)).otherwise(json_quote(js_string_vt(v, vt))),
         )
-        .when(_is_in(t, INT_TYPES), coerce_int(v)[1].cast("string"))
+        .when(_is_in(t, INT_TYPES), coerce_int_vt(v, vt)[1].cast("string"))
         .when(
             _is_in(t, FLOAT_TYPES),
             # Render integral doubles the way JS does (1, not 1.0); otherwise keep
             # the shortest decimal text the variant already carries when numeric.
-            F.when(is_json_number(v) & ~vtype(v).startswith("DOUBLE"), v.cast("string"))
+            F.when(_is_num(vt) & ~vt.startswith("DOUBLE"), v.cast("string"))
             .when(dbl == F.floor(dbl), dbl.cast("long").cast("string"))
             .otherwise(dbl.cast("string")),
         )
-        .when(_is_in(t, BOOL_TYPES), coerce_bool(v)[1].cast("string"))
+        .when(_is_in(t, BOOL_TYPES), coerce_bool_vt(v, vt)[1].cast("string"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def coerced_json_literal(v: Column, t: Column) -> Column:
+    return coerced_json_literal_vt(v, vtype(v), t)

@@ -58,49 +58,90 @@ def annotate(obs: DataFrame, kmap_df: DataFrame) -> DataFrame:
     Adds:
       kmap            raw_key -> (feature, property, type, fp) for this sensor
                       (NULL when the sensor is unknown — ref app/mapper.js:78)
+      _ann            per-entry annotation array: (key, value, vt, info, unknown,
+                      err) — computed in ONE pass over map_entries(data)
       invalid_keys    data keys absent from the registry (invalid_keys, :411-419)
       error_keys      known keys whose value fails JS coercion (:192-243)
       bad_keys        invalid ∪ error — drives the record split (:255)
       misfit_data     the bad half of `data` (dead-letter residue, :306-310)
       clean_data      the good half of `data`
       features        distinct features touched by clean_data (:275-281)
+
+    Performance shape: HOF inputs are materialized arrays, so the nested
+    transform acts as a let-binding — schema_of_variant and the registry lookup
+    run once per entry, and every derived column is a cheap filter/transform of
+    `_ann`. (The naive formulation — each derived column re-probing the variant
+    map — re-evaluated the whole interpreted expression tree per column per key
+    and was ~20x slower; variant + HOF expressions do not enter whole-stage
+    codegen, so tree size IS the runtime.)
     """
     df = obs.join(F.broadcast(kmap_df), "sensor", "left")
 
     kmap = F.col("kmap")
     data = F.col("data")
 
-    invalid = F.when(kmap.isNull(), F.map_keys(data)).otherwise(
-        F.filter(F.map_keys(data), lambda k: ~F.map_contains_key(kmap, k))
-    )
-    df = df.withColumn("invalid_keys", invalid)
-
-    errors = F.when(kmap.isNull(), F.array().cast("array<string>")).otherwise(
-        F.map_keys(
-            F.map_filter(
-                data,
-                lambda k, v: F.map_contains_key(kmap, k)
-                & ~C.coerce_ok(v, _entry_info(kmap, k)["type"]),
-            )
-        )
-    )
-    df = df.withColumn("error_keys", errors)
-    df = df.withColumn("bad_keys", F.concat("invalid_keys", "error_keys"))
-
-    bad = F.col("bad_keys")
-    df = df.withColumn(
-        "misfit_data", F.map_filter(data, lambda k, v: F.array_contains(bad, k))
-    ).withColumn(
-        "clean_data", F.map_filter(data, lambda k, v: ~F.array_contains(bad, k))
-    )
-
-    df = df.withColumn(
-        "features",
-        F.array_distinct(
-            F.transform(
-                F.map_keys("clean_data"), lambda k: _entry_info(kmap, k)["feature"]
-            )
+    raw = F.transform(
+        F.map_entries(data),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            e["value"].alias("value"),
+            C.vtype(e["value"]).alias("vt"),
+            F.element_at(kmap, e["key"]).alias("info"),
         ),
+    )
+    ann = F.transform(
+        raw,
+        lambda a: F.struct(
+            a["key"].alias("key"),
+            a["value"].alias("value"),
+            a["vt"].alias("vt"),
+            a["info"].alias("info"),
+            (kmap.isNull() | a["info"].isNull()).alias("unknown"),
+            F.when(kmap.isNull() | a["info"].isNull(), F.lit(False))
+            .otherwise(~C.coerce_ok_vt(a["value"], a["vt"], a["info"]["type"]))
+            .alias("err"),
+        ),
+    )
+    df = df.withColumn("_ann", ann)
+
+    a = F.col("_ann")
+    df = (
+        df.withColumn(
+            "invalid_keys",
+            F.transform(F.filter(a, lambda x: x["unknown"]), lambda x: x["key"]),
+        )
+        .withColumn(
+            "error_keys",
+            F.transform(F.filter(a, lambda x: x["err"]), lambda x: x["key"]),
+        )
+        .withColumn("bad_keys", F.concat("invalid_keys", "error_keys"))
+        .withColumn(
+            "misfit_data",
+            F.map_from_entries(
+                F.transform(
+                    F.filter(a, lambda x: x["unknown"] | x["err"]),
+                    lambda x: F.struct(x["key"], x["value"]),
+                )
+            ),
+        )
+        .withColumn(
+            "clean_data",
+            F.map_from_entries(
+                F.transform(
+                    F.filter(a, lambda x: ~(x["unknown"] | x["err"])),
+                    lambda x: F.struct(x["key"], x["value"]),
+                )
+            ),
+        )
+        .withColumn(
+            "features",
+            F.array_distinct(
+                F.transform(
+                    F.filter(a, lambda x: ~(x["unknown"] | x["err"])),
+                    lambda x: x["info"]["feature"],
+                )
+            ),
+        )
     )
     return df
 
@@ -135,12 +176,12 @@ def feature_rows(
     `properties` is [(name, metadata_type)] from the registry; the type is static
     here so coercion compiles to plain typed columns.
     """
-    kmap = F.col("kmap")
     fp_map = F.map_from_entries(
         F.transform(
-            F.map_entries("clean_data"),
-            lambda e: F.struct(
-                _entry_info(kmap, e["key"])["fp"].alias("fp"), e["value"].alias("v")
+            F.filter(F.col("_ann"), lambda x: ~(x["unknown"] | x["err"])),
+            lambda x: F.struct(
+                x["info"]["fp"].alias("fp"),
+                F.struct(x["value"].alias("v"), x["vt"].alias("vt")).alias("pv"),
             ),
         )
     )
@@ -148,9 +189,9 @@ def feature_rows(
     df = df.withColumn("_fp", fp_map)
     cols = [F.col(c) for c in ENVELOPE]
     for prop, typ in properties:
-        v = F.element_at("_fp", F.lit(f"{feature}.{prop}"))
+        e = F.element_at("_fp", F.lit(f"{feature}.{prop}"))
         cols.append(
-            F.when(v.isNotNull(), C.coerce_typed(v, typ)).alias(prop)
+            F.when(e.isNotNull(), C.coerce_typed_vt(e["v"], e["vt"], typ)).alias(prop)
         )
     return df.select(*cols)
 
@@ -160,39 +201,27 @@ def emit_messages(annotated: DataFrame) -> DataFrame:
     :292-296): one row per (record, feature) with results = {property: coerced}
     as a JSON object string. Only the clean half emits; a record whose data was
     entirely bad emits nothing (insert_emit recursion guard, :269-271)."""
-    kmap = F.col("kmap")
     df = clean_rows(annotated).select(
         *ENVELOPE,
-        "kmap",
-        "clean_data",
+        "_ann",
         F.explode("features").alias("feature"),
     )
-    results = F.map_filter(
-        F.transform_values(
-            F.map_filter(
-                F.col("clean_data"),
-                lambda k, v: _entry_info(kmap, k)["feature"] == F.col("feature"),
-            ),
-            lambda k, v: C.coerced_json_literal(v, _entry_info(kmap, k)["type"]),
+    # clean entries of THIS feature, rendered "property":<json literal> — one
+    # filter+transform over the already-annotated entries
+    pieces = F.transform(
+        F.filter(
+            F.col("_ann"),
+            lambda x: ~(x["unknown"] | x["err"])
+            & (x["info"]["feature"] == F.col("feature")),
         ),
-        lambda k, v: v.isNotNull(),
+        lambda x: F.concat(
+            C.json_quote(x["info"]["property"]),
+            F.lit(":"),
+            C.coerced_json_literal_vt(x["value"], x["vt"], x["info"]["type"]),
+        ),
     )
     # results as a JSON object keyed by property name
-    results_json = F.concat(
-        F.lit("{"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.map_entries(results),
-                lambda e: F.concat(
-                    C.json_quote(_entry_info(kmap, e["key"])["property"]),
-                    F.lit(":"),
-                    e["value"],
-                ),
-            ),
-        ),
-        F.lit("}"),
-    )
+    results_json = F.concat(F.lit("{"), F.concat_ws(",", pieces), F.lit("}"))
     return df.select(
         F.col("node_id").alias("node"),
         "datetime",
