@@ -1,7 +1,9 @@
 """Deduplication operator family for training-data pipelines at 100 TB scale.
 
-Five strategies, all shuffle-disciplined and UDF-free (every hash/signature is a JVM
-expression, so signatures compute inside the scan stage):
+Five strategies, all shuffle-disciplined. Hashes/fingerprints are JVM expressions
+except the MinHash signature, which is an Arrow-vectorized pandas_udf — the one
+spot where numpy beats Spark's interpreted higher-order functions by ~50x (see
+minhash_signature's docstring for the measurement):
 
 - exact:        hash-groupBy on content (or selected columns);
 - fingerprint:  canonical-token rolling hash (layout-insensitive exact dedup);
@@ -36,6 +38,21 @@ def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before CPU-heavy narrow work.
+
+    Signature/shingle computation is arithmetic-bound, and a small parquet input
+    (or one giant row group) arrives as ONE split — leaving every core but one
+    idle. The tiny shuffle of raw text costs milliseconds; the compute it
+    parallelizes costs tens of seconds. On a 100 TB input with thousands of
+    splits this is a near-no-op safeguard (only helps when splits < cores)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact deduplication: distinct over the given columns (hash agg — partial
     dedup map-side, one shuffle on the content hash)."""
@@ -56,33 +73,27 @@ def fingerprint_dedup_keep_first(
 
 
 def minhash_signature(
-    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
-) -> Column:
-    """MinHash signature as an array<long>, fully JVM-side.
+    num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+):
+    """MinHash signature as an Arrow-vectorized pandas_udf: text -> array<long>.
 
-    Shingle hashes are computed ONCE (xxhash64); then ONE fold over them carries
-    a num_hashes-wide running-min vector, with zip_with applying every affine
-    permutation h_i = (a_i*h + b_i) mod p per step. Same O(shingles x num_hashes)
-    arithmetic as the naive form but a single array traversal and a compact
-    expression tree — the 64-separate-array_min version was ~40x slower (each
-    permutation re-walked the array through interpreted HOF nodes)."""
-    sh = TX.shingles(text, shingle_n)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    coeffs = _perm_coeffs(num_hashes, seed)
-    ab = F.array(
-        *[
-            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
-            for a, b in coeffs
-        ]
-    )
-    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in range(num_hashes)])
-    return F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, ab, lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE)))
-        ),
-    )
+    Why a UDF here, against the engine's JVM-first rule: the signature is
+    O(shingles x num_hashes) integer ops per row, and Spark's higher-order
+    functions are INTERPRETED (no whole-stage codegen) at ~tens of µs per lambda
+    call — a pure-expression formulation measured 21s for 5000 docs across 32
+    cores. The same arithmetic as one numpy broadcast (A*h + B) % p min-reduced
+    per row runs in milliseconds; Arrow batches keep the transfer columnar. This
+    is precisely the 'vectorized UDF beats interpreted expression tree' case.
+
+    The shingle-set semantics mirror functions.text.shingles exactly; the exact
+    Jaccard verify stage still uses the JVM shingles, so LSH candidate quality
+    is the only thing the (md5-based, deterministic) hash choice affects."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions.pandas_sigs import make_minhash_signature_udf
+
+    coeffs = np.array(_perm_coeffs(num_hashes, seed), dtype=np.int64)
+    return make_minhash_signature_udf(coeffs, _MERSENNE, shingle_n)
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -123,13 +134,15 @@ def minhash_near_dup_pairs(
     docs) would quadratically blow up — AQE skew-join splitting handles it.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        TX.shingles(F.col(text_col), shingle_n).alias("sh"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    sig_udf = minhash_signature(num_hashes, shingle_n)
+    sig = base.select("id", sig_udf(F.col("_txt")).alias("sig"))
+    # Candidate generation carries ONLY (id, band-key): the exploded band rows
+    # (bands x docs) stay a few bytes wide, so the self-join shuffle is tiny.
+    # Carrying payloads (shingle arrays) through the explode+shuffle was the
+    # dominant cost of the naive formulation.
     banded = sig.select(
-        "id", "sh", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -138,16 +151,25 @@ def minhash_near_dup_pairs(
             right,
             (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify stage: enrich the (small) candidate set with exact shingle sets.
+    # The candidate side broadcasts, so the shingle table is never shuffled.
+    # Shingles come from the vectorized UDF (same set semantics as the JVM
+    # expression; the JVM version costs ~4ms/doc interpreted and this table is
+    # scanned once per join side).
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh_udf = make_shingles_udf(shingle_n)
+    sh_tab = base.select("id", sh_udf(F.col("_txt")).alias("sh"))
+    pairs = (
+        F.broadcast(cand)
+        .join(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -163,8 +185,11 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard pairs — the brute-force baseline that verifies the
     MinHash path (and the DuckDB-oracle-able variant). Quadratic: use only on
     bounded subsets; the LSH path is the 100 TB route."""
-    s = df.select(
-        F.col(id_col).alias("id"), TX.shingles(F.col(text_col), shingle_n).alias("sh")
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh_udf = make_shingles_udf(shingle_n)
+    s = _spread(df).select(
+        F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh")
     )
     a, b = s.alias("a"), s.alias("b")
     return (
@@ -216,7 +241,7 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dups: 4x16-bit band join (pigeonhole: hamming<=3 implies at
     least one of 4 bands identical), then exact Hamming verify on candidates."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    s = _spread(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     banded = s.select(
         "id",
         "sh",

@@ -32,6 +32,43 @@ _SQL_TOKENS = (
 # The mapper pipeline itself, driven at scale over the events table
 # --------------------------------------------------------------------------------
 
+def _events_as_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows reshaped as observations (sensor = event_type, payload =
+    props). Repartitioned to cluster parallelism first: the variant/HOF mapper
+    work is CPU-bound and a single-row-group parquet input otherwise pins the
+    whole pipeline to one core (same rationale as operators.dedup._spread)."""
+    e = _events(spark, sf_dir)
+    sc = spark.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
+    return e.select(
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("event_id").cast("double").alias("meta_id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
+        F.col("event_type").alias("sensor"),
+        F.lit("events_net").alias("network"),
+        F.col("props").alias("data"),
+    )
+
+
+def _events_registry(spark: SparkSession):
+    """The synthetic schema registry for the events stream: sensor 'click' maps
+    key 'k' to feature 'click_feature' typed int."""
+    from plenario_mapper_spark import metadata
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+
+    sensor_meta = spark.createDataFrame(
+        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+    )
+    feature_meta = spark.createDataFrame(
+        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+    )
+    return metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+
+
 @register(
     "q_mapper_route_events",
     oracle="""
@@ -50,28 +87,8 @@ def q_mapper_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event becomes an observation (sensor = event_type, payload = props), the
     registry maps key 'k' of sensor 'click' to feature 'click_feature' typed int.
     The oracle is the straight-SQL equivalent of the routed feature table."""
-    from plenario_mapper_spark import metadata
-    from plenario_mapper_spark.schemas import (
-        FEATURE_METADATA_SCHEMA,
-        SENSOR_METADATA_SCHEMA,
-    )
-
-    e = _events(spark, sf_dir)
-    obs = e.select(
-        F.col("user_id").cast("string").alias("node_id"),
-        F.col("event_id").cast("double").alias("meta_id"),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
-        F.col("event_type").alias("sensor"),
-        F.lit("events_net").alias("network"),
-        F.col("props").alias("data"),
-    )
-    sensor_meta = spark.createDataFrame(
-        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
-    )
-    feature_meta = spark.createDataFrame(
-        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
-    )
-    kmap_df = metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+    obs = _events_as_obs(spark, sf_dir)
+    kmap_df = _events_registry(spark)
     ann = M.annotate(M.normalize(obs), kmap_df)
     return M.feature_rows(ann, "click_feature", [("k", "INTEGER")]).select(
         "node_id", "datetime", "meta_id", "sensor", "network", "k"
@@ -92,28 +109,8 @@ def q_mapper_dead_letter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-letter routing at scale: every non-click event type is an unknown
     sensor, so its whole payload lands in <network>__unknown_feature as a JSON
     string (app/mapper.js:306-310). Residue text matches the compact original."""
-    from plenario_mapper_spark import metadata
-    from plenario_mapper_spark.schemas import (
-        FEATURE_METADATA_SCHEMA,
-        SENSOR_METADATA_SCHEMA,
-    )
-
-    e = _events(spark, sf_dir)
-    obs = e.select(
-        F.col("user_id").cast("string").alias("node_id"),
-        F.col("event_id").cast("double").alias("meta_id"),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
-        F.col("event_type").alias("sensor"),
-        F.lit("events_net").alias("network"),
-        F.col("props").alias("data"),
-    )
-    sensor_meta = spark.createDataFrame(
-        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
-    )
-    feature_meta = spark.createDataFrame(
-        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
-    )
-    kmap_df = metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+    obs = _events_as_obs(spark, sf_dir)
+    kmap_df = _events_registry(spark)
     ann = M.annotate(M.normalize(obs), kmap_df)
     # driver oracle carries the raw props text; our residue is the re-serialized
     # variant map, which for {"k": N} is byte-identical modulo whitespace
@@ -202,6 +199,56 @@ def q_doc_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
         aggs.append(F.sum(hits).cast("long").alias(f"{lang}_hits"))
     return d.groupBy("lang").agg(*aggs)
+
+
+@register(
+    "q_doc_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+      FROM documents WHERE doc_id < 40),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+    SELECT doc_id, tok, rank,
+           CAST(ROUND(tfidf, 6) AS DOUBLE) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) DESC,
+                                         tf.tok) AS rank
+      FROM tf CROSS JOIN n JOIN dfreq ON tf.tok = dfreq.tok) t
+    WHERE rank <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (smooth idf = ln((1+N)/(1+df)) + 1,
+    sklearn's public formula), tie-broken by token for determinism.
+
+    Scale shape: tf is explode + partial/final hash agg; df REUSES tf (one
+    groupBy over (doc, tok) feeds both); N is a scalar broadcast; the rank is
+    a WindowGroupLimit-able top-3 per doc. Vocabulary (df) joins on tok —
+    broadcastable when the vocab is bounded; shuffle-join otherwise."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))  # 1-row scalar, broadcast
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    tfidf = (
+        F.col("tf") * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0)
+    ).alias("tfidf")
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", tfidf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
 
 
 @register(

@@ -461,6 +461,56 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above 2x their customer's average).
+    Expressed via SQL so Catalyst's decorrelation rewrites it to one aggregate +
+    join — the classic optimizer rewrite the reference has no analog of."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders_v o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders_v o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global average) — one extra tiny job whose
+    result constant-folds into the scan filter."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above
+        FROM part_v
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part_v)
+        GROUP BY p_brand
+        """
+    )
+
+
 # --------------------------------------------------------------------------------
 # Windows / sorts / top-k / set ops (SURVEY §2.E)
 # --------------------------------------------------------------------------------

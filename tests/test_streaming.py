@@ -133,6 +133,84 @@ def test_stream_state_carries_across_batches(spark, tmp_path, sinks):
     assert len(hmc_errors) == 1  # batch 1 only; batch 2 suppressed
 
 
+def test_streaming_session_window_watermark(spark, tmp_path):
+    """Event-time sessionization as a true stream: watermark + session_window,
+    availableNow trigger, results to a memory sink. Twin of the batch
+    q_events_sessionize (same 30-min gap semantics)."""
+    src = tmp_path / "sessions_in"
+    src.mkdir()
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2h gap (new one)
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "v": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00", "v": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T02:30:00", "v": 3.0},
+        # user 2: single event
+        {"user_id": 2, "ts": "2024-01-01T01:00:00", "v": 4.0},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string, v double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n"]): r["sum_v"]
+        for r in spark.sql("SELECT user_id, n, sum_v FROM sessions_out").collect()
+    }
+    assert got == {(1, 2): 3.0, (1, 1): 3.0, (2, 1): 4.0}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (H1): dropDuplicatesWithinWatermark keyed by
+    event id — the at-least-once -> effectively-once repair for replayed
+    sources."""
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00"},
+        {"event_id": 1, "ts": "2024-01-01T00:00:01"},  # replay dup
+        {"event_id": 2, "ts": "2024-01-01T00:05:00"},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00"},  # exact dup
+        {"event_id": 3, "ts": "2024-01-01T00:06:00"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()
+    )
+    assert ids == [1, 2, 3]
+
+
 def test_decode_kinesis_records(spark):
     import base64
 
