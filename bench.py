@@ -43,8 +43,18 @@ def main() -> None:
     spark = get_spark(app_name="plenario-mapper-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen once with a trivial action so q1 doesn't pay startup
+    # Warm the JVM once so the timed queries measure steady-state execution, not
+    # one-time startup: a trivial action for executor spin-up, then the flagship
+    # pipeline + a pandas-UDF query at the tiny sf0.001 scale to trigger
+    # whole-stage codegen compilation and Python worker startup. (~3 s, untimed.)
     spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for warm_q in ("q_mapper_route_events", "q_dedup_minhash"):
+            try:
+                QUERIES[warm_q](spark, warm_dir).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

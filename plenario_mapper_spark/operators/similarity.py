@@ -107,6 +107,32 @@ def lsh_topk(
     )
 
 
+def exact_near_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs (id_a < id_b) — the O(N^2) brute-force
+    truth that `embedding_near_dup_pairs` approximates. Use only on bounded
+    slices; this is the oracle-checkable correctness baseline for the cosine
+    math and the threshold semantics (filter on the unrounded value)."""
+    e = items.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(F.broadcast(r), F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            V.cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.95,

@@ -360,6 +360,30 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(e, threshold=0.9)
 
 
+@register(
+    "q_embed_near_dup_exact",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 500),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum([a.v[j] * b.v[j] FOR j IN generate_series(1, len(a.v))])
+             / (sqrt(list_sum([a.v[j] * a.v[j] FOR j IN generate_series(1, len(a.v))]))
+              * sqrt(list_sum([b.v[j] * b.v[j] FOR j IN generate_series(1, len(b.v))]))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
+    FROM scored WHERE cos >= 0.9
+    """,
+)
+def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine near-dup pairs (>= 0.9) on a bounded slice (vec_id < 500) —
+    the brute-force truth the bucketed q_embed_near_dup approximates, and the
+    oracle-checked proof of the cosine/threshold semantics. Quadratic by design;
+    the unbounded-scale variant is q_embed_near_dup."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return SIM.exact_near_dup_pairs(e, threshold=0.9)
+
+
 # --------------------------------------------------------------------------------
 # Multimodal: binary payload plumbing (metadata lives SQL-side; decode is stubbed)
 # --------------------------------------------------------------------------------
