@@ -54,7 +54,10 @@ def get_spark(
         # so results are environment-independent.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread inside the driver JVM: size the heap
+        # for N concurrent task slots or GC becomes the bottleneck (a real cluster
+        # sizes spark.executor.memory instead and this value is irrelevant there).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
