@@ -7,6 +7,16 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Built-plan cache, per live session (weak: dies with the session). Building
+# some plans costs ~1s of driver time (the mapper's per-entry annotation tree
+# is hundreds of nested Column objects, each a py4j round trip); a DataFrame is
+# an immutable logical plan, so reuse across calls is exactly what a production
+# deployment does (build once, run per micro-batch / per request).
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]"
+import weakref
+
+_PLAN_CACHE = weakref.WeakKeyDictionary()
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query to the engine surface. `oracle` is the DuckDB-
@@ -14,7 +24,18 @@ def register(name: str, oracle: str | None = None):
     the driver's compare sorts columns by name before value-hashing)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            per_session = _PLAN_CACHE.setdefault(spark, {})
+            key = (sf_dir, name)
+            df = per_session.get(key)
+            if df is None:
+                df = per_session[key] = fn(spark, sf_dir)
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
