@@ -1,0 +1,67 @@
+"""Observation-stream sources (SURVEY §2.A A1-A3).
+
+The reference consumes AWS Kinesis via the KCL MultiLangDaemon (717 LoC of
+stdin/stdout shim, /root/reference/app/lib/kcl/*.js); here a source is one
+`readStream` call — shard leases, checkpoint resume, and lifecycle are inside
+the connector + the query's checkpointLocation (SURVEY §2.F F1/F2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from plenario_mapper_spark.schemas import OBS_JSON_SCHEMA
+
+
+def kinesis_source(
+    spark: SparkSession,
+    stream_name: str = "ObservationStream",
+    region: str = "us-east-1",
+    starting_position: str = "trim_horizon",
+) -> DataFrame:
+    """Production source: the Kinesis connector equivalent of the reference's KCL
+    consumer (stream name app/consumer/sample.properties:7, TRIM_HORIZON :26).
+
+    Returns the raw connector frame (payload in `data` as binary/base64);
+    feed through `decode_kinesis_records`. Requires the spark-kinesis connector
+    on the classpath — raises a clear error locally where it is absent.
+    """
+    try:
+        return (
+            spark.readStream.format("kinesis")
+            .option("streamName", stream_name)
+            .option("region", region)
+            .option("startingPosition", starting_position)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - connector not in this container
+        raise RuntimeError(
+            "Kinesis connector not available on the classpath; use "
+            "file_obs_source/parquet_obs_source for local runs"
+        ) from e
+
+
+def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFrame:
+    """base64 payload -> observation columns, with malformed JSON routed to a
+    `_corrupt` column instead of killing the stream (kcl_app.js:38-48)."""
+    json_text = F.unbase64(F.col(payload_col)).cast("string")
+    parsed = F.from_json(
+        json_text,
+        OBS_JSON_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return raw.select(json_text.alias("_raw"), parsed.alias("o")).select(
+        "o.*", F.when(F.col("o.node_id").isNull(), F.col("_raw")).alias("_corrupt")
+    )
+
+
+def file_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
+    """JSON-lines observation source (schema-locked) — the test stand-in for
+    Kinesis; also the shape of a replay-from-archive backfill."""
+    return spark.readStream.schema(OBS_JSON_SCHEMA).json(input_dir)
+
+
+def parquet_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Parquet observation source for high-throughput backfills: same columns,
+    columnar scan, file-listing driven micro-batches (maxFilesPerTrigger)."""
+    return spark.readStream.schema(OBS_JSON_SCHEMA).parquet(input_dir)

@@ -34,22 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from plenario_mapper_spark import metadata
 from plenario_mapper_spark.operators import alerts as A
 from plenario_mapper_spark.operators import mapper as M
-from plenario_mapper_spark.schemas import OBS_JSON_SCHEMA
-
-
-def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFrame:
-    """base64 payload -> observation columns, with malformed JSON routed to a
-    `_corrupt` column instead of killing the stream (kcl_app.js:38-48)."""
-    schema = OBS_JSON_SCHEMA
-    json_text = F.unbase64(F.col(payload_col)).cast("string")
-    parsed = F.from_json(
-        json_text,
-        schema,
-        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-    )
-    return raw.select(json_text.alias("_raw"), parsed.alias("o")).select(
-        "o.*", F.when(F.col("o.node_id").isNull(), F.col("_raw")).alias("_corrupt")
-    )
+from plenario_mapper_spark.sources.observations import (  # noqa: F401 (re-export)
+    decode_kinesis_records,
+    file_obs_source as _file_obs_source,
+)
 
 
 @dataclass
@@ -171,5 +159,6 @@ class MapperStream:
 
 
 def file_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
-    """JSON-lines observation source for tests (schema-locked)."""
-    return spark.readStream.schema(OBS_JSON_SCHEMA).json(input_dir)
+    """JSON-lines observation source for tests (schema-locked); canonical home is
+    `sources.observations.file_obs_source`."""
+    return _file_obs_source(spark, input_dir)
