@@ -107,6 +107,67 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition items into `n_centroids`
+    Voronoi cells, search only the `n_probe` cells nearest each query.
+
+    Train: centroids are every (N/n_centroids)-th item by id — deterministic and
+    collected to the driver (K x dim floats; K stays small even at 100 TB, and a
+    k-means refinement would slot in here without changing the serving plan).
+    Assign: items cross the BROADCAST centroid table (K rows), map-side partial
+    max_by reduces the shuffle to one row per item. Probe: queries rank the same
+    broadcast centroids, keep n_probe cells; the candidate join is an equi-join
+    on cell id, so scored pairs ~ N * n_probe / n_centroids * Q instead of N*Q.
+    Recall is tunable via n_probe; verified against brute_force_topk in tests."""
+    it = items.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).cast("array<double>").alias("iv")
+    )
+    n = it.count()
+    stride = max(1, n // n_centroids)
+    cent = (
+        it.filter((F.col("item_id") % stride == 0))
+        .orderBy("item_id")
+        .limit(n_centroids)
+        .select(F.col("item_id").alias("cid"), F.col("iv").alias("cv"))
+    )
+    assigned = (
+        it.join(F.broadcast(cent))
+        .select("item_id", "iv", "cid", V.cosine(F.col("iv"), F.col("cv")).alias("cc"))
+        .groupBy("item_id")
+        .agg(F.max_by("cid", "cc").alias("cid"), F.first("iv").alias("iv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qc"), "cid")
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("qc"))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = assigned.join(
+        F.broadcast(probes), ["cid"]
+    ).filter(F.col("item_id") != F.col("query_id")).select(
+        "query_id", "item_id", V.cosine(F.col("qv"), F.col("iv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def exact_near_dup_pairs(
     items: DataFrame,
     threshold: float = 0.9,

@@ -12,6 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from plenario_mapper_spark.functions import text as TX
+from plenario_mapper_spark.operators import alerts as AL
 from plenario_mapper_spark.operators import dedup as DD
 from plenario_mapper_spark.operators import mapper as M
 from plenario_mapper_spark.operators import similarity as SIM
@@ -123,6 +124,57 @@ def q_mapper_dead_letter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("data", '":', '": ').alias("data"),
         )
     )
+
+
+@register(
+    "q_mapper_emit_events",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS node,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS datetime,
+           event_type AS sensor,
+           'events_net' AS network,
+           'click_feature' AS feature,
+           '{"k":' || CAST(props->>'$.k' AS INT) || '}' AS results
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_mapper_emit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapper's third output (A8): per-(record, feature) socket messages with
+    `results` as a JSON object of coerced property values (format_obs,
+    app/mapper.js:365-403). Over events: every click emits one click_feature
+    message carrying the coerced int k."""
+    obs = _events_as_obs(spark, sf_dir)
+    ann = M.annotate(M.normalize(obs), _events_registry(spark))
+    return M.emit_messages(ann)
+
+
+@register(
+    "q_mapper_alerts_events",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS seq, event_type AS name, 'error' AS kind,
+             '["Sensor ' || event_type ||
+             ' not found in sensor metadata for network events_net. Please add this sensor."]'
+             AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events WHERE event_type <> 'click')
+    SELECT seq, name, kind, value FROM err WHERE rn = 1
+    """,
+)
+def q_mapper_alerts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert derivation + blacklist fold (B8 + F4, batch form) over events: every
+    non-click event type is an unknown sensor, so it raises a does_not_exist
+    error (app/mapper.js:431-434); the blacklist state machine (send_error
+    :455-468) suppresses all but the FIRST error per sensor. Registry snapshots
+    are identical here (steady state), so no resolves fire."""
+    obs = _events_as_obs(spark, sf_dir).withColumn(
+        "seq", F.col("meta_id").cast("long")
+    )
+    ann = M.annotate(M.normalize(obs), _events_registry(spark))
+    alerts, _new_blacklist = AL.derive_alerts(
+        ann, ann, AL.empty_blacklist(spark), order_col="seq"
+    )
+    return alerts
 
 
 # --------------------------------------------------------------------------------
@@ -351,6 +403,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 for the same query set — the 100 TB path."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("q_ann_ivf_topk")  # rows-only: approximate; recall-tested vs brute force
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the same query set: items partitioned into
+    Voronoi cells, queries probe the nearest cells only — the partition-pruned
+    alternative to LSH at 100 TB (cell id doubles as the storage partition)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 @register("q_embed_near_dup")  # rows-only

@@ -89,6 +89,24 @@ def test_lsh_ann_recall(spark, embeddings):
             assert r["cosine"] == pytest.approx(ex[k], abs=1e-6)
 
 
+def test_ivf_ann_recall(spark, embeddings):
+    """IVF top-5 vs the exact top-5: with 16 cells and 4 probed, a quarter of the
+    corpus is scored per query, so recall lands well above the LSH floor; scores
+    for pairs both paths report must be the identical exact cosine."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(embeddings, queries, k=5)
+    approx = SIM.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
+    e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["item_id"]) for r in approx.collect()}
+    assert len(a) > 0
+    assert len(a & e) / len(e) >= 0.2
+    ex = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["item_id"])
+        if key in ex:
+            assert r["cosine"] == pytest.approx(ex[key], abs=1e-6)
+
+
 def test_embedding_near_dup_self_consistency(spark, embeddings):
     pairs = SIM.embedding_near_dup_pairs(embeddings, threshold=0.5)
     rows = pairs.collect()
