@@ -103,6 +103,61 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, resize_version string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize via Arrow-batched mapInPandas. STUB transform (truncate/pad bytes to
+    width*height — a real PIL `Image.resize` slots into the same batch loop);
+    the schema/partitioning contract is the real one: one output row per input,
+    payload replaced, target dims recorded."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:target]
+                b = b + b"\x00" * (target - len(b))
+                out.append((int(doc_id), b, width, height, "stub-v1"))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "width", "height", "resize_version"]
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    binary_df: DataFrame, n_frames: int = 4, frame_ms: int = 1000
+) -> DataFrame:
+    """Frame sampling: one input video/audio payload -> n_frames output rows
+    (UDTF shape — mapInPandas yields more rows than it receives). STUB frames
+    are contiguous byte slices; a real ffmpeg/librosa extractor keeps the exact
+    same schema and fan-out. No shuffle: fan-out happens inside the scan stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    start = min(i * step, len(b))
+                    end = len(b) if i == n_frames - 1 else min((i + 1) * step, len(b))
+                    out.append((int(doc_id), i, i * frame_ms, b[start:end]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "ts_ms", "frame"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def decode_real(binary_df: DataFrame) -> DataFrame:
     """Real codec path — unavailable in this container by design."""
     try:

@@ -471,6 +471,41 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_binary_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+               FROM documents WHERE doc_id < 20),
+    f AS (SELECT doc_id, n, greatest(1, n // 4) AS step, i.generate_series AS frame_idx
+          FROM d, generate_series(0, 3) i)
+    SELECT doc_id, frame_idx, CAST(frame_idx * 1000 AS BIGINT) AS ts_ms,
+           CAST(greatest(0,
+                CASE WHEN frame_idx = 3 THEN n ELSE least((frame_idx + 1) * step, n) END
+                - least(frame_idx * step, n)) AS INT) AS frame_bytes
+    FROM f
+    """,
+)
+def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling UDTF shape over binary payloads: 1 payload -> 4 frame rows
+    via Arrow-batched mapInPandas (operators/multimodal.sample_frames). The
+    oracle checks the fan-out and per-frame byte extents; frame content is the
+    deterministic stub slice."""
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    frames = MM.sample_frames(d, n_frames=4, frame_ms=1000)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------------
 # Sessionization (stream-analytics shape in batch; streaming twin in streaming/)
 # --------------------------------------------------------------------------------

@@ -92,6 +92,27 @@ def test_multimodal_stub_features(spark):
     assert feats[2]["n_bytes"] == 0 and feats[2]["entropy"] == 0.0
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    payloads = [bytes(range(200)), b"xy"]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    resized = {r["doc_id"]: r for r in MM.resize_images(df, 8, 4).collect()}
+    assert len(resized[0]["payload"]) == 32  # truncated to 8x4
+    assert bytes(resized[0]["payload"]) == bytes(range(32))
+    assert len(resized[1]["payload"]) == 32  # zero-padded
+    assert (resized[1]["width"], resized[1]["height"]) == (8, 4)
+
+    frames = MM.sample_frames(df, n_frames=4, frame_ms=250).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 4  # UDTF fan-out: 1 row in, n_frames out
+    f0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in f0] == [0, 250, 500, 750]
+    assert bytes(f0[1]["frame"]) == bytes(range(50, 100))  # slice 2 of 4
+
+
 def test_decode_real_is_gated():
     with pytest.raises(NotImplementedError):
         MM.decode_real(None)
