@@ -164,10 +164,13 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .persist()  # read twice: candidate-id set + final pair enrichment
     )
+    cand.count()  # eager: both downstream lineages read it concurrently
     # Verify stage: exact shingle sets for CANDIDATE docs only — a semi-join
     # prunes the text scan to the (tiny) candidate id set before the shingle
     # UDF runs, so verify cost scales with candidates, not corpus size. Both
-    # enrichment joins then broadcast the small shingle table.
+    # enrichment joins then broadcast the small shingle table — persisted
+    # eagerly, else each BroadcastExchange recomputes it (text scan + Python
+    # UDF, twice per execution).
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
     sh_udf = make_shingles_udf(shingle_n)
@@ -177,7 +180,9 @@ def minhash_near_dup_pairs(
     sh_tab = (
         base.join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", sh_udf(F.col("_txt")).alias("sh"))
+        .persist()
     )
+    sh_tab.count()
     pairs = (
         cand
         .join(
