@@ -325,6 +325,29 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_fingerprint",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id,
+                 array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                             x -> x <> ''), ' ') AS canon
+          FROM documents)
+    GROUP BY canon
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first fingerprint dedup (operators/dedup.fingerprint_dedup_keep_first):
+    one hash-groupBy on the 64-bit canonical-token rolling hash, min-id survivor
+    per group. The oracle groups by the canonical token string itself — same
+    partition of the corpus, so (survivor id, dup_count) sets must agree exactly
+    (the fingerprint value is engine-internal and not compared)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup_keep_first(d, "doc_id", "text").select(
+        "doc_id", "dup_count"
+    )
+
+
+@register(
     "q_ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (
@@ -503,6 +526,45 @@ def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "ts_ms",
         F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
+@register(
+    "q_binary_resize",
+    oracle="""
+    SELECT doc_id, 32 AS width, 32 AS height, 1024 AS out_bytes,
+           sha256(substring(text, 1, LEAST(length(text), 1024))) AS prefix_sha
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.resize_images): Arrow-batched
+    mapInPandas, one row out per row in, payload truncated/zero-padded to the
+    32x32 target (stub transform; a real PIL resize keeps the identical batch
+    contract). Oracle checks the output geometry and that the payload prefix is
+    byte-identical to the source — the zero pad is pinned by out_bytes. (DuckDB
+    lacks BLOB substring; the varchar slice is byte-exact here because the
+    corpus is ASCII — asserted by tests/test_oracle.py.)"""
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    lens = d.select("doc_id", F.octet_length("payload").alias("orig_n"))
+    r = MM.resize_images(d, 32, 32)
+    return (
+        r.join(F.broadcast(lens), "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.octet_length("payload").alias("out_bytes"),
+            F.sha2(
+                F.expr("substring(payload, 1, least(orig_n, 1024))"), 256
+            ).alias("prefix_sha"),
+        )
     )
 
 

@@ -56,6 +56,15 @@ def _query_names():
 ALL_NAMES, _ = _query_names()
 
 
+def test_documents_text_is_ascii(ddb):
+    """q_binary_resize's oracle slices text with varchar substring (DuckDB has no
+    BLOB substring); that is byte-exact only while the corpus is ASCII."""
+    n = ddb.execute(
+        "SELECT count(*) FROM documents WHERE octet_length(CAST(text AS BLOB)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_query_vs_oracle(spark, ddb, name):
     from plenario_mapper_spark.plans import ORACLES, QUERIES
