@@ -133,6 +133,27 @@ def test_stream_state_carries_across_batches(spark, tmp_path, sinks):
     assert len(hmc_errors) == 1  # batch 1 only; batch 2 suppressed
 
 
+def test_stream_checkpoint_resume_no_reprocess(spark, tmp_path, sinks):
+    """F1 (kcl_app.js:56-59): restart from the SAME checkpointLocation must not
+    re-read committed offsets — the offset WAL + commit log replace the KCL
+    sequence-number checkpoint, upgrading at-least-once to exactly-once for the
+    idempotent lake sink."""
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    q = stream.start(file_obs_source(spark, src_dir), ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(sinks.dead_letter_dir).count()
+
+    # restart with the same checkpoint and unchanged source: nothing to do
+    stream2 = MapperStream(spark, _metadata_provider, sinks)
+    q2 = stream2.start(file_obs_source(spark, src_dir), ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sinks.dead_letter_dir).count() == first
+
+
 def test_streaming_session_window_watermark(spark, tmp_path):
     """Event-time sessionization as a true stream: watermark + session_window,
     availableNow trigger, results to a memory sink. Twin of the batch
