@@ -230,25 +230,53 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def _md5_token_bits(t: Column, bits: int) -> Column:
+    """Per-token bit vector from md5 — the ORACLE-MIRRORABLE hash (DuckDB md5 +
+    '0x' hex-cast reproduce the identical integers; xxhash64 has no DuckDB
+    twin). Bits 0..59 come from the first 15 hex chars, 60..63 from the 16th."""
+    h = F.md5(t)
+    a = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
+    return F.array(
+        *[
+            (
+                F.getbit(a, F.lit(i)) if i < 60 else F.getbit(b, F.lit(i - 60))
+            ).cast("long")
+            for i in range(bits)
+        ]
+    )
+
+
+def simhash(text: Column, bits: int = 64, token_hash: str = "xxhash64") -> Column:
     """SimHash: sign-aggregate token hashes into a `bits`-wide fingerprint (long).
 
-    bit_i(doc) = sign( sum_tokens (2*bit_i(xxhash64(token)) - 1) ). Single fold
+    bit_i(doc) = sign( sum_tokens (2*bit_i(hash(token)) - 1) ). Single fold
     over the token array carrying a `bits`-wide vote vector (zip_with update) --
     one array traversal total, not one per bit; all JVM ops, no UDF. Packing is
     two's complement (bit 63 contributes -2^63) so the result stays a plain
-    signed long under ANSI arithmetic."""
+    signed long under ANSI arithmetic.
+
+    token_hash: 'xxhash64' (default, fastest) or 'md5' (DuckDB-mirrorable, used
+    by the oracle-checked q_dedup_simhash; ~same plan shape, more hash work)."""
     toks = TX.tokens(text)
-    h = F.transform(toks, lambda t: F.xxhash64(t))
-    idx = F.array(*[F.lit(i) for i in range(bits)])
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    votes = F.aggregate(
-        h,
-        zeros,
-        lambda acc, x: F.zip_with(
-            acc, idx, lambda a, i: a + (F.getbit(x, i).cast("long") * 2 - 1)
-        ),
-    )
+    if token_hash == "md5":
+        hs = F.transform(toks, lambda t: _md5_token_bits(t, bits))
+        votes = F.aggregate(
+            hs,
+            zeros,
+            lambda acc, x: F.zip_with(acc, x, lambda a, bit: a + (bit * 2 - 1)),
+        )
+    else:
+        h = F.transform(toks, lambda t: F.xxhash64(t))
+        idx = F.array(*[F.lit(i) for i in range(bits)])
+        votes = F.aggregate(
+            h,
+            zeros,
+            lambda acc, x: F.zip_with(
+                acc, idx, lambda a, i: a + (F.getbit(x, i).cast("long") * 2 - 1)
+            ),
+        )
     powers = F.array(
         *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
     )
@@ -263,11 +291,20 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups: 4x16-bit band join (pigeonhole: hamming<=3 implies at
-    least one of 4 bands identical), then exact Hamming verify on candidates."""
-    s = _spread(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    least one of 4 bands identical => 100% recall, so the result is EXACTLY the
+    set of pairs at hamming <= max_hamming), then exact Hamming verify on
+    candidates."""
+    s = _spread(df).select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), token_hash=token_hash).alias("sh"),
+    )
     banded = s.select(
         "id",
         "sh",

@@ -382,11 +382,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
 
 
-@register("q_dedup_simhash")  # rows-only
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                        x -> x <> '')) AS t
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS a,
+             CAST(('0x' || substr(md5(t), 16, 1)) AS BIGINT) AS b
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i.i AS bit,
+             SUM(CASE WHEN i.i < 60 THEN ((a >> i.i) & 1) * 2 - 1
+                      ELSE ((b >> (i.i - 60)) & 1) * 2 - 1 END) AS v
+      FROM tb, generate_series(0, 63) i(i)
+      GROUP BY doc_id, i.i
+    ),
+    bv AS (SELECT doc_id, bit, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bitval FROM votes),
+    ham AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             SUM(CASE WHEN x.bitval <> y.bitval THEN 1 ELSE 0 END) AS hamming
+      FROM bv x JOIN bv y ON x.bit = y.bit AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming <= 3) via 4x16-bit band join."""
+    """SimHash-64 near-dup pairs (hamming <= 3) via 4x16-bit band join. STRONGLY
+    oracle-checked: 4-band pigeonhole gives 100% recall at hamming<=3, so the
+    output is exactly the hamming-ball pair set — deterministic given the token
+    hash. Uses the md5-backed hash the oracle can mirror bit-for-bit (DuckDB has
+    no xxhash64); production default stays xxhash64 (operators/dedup.simhash).
+    The oracle recomputes the sign-aggregated bit vectors from scratch in SQL
+    and brute-forces all pairs — quadratic, which is exactly why the banded
+    engine path exists."""
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return DD.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, token_hash="md5"
+    )
 
 
 # --------------------------------------------------------------------------------
