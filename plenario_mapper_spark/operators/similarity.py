@@ -27,17 +27,47 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side broadcasts (it is the small
     side by construction); scoring is a single narrow pass over items; ranking
-    shuffles once on query_id. Ties broken by item id for determinism."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    shuffles once on query_id. Ties broken by item id for determinism.
+
+    The item side is L2-pre-normalized and MATERIALIZED once (eager persist):
+    per-pair scoring is then a single dot fold instead of dot+2 norms (~3x less
+    interpreted-HOF work — Spark HOFs are CodegenFallback). A lazy projection
+    would not help: CollapseProject inlines the norm aggregate back into every
+    array element's division, making normalization O(d^2) per pair. At scale
+    this materialization is the standard one-time preprocessing step of any
+    vector-search index build. Items also spread to cluster parallelism — a
+    single-split embedding file otherwise pins all scoring to one core."""
+    from plenario_mapper_spark.operators.dedup import _spread
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("n", V.norm(F.col("qv")))
+        .select(
+            "query_id",
+            F.transform(F.col("qv"), lambda x: x / F.col("n")).alias("qu"),
+        )
     )
-    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("iv"))
+    it = (
+        _spread(items)
+        .select(
+            F.col(id_col).alias("item_id"),
+            F.col(vec_col).cast("array<double>").alias("iv"),
+        )
+        .withColumn("n", V.norm(F.col("iv")))
+        .select(
+            "item_id",
+            F.transform(F.col("iv"), lambda x: x / F.col("n")).alias("iu"),
+        )
+        .persist()
+    )
+    it.count()
     scored = it.join(F.broadcast(q), F.col("query_id") != F.col("item_id")).select(
         "query_id",
         "item_id",
-        V.cosine(
-            F.col("qv").cast("array<double>"), F.col("iv").cast("array<double>")
-        ).alias("cos"),
+        V.dot(F.col("qu"), F.col("iu")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
     return (
