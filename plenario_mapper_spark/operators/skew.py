@@ -1,0 +1,80 @@
+"""Skew-mitigation utilities for 100 TB-scale shuffles.
+
+What Spark already gives you (and these helpers do NOT reimplement):
+- algebraic aggregates (sum/count/min/max/avg) get map-side partial aggregation,
+  so a hot group key does NOT skew the shuffle — partials are tiny;
+- AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+  session.get_spark) re-splits oversized SORT-MERGE join partitions at runtime.
+
+What still skews in practice, and what these helpers are for:
+- joins AQE can't fix: shuffle-HASH joins, stream-static joins inside
+  foreachBatch, and any join where one relation is too big to broadcast but a
+  few keys dominate (the classic power-law entity key);
+- holistic aggregates with no partial form (collect_list/collect_set/exact
+  percentile) where one group collects a significant share of all rows.
+
+Both helpers trade one extra narrow pass (salt column) for bounding the largest
+shuffle partition at ~1/salt of the hot key's volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SALT = "_skew_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the LEFT (big/skewed) side.
+
+    The left side gets a uniform random salt in [0, salt); the right side is
+    replicated `salt` times (explode of a literal range). The shuffle then keys
+    on (join keys, salt), splitting each hot key across `salt` reducers.
+    Replication multiplies the right side's shuffle volume by `salt` — use when
+    right is modest (too big to broadcast, small enough to replicate) and the
+    left key histogram is power-law. Result is row-identical to the plain join
+    (each left row meets exactly one replica of each matching right row).
+
+    Supported how: inner / left — semantics where left-row multiplicity is
+    preserved by the one-replica-match property. (right/full would need the
+    unmatched-right bookkeeping inverted; not provided.)
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = left.withColumn(_SALT, (F.rand(seed) * salt).cast("int"))
+    rsalt = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return lsalt.join(rsalt, on + [_SALT], how).drop(_SALT)
+
+
+def salted_collect_list(
+    df: DataFrame,
+    keys: list[str],
+    value: str | Column,
+    salt: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """collect_list with bounded per-task state for hot group keys.
+
+    Holistic aggregates have no partial form: every row of a hot key lands on
+    one reducer, whose state is the whole group. Two-phase salting bounds task
+    state at ~group/salt: phase 1 collects per (keys, salt) partial lists,
+    phase 2 flattens the (at most `salt`) partial lists per key. Order within
+    the final list is not defined — same contract as plain collect_list.
+    Output column: `values`.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    salted = df.withColumn(_SALT, (F.rand(seed) * salt).cast("int"))
+    partial = salted.groupBy(*keys, _SALT).agg(F.collect_list(v).alias("_part"))
+    return (
+        partial.groupBy(*keys)
+        .agg(F.flatten(F.collect_list("_part")).alias("values"))
+    )
