@@ -325,6 +325,33 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_salted_collect",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           md5(array_to_string(list_sort(list(o_orderkey)), ',')) AS digest
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_skew_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregate under skew (operators/skew.salted_collect_list):
+    collect_list has no partial form, so the 5 hot priority groups would each
+    land whole on one reducer; two-phase salting bounds per-task state at
+    ~group/salt. The oracle digests the sorted list (order within collect_list
+    is undefined by contract on both engines)."""
+    from plenario_mapper_spark.operators import skew as SK
+
+    o = _t(spark, sf_dir, "orders")
+    lists = SK.salted_collect_list(o, ["o_orderpriority"], "o_orderkey", salt=8)
+    return lists.select(
+        "o_orderpriority",
+        F.size("values").cast("long").alias("n"),
+        F.md5(
+            F.concat_ws(",", F.sort_array("values").cast("array<string>"))
+        ).alias("digest"),
+    )
+
+
+@register(
     "q_dedup_fingerprint",
     oracle="""
     SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count
