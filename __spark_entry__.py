@@ -24,6 +24,11 @@ def _configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # scale-adaptive broadcast policy (see session.get_spark): estimate-driven
+        # static broadcasts only for genuinely tiny relations; AQE converts from
+        # actual runtime sizes.
+        ("spark.sql.autoBroadcastJoinThreshold", "1MB"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"),
     ):
         try:
             spark.conf.set(k, v)
