@@ -115,18 +115,38 @@ def _is_in(t: Column, names: tuple[str, ...]) -> Column:
 # ok == False; the reference then routes the key to the dead letter and alerts.
 
 def _parse_int_prefix(s: Column) -> Column:
-    """JS parseInt: skip leading whitespace, optional sign, longest digit prefix;
-    NaN if no digits (app/mapper.js:203-209). parseInt("12.9")=12, parseInt("7px")=7."""
-    m = F.regexp_extract(F.ltrim(s), r"^[+-]?[0-9]+", 0)
-    return F.when(m == "", F.lit(None).cast("long")).otherwise(m.cast("long"))
+    """JS parseInt (no radix): skip leading whitespace, optional sign, then either
+    a 0x/0X-prefixed longest hex prefix (radix auto-detect, ECMA-262 §19.2.5) or a
+    longest decimal digit prefix; NaN if no digits (app/mapper.js:203-209).
+    parseInt("12.9")=12, parseInt("7px")=7, parseInt("0x1Ag")=26, parseInt("-0x2")=-2."""
+    t = F.ltrim(s)
+    sign = F.when(t.startswith("-"), F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    body = F.when(t.rlike(r"^[+-]"), t.substr(F.lit(2), F.length(t))).otherwise(t)
+    hex_digits = F.regexp_extract(body, r"^0[xX]([0-9a-fA-F]+)", 1)
+    dec_digits = F.regexp_extract(body, r"^[0-9]+", 0)
+    mag = F.when(hex_digits != "", F.conv(hex_digits, 16, 10).cast("long")).otherwise(
+        F.when(dec_digits == "", F.lit(None).cast("long")).otherwise(
+            dec_digits.cast("long")
+        )
+    )
+    return sign * mag
 
 
 def coerce_int_vt(v: Column, vt: Column) -> tuple[Column, Column]:
     # JS parseInt stringifies its argument first: parseInt(true) -> parseInt("true")
     # -> NaN; parseInt(12.9) -> parseInt("12.9") -> 12; parseInt(null) -> NaN.
-    out = F.when(
-        _is_bool(vt) | _is_null(vt), F.lit(None).cast("long")
-    ).otherwise(_parse_int_prefix(js_string_vt(v, vt)))
+    # Hot-path shortcut: BIGINT/DECIMAL variants round-trip their canonical string
+    # losslessly (never E-notation), so parseInt == truncation toward zero — no
+    # regex machinery. Only STRING and DOUBLE (which JS may render as "1e+21")
+    # take the full string parse.
+    dec = v.cast("decimal(38,18)")
+    trunc = F.when(dec >= 0, F.floor(dec)).otherwise(F.ceil(dec)).cast("long")
+    out = (
+        F.when(_is_bool(vt) | _is_null(vt), F.lit(None).cast("long"))
+        .when(vt == "BIGINT", v.cast("long"))
+        .when(vt.startswith("DECIMAL"), trunc)
+        .otherwise(_parse_int_prefix(js_string_vt(v, vt)))
+    )
     return out.isNotNull(), out
 
 
@@ -135,13 +155,27 @@ def coerce_int(v: Column) -> tuple[Column, Column]:
 
 
 def _js_number_of_string(s: Column) -> Column:
-    """JS Number(string): trimmed empty string -> 0; else numeric parse, NaN on
-    failure (app/mapper.js:211-217). "NaN" is NaN in JS (an error per isNaN guard)."""
+    """JS Number(string) (ECMA-262 StringToNumber): trimmed empty string -> 0;
+    whole-string hex/binary/octal literals (0x/0b/0o, NO sign allowed); exact-case
+    'Infinity' with optional sign; else decimal/scientific parse; NaN on anything
+    else (app/mapper.js:211-217). 'NaN' is NaN (an error per the isNaN guard), and
+    so are lowercase 'infinity' spellings — Spark's cast accepts those, hence the
+    explicit guards before try_cast."""
     t = F.trim(s)
     return (
         F.when(t == "", F.lit(0.0))
-        .when(F.upper(t) == "NAN", F.lit(None).cast("double"))
-        .otherwise(t.try_cast("double"))
+        .when(t.rlike(r"^0[xX][0-9a-fA-F]+$"), F.conv(t.substr(F.lit(3), F.length(t)), 16, 10).cast("double"))
+        .when(t.rlike(r"^0[bB][01]+$"), F.conv(t.substr(F.lit(3), F.length(t)), 2, 10).cast("double"))
+        .when(t.rlike(r"^0[oO][0-7]+$"), F.conv(t.substr(F.lit(3), F.length(t)), 8, 10).cast("double"))
+        .when(t.rlike(r"^[+-]?Infinity$"), F.regexp_replace(t, "Infinity", "1").cast("double") * F.lit(float("inf")))
+        .when(
+            # JS grammar: optional sign, then digits[.digits] or .digits, optional
+            # exponent. Spark's cast is looser (accepts 'NaN', 'infinity', 'f'-ish
+            # suffixes on some paths) — gate with the exact grammar.
+            t.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+            t.try_cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
     )
 
 
