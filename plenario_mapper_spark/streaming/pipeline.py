@@ -162,3 +162,27 @@ def file_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
     """JSON-lines observation source for tests (schema-locked); canonical home is
     `sources.observations.file_obs_source`."""
     return _file_obs_source(spark, input_dir)
+
+
+def jdbc_per_feature_writer(
+    url: str,
+    properties: dict[str, str] | None = None,
+    table_fmt: str = "{network}__{feature}",
+    batchsize: int = 1000,
+) -> Callable[[str, str, DataFrame], None]:
+    """Literal-parity sink: append each micro-batch's clean rows into one JDBC
+    table per (network, feature), named `<network>__<feature>` like the
+    reference's Redshift tables (app/mapper.js:282-290, 319-358; DDL
+    tests/configure_tests.js:79-161). The network is encoded in the table name,
+    not a column — dropped before the write, matching the DDL. Batched inserts
+    replace the reference's one-INSERT-per-record fire-and-forget (:284); with
+    foreachBatch replay the PK duplicates exactly as the reference's does, so
+    idempotent parity is the lake sink, literal parity is this."""
+
+    def write(network: str, feature: str, df: DataFrame) -> None:
+        df.drop("network").write.mode("append").option(
+            "batchsize", str(batchsize)
+        ).jdbc(url, table_fmt.format(network=network, feature=feature),
+               properties=properties or {})
+
+    return write

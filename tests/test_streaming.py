@@ -232,6 +232,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def test_per_feature_writer_hook_receives_network_splits(spark, tmp_path, sinks):
+    """A6 literal-parity hook: the per-(network, feature) writer is invoked once
+    per observed network with only that network's rows (app/mapper.js:282-290)."""
+    calls = []
+    sinks.per_feature_writer = lambda net, feat, df: calls.append(
+        (net, feat, df.count())
+    )
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    q = stream.start(
+        file_obs_source(spark, src_dir), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    got = {(n, f): c for n, f, c in calls}
+    # obs1 temp+hum (chicago), obs8 temp (seattle) -> temperature seen per network
+    assert got[("array_of_things_chicago", "temperature")] == 1
+    assert got[("internet_of_stuff_seattle", "temperature")] == 1
+    assert got[("array_of_things_chicago", "relative_humidity")] == 1
+
+
+def test_jdbc_writer_table_naming(monkeypatch, spark):
+    """jdbc_per_feature_writer formats <network>__<feature> and drops the
+    network column (it lives in the table name, per the reference DDL)."""
+    from plenario_mapper_spark.streaming.pipeline import jdbc_per_feature_writer
+
+    seen = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        seen["url"], seen["table"] = url, table
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    df = spark.createDataFrame(
+        [("n1", "array_of_things_chicago", 1.5)],
+        "node_id string, network string, temperature double",
+    )
+    w = jdbc_per_feature_writer("jdbc:postgresql://h/db")
+    w("array_of_things_chicago", "temperature", df)
+    assert seen["table"] == "array_of_things_chicago__temperature"
+    assert seen["url"] == "jdbc:postgresql://h/db"
+
+
 def test_decode_kinesis_records(spark):
     import base64
 
