@@ -54,6 +54,11 @@ class StreamSinks:
     alert_dir: str
     state_dir: str
     per_feature_writer: Callable[[str, str, DataFrame], None] | None = None
+    # literal-parity push hooks: socket.io 'internal_data' emit (app/mapper.js:292-296)
+    # and the apiary alert POST (app/mapper.js:456,477). Each receives the batch's
+    # message rows as dicts; a production impl opens its client per partition.
+    emit_pusher: Callable[[list[dict]], None] | None = None
+    alert_poster: Callable[[list[dict]], None] | None = None
 
 
 class MapperStream:
@@ -127,11 +132,15 @@ class MapperStream:
             self.sinks.dead_letter_dir
         )
         result.emits.write.mode("append").json(self.sinks.emit_dir)
+        if self.sinks.emit_pusher is not None:
+            self.sinks.emit_pusher([r.asDict() for r in result.emits.collect()])
 
         # F4: alert derivation + durable blacklist state
         blacklist = self._load_blacklist()
         alerts, new_blacklist = A.derive_alerts(stale_ann, fresh_ann, blacklist)
         alerts.write.mode("append").json(self.sinks.alert_dir)
+        if self.sinks.alert_poster is not None:
+            self.sinks.alert_poster([r.asDict() for r in alerts.collect()])
         new_bl = new_blacklist.collect()  # tiny (per-sensor)
         self._save_blacklist(
             self.spark.createDataFrame(new_bl, A.BLACKLIST_SCHEMA)

@@ -253,6 +253,28 @@ def test_per_feature_writer_hook_receives_network_splits(spark, tmp_path, sinks)
     assert got[("array_of_things_chicago", "relative_humidity")] == 1
 
 
+def test_emit_and_alert_push_hooks(spark, tmp_path, sinks):
+    """A8/A9 literal-parity hooks: the socket-emit and alert-POST callables see
+    the reference counts (7 emit messages; 4 resolves + 5 error messages,
+    integration_tests.js:334-338)."""
+    pushed, posted = [], []
+    sinks.emit_pusher = pushed.extend
+    sinks.alert_poster = posted.extend
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    q = stream.start(
+        file_obs_source(spark, src_dir), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert len(pushed) == 7
+    assert {m["feature"] for m in pushed} >= {"temperature", "magnetic_field"}
+    assert sum(1 for a in posted if a["kind"] == "resolve") == 4
+    assert (
+        sum(len(json.loads(a["value"])) for a in posted if a["kind"] == "error") == 5
+    )
+
+
 def test_jdbc_writer_table_naming(monkeypatch, spark):
     """jdbc_per_feature_writer formats <network>__<feature> and drops the
     network column (it lives in the table name, per the reference DDL)."""
