@@ -284,7 +284,10 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable when the vocab is bounded; shuffle-join otherwise."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds THREE lineages (n, dfreq, scored) and the two broadcast exchanges
+    # would each recompute the scan+explode+agg — persist once, eagerly.
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    tf.count()
     n = tf.agg(F.countDistinct("doc_id").alias("n"))  # 1-row scalar, broadcast
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     tfidf = (

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce under .persist() too (off by default): a small
+        # aggregated table cached at spark.sql.shuffle.partitions granularity
+        # makes every downstream stage pay full task-scheduling fan-out for a
+        # handful of rows — with this on, the cache materializes at its
+        # runtime-right partition count.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
