@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Spark's `df.sample()` / `sampleBy()` are seeded per-partition, so the selected
+row SET changes with partitioning — a repartition (or a cluster resize at
+100 TB) silently changes the sample. Training-data curation wants the opposite:
+membership decided by a pure function of the ROW, so the sample is stable
+across re-runs, re-partitions, and incremental appends, and any two pipelines
+(or engines) agree on it. That is what these hash-gate operators provide; it is
+also what makes them oracle-checkable in DuckDB bit-for-bit (md5 is md5
+everywhere, and the gate compares INTEGERS, never floats).
+
+The reference has no sampling surface (it forwards every record); this is part
+of the [ext] training-data family (SURVEY §2.H).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 32-bit hash domain: thresholds are exact integers, so the gate has no
+# floating-point boundary to disagree on.
+_DOMAIN_BITS = 32
+
+
+def _hash_u32(key: Column, salt: str) -> Column:
+    """Uniform 32-bit integer from md5(salt|key). md5 (not xxhash64) so an
+    external system — or the DuckDB oracle — reproduces membership exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def threshold_for(fraction: float) -> int:
+    """Integer gate threshold for a fraction in [0, 1]."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return int(round(fraction * (1 << _DOMAIN_BITS)))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep each row iff hash(salt|key) falls below fraction of the hash domain.
+    Narrow (no shuffle), pushdown-friendly (one projection + filter), and
+    content-addressed: the same keys survive no matter how the data is split."""
+    return df.filter(_hash_u32(F.col(key_col), salt) < F.lit(threshold_for(fraction)))
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum hash-gate sampling (e.g. downsample the dominant language of
+    a corpus). `fractions` maps stratum value -> keep fraction; unlisted strata
+    keep `default_fraction`. The threshold lookup is a literal CASE chain —
+    strata sets are small (languages, sources, buckets), so this stays a single
+    narrow JVM-side filter with no join and no shuffle, and at 100 TB it
+    prunes rows AT THE SCAN (predicate on a scanned column + cheap hash)."""
+    thr: Column = F.lit(threshold_for(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(threshold_for(frac))
+        ).otherwise(thr)
+    return df.filter(_hash_u32(F.col(key_col), salt) < thr)

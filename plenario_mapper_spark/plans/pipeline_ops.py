@@ -682,3 +682,140 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# --------------------------------------------------------------------------------
+# Dedup clustering, deterministic sampling, pivot/unpivot
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise evidence: exact trigram-Jaccard pairs on
+    the bounded slice -> connected components (large-star/small-star,
+    operators/dedup.connected_components) -> (node, min-id component). The
+    oracle recomputes components via a recursive-CTE transitive closure —
+    quadratic-in-closure and only viable at oracle scale, which is exactly why
+    the engine path is the O(log n)-round star algorithm. (At engine scale the
+    edge source would be minhash_near_dup_pairs, which is linear; the exact
+    pair generator is used here so the oracle can mirror the edge set.)"""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05, shingle_n=3)
+    return DD.connected_components(pairs, "id_a", "id_b")
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CASE lang WHEN 'en' THEN 1073741824 WHEN 'zh' THEN 2147483648 ELSE 4294967296 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (operators/sampling): keep 25% of
+    'en' docs, 50% of 'zh', all others — membership is a pure function of
+    md5(salt|doc_id), so the sample is stable under repartitioning and
+    incremental appends (df.sample() is neither), and the DuckDB oracle
+    reproduces the exact row set via the same md5 integer gate."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return SP.deterministic_stratified_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, salt="s0"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_notspec,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (orders per year x priority). Explicit pivot values — with them
+    Spark skips the extra distinct-values job AND the plan stays a single
+    hash-aggregate over (yr): pivot-with-known-values compiles to conditional
+    aggregates, one shuffle, no transpose step."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    names = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_notspec",
+        "5-LOW": "p5_low",
+    }
+    return piv.select(
+        "yr",
+        *[
+            F.coalesce(F.col(f"`{src}`"), F.lit(0)).cast("long").alias(dst)
+            for src, dst in names.items()
+        ],
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide measures -> long). DataFrame.unpivot is a single
+    narrow Expand node — one scan, rows x3, no shuffle, filter pushed to the
+    scan (the oracle's UNION ALL formulation scans three times)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

@@ -113,3 +113,75 @@ def test_embedding_near_dup_self_consistency(spark, embeddings):
     for r in rows:
         assert r["id_a"] < r["id_b"]
         assert r["cosine"] >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# Connected components (large-star/small-star)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges):
+    from plenario_mapper_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, "a", "b")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_chain(spark):
+    # 1M-node-chain shape in miniature: worst case for naive label propagation.
+    got = _cc(spark, [(i, i + 1) for i in range(1, 12)])
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_cc_two_components_and_reversed_edges(spark):
+    got = _cc(spark, [(5, 3), (3, 9), (20, 30), (30, 20), (30, 40)])
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 30: 20, 40: 20}
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    got = _cc(spark, [(7, 7), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_cc_star_already(spark):
+    got = _cc(spark, [(1, k) for k in range(2, 8)])
+    assert got == {k: 1 for k in range(1, 8)}
+
+
+def test_cc_empty(spark):
+    assert _cc(spark, []) == {}
+
+
+def test_cc_random_graph_matches_networkless_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonical min-root: path-compress to the true min per component
+    comp = {}
+    for x in want:
+        comp.setdefault(find(x), []).append(x)
+    want = {x: min(members) for root, members in comp.items() for x in members}
+
+    assert _cc(spark, edges) == want

@@ -116,3 +116,47 @@ def test_multimodal_resize_and_frame_sample(spark):
 def test_decode_real_is_gated():
     with pytest.raises(NotImplementedError):
         MM.decode_real(None)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from plenario_mapper_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = SP.deterministic_sample(df, "k", 0.3, salt="t")
+    b = SP.deterministic_sample(df.repartition(13), "k", 0.3, salt="t")
+    sa = {r["k"] for r in a.collect()}
+    sb = {r["k"] for r in b.collect()}
+    assert sa == sb
+    # md5 is uniform: 30% +- a loose band
+    assert 0.25 < len(sa) / 2000 < 0.35
+
+
+def test_deterministic_sample_monotone_in_fraction(spark):
+    from plenario_mapper_spark.operators import sampling as SP
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in SP.deterministic_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in SP.deterministic_sample(df, "k", 0.5).collect()}
+    assert small <= big  # nested samples: same hash, higher gate
+
+
+def test_stratified_sample_rates_and_default(spark):
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.operators import sampling as SP
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = SP.deterministic_stratified_sample(
+        df, "k", "g", {"0": 0.0, "1": 1.0}, default_fraction=0.5
+    )
+    by_g = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert "0" not in by_g
+    assert by_g["1"] == 1000
+    assert 400 < by_g["2"] < 600
