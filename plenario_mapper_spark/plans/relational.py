@@ -792,3 +792,40 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+@register(
+    "q_scalar_array_hof",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           len(list_distinct(toks)) AS n_uniq,
+           COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS total_chars,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(toks[1:3], ' ') AS head3
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+          FROM documents) t
+    """,
+)
+def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface (transform/aggregate/filter family) —
+    all JVM-side Catalyst HOF expressions, one narrow projection, no shuffle.
+    Integer/string outputs only, so the oracle comparison is exact (no float
+    accumulation-order hazard)."""
+    from plenario_mapper_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
+    )

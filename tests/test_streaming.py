@@ -323,3 +323,61 @@ def test_decode_kinesis_records(spark):
     corrupt = [r for r in rows if r["_corrupt"] is not None]
     assert len(ok) == 1 and ok[0]["sensor"] == "HTU21D"
     assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt"]
+
+
+def test_streaming_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Watermarked stream-stream inner join (SURVEY §2.F declared surface):
+    impressions joined to clicks within a 30-min event-time interval. Both
+    sides carry watermarks so the join state is bounded — the shape that holds
+    at 100 TB (state eviction by watermark, not unbounded buffering)."""
+    imp_dir = tmp_path / "ss_imp"
+    clk_dir = tmp_path / "ss_clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    imps = [
+        {"ad_id": 1, "imp_ts": "2024-01-01T00:00:00"},
+        {"ad_id": 2, "imp_ts": "2024-01-01T00:05:00"},
+        {"ad_id": 3, "imp_ts": "2024-01-01T01:00:00"},
+    ]
+    clks = [
+        {"ad_id": 1, "clk_ts": "2024-01-01T00:10:00"},  # in window
+        {"ad_id": 2, "clk_ts": "2024-01-01T02:00:00"},  # too late (>30min)
+        {"ad_id": 3, "clk_ts": "2024-01-01T01:20:00"},  # in window
+    ]
+    with open(imp_dir / "a.json", "w") as f:
+        for r in imps:
+            f.write(json.dumps(r) + "\n")
+    with open(clk_dir / "a.json", "w") as f:
+        for r in clks:
+            f.write(json.dumps(r) + "\n")
+
+    impressions = (
+        spark.readStream.schema("ad_id long, imp_ts string")
+        .json(str(imp_dir))
+        .withColumn("imp_ts", F.to_timestamp("imp_ts"))
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("ad_id long, clk_ts string")
+        .json(str(clk_dir))
+        .withColumn("clk_ts", F.to_timestamp("clk_ts"))
+        .withWatermark("clk_ts", "1 hour")
+    )
+    joined = impressions.join(
+        clicks,
+        (impressions.ad_id == clicks.ad_id)
+        & (clicks.clk_ts >= impressions.imp_ts)
+        & (clicks.clk_ts <= impressions.imp_ts + F.expr("INTERVAL 30 MINUTES")),
+    ).select(impressions.ad_id, "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["ad_id"] for r in spark.sql("SELECT ad_id FROM ss_join_out").collect()
+    )
+    assert got == [1, 3]
