@@ -18,9 +18,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    # reference hot path at scale
-    "q_mapper_route_events",
-    "q_mapper_dead_letter_events",
+    # reference hot path at scale: the one-pass split (route + dead-letter are
+    # two outputs of the SAME pipeline invocation in the reference, so timing
+    # them as separate full runs double-counted the annotate stage; the
+    # per-sink views remain correctness queries)
+    "q_mapper_split_events",
     # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
