@@ -375,13 +375,19 @@ def connected_components(
         # itself a child IS the component min):
         #   (a) no parent appears as a child;
         #   (b) no child has two distinct parents.
-        parent_is_child = e.alias("x").join(
-            e.alias("y"), F.col("x.u") == F.col("y.v"), "left_semi"
+        parent_is_child = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x.u") == F.col("y.v"), "left_semi")
+            .select(F.lit(1).alias("bad"))
         )
         multi_parent = (
-            e.groupBy("v").agg(F.count_distinct("u").alias("np")).filter("np > 1")
+            e.groupBy("v")
+            .agg(F.count_distinct("u").alias("np"))
+            .filter("np > 1")
+            .select(F.lit(1).alias("bad"))
         )
-        if parent_is_child.isEmpty() and multi_parent.isEmpty():
+        # one driver round-trip per iteration, not two
+        if parent_is_child.union(multi_parent).isEmpty():
             break
 
     assign = e.select(F.col("v").alias("node"), F.col("u").alias("component"))

@@ -829,3 +829,54 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "the").alias("has_the"),
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
     )
+
+
+@register("q_agg_approx_percentile")  # rows-only: sketch estimates are engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy 1/1000) — the 100 TB
+    quantile path: mergeable per-partition sketches, one shuffle of sketch state
+    instead of a full sort. Estimates are engine-specific so the driver records
+    rows-only; the rank-error bound vs the exact percentile is asserted in
+    tests/test_asof_approx.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    ap = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+    )
+    return l.groupBy("l_returnflag").agg(
+        ap[0].alias("p50_approx"),
+        ap[1].alias("p95_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the continuous-aggregate / hypertable
+    rollup shape): hourly, daily, and grand-total buckets in ONE pass via
+    ROLLUP over (day, hour) — partial aggregation map-side, a single shuffle,
+    no per-granularity re-scan. Money discipline: DECIMAL sum, round once."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -90,3 +90,31 @@ def test_approx_count_distinct_bound(spark):
         assert abs(r["approx"] - r["exact"]) <= max(5, 0.06 * r["exact"]), (
             r["o_orderpriority"], r["approx"], r["exact"],
         )
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """Greenwald-Khanna with accuracy A guarantees the estimate's RANK is within
+    n/A of the target rank. Check the 0.5/0.95 estimates against the exact
+    value distribution per group."""
+    sf = "/root/testdata/sf0.001"
+    import __spark_entry__ as E
+
+    got = {
+        r["l_returnflag"]: r
+        for r in E.queries()["q_agg_approx_percentile"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for flag, row in got.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        for q, est in ((0.5, row["p50_approx"]), (0.95, row["p95_approx"])):
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = q * n
+            slack = n / 1000 + 1
+            assert lo - slack <= target <= hi + slack, (flag, q, est, lo, hi, n)

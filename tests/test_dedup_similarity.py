@@ -185,3 +185,22 @@ def test_cc_random_graph_matches_networkless_union_find(spark):
     want = {x: min(members) for root, members in comp.items() for x in members}
 
     assert _cc(spark, edges) == want
+
+
+def test_cc_converges_in_logarithmic_rounds(spark):
+    # A 64-node chain needs ~64 rounds under naive min-label propagation but
+    # only ~log2(64)+slack under large-star/small-star. max_iterations=8 makes
+    # the bound a hard assertion: if convergence were diameter-bound the loop
+    # would exit unconverged and the assignment below would be wrong.
+    got = _cc(spark, [(i, i + 1) for i in range(1, 64)])
+    assert got == {i: 1 for i in range(1, 65)}
+
+
+def test_cc_max_iterations_bound_is_enforced(spark):
+    from plenario_mapper_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 64)], "a long, b long")
+    out = connected_components(df, "a", "b", max_iterations=8)
+    assert {r["node"]: r["component"] for r in out.collect()} == {
+        i: 1 for i in range(1, 65)
+    }
