@@ -204,3 +204,26 @@ def test_cc_max_iterations_bound_is_enforced(spark):
     assert {r["node"]: r["component"] for r in out.collect()} == {
         i: 1 for i in range(1, 65)
     }
+
+
+def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
+    """The persisted index (build_ivf_index -> ivf_search_index) must serve the
+    SAME results as the one-shot ivf_topk (same centroid rule, same probe plan)
+    — the only difference is the build/serve split and the cid-partitioned
+    layout that lets DPP prune unprobed cells at the scan."""
+    idx = str(tmp_path / "ivf_idx")
+    SIM.build_ivf_index(embeddings, idx, n_centroids=16)
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    served = SIM.ivf_search_index(spark, idx, queries, k=5, n_probe=4)
+    oneshot = SIM.ivf_topk(embeddings, queries, k=5, n_centroids=16, n_probe=4)
+    s = {(r["query_id"], r["item_id"], r["rank"]) for r in served.collect()}
+    o = {(r["query_id"], r["item_id"], r["rank"]) for r in oneshot.collect()}
+    assert s == o
+    # the serving scan must be cell-partitioned (cid is a partition column)
+    import os
+
+    assert any(p.startswith("cid=") for p in os.listdir(os.path.join(idx, "cells")))
+    # and dynamic partition pruning must reach the cells scan: unprobed cells
+    # are skipped at the file level, which is the whole point of the layout
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
