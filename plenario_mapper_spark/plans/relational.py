@@ -980,3 +980,78 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_window_frames_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_drank,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def q_window_frames_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile + an event-time RANGE frame (30-day trailing spend).
+    The range frame orders by epoch seconds on both engines so peer-row
+    semantics are identical; all three windows share one partitioning, so the
+    plan is a single shuffle on o_custkey."""
+    o = _t(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    wn = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(wd).alias("status_drank"),
+        F.ntile(4).over(wn).alias("quartile"),
+        F.sum(_dec("o_totalprice")).over(wr).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT outer join (nations preserved even with zero suppliers — COUNT of
+    a nullable key gives true zeros)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "q_join_theta_nl",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_other_nations
+    FROM region r JOIN nation n ON n.n_regionkey <> r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi, non-range) join — compiles to BroadcastNestedLoop.
+    Only sane when one side broadcasts; both sides here are true dims, which is
+    the only shape this operator should ever see at 100 TB."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey != r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_other_nations"))
+    )
