@@ -381,3 +381,54 @@ def test_streaming_stream_stream_join_with_watermarks(spark, tmp_path):
         r["ad_id"] for r in spark.sql("SELECT ad_id FROM ss_join_out").collect()
     )
     assert got == [1, 3]
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling: with a 10-minute watermark on a tumbling window, an
+    event arriving in a later batch whose event time is beyond the watermark is
+    DROPPED (its window has already been finalized and emitted in append mode).
+    Two source files processed as separate micro-batches force the watermark to
+    advance between them."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"k": 1, "ts": "2024-01-01T00:05:00"}) + "\n")
+        f.write(json.dumps({"k": 1, "ts": "2024-01-01T01:30:00"}) + "\n")
+    stream = (
+        spark.readStream.schema("k long, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    chk = str(tmp_path / "late_chk")
+    out = str(tmp_path / "late_out")
+    flat = stream.select(F.col("w.start").alias("w_start"), "n")
+
+    def run_once():
+        q = (
+            flat.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # watermark now 01:20; the 00:00-01:00 window is finalized with n=1
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"k": 1, "ts": "2024-01-01T00:10:00"}) + "\n")  # late
+        f.write(json.dumps({"k": 1, "ts": "2024-01-01T01:45:00"}) + "\n")  # on time
+    run_once()
+    rows = {
+        (r["w_start"].isoformat(), r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the finalized 00:00 window emitted once with n=1; the late 00:10 event
+    # must not re-emit it or bump its count
+    assert ("2024-01-01T00:00:00", 1) in rows
+    assert not any(s.startswith("2024-01-01T00:00") and n == 2 for s, n in rows)
