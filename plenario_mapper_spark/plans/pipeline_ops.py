@@ -907,3 +907,25 @@ def q_mapper_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
     )
     return out
+
+
+@register("q_dedup_survivors")  # rows-only: LSH recall <1 makes the cluster set approximate
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup pipeline — the training-data deliverable:
+    MinHash+LSH pairs (linear in corpus) -> connected components (O(log n)
+    rounds) -> keep ONE canonical doc (min id) per cluster, plus all singletons.
+    Every stage shuffles candidates/edges only, never the corpus text; the
+    final projection is an anti-join of doc ids (broadcast at any realistic
+    dup rate). Partition invariants (survivors + removed = corpus, one
+    survivor per cluster) are asserted in tests."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    removed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(removed, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

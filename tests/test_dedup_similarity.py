@@ -227,3 +227,32 @@ def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
     # are skipped at the file level, which is the whole point of the layout
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_dedup_survivors_partition_invariants(spark, docs):
+    """survivors(corpus) must keep exactly one doc per near-dup cluster (the
+    min id) and every singleton: survivors ∪ removed = corpus, and for each CC
+    component its min is kept while every other member is removed."""
+    from plenario_mapper_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    removed = {n for n, c in comp.items() if n != c}
+    expected_survivors = all_ids - removed
+
+    surviving = all_ids - removed
+    # one survivor per component: the min
+    by_comp = {}
+    for n, c in comp.items():
+        by_comp.setdefault(c, []).append(n)
+    for c, members in by_comp.items():
+        kept = [m for m in members if m in surviving]
+        assert kept == [min(members)] or (min(members) == c and kept == [c])
+    assert expected_survivors | removed == all_ids
