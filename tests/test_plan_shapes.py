@@ -65,3 +65,38 @@ def test_mapper_route_single_broadcast_no_agg_shuffle(spark):
     assert plan.count("BroadcastExchange") == 1, plan
     # repartition shows as one round-robin exchange; no hash-partition shuffles
     assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_mapper_split_is_single_pass(spark):
+    """The combined route+dead-letter query must scan events ONCE — the whole
+    point of the conditional-explode formulation (two separate lineages would
+    re-run scan+annotate per output)."""
+    plan = _plan(QUERIES["q_mapper_split_events"](spark, SF))
+    assert plan.count("events.parquet") == 1, plan
+
+
+def test_unpivot_is_single_scan_no_shuffle(spark):
+    """unpivot compiles to one Expand over one pruned scan — no Exchange, and
+    NOT the oracle's three-scan UNION ALL shape."""
+    plan = _plan(QUERIES["q_unpivot"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_is_single_aggregate(spark):
+    """Known pivot values compile to conditional aggregates: one scan, partial
+    agg map-side, a single shuffle on the group key — no distinct-values job,
+    no transpose."""
+    plan = _plan(QUERIES["q_pivot"](spark, SF))
+    assert plan.count("orders.parquet") == 1, plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_stratified_sample_is_narrow_filter(spark):
+    """Hash-gate sampling is a pure filter: no Exchange anywhere, single scan —
+    at 100 TB it runs at scan speed with zero state."""
+    plan = _plan(QUERIES["q_sample_stratified"](spark, SF))
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Exchange" not in plan, plan
