@@ -73,6 +73,20 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    extra: dict[str, float] = {}
+    try:
+        rows, secs = _stream_throughput(spark, sf_dir)
+        extra["stream_pipeline_rows"] = rows
+        extra["stream_pipeline_sec"] = round(secs, 3)
+        extra["stream_pipeline_rows_per_sec"] = round(rows / secs)
+        print(
+            f"# stream pipeline: {rows} rows in {secs:.2f}s "
+            f"({rows / secs:,.0f} rows/s; reference ceiling ~10,000 rows/s/shard)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # never lose the headline metric to the extra
+        print(f"# stream throughput skipped: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -82,10 +96,93 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
             }
         )
     )
     spark.stop()
+
+
+def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
+    """End-to-end Structured Streaming throughput of the FULL mapper pipeline
+    (normalize -> registry join -> validate/coerce -> split -> per-feature lake
+    + dead-letter + emit + alert state, all parquet/json sinks) over the events
+    table replayed as an observation stream. The reference's derived ceiling is
+    ~10k records/s per shard (single-threaded Node, BASELINE.md); this measures
+    the same work done as micro-batches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.plans.pipeline_ops import _events_registry
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+    from plenario_mapper_spark.streaming.pipeline import MapperStream, StreamSinks
+
+    n_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    def metadata_provider(s):
+        sensor_meta = s.createDataFrame(
+            [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+        )
+        feature_meta = s.createDataFrame(
+            [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+        )
+        return sensor_meta, feature_meta
+
+    _ = _events_registry  # registry shape documented there; provider mirrors it
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        sinks = StreamSinks(
+            lake_dir=os.path.join(work, "lake"),
+            dead_letter_dir=os.path.join(work, "dead"),
+            emit_dir=os.path.join(work, "emit"),
+            alert_dir=os.path.join(work, "alerts"),
+            state_dir=os.path.join(work, "state"),
+        )
+        # the file stream source wants a directory; stage the table into one
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(in_dir, "events.parquet"),
+        )
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(in_dir)
+        )
+        obs = raw.select(
+            F.col("user_id").cast("string").alias("node_id"),
+            F.col("event_id").cast("double").alias("meta_id"),
+            F.date_format(
+                F.timestamp_micros(F.expr("ts div 1000")),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            ).alias("datetime"),
+            F.col("event_type").alias("sensor"),
+            F.lit("events_net").alias("network"),
+            F.col("props").alias("data"),
+        )
+        # two full runs (fresh checkpoint+state each), report the best — the
+        # first pays streaming-engine warm-up, same warm-run model as the
+        # batch timings above
+        secs = float("inf")
+        for i in range(2):
+            stream = MapperStream(spark, metadata_provider, sinks)
+            t0 = time.perf_counter()
+            q = stream.start(obs, os.path.join(work, f"chk{i}"), trigger_once=True)
+            q.awaitTermination()
+            secs = min(secs, time.perf_counter() - t0)
+            shutil.rmtree(sinks.state_dir, ignore_errors=True)
+        return n_rows, secs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -99,8 +99,12 @@ class MapperStream:
 
         obs = batch_df.withColumn("seq", F.monotonically_increasing_id())
         norm = M.normalize(obs)
-        stale_ann = M.annotate(norm, self._stale_kmap)
-        fresh_ann = M.annotate(norm, fresh_kmap)
+        # Persist both annotations for the life of the batch: every sink below
+        # (per-feature routes, dead-letter, emits, alert derivation) consumes
+        # them, and the variant/HOF annotate pass is the pipeline's dominant
+        # cost — without the cache each sink re-runs it (~4-5x per batch).
+        stale_ann = M.annotate(norm, self._stale_kmap).persist()
+        fresh_ann = M.annotate(norm, fresh_kmap).persist()
 
         result = M.MapperResult(
             annotated=fresh_ann,
@@ -148,6 +152,8 @@ class MapperStream:
             else A.empty_blacklist(self.spark)
         )
 
+        stale_ann.unpersist()
+        fresh_ann.unpersist()
         # next batch validates against this batch's registry (the ref's cached map)
         self._stale_kmap = fresh_kmap
 
