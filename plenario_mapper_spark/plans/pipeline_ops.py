@@ -188,17 +188,21 @@ def q_mapper_alerts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
            len({_SQL_TOKENS}) AS n_word_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual
     FROM documents
     """,
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + word tokens) — per-doc, scan-stage only."""
+    """Token counting (whitespace, word, and BPE-ish regex pre-tokenization
+    pieces) — per-doc, scan-stage only; the BPE pattern is the classic
+    letters|digits|single-symbol split both engines run identically."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
         F.size(TX.tokens(F.col("text"))).cast("long").alias("n_word_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
