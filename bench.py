@@ -144,18 +144,25 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
             alert_dir=os.path.join(work, "alerts"),
             state_dir=os.path.join(work, "state"),
         )
-        # the file stream source wants a directory; stage the table into one
+        # The file stream source wants a directory; stage the table into one,
+        # THREE times with maxFilesPerTrigger=1 so the query runs three
+        # micro-batches: batch 1 pays the cold per-batch costs (empty stale
+        # registry forces the double validation pass), batches 2-3 run in
+        # steady state — the sustained-throughput shape of a real deployment.
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        shutil.copy(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(in_dir, "events.parquet"),
-        )
+        n_batches = 3
+        for i in range(n_batches):
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(in_dir, f"events_{i}.parquet"),
+            )
         raw = (
             spark.readStream.schema(
                 "event_id long, ts long, user_id long, event_type string, "
                 "value double, props string"
             )
+            .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
         obs = raw.select(
@@ -180,7 +187,7 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
             q.awaitTermination()
             secs = min(secs, time.perf_counter() - t0)
             shutil.rmtree(sinks.state_dir, ignore_errors=True)
-        return n_rows, secs
+        return n_rows * n_batches, secs
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

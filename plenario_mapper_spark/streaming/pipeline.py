@@ -77,6 +77,28 @@ class MapperStream:
         # (map={}, type_map={}, app/mapper.js:36-40)
         self._stale_kmap = metadata.empty_kmap(spark)
 
+    def _registry_unchanged(self, fresh_kmap: DataFrame) -> bool:
+        """True iff the stale and fresh registry snapshots are value-identical.
+        The registry is KB-sized by construction (schema registry, not data),
+        so a driver-side collect-compare costs microseconds and saves a full
+        annotate pass over the batch in the steady state."""
+
+        def snap(df: DataFrame):
+            return sorted(
+                (
+                    r["sensor"],
+                    tuple(
+                        sorted((k, tuple(v)) for k, v in (r["kmap"] or {}).items())
+                    ),
+                )
+                for r in df.collect()
+            )
+
+        try:
+            return snap(self._stale_kmap) == snap(fresh_kmap)
+        except Exception:
+            return False  # conservative: run both passes
+
     # -- state table ----------------------------------------------------------
     def _load_blacklist(self) -> DataFrame:
         path = self.sinks.state_dir
@@ -99,12 +121,19 @@ class MapperStream:
 
         obs = batch_df.withColumn("seq", F.monotonically_increasing_id())
         norm = M.normalize(obs)
-        # Persist both annotations for the life of the batch: every sink below
+        # Persist the annotation(s) for the life of the batch: every sink below
         # (per-feature routes, dead-letter, emits, alert derivation) consumes
         # them, and the variant/HOF annotate pass is the pipeline's dominant
         # cost — without the cache each sink re-runs it (~4-5x per batch).
-        stale_ann = M.annotate(norm, self._stale_kmap).persist()
+        # In steady state the stale and fresh registry snapshots are IDENTICAL
+        # (metadata changes are rare events), and annotate is a pure function of
+        # (batch, registry) — so one pass serves both roles and the alert
+        # comparison degenerates correctly (no transitions fire).
         fresh_ann = M.annotate(norm, fresh_kmap).persist()
+        if self._registry_unchanged(fresh_kmap):
+            stale_ann = fresh_ann
+        else:
+            stale_ann = M.annotate(norm, self._stale_kmap).persist()
 
         result = M.MapperResult(
             annotated=fresh_ann,
@@ -152,7 +181,8 @@ class MapperStream:
             else A.empty_blacklist(self.spark)
         )
 
-        stale_ann.unpersist()
+        if stale_ann is not fresh_ann:
+            stale_ann.unpersist()
         fresh_ann.unpersist()
         # next batch validates against this batch's registry (the ref's cached map)
         self._stale_kmap = fresh_kmap
