@@ -527,9 +527,10 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window: top-3 orders per customer. Deterministic tiebreak on
-    o_orderkey. At scale this is one shuffle on the partition key; Spark's
-    WindowGroupLimit pushes the rn<=3 limit below the sort."""
+    """Ranking windows: top-3 orders per customer PLUS a second analytic rank —
+    two window functions over one partitioning, one shuffle. (The two-window
+    stack blocks the WindowGroupLimit pushdown; the single-window top-k shape
+    that does get it is q_topk_per_group.)"""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
@@ -1054,4 +1055,35 @@ def q_join_theta_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.join(F.broadcast(n), n.n_regionkey != r.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("n_other_nations"))
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group, the single-window shape: the rn<=3 filter sits directly
+    above one row_number window, so Spark inserts WindowGroupLimit — each
+    partition keeps a k-row heap instead of fully sorting every group before
+    filtering (plan-pinned in test_plan_shapes). The canonical 100 TB 'best k
+    per key' pattern."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )

@@ -100,3 +100,11 @@ def test_stratified_sample_is_narrow_filter(spark):
     plan = _plan(QUERIES["q_sample_stratified"](spark, SF))
     assert plan.count("documents.parquet") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_topk_per_group_pushes_window_group_limit(spark):
+    """The single-window rn <= 3 filter must compile to WindowGroupLimit below
+    the sort: at 100 TB each partition keeps a 3-row heap instead of sorting
+    every customer's orders before filtering."""
+    plan = _plan(QUERIES["q_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan

@@ -160,3 +160,24 @@ def test_stratified_sample_rates_and_default(spark):
     assert "0" not in by_g
     assert by_g["1"] == 1000
     assert 400 < by_g["2"] < 600
+
+
+def test_sampling_threshold_properties():
+    """Pure-Python properties of the hash-gate threshold: monotone in the
+    fraction, exact at the endpoints, and always within the 32-bit domain."""
+    import pytest
+
+    from plenario_mapper_spark.operators.sampling import threshold_for
+
+    assert threshold_for(0.0) == 0
+    assert threshold_for(1.0) == 1 << 32
+    prev = -1
+    for i in range(0, 101):
+        t = threshold_for(i / 100)
+        assert 0 <= t <= 1 << 32
+        assert t >= prev
+        prev = t
+    with pytest.raises(ValueError):
+        threshold_for(1.5)
+    with pytest.raises(ValueError):
+        threshold_for(-0.1)
