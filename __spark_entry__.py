@@ -29,6 +29,8 @@ def _configure(spark: SparkSession) -> SparkSession:
         # actual runtime sizes.
         ("spark.sql.autoBroadcastJoinThreshold", "1MB"),
         ("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"),
+        # cached tiny intermediates coalesce to runtime-right partition counts
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
     ):
         try:
             spark.conf.set(k, v)
