@@ -328,11 +328,11 @@ def connected_components(
     """
     # Undirected edge set, deduped, self-loops dropped. Orientation invariant
     # throughout: an edge row is (u, v) with u < v — u is the candidate parent.
+    # Works for any orderable id type (long doc ids, string keys, ...): every
+    # step below is least/greatest/min/comparison, so "component = minimum
+    # member" is well-defined under the type's natural ordering.
     e = (
-        pairs.select(
-            F.col(src_col).cast("long").alias("u"),
-            F.col(dst_col).cast("long").alias("v"),
-        )
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()

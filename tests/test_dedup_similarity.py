@@ -256,3 +256,22 @@ def test_dedup_survivors_partition_invariants(spark, docs):
         kept = [m for m in members if m in surviving]
         assert kept == [min(members)] or (min(members) == c and kept == [c])
     assert expected_survivors | removed == all_ids
+
+
+def test_cc_string_ids(spark):
+    """connected_components is type-generic: string ids cluster under
+    lexicographic order (component = lexicographically-smallest member)."""
+    from plenario_mapper_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")], "a string, b string"
+    )
+    out = connected_components(df, "a", "b")
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "x": "x",
+        "y": "x",
+    }
