@@ -81,3 +81,31 @@ def make_minhash_signature_udf(coeffs, mersenne, shingle_n):
         return texts.map(_one)
 
     return sig
+
+
+def grouped_zscore(
+    df, group_col: str, value_col: str, out_col: str = "zscore"
+):
+    """Per-group z-score via grouped-map applyInPandas — the §2.G grouped-map
+    UDF surface on a real operator. Each group's Arrow batch is normalized in
+    one vectorized pandas pass ((x - mean) / sample-std, ddof=1 to match SQL
+    STDDEV_SAMP); groups are independent, so the plan is one shuffle on the
+    group key and the Python stage streams batch-at-a-time (bounded memory per
+    group — for power-law group sizes prefer the pure-SQL window formulation,
+    which this is oracle-checked against)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # StructType.add mutates in place — build a fresh schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=1)
+        z = (v - v.mean()) / sd if sd and sd == sd else v * float("nan")
+        return pdf.assign(**{out_col: z})
+
+    return df.groupBy(group_col).applyInPandas(norm, out_schema)

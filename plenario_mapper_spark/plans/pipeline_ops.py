@@ -933,3 +933,24 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_group_zscore",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY source), 6) AS DOUBLE) AS z
+    FROM documents
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length z-score through the grouped-map applyInPandas
+    surface (functions/pandas_sigs.grouped_zscore), hash-checked against the
+    pure-SQL window formulation — the two must agree to 1e-6, proving the
+    Arrow path computes exactly what the declarative plan would."""
+    from plenario_mapper_spark.functions.pandas_sigs import grouped_zscore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    z = grouped_zscore(d, "source", "n_chars", "z")
+    return z.select("doc_id", "source", F.round("z", 6).alias("z"))
