@@ -109,3 +109,20 @@ def grouped_zscore(
         return pdf.assign(**{out_col: z})
 
     return df.groupBy(group_col).applyInPandas(norm, out_schema)
+
+
+def geomean_udf():
+    """Grouped-agg pandas UDF (Series -> scalar): geometric mean. Arrow ships
+    each group's values as one numpy-backed Series; the agg itself is
+    vectorized log/mean/exp. Partial aggregation does NOT apply to grouped-agg
+    Python UDFs (whole groups move to the Python worker), so at 100 TB prefer
+    the algebraic form exp(avg(ln(x))) — which is exactly what the oracle
+    checks this against."""
+    import numpy as np
+    import pandas as pd
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    return geomean

@@ -954,3 +954,26 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     z = grouped_zscore(d, "source", "n_chars", "z")
     return z.select("doc_id", "source", F.round("z", 6).alias("z"))
+
+
+@register(
+    "q_group_geomean",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(EXP(AVG(LN(value))), 6) AS DOUBLE) AS geomean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF surface (functions/pandas_sigs.geomean_udf):
+    geometric mean of event values per type, hash-checked against the algebraic
+    SQL form exp(avg(ln(x))). The docstring there explains why the algebraic
+    form is the 100 TB path (grouped-agg UDFs skip partial aggregation)."""
+    from plenario_mapper_spark.functions.pandas_sigs import geomean_udf
+
+    e = _events(spark, sf_dir)
+    gm = geomean_udf()
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one agg
+    return e.groupBy("event_type").agg(
+        F.round(gm(F.col("value")), 6).alias("geomean")
+    )
