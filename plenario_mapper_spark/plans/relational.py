@@ -324,9 +324,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with tiny dims. nation/region/supplier broadcast
-    (explicit hint — they are catalog-small at every scale factor), so the only
-    shuffles are the fact-fact joins, which AQE plans off runtime stats."""
+    """TPC-H Q5 shape: 6-way join. Only nation/region carry broadcast hints —
+    they are catalog-small at every scale factor (25 / 5 rows). Supplier is NOT:
+    it scales with sf (~10k rows/sf, ~1B rows at 100 TB), so it gets no hint and
+    the 1MB-static/64MB-AQE policy decides at runtime; the fact-fact joins
+    shuffle, planned by AQE off runtime stats."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -337,7 +339,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -802,7 +804,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n_toks,
            len(list_distinct(toks)) AS n_uniq,
            COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS total_chars,
-           list_contains(toks, 'the') AS has_the,
+           CAST(list_contains(toks, 'the') AS BIGINT) AS has_the,
            array_to_string(toks[1:3], ' ') AS head3
     FROM (SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
@@ -813,7 +815,9 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface (transform/aggregate/filter family) —
     all JVM-side Catalyst HOF expressions, one narrow projection, no shuffle.
     Integer/string outputs only, so the oracle comparison is exact (no float
-    accumulation-order hazard)."""
+    accumulation-order hazard). `has_the` is cast to BIGINT on both sides:
+    Python `True` vs DuckDB `true` stringify differently, which broke the
+    driver's value-hash in round 1 despite identical values."""
     from plenario_mapper_spark.functions import text as TX
 
     d = _t(spark, sf_dir, "documents")
@@ -827,7 +831,7 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("total_chars"),
-        F.array_contains(toks, "the").alias("has_the"),
+        F.array_contains(toks, "the").cast("long").alias("has_the"),
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
     )
 

@@ -41,6 +41,33 @@ def test_q3_never_broadcasts_lineitem(spark):
         assert "lineitem.parquet" not in sub, sub
 
 
+def test_q5_supplier_broadcast_is_estimate_driven_not_hinted(spark):
+    """Supplier scales with sf (~1B rows at 100 TB), so q5 must not pin it with
+    a broadcast HINT — only catalog-constant nation/region carry hints. A hint
+    broadcasts regardless of size thresholds, so disabling both thresholds
+    separates the two: hinted nation/region still broadcast, estimate-driven
+    supplier must fall back to a shuffle join."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(QUERIES["q5_local_supplier"](spark, SF))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    subs = list(_broadcast_subtrees(plan))
+    assert any("nation.parquet" in s for s in subs), plan
+    for sub in subs:
+        assert "supplier.parquet" not in sub, sub
+
+
 def test_q1_scan_is_pruned_and_pushed(spark):
     """Q1 reads 7 of lineitem's 16 columns and pushes the shipdate filter into
     the parquet scan."""
