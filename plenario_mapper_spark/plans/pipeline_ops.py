@@ -285,12 +285,14 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tf is explode + partial/final hash agg; df REUSES tf (one
     groupBy over (doc, tok) feeds both); N is a scalar broadcast; the rank is
-    a WindowGroupLimit-able top-3 per doc. Vocabulary (df) joins on tok —
-    broadcastable when the vocab is bounded; shuffle-join otherwise."""
+    a WindowGroupLimit-able top-3 per doc. Vocabulary (df) joins on tok with
+    NO broadcast hint: a corpus-scale vocabulary easily exceeds any broadcast
+    budget, so AQE converts from actual runtime size when genuinely small and
+    shuffle-joins otherwise. Only the 1-row N scalar keeps its hint."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-    # tf feeds THREE lineages (n, dfreq, scored) and the two broadcast exchanges
-    # would each recompute the scan+explode+agg — persist once, eagerly.
+    # tf feeds THREE lineages (n, dfreq, scored), each of which would otherwise
+    # recompute the scan+explode+agg — persist once, eagerly.
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
     tf.count()
     n = tf.agg(F.countDistinct("doc_id").alias("n"))  # 1-row scalar, broadcast
@@ -299,7 +301,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0)
     ).alias("tfidf")
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "tok", tfidf)
     )
