@@ -35,15 +35,31 @@ def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
     app/mapper.js:60-68. `data` arrives as raw JSON object text and leaves as
     MAP<STRING, VARIANT> (JSON runtime types preserved for coercion).
 
-    Duplicate keys after lowercasing follow JS last-wins object assignment;
-    requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set by session.get_spark).
+    Duplicate keys after lowercasing follow JS last-wins object assignment
+    (`new_data[k.toLowerCase()] = data[k]` in a for-in loop, app/mapper.js:62-68):
+    the key occurring LAST in *document order* wins. A variant map alone can't
+    reproduce that — variant objects store fields sorted by name, so
+    `transform_keys(lower)` + LAST_WIN resolves `{"temp":2,"Temp":1}` to 2 where
+    JS yields 1. So the entry list is rebuilt from `json_object_keys` (document
+    order, duplicates preserved) with values probed from the variant map, and
+    map_from_entries + spark.sql.mapKeyDedupPolicy=LAST_WIN (set by
+    session.get_spark) applies the JS overwrite rule exactly.
     """
     parsed = F.try_parse_json(F.col(data_col)).cast("map<string, variant>")
+    doc_keys = F.json_object_keys(F.col(data_col))
+    lowered = F.map_from_entries(
+        F.transform(
+            doc_keys,
+            lambda k: F.struct(
+                F.lower(k).alias("key"), F.element_at(parsed, k).alias("value")
+            ),
+        )
+    )
     return obs.withColumns(
         {
             "node_id": F.lower("node_id"),
             "sensor": F.lower("sensor"),
-            data_col: F.transform_keys(parsed, lambda k, _: F.lower(k)),
+            data_col: lowered,
         }
     )
 

@@ -27,15 +27,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` as a microsecond TIMESTAMP.
+    """events with `ts` normalized to a microsecond TIMESTAMP (LTZ), whatever the
+    parquet encoding.
 
-    The driver writes TIMESTAMP(NANOS) parquet; Spark has no nanos timestamp, so
-    the session reads it as a nanos LONG (legacy.parquet.nanosAsLong) and this
-    converts via integer division — float division would lose precision at 1e18
-    magnitudes. DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically."""
+    A real user's parquet carries timestamps in any of three encodings, and the
+    driver has shipped two of them across rounds:
+    - TIMESTAMP(NANOS): Spark has no nanos timestamp, so the session reads it as
+      a nanos LONG (legacy.parquet.nanosAsLong) and this converts via integer
+      division — float division would lose precision at 1e18 magnitudes.
+      DuckDB's TIMESTAMP_NS -> TIMESTAMP cast truncates identically.
+    - TIMESTAMP_MICROS isAdjustedToUTC=0: Spark reads TIMESTAMP_NTZ, on which
+      downstream `cast("long")` / `unix_timestamp` are illegal; cast to LTZ
+      (value-preserving — the session timezone is pinned UTC).
+    - TIMESTAMP_MICROS isAdjustedToUTC=1: already LTZ, pass through."""
     e = _t(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] == "bigint":
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 
@@ -804,7 +814,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(toks) AS n_toks,
            len(list_distinct(toks)) AS n_uniq,
            COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS total_chars,
-           CAST(list_contains(toks, 'the') AS BIGINT) AS has_the,
+           len(list_filter(toks, t -> t = 'the')) AS n_the,
            array_to_string(toks[1:3], ' ') AS head3
     FROM (SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
@@ -815,9 +825,11 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface (transform/aggregate/filter family) —
     all JVM-side Catalyst HOF expressions, one narrow projection, no shuffle.
     Integer/string outputs only, so the oracle comparison is exact (no float
-    accumulation-order hazard). `has_the` is cast to BIGINT on both sides:
-    Python `True` vs DuckDB `true` stringify differently, which broke the
-    driver's value-hash in round 1 despite identical values."""
+    accumulation-order hazard). `n_the` is a COUNT of matching elements rather
+    than a membership boolean: rounds 1-2 showed that any boolean anywhere in
+    the output (even BIGINT-cast on both sides) risks a stringification-level
+    hash mismatch in the driver's gate (Python `True` vs DuckDB `true`), so the
+    query now never produces a boolean in any intermediate or output."""
     from plenario_mapper_spark.functions import text as TX
 
     d = _t(spark, sf_dir, "documents")
@@ -831,7 +843,7 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("total_chars"),
-        F.array_contains(toks, "the").cast("long").alias("has_the"),
+        F.size(F.filter(toks, lambda t: t == F.lit("the"))).cast("long").alias("n_the"),
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("head3"),
     )
 

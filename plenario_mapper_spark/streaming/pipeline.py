@@ -55,10 +55,30 @@ class StreamSinks:
     state_dir: str
     per_feature_writer: Callable[[str, str, DataFrame], None] | None = None
     # literal-parity push hooks: socket.io 'internal_data' emit (app/mapper.js:292-296)
-    # and the apiary alert POST (app/mapper.js:456,477). Each receives the batch's
-    # message rows as dicts; a production impl opens its client per partition.
+    # and the apiary alert POST (app/mapper.js:456,477). Each is invoked ON THE
+    # EXECUTORS via foreachPartition, once per non-empty partition with that
+    # partition's message rows as dicts — the reference emits worker-side per
+    # record (app/mapper.js:292-296), and a driver-side collect of the emit
+    # stream (one message per record x feature) would funnel the whole batch
+    # through one process at 100 TB batch sizes. The callable must therefore be
+    # picklable and open its own client (socket/HTTP) per invocation — the
+    # per-process connection of the reference (app/mapper.js:16).
     emit_pusher: Callable[[list[dict]], None] | None = None
     alert_poster: Callable[[list[dict]], None] | None = None
+
+
+def _partition_push(pusher: Callable[[list[dict]], None]):
+    """Wrap a message-push callable for executor-side delivery: foreachPartition
+    task fn that materializes the partition's rows as dicts and invokes the
+    pusher once (skipping empty partitions). Runs in the Python worker process —
+    no message row ever transits the driver."""
+
+    def push(rows) -> None:
+        batch = [r.asDict() for r in rows]
+        if batch:
+            pusher(batch)
+
+    return push
 
 
 class MapperStream:
@@ -166,14 +186,14 @@ class MapperStream:
         )
         result.emits.write.mode("append").json(self.sinks.emit_dir)
         if self.sinks.emit_pusher is not None:
-            self.sinks.emit_pusher([r.asDict() for r in result.emits.collect()])
+            result.emits.foreachPartition(_partition_push(self.sinks.emit_pusher))
 
         # F4: alert derivation + durable blacklist state
         blacklist = self._load_blacklist()
         alerts, new_blacklist = A.derive_alerts(stale_ann, fresh_ann, blacklist)
         alerts.write.mode("append").json(self.sinks.alert_dir)
         if self.sinks.alert_poster is not None:
-            self.sinks.alert_poster([r.asDict() for r in alerts.collect()])
+            alerts.foreachPartition(_partition_push(self.sinks.alert_poster))
         new_bl = new_blacklist.collect()  # tiny (per-sensor)
         self._save_blacklist(
             self.spark.createDataFrame(new_bl, A.BLACKLIST_SCHEMA)
@@ -184,8 +204,14 @@ class MapperStream:
         if stale_ann is not fresh_ann:
             stale_ann.unpersist()
         fresh_ann.unpersist()
-        # next batch validates against this batch's registry (the ref's cached map)
+        # next batch validates against this batch's registry (the ref's cached
+        # map); unpersist the OUTGOING snapshot or a long-running stream leaks
+        # one cached registry per micro-batch (no-op on the initial uncached
+        # empty_kmap).
+        prev = self._stale_kmap
         self._stale_kmap = fresh_kmap
+        if prev is not fresh_kmap:
+            prev.unpersist()
 
     def start(
         self,

@@ -25,6 +25,25 @@ def test_normalization(obs_df, kmap_df):
     assert sorted(r[1]["data"].keys()) == ["humidity", "temp"]
 
 
+def test_normalize_duplicate_key_js_last_wins(spark):
+    """Case-colliding keys resolve by DOCUMENT order, last wins — the JS
+    for-in overwrite loop (app/mapper.js:62-68). A sorted variant map would
+    get `{"temp":2,"Temp":1}` wrong (sorted order puts "Temp" first, so
+    LAST_WIN over sorted entries keeps 2; JS keeps 1)."""
+    df = spark.createDataFrame(
+        [
+            ("a", '{"temp": 2, "Temp": 1}'),   # JS: Temp overwrites -> 1
+            ("b", '{"Temp": 1, "temp": 2}'),   # JS: temp overwrites -> 2
+            ("c", '{"TEMP": 3}'),
+        ],
+        "node_id string, data string",
+    ).withColumn("sensor", F.lit("htu21d"))
+    out = {r["node_id"]: r["data"] for r in M.normalize(df).collect()}
+    assert json.loads(str(out["a"]["temp"])) == 1
+    assert json.loads(str(out["b"]["temp"])) == 2
+    assert json.loads(str(out["c"]["temp"])) == 3
+
+
 def test_validation_split(result):
     r = {row["seq"]: row for row in result.annotated.collect()}
     assert r[1]["invalid_keys"] == [] and r[1]["error_keys"] == []

@@ -253,13 +253,45 @@ def test_per_feature_writer_hook_receives_network_splits(spark, tmp_path, sinks)
     assert got[("array_of_things_chicago", "relative_humidity")] == 1
 
 
+def _file_pusher(out_dir: str):
+    """Executor-side push client for tests: appends each partition's messages as
+    JSON lines to a uniquely-named file, stamped with the worker pid — the
+    stand-in for the reference's per-process socket/HTTP client
+    (app/mapper.js:16). A nested function so cloudpickle ships it by VALUE (the
+    tests package is not importable from the Python workers). Local mode runs
+    workers as separate processes, so the recorded pids prove the push never
+    transited the driver."""
+
+    def push(msgs: list[dict]) -> None:
+        import json as _json
+        import os as _os
+        import uuid
+
+        _os.makedirs(out_dir, exist_ok=True)
+        path = _os.path.join(out_dir, f"{_os.getpid()}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for m in msgs:
+                f.write(_json.dumps({"pid": _os.getpid(), **m}) + "\n")
+
+    return push
+
+
+def _read_pushed(out_dir):
+    msgs = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            msgs.extend(json.loads(line) for line in f)
+    return msgs
+
+
 def test_emit_and_alert_push_hooks(spark, tmp_path, sinks):
     """A8/A9 literal-parity hooks: the socket-emit and alert-POST callables see
     the reference counts (7 emit messages; 4 resolves + 5 error messages,
-    integration_tests.js:334-338)."""
-    pushed, posted = [], []
-    sinks.emit_pusher = pushed.extend
-    sinks.alert_poster = posted.extend
+    integration_tests.js:334-338) — and run on the EXECUTORS (worker pid !=
+    driver pid), i.e. there is no driver-side collect on the emit path."""
+    emit_out, alert_out = str(tmp_path / "pushed"), str(tmp_path / "posted")
+    sinks.emit_pusher = _file_pusher(emit_out)
+    sinks.alert_poster = _file_pusher(alert_out)
     src_dir = str(tmp_path / "in")
     _write_obs_json(src_dir, CANONICAL_OBS)
     stream = MapperStream(spark, _metadata_provider, sinks)
@@ -267,12 +299,35 @@ def test_emit_and_alert_push_hooks(spark, tmp_path, sinks):
         file_obs_source(spark, src_dir), str(tmp_path / "ckpt"), trigger_once=True
     )
     q.awaitTermination(120)
+    pushed, posted = _read_pushed(emit_out), _read_pushed(alert_out)
     assert len(pushed) == 7
     assert {m["feature"] for m in pushed} >= {"temperature", "magnetic_field"}
     assert sum(1 for a in posted if a["kind"] == "resolve") == 4
     assert (
         sum(len(json.loads(a["value"])) for a in posted if a["kind"] == "error") == 5
     )
+    # worker-side execution: every push happened in a Python worker process
+    assert all(m["pid"] != os.getpid() for m in pushed + posted)
+
+
+def test_long_stream_bounded_cached_state(spark, tmp_path, sinks):
+    """Registry-snapshot hygiene over a long-running stream: process_batch caches
+    the fresh registry every micro-batch, so without the outgoing-snapshot
+    unpersist the storage layer accumulates one cached plan per batch forever.
+    After N direct batch invocations the number of persisted RDDs must be O(1),
+    not O(N)."""
+    src_dir = str(tmp_path / "in")
+    _write_obs_json(src_dir, CANONICAL_OBS)
+    batch_df = spark.read.schema(
+        "node_id string, meta_id double, datetime string, sensor string, "
+        "network string, data string"
+    ).json(src_dir)
+    stream = MapperStream(spark, _metadata_provider, sinks)
+    n_batches = 12
+    for i in range(n_batches):
+        stream.process_batch(batch_df, i)
+    cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert cached <= 3, f"{cached} persisted RDDs after {n_batches} batches"
 
 
 def test_jdbc_writer_table_naming(monkeypatch, spark):
