@@ -76,6 +76,9 @@ _FRONT = [
     "q_dedup_survivors",
     "q_group_zscore",
     "q_group_geomean",
+    # new in round 3 (no driver row yet)
+    "q_mapper_alerts_invalid_key",
+    "q_binary_decode_stats",
     # changed this round -> row must be re-earned
     "q_scalar_array_hof",
 ]

@@ -1,0 +1,226 @@
+"""Pure-numpy codecs for the multimodal decode path (no PIL/librosa/ffmpeg in
+this container — these three uncompressed formats are fully decodable from
+their public byte layouts, which is enough to make operators/multimodal's
+feature extraction REAL instead of a byte-histogram stub).
+
+Formats (all public specs):
+- PNM (P5 grayscale / P6 RGB, binary variants): ASCII header
+  "P5|P6 <width> <height> <maxval>" with #-comments, then raw samples.
+- BMP: BITMAPFILEHEADER ('BM', pixel-array offset at byte 10) +
+  BITMAPINFOHEADER (width i32@18, height i32@22, bpp u16@28, BI_RGB only),
+  rows padded to 4 bytes, bottom-up when height > 0.
+- WAV: RIFF/WAVE chunk stream; 'fmt ' (PCM=1, channels u16, sample_rate u32,
+  bits u16) + 'data' (PCM16 little-endian samples).
+
+Encoders exist so tests and oracle-checked queries can synthesize payloads with
+analytically predictable decoded statistics; decoders are what
+multimodal.decode_features runs inside Arrow-batched mapInPandas.
+
+Reference parity note: the reference (app/mapper.js) has no multimodal surface
+at all — this module serves SURVEY §2.H4 (driver-mandated extension).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Decoded:
+    """Uniform decode result across modalities."""
+
+    modality: str  # 'image' | 'audio'
+    mime: str
+    width: int | None = None
+    height: int | None = None
+    channels: int | None = None
+    sample_rate: int | None = None
+    # pixels: uint8 array (h, w, c) or (h, w); samples: int16 array (n,) or (n, c)
+    data: np.ndarray | None = None
+
+
+# ---------------------------------------------------------------------------
+# PNM (P5/P6 binary)
+# ---------------------------------------------------------------------------
+
+def encode_pnm(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w) -> P5, (h, w, 3) -> P6."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, (h, w) = b"P5", a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w, _) = b"P6", a.shape
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _pnm_header_tokens(b: bytes, n: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated integer tokens after the magic, skipping
+    #-comments; returns (tokens, offset of first raw byte)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < n:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(b[i:j]))
+        i = j
+    return toks, i + 1  # single whitespace byte after maxval
+
+
+def decode_pnm(b: bytes) -> Decoded:
+    magic = b[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    (w, h, maxval), off = _pnm_header_tokens(b, 3)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    ch = 1 if magic == b"P5" else 3
+    need = w * h * ch
+    raw = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    shape = (h, w) if ch == 1 else (h, w, 3)
+    return Decoded(
+        modality="image",
+        mime="image/x-portable-graymap" if ch == 1 else "image/x-portable-pixmap",
+        width=w,
+        height=h,
+        channels=ch,
+        data=raw.reshape(shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(bgr: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) in BGR order -> 24-bit bottom-up BI_RGB BMP."""
+    a = np.asarray(bgr, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError("24-bit BMP needs (h, w, 3)")
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        a[r].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + body
+
+
+def decode_bmp(b: bytes) -> Decoded:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", b, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h, bottom_up = abs(h_signed), h_signed > 0
+    ch = bpp // 8
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = [
+        np.frombuffer(b, np.uint8, count=w * ch, offset=pixel_off + r * stride)
+        for r in range(h)
+    ]
+    if bottom_up:
+        rows.reverse()
+    data = np.stack(rows).reshape((h, w) if ch == 1 else (h, w, 3))
+    return Decoded(
+        modality="image", mime="image/bmp", width=w, height=h, channels=ch, data=data
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 array (n,) mono or (n, c) -> RIFF/WAVE PCM16."""
+    a = np.asarray(samples, dtype="<i2")
+    n_ch = 1 if a.ndim == 1 else a.shape[1]
+    body = a.tobytes()
+    block = 2 * n_ch
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(b: bytes) -> Decoded:
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, n = 12, len(b)
+    sample_rate = n_ch = bits = None
+    data = None
+    while i + 8 <= n:
+        cid, size = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, sample_rate = struct.unpack_from("<HHI", b, i + 8)
+            bits = struct.unpack_from("<H", b, i + 22)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = np.frombuffer(b, dtype="<i2", count=size // 2, offset=i + 8)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or sample_rate is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if n_ch and n_ch > 1:
+        data = data[: (len(data) // n_ch) * n_ch].reshape(-1, n_ch)
+    return Decoded(
+        modality="audio",
+        mime="audio/wav",
+        channels=n_ch,
+        sample_rate=sample_rate,
+        data=data,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def sniff(b: bytes) -> str | None:
+    """Magic-byte format detection; None for unrecognized payloads."""
+    if b[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+_DECODERS = {"pnm": decode_pnm, "bmp": decode_bmp, "wav": decode_wav}
+
+
+def decode(b: bytes) -> Decoded | None:
+    """Decode a recognized payload; None when the format is unknown (callers
+    fall back to byte-level statistics)."""
+    kind = sniff(bytes(b))
+    if kind is None:
+        return None
+    return _DECODERS[kind](bytes(b))

@@ -9,10 +9,14 @@ Pattern for image/audio/video at 100 TB:
   mapInPandas — one Python worker per partition, whole Arrow batches in flight,
   never row-at-a-time.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the decode
-body is stubbed: a clearly-marked deterministic fake (byte histogram moments)
-keeps the Spark-side plumbing — schema, batch shape, partitioning — real and
-tested; `decode_real` raises NotImplementedError until a codec is present.
+Decode is REAL for uncompressed formats: functions/codecs.py implements
+pure-numpy PNM (P5/P6), 24-bit BMP, and PCM16 WAV decoders from their public
+byte layouts, and `decode_features` runs them inside Arrow-batched mapInPandas
+(header parse + pixel/sample statistics). Compressed formats (JPEG/MP3/H.264)
+would need PIL/librosa/ffmpeg, absent in this container — those payloads fall
+back to the byte-histogram path with modality 'unknown', same schema, so the
+pipeline is total over arbitrary blobs. `extract_features` (pure byte stats)
+remains as the codec-free fast path.
 """
 
 from __future__ import annotations
@@ -158,13 +162,56 @@ def sample_frames(
     )
 
 
-def decode_real(binary_df: DataFrame) -> DataFrame:
-    """Real codec path — unavailable in this container by design."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codec not present in this environment; use extract_features "
-            "(stub) — the Spark plumbing is identical"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when codecs are available")
+DECODE_SCHEMA = (
+    "doc_id long, modality string, mime string, width int, height int, "
+    "channels int, sample_rate int, n_units long, val_mean double, "
+    "val_std double, feature_version string"
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: sniff + header-parse + pixel/sample stats via the pure-numpy
+    codecs (functions/codecs.py). Unrecognized payloads fall back to byte stats
+    with modality 'unknown' (same row shape) so the operator is total.
+
+    n_units / val_mean / val_std are over the DECODED domain: pixels (uint8,
+    all channels) for images, samples (int16) for audio, raw bytes for unknown.
+    """
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    cols = [
+        "doc_id", "modality", "mime", "width", "height", "channels",
+        "sample_rate", "n_units", "val_mean", "val_std", "feature_version",
+    ]
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = codecs.decode(bytes(payload))
+            if d is None:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                rows.append(
+                    (int(doc_id), "unknown", "application/octet-stream",
+                     None, None, None, None, int(arr.size),
+                     float(arr.mean()) if arr.size else 0.0,
+                     float(arr.std()) if arr.size else 0.0, "codec-v1")
+                )
+                continue
+            a = d.data.astype(np.float64)
+            rows.append(
+                (int(doc_id), d.modality, d.mime, d.width, d.height,
+                 d.channels, d.sample_rate, int(a.size),
+                 float(a.mean()) if a.size else 0.0,
+                 float(a.std()) if a.size else 0.0, "codec-v1")
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def decode_features(binary_df: DataFrame) -> DataFrame:
+    """Real-decode feature extraction (PNM/BMP/WAV via pure-numpy codecs) over
+    Arrow-batched mapInPandas. Input needs (doc_id, payload); embarrassingly
+    parallel, no shuffle — identical scale shape to extract_features."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=DECODE_SCHEMA
+    )

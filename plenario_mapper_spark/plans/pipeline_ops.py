@@ -178,6 +178,72 @@ def q_mapper_alerts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts
 
 
+@register(
+    "q_mapper_alerts_invalid_key",
+    oracle="""
+    WITH unk AS (
+      SELECT event_id AS seq, 'view' AS name, 'error' AS kind,
+             '["Received data from sensor view with unknown key(s) kfrom network events_net. Please update the keys and properties in this sensors metadata."]'
+             AS value,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM events WHERE event_type = 'view'),
+    coerce AS (
+      SELECT event_id AS seq, 'signup' AS name, 'error' AS kind,
+             '["Property is_new of sensor signup expected type boolean and could not correctly coerce value '
+               || CAST(props->>'$.k' AS INT) || ' of type number"]' AS value,
+             row_number() OVER (ORDER BY event_id) AS rn
+      FROM events WHERE event_type = 'signup'
+        AND CAST(props->>'$.k' AS INT) NOT IN (0, 1))
+    SELECT seq, name, kind, value FROM unk WHERE rn = 1
+    UNION ALL
+    SELECT seq, name, kind, value FROM coerce WHERE rn = 1
+    """,
+)
+def q_mapper_alerts_invalid_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invalid_key alert branch (app/mapper.js:437-451): sensors KNOWN to the
+    registry but whose payload fails validation or coercion. Sensor 'view' maps
+    only key 'v', so every view event carries unknown key 'k' (the unknown-keys
+    message, :437-441, with the reference's verbatim formatting quirks: bare-comma
+    array join, missing space before 'from'); sensor 'signup' types 'k' as
+    BOOLEAN, so every k outside {0, 1} raises the per-key coercion message
+    (:443-451) quoting the ORIGINAL value and its JS typeof. click/error/purchase
+    coerce cleanly and never alert. The blacklist fold (send_error, :455-468)
+    keeps only the FIRST error per sensor — 2 rows."""
+    from plenario_mapper_spark import metadata
+    from plenario_mapper_spark.schemas import (
+        FEATURE_METADATA_SCHEMA,
+        SENSOR_METADATA_SCHEMA,
+    )
+
+    obs = _events_as_obs(spark, sf_dir).withColumn(
+        "seq", F.col("meta_id").cast("long")
+    )
+    sensor_meta = spark.createDataFrame(
+        [
+            ("click", {"k": "click_feature.k"}),
+            ("error", {"k": "click_feature.k"}),
+            ("purchase", {"k": "click_feature.k"}),
+            ("view", {"v": "view_feature.v"}),
+            ("signup", {"k": "signup_feature.is_new"}),
+        ],
+        SENSOR_METADATA_SCHEMA,
+    )
+    feature_meta = spark.createDataFrame(
+        [
+            ("click_feature", [("k", "INTEGER")]),
+            ("view_feature", [("v", "DOUBLE")]),
+            ("signup_feature", [("is_new", "BOOLEAN")]),
+        ],
+        FEATURE_METADATA_SCHEMA,
+    )
+    kmap_df = metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
+    ann = M.annotate(M.normalize(obs), kmap_df)
+    alerts, _new_blacklist = AL.derive_alerts(
+        ann, ann, AL.empty_blacklist(spark), order_col="seq"
+    )
+    return alerts
+
+
 # --------------------------------------------------------------------------------
 # Text analysis (token counts, quality, language signal, fingerprints)
 # --------------------------------------------------------------------------------
@@ -641,6 +707,73 @@ def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("substring(payload, 1, least(orig_n, 1024))"), 256
             ).alias("prefix_sha"),
         )
+    )
+
+
+@register(
+    "q_binary_decode_stats",
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-graymap'
+                      WHEN 1 THEN 'image/bmp'
+                      ELSE 'audio/wav' END AS mime,
+      CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 4 END AS width,
+      CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 4 END AS height,
+      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS channels,
+      CASE doc_id % 3 WHEN 2 THEN 8000 END AS sample_rate,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 48 ELSE 64 END AS BIGINT)
+        AS n_units,
+      CASE doc_id % 3
+        WHEN 0 THEN (SELECT AVG(CAST((doc_id + g) % 256 AS DOUBLE))
+                     FROM generate_series(0, 127) t(g))
+        WHEN 1 THEN (SELECT AVG(CAST((doc_id * 3 + g) % 256 AS DOUBLE))
+                     FROM generate_series(0, 47) t(g))
+        ELSE (SELECT AVG(CAST(((doc_id * 31 + g * 17) % 65536) - 32768 AS DOUBLE))
+              FROM generate_series(0, 63) t(g))
+      END AS val_mean
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (H4), oracle-checked end to end: payloads are
+    synthesized per doc_id with analytically known content (P5 graymap 16x8,
+    24-bit BMP 4x4, PCM16 WAV 8 kHz by doc_id % 3), encoded to genuine format
+    bytes, then decoded back by the pure-numpy codecs inside Arrow-batched
+    mapInPandas (operators/multimodal.decode_features) — header geometry,
+    modality routing, and pixel/sample means all verified against the closed
+    forms. Means are exact: integer sums divided once, identical IEEE rounding
+    in numpy and DuckDB."""
+    import numpy as np
+    import pandas as pd
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    def synth(it):
+        from plenario_mapper_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = i % 3
+                if m == 0:
+                    px = ((i + np.arange(128)) % 256).astype(np.uint8).reshape(8, 16)
+                    p = codecs.encode_pnm(px)
+                elif m == 1:
+                    px = ((i * 3 + np.arange(48)) % 256).astype(np.uint8)
+                    p = codecs.encode_bmp(px.reshape(4, 4, 3))
+                else:
+                    s = (((i * 31 + np.arange(64) * 17) % 65536) - 32768).astype(
+                        np.int16
+                    )
+                    p = codecs.encode_wav(s, 8000)
+                rows.append((i, p))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return MM.decode_features(payloads).select(
+        "doc_id", "mime", "width", "height", "channels", "sample_rate",
+        "n_units", "val_mean",
     )
 
 

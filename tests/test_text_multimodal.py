@@ -113,9 +113,66 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert bytes(f0[1]["frame"]) == bytes(range(50, 100))  # slice 2 of 4
 
 
-def test_decode_real_is_gated():
-    with pytest.raises(NotImplementedError):
-        MM.decode_real(None)
+def test_codec_roundtrips():
+    """Pure-numpy codecs: encode -> decode is identity on dims + content."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    gray = (np.arange(6 * 4) % 256).astype(np.uint8).reshape(4, 6)
+    d = codecs.decode_pnm(codecs.encode_pnm(gray))
+    assert (d.width, d.height, d.channels) == (6, 4, 1)
+    assert np.array_equal(d.data, gray)
+
+    rgb = (np.arange(5 * 3 * 3) % 256).astype(np.uint8).reshape(3, 5, 3)
+    d = codecs.decode_pnm(codecs.encode_pnm(rgb))
+    assert (d.width, d.height, d.channels) == (5, 3, 3)
+    assert np.array_equal(d.data, rgb)
+
+    # width 5 -> 15-byte rows -> 1 pad byte per row exercises stride handling
+    bgr = (np.arange(5 * 2 * 3) * 7 % 256).astype(np.uint8).reshape(2, 5, 3)
+    d = codecs.decode_bmp(codecs.encode_bmp(bgr))
+    assert (d.width, d.height, d.channels) == (5, 2, 3)
+    assert np.array_equal(d.data, bgr)
+
+    samples = ((np.arange(64) * 1201) % 65536 - 32768).astype(np.int16)
+    d = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert (d.sample_rate, d.channels) == (8000, 1)
+    assert np.array_equal(d.data, samples)
+
+    # PNM comment + multi-whitespace header tolerance
+    hdr_variant = b"P5\n# a comment\n 6  4\n255\n" + gray.tobytes()
+    d = codecs.decode_pnm(hdr_variant)
+    assert (d.width, d.height) == (6, 4) and np.array_equal(d.data, gray)
+
+    assert codecs.decode(b"\x89PNG not supported") is None
+
+
+def test_decode_features_real(spark):
+    """decode_features: real header parse + stats per modality, with the
+    unknown-format fallback keeping the operator total."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    gray = np.full((4, 4), 10, dtype=np.uint8)
+    wav = codecs.encode_wav(np.array([100, -100, 300, -300], dtype=np.int16), 16000)
+    payloads = [
+        (0, codecs.encode_pnm(gray)),
+        (1, codecs.encode_bmp(np.full((2, 3, 3), 7, dtype=np.uint8))),
+        (2, wav),
+        (3, b"opaque blob"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    feats = {r["doc_id"]: r for r in MM.decode_features(df).collect()}
+    assert (feats[0]["width"], feats[0]["height"], feats[0]["channels"]) == (4, 4, 1)
+    assert feats[0]["val_mean"] == pytest.approx(10.0)
+    assert feats[0]["val_std"] == pytest.approx(0.0)
+    assert (feats[1]["modality"], feats[1]["n_units"]) == ("image", 18)
+    assert feats[1]["val_mean"] == pytest.approx(7.0)
+    assert (feats[2]["modality"], feats[2]["sample_rate"]) == ("audio", 16000)
+    assert feats[2]["n_units"] == 4 and feats[2]["val_mean"] == pytest.approx(0.0)
+    assert feats[3]["modality"] == "unknown" and feats[3]["n_units"] == 11
 
 
 # ---------------------------------------------------------------------------
