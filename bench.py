@@ -32,7 +32,9 @@ HEADLINE = [
     # training-data ops
     "q_dedup_exact_docs",
     "q_dedup_minhash",
+    "q_dedup_survivors",
     "q_embed_cosine_topk",
+    "q_ann_ivf_topk",
     "q_doc_lang_signal",
 ]
 
@@ -157,21 +159,23 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
                 os.path.join(sf_dir, "events.parquet"),
                 os.path.join(in_dir, f"events_{i}.parquet"),
             )
+        # schema from the static file so the stream survives any of the three
+        # timestamp encodings the driver has shipped (nanos-long / NTZ / LTZ);
+        # normalize_event_ts applies the same conversion the batch loaders use
+        from plenario_mapper_spark.plans.relational import normalize_event_ts
+
+        static_schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
         raw = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
+            spark.readStream.schema(static_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
-        obs = raw.select(
+        obs = normalize_event_ts(raw).select(
             F.col("user_id").cast("string").alias("node_id"),
             F.col("event_id").cast("double").alias("meta_id"),
-            F.date_format(
-                F.timestamp_micros(F.expr("ts div 1000")),
-                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
-            ).alias("datetime"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("datetime"),
             F.col("event_type").alias("sensor"),
             F.lit("events_net").alias("network"),
             F.col("props").alias("data"),

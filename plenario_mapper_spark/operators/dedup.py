@@ -39,18 +39,12 @@ def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the cluster's parallelism before CPU-heavy narrow work.
+    """Repartition to cluster parallelism before CPU-heavy narrow work
+    (signature/shingle arithmetic); split count estimated from file metadata —
+    see operators/partitioning.spread_to_parallelism."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
 
-    Signature/shingle computation is arithmetic-bound, and a small parquet input
-    (or one giant row group) arrives as ONE split — leaving every core but one
-    idle. The tiny shuffle of raw text costs milliseconds; the compute it
-    parallelizes costs tens of seconds. On a 100 TB input with thousands of
-    splits this is a near-no-op safeguard (only helps when splits < cores)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return spread_to_parallelism(df)
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

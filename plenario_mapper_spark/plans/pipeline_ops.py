@@ -38,11 +38,11 @@ def _events_as_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rows reshaped as observations (sensor = event_type, payload =
     props). Repartitioned to cluster parallelism first: the variant/HOF mapper
     work is CPU-bound and a single-row-group parquet input otherwise pins the
-    whole pipeline to one core (same rationale as operators.dedup._spread)."""
-    e = _events(spark, sf_dir)
-    sc = spark.sparkContext
-    if e.rdd.getNumPartitions() < sc.defaultParallelism:
-        e = e.repartition(sc.defaultParallelism)
+    whole pipeline to one core (metadata-only split estimate — see
+    operators/partitioning)."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    e = spread_to_parallelism(_events(spark, sf_dir))
     return e.select(
         F.col("user_id").cast("string").alias("node_id"),
         F.col("event_id").cast("double").alias("meta_id"),

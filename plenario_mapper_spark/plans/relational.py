@@ -40,12 +40,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       downstream `cast("long")` / `unix_timestamp` are illegal; cast to LTZ
       (value-preserving — the session timezone is pinned UTC).
     - TIMESTAMP_MICROS isAdjustedToUTC=1: already LTZ, pass through."""
-    e = _t(spark, sf_dir, "events")
-    ts_type = dict(e.dtypes)["ts"]
+    return normalize_event_ts(_t(spark, sf_dir, "events"))
+
+
+def normalize_event_ts(e: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events-shaped DataFrame's timestamp column per the
+    _events contract (shared by the batch loaders and bench's stream source)."""
+    ts_type = dict(e.dtypes)[col]
     if ts_type == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        e = e.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif ts_type == "timestamp_ntz":
-        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        e = e.withColumn(col, F.col(col).cast("timestamp"))
     return e
 
 
