@@ -18,10 +18,9 @@ from plenario_mapper_spark.operators import dedup as DD
 from plenario_mapper_spark.operators import mapper as M
 from plenario_mapper_spark.operators import similarity as SIM
 from plenario_mapper_spark.plans.registry import register
-from plenario_mapper_spark.plans.relational import _events
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+from plenario_mapper_spark.plans.relational import _events, _t  # noqa: F401
+# _t normalizes any TIMESTAMP_NTZ column to LTZ (see relational._t) so the
+# whole surface survives driver-side parquet-encoding changes.
 
 
 # DuckDB token expression mirroring functions.text.tokens()

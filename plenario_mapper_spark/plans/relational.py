@@ -23,7 +23,16 @@ from plenario_mapper_spark.plans.registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Table loader, robust to the parquet timestamp encoding du jour: any
+    TIMESTAMP_NTZ column is cast to LTZ (value-preserving — session timezone is
+    pinned UTC), so every query is encoding-agnostic. Round 2 lost its entire
+    bench to a driver-side regen that flipped events.ts from nanos to NTZ;
+    a real user's parquet is NTZ as often as LTZ."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
