@@ -571,11 +571,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ann_ivf_topk")  # rows-only: approximate; recall-tested vs brute force
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for the same query set: items partitioned into
-    Voronoi cells, queries probe the nearest cells only — the partition-pruned
-    alternative to LSH at 100 TB (cell id doubles as the storage partition)."""
+    """IVF approximate top-5 SERVED FROM THE PERSISTED INDEX: items partitioned
+    into Voronoi cells on disk (build_ivf_index, once per sf_dir), queries
+    probe the nearest cells only — broadcast probe table + dynamic partition
+    pruning skip every unprobed cell at the scan, the build-once/probe-many
+    lifecycle a production ANN service runs. Result-identical to the one-shot
+    ivf_topk (same deterministic centroids; pinned by
+    test_ivf_index_build_search_matches_oneshot)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    index_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    if not _os.path.isdir(_os.path.join(index_dir, "cells")):
+        SIM.build_ivf_index(e, index_dir)
+    return SIM.ivf_search_index(
+        spark, index_dir, e.filter(F.col("vec_id") < 10), k=5
+    )
 
 
 @register("q_embed_near_dup")  # rows-only
