@@ -83,6 +83,47 @@ def make_minhash_signature_udf(coeffs, mersenne, shingle_n):
     return sig
 
 
+def make_simhash_md5_udf():
+    """text -> long SimHash-64 fingerprint (md5 token hash), vectorized per
+    Arrow batch.
+
+    Bit-for-bit identical to the JVM expression form
+    (operators.dedup.simhash(..., token_hash='md5'), which mirrors the DuckDB
+    oracle): tokens = lower + split on non-[a-z0-9_]; per token, md5 hex chars
+    1-15 give bits 0..59 and char 16 gives bits 60..63; votes = sum(2*bit - 1);
+    fingerprint bit i set iff vote > 0, packed two's complement (bit 63
+    contributes -2^63). Exists because the expression form folds a 64-wide
+    zip_with per token through INTERPRETED lambdas (~tokens x 64 evals/doc,
+    measured ~13 s for 500 docs); the numpy loop is ~50x faster. Parity with
+    the expression form is pinned by test_simhash_udf_matches_expression."""
+    split_re = re.compile(r"[^a-z0-9_]+")
+    idx60 = np.arange(60, dtype=np.uint64)
+    idx4 = np.arange(4, dtype=np.uint64)
+    powers = np.concatenate(
+        [1 << np.arange(63, dtype=np.uint64), np.array([1 << 63], dtype=np.uint64)]
+    )
+
+    def _one(text):
+        toks = [w for w in split_re.split((text or "").lower()) if w]
+        votes = np.zeros(64, dtype=np.int64)
+        bits = np.empty(64, dtype=np.int64)
+        for tok in toks:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            a = np.uint64(int(h[:15], 16))
+            b = np.uint64(int(h[15], 16))
+            bits[:60] = ((a >> idx60) & np.uint64(1)).astype(np.int64)
+            bits[60:] = ((b >> idx4) & np.uint64(1)).astype(np.int64)
+            votes += bits * 2 - 1
+        packed = powers[votes > 0].sum(dtype=np.uint64)
+        return int(packed.astype(np.int64))  # two's complement reinterpret
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return sh
+
+
 def grouped_zscore(
     df, group_col: str, value_col: str, out_col: str = "zscore"
 ):

@@ -243,7 +243,27 @@ def _md5_token_bits(t: Column, bits: int) -> Column:
     )
 
 
-def simhash(text: Column, bits: int = 64, token_hash: str = "xxhash64") -> Column:
+def simhash(
+    text: Column, bits: int = 64, token_hash: str = "xxhash64", vectorized: bool = True
+) -> Column:
+    """SimHash fingerprint (long) — dispatcher.
+
+    The md5 variant routes to an Arrow-vectorized pandas UDF by default: the
+    expression form folds a 64-wide zip_with per token through interpreted
+    lambdas (measured ~13 s for 500 docs at sf0.01 — the single most expensive
+    query in the oracle gate); the numpy batch loop is ~50x faster and
+    bit-for-bit identical (parity pinned by
+    test_simhash_udf_matches_expression). xxhash64 stays an expression —
+    F.xxhash64 has no Python twin in this container, and its per-token cost is
+    one JVM hash, not 15 hex-char conversions."""
+    if vectorized and token_hash == "md5" and bits == 64:
+        from plenario_mapper_spark.functions.pandas_sigs import make_simhash_md5_udf
+
+        return make_simhash_md5_udf()(text)
+    return simhash_expr(text, bits, token_hash)
+
+
+def simhash_expr(text: Column, bits: int = 64, token_hash: str = "xxhash64") -> Column:
     """SimHash: sign-aggregate token hashes into a `bits`-wide fingerprint (long).
 
     bit_i(doc) = sign( sum_tokens (2*bit_i(hash(token)) - 1) ). Single fold

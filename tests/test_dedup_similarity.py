@@ -60,6 +60,20 @@ def test_simhash_pairs_verified(spark, docs):
         assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == r["hamming"] <= 10
 
 
+def test_simhash_udf_matches_expression(spark, docs):
+    """The Arrow-vectorized md5 SimHash must be bit-for-bit identical to the
+    JVM expression form (which the DuckDB oracle mirrors)."""
+    subset = docs.filter(F.col("doc_id") < 80)
+    got = subset.select(
+        "doc_id",
+        DD.simhash(F.col("text"), token_hash="md5").alias("udf_sh"),
+        DD.simhash_expr(F.col("text"), token_hash="md5").alias("expr_sh"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["udf_sh"] == r["expr_sh"], r["doc_id"]
+
+
 def test_exact_dedup_and_fingerprint(spark, docs):
     n = docs.count()
     distinct_texts = DD.exact_dedup(docs, ["text"]).count()
