@@ -82,6 +82,23 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized per-table bucket ids for the (dim, n_planes, n_tables, seed)
+    plane family — same planes as the expression form (vector.simhash_bucket +
+    _random_planes), computed as one matmul per Arrow batch."""
+    from plenario_mapper_spark.functions.pandas_sigs import (
+        make_hyperplane_buckets_udf,
+    )
+
+    planes = np.stack(
+        [
+            np.asarray(_random_planes(dim, n_planes, seed + t))
+            for t in range(n_tables)
+        ]
+    )
+    return make_hyperplane_buckets_udf(planes)
+
+
 def lsh_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -100,18 +117,16 @@ def lsh_topk(
     equi-join on (table, bucket) — shuffle proportional to candidates, not N*Q.
     Recall rises with n_tables, candidate count falls with n_planes.
     """
+    bucket_udf = _buckets_udf(dim, n_planes, n_tables, seed)
+
     def with_buckets(df, id_alias, v_alias):
         vd = F.col(vec_col).cast("array<double>")
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    V.simhash_bucket(vd, _random_planes(dim, n_planes, seed + t)).alias(
-                        "bucket"
-                    ),
-                )
-                for t in range(n_tables)
-            ]
+        # Arrow-vectorized bucket ids (one BLAS matmul per batch — the
+        # expression form is T x P x D interpreted lambda evals per row);
+        # table index recovered positionally.
+        buckets = F.transform(
+            bucket_udf(vd),
+            lambda b, i: F.struct(i.cast("int").alias("table"), b.alias("bucket")),
         )
         return df.select(
             F.col(id_col).alias(id_alias),
@@ -237,14 +252,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via the same bucket trick, self-join
     flavored (id_a < id_b), exact cosine verified on candidates only."""
     vd = F.col(vec_col).cast("array<double>")
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                V.simhash_bucket(vd, _random_planes(dim, n_planes, seed + t)).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    buckets = F.transform(
+        _buckets_udf(dim, n_planes, n_tables, seed)(vd),
+        lambda bkt, i: F.struct(i.cast("int").alias("table"), bkt.alias("bucket")),
     )
     b = items.select(F.col(id_col).alias("id"), vd.alias("v"), F.explode(buckets).alias("bk"))
     l, r = b.alias("l"), b.alias("r")

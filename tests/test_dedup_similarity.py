@@ -60,6 +60,28 @@ def test_simhash_pairs_verified(spark, docs):
         assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == r["hamming"] <= 10
 
 
+def test_hyperplane_bucket_udf_matches_expression(spark, embeddings):
+    """The vectorized bucket UDF must reproduce vector.simhash_bucket's ids
+    (same plane family; sign decisions agree — dots are far from 0 for random
+    hyperplanes, so BLAS vs sequential-fold rounding does not flip signs on
+    this data)."""
+    from plenario_mapper_spark.functions import vector as V
+    from plenario_mapper_spark.operators.similarity import _buckets_udf, _random_planes
+
+    dim, n_planes, n_tables, seed = 64, 10, 6, 11
+    vd = F.col("embedding").cast("array<double>")
+    expr_cols = [
+        V.simhash_bucket(vd, _random_planes(dim, n_planes, seed + t)).alias(f"e{t}")
+        for t in range(n_tables)
+    ]
+    rows = embeddings.select(
+        _buckets_udf(dim, n_planes, n_tables, seed)(vd).alias("u"), *expr_cols
+    ).collect()
+    assert rows and all(
+        r["u"][t] == r[f"e{t}"] for r in rows for t in range(n_tables)
+    )
+
+
 def test_simhash_udf_matches_expression(spark, docs):
     """The Arrow-vectorized md5 SimHash must be bit-for-bit identical to the
     JVM expression form (which the DuckDB oracle mirrors)."""
