@@ -79,6 +79,7 @@ _FRONT = [
     # new in round 3 (no driver row yet)
     "q_mapper_alerts_invalid_key",
     "q_binary_decode_stats",
+    "q_doc_pack_sequences",
     # changed this round -> row must be re-earned
     "q_scalar_array_hof",
 ]
@@ -89,6 +90,7 @@ _BACK = [
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
     "q_dedup_minhash",
+    "q_explode_tokens",
     "q_join_left",
     "q_join_right",
     "q_join_semi",

@@ -273,6 +273,51 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((cum_tokens - 1) / 2048) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing for training-batch assembly: documents are
+    chunked into fixed token-budget packs (2048 here) by cumulative token count
+    in stable doc_id order WITHIN EACH SOURCE. Per-source packing is the shape
+    that scales — one window shuffle on `source`, each group packed
+    independently in parallel; a single global order would serialize the
+    cumsum through one partition at 100 TB. pack_id is a pure function of
+    (source, sorted doc ids, token counts): stable under repartitioning and
+    engine-independent, so the assignment is exactly reproducible by the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = TX.token_count(F.col("text")).cast("long")
+    return (
+        d.select("source", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id", F.floor((F.col("cum_tokens") - 1) / F.lit(2048)).cast("long")
+        )
+    )
+
+
+@register(
     "q_doc_quality",
     oracle=f"""
     SELECT source,
