@@ -96,28 +96,36 @@ class MapperStream:
         # stale snapshot starts empty — the reference's startup state
         # (map={}, type_map={}, app/mapper.js:36-40)
         self._stale_kmap = metadata.empty_kmap(spark)
+        # driver-side value snapshot of _stale_kmap, memoized across batches:
+        # last batch's FRESH snapshot IS this batch's stale one, so the
+        # steady-state comparison costs ONE tiny collect per batch, not two
+        self._stale_snap: list | None = []
 
-    def _registry_unchanged(self, fresh_kmap: DataFrame) -> bool:
-        """True iff the stale and fresh registry snapshots are value-identical.
-        The registry is KB-sized by construction (schema registry, not data),
-        so a driver-side collect-compare costs microseconds and saves a full
-        annotate pass over the batch in the steady state."""
-
-        def snap(df: DataFrame):
-            return sorted(
-                (
-                    r["sensor"],
-                    tuple(
-                        sorted((k, tuple(v)) for k, v in (r["kmap"] or {}).items())
-                    ),
-                )
-                for r in df.collect()
+    @staticmethod
+    def _snap(df: DataFrame) -> list:
+        return sorted(
+            (
+                r["sensor"],
+                tuple(sorted((k, tuple(v)) for k, v in (r["kmap"] or {}).items())),
             )
+            for r in df.collect()
+        )
 
+    def _registry_unchanged(self, fresh_kmap: DataFrame) -> tuple[bool, list | None]:
+        """(stale == fresh, fresh snapshot). The registry is KB-sized by
+        construction (schema registry, not data), so a driver-side
+        collect-compare costs microseconds and saves a full annotate pass over
+        the batch in the steady state."""
         try:
-            return snap(self._stale_kmap) == snap(fresh_kmap)
+            stale = (
+                self._stale_snap
+                if self._stale_snap is not None
+                else self._snap(self._stale_kmap)
+            )
+            fresh = self._snap(fresh_kmap)
+            return stale == fresh, fresh
         except Exception:
-            return False  # conservative: run both passes
+            return False, None  # conservative: run both passes
 
     # -- state table ----------------------------------------------------------
     def _load_blacklist(self) -> DataFrame:
@@ -150,7 +158,8 @@ class MapperStream:
         # (batch, registry) — so one pass serves both roles and the alert
         # comparison degenerates correctly (no transitions fire).
         fresh_ann = M.annotate(norm, fresh_kmap).persist()
-        if self._registry_unchanged(fresh_kmap):
+        unchanged, fresh_snap = self._registry_unchanged(fresh_kmap)
+        if unchanged:
             stale_ann = fresh_ann
         else:
             stale_ann = M.annotate(norm, self._stale_kmap).persist()
@@ -210,6 +219,7 @@ class MapperStream:
         # empty_kmap).
         prev = self._stale_kmap
         self._stale_kmap = fresh_kmap
+        self._stale_snap = fresh_snap
         if prev is not fresh_kmap:
             prev.unpersist()
 
