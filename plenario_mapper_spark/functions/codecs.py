@@ -132,7 +132,10 @@ def decode_bmp(b: bytes) -> Decoded:
     w, h_signed = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     compression = struct.unpack_from("<I", b, 30)[0]
-    if compression != 0 or bpp not in (8, 24):
+    # 24-bit BI_RGB only: lower bit depths are palette-indexed (the pixel
+    # array holds palette indices, not intensities), which would need the
+    # color table to produce honest statistics.
+    if compression != 0 or bpp != 24:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     h, bottom_up = abs(h_signed), h_signed > 0
     ch = bpp // 8
@@ -218,9 +221,15 @@ _DECODERS = {"pnm": decode_pnm, "bmp": decode_bmp, "wav": decode_wav}
 
 
 def decode(b: bytes) -> Decoded | None:
-    """Decode a recognized payload; None when the format is unknown (callers
-    fall back to byte-level statistics)."""
-    kind = sniff(bytes(b))
+    """Decode a recognized payload; None when the format is unknown OR the
+    payload is corrupt/truncated/unsupported despite matching a magic (callers
+    fall back to byte-level statistics either way — a Spark operator must be
+    total over arbitrary blobs, never fail the task on one bad payload)."""
+    raw = bytes(b)
+    kind = sniff(raw)
     if kind is None:
         return None
-    return _DECODERS[kind](bytes(b))
+    try:
+        return _DECODERS[kind](raw)
+    except Exception:
+        return None

@@ -146,6 +146,11 @@ def test_codec_roundtrips():
     assert (d.width, d.height) == (6, 4) and np.array_equal(d.data, gray)
 
     assert codecs.decode(b"\x89PNG not supported") is None
+    # corrupt payloads behind a recognized magic must degrade, not raise:
+    # the Spark operator is total over arbitrary blobs
+    assert codecs.decode(b"P5\n# truncated header only") is None
+    assert codecs.decode(b"BM" + b"\x00" * 20) is None
+    assert codecs.decode(b"RIFF\x04\x00\x00\x00WAVE") is None
 
 
 def test_decode_features_real(spark):
