@@ -628,9 +628,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
+    # index dir is content-addressed by the source file's (path, size, mtime):
+    # the driver regenerates testdata between rounds, and a stale index
+    # surviving in /tmp must never serve old vectors
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = src
     index_dir = _os.path.join(
         tempfile.gettempdir(),
-        f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"ivf_index_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
     )
     if not _os.path.isdir(_os.path.join(index_dir, "cells")):
         SIM.build_ivf_index(e, index_dir)
