@@ -53,9 +53,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # 0-49, the tail 18 never checked). We cannot raise the driver's cap, so the
 # registry is re-ordered each round to rotate coverage: queries with no green
 # driver row yet come first, then queries whose row must be re-earned after a
-# change, then the long-green core. The demoted tail remains fully covered by
-# the local mirror (tools/t2.py, run in tests/test_oracle.py) and by the green
-# rows in prior rounds' CORRECTNESS files.
+# change, then the long-green core.
+#
+# Tradeoff, stated plainly: shared-infrastructure changes this round (the
+# NTZ-normalizing table loader, the split estimator) also touch the demoted
+# tail, which this round's external gate will NOT re-check. The tail is instead
+# covered by the LOCAL mirror of the exact same comparison (tools/t2.py,
+# exercised per-commit via tests/test_oracle.py — all 64 oracle-backed queries
+# MATCH at the time of writing) plus the green rows in prior rounds'
+# CORRECTNESS files. With a 50-slot window over a 71-query surface, verifying
+# the 21 never-checked queries is strictly more new external information than
+# re-verifying long-green ones; round 4 rotates the demoted set back in.
 _FRONT = [
     # never driver-checked before round 3 (r02 positions 50-67)
     "q_dedup_simhash",

@@ -138,17 +138,20 @@ def decode_bmp(b: bytes) -> Decoded:
     if compression != 0 or bpp != 24:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     h, bottom_up = abs(h_signed), h_signed > 0
-    ch = bpp // 8
     stride = ((bpp * w + 31) // 32) * 4
     rows = [
-        np.frombuffer(b, np.uint8, count=w * ch, offset=pixel_off + r * stride)
+        np.frombuffer(b, np.uint8, count=w * 3, offset=pixel_off + r * stride)
         for r in range(h)
     ]
     if bottom_up:
         rows.reverse()
-    data = np.stack(rows).reshape((h, w) if ch == 1 else (h, w, 3))
     return Decoded(
-        modality="image", mime="image/bmp", width=w, height=h, channels=ch, data=data
+        modality="image",
+        mime="image/bmp",
+        width=w,
+        height=h,
+        channels=3,
+        data=np.stack(rows).reshape(h, w, 3),
     )
 
 

@@ -104,7 +104,9 @@ def make_simhash_md5_udf():
     )
 
     def _one(text):
-        toks = [w for w in split_re.split((text or "").lower()) if w]
+        if text is None:
+            return None  # expression form: tokens(NULL) -> NULL fingerprint
+        toks = [w for w in split_re.split(text.lower()) if w]
         votes = np.zeros(64, dtype=np.int64)
         bits = np.empty(64, dtype=np.int64)
         for tok in toks:
@@ -139,12 +141,28 @@ def make_hyperplane_buckets_udf(planes_by_table):
     flat = P.reshape(n_tables * n_planes, -1)
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
+    dim = flat.shape[1]
+    zero_buckets = np.zeros(n_tables, dtype=np.int64)
+
     @pandas_udf("array<long>")
     def bk(vecs: pd.Series) -> pd.Series:
-        M = np.asarray(vecs.tolist(), dtype=np.float64)  # (B, D)
-        signs = (M @ flat.T >= 0).reshape(len(M), n_tables, n_planes)
-        out = (signs * powers).sum(axis=2)  # (B, T)
-        return pd.Series(list(out))
+        vals = vecs.tolist()
+        # NULL / wrong-dim embeddings degrade to all-zero buckets (the
+        # expression form's when(dot(null, p) >= 0, ...) otherwise-branch),
+        # keeping the operator total; clean rows take the matmul fast path
+        bad = [i for i, v in enumerate(vals) if v is None or len(v) != dim]
+        if not bad:
+            M = np.asarray(vals, dtype=np.float64)  # (B, D)
+            signs = (M @ flat.T >= 0).reshape(len(M), n_tables, n_planes)
+            return pd.Series(list((signs * powers).sum(axis=2)))
+        out = []
+        for v in vals:
+            if v is None or len(v) != dim:
+                out.append(zero_buckets)
+            else:
+                s = (np.asarray(v, dtype=np.float64) @ flat.T >= 0)
+                out.append((s.reshape(n_tables, n_planes) * powers).sum(axis=1))
+        return pd.Series(out)
 
     return bk
 

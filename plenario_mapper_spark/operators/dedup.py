@@ -462,6 +462,11 @@ def connected_components(
             prev_path = os.path.join(workdir, f"round_{rounds}")
         else:
             e = new_e.localCheckpoint(eager=True)
+            if prev_path is not None:
+                # round_0 parquet backed the first in-memory round; now that
+                # the checkpoint is materialized nothing on disk is referenced
+                _fs_delete(spark, workdir)
+                prev_path = None
         # Fixpoint test. Two conditions which TOGETHER imply the edges are
         # disjoint two-level stars each rooted at its component minimum
         # (parent < child by orientation, so a unique parent that is never

@@ -53,10 +53,20 @@ def _local_sizes(files: list[str]) -> list[int] | None:
     return sizes
 
 
+_WIDE_NODES = ("Join", "Aggregate", "Distinct", "Window", "Repartition", "Sort")
+
+
 def estimate_scan_partitions(df: DataFrame) -> int | None:
     """Estimated file-scan partition count via Spark's split-packing formula;
-    None when the input is not a (locally statable) file scan."""
+    None when the input is not a (locally statable) NARROW chain over a file
+    scan. A post-shuffle DataFrame's partition count is set by
+    spark.sql.shuffle.partitions / AQE, not by its leaf files — for those the
+    estimate would see tiny leaves and trigger a pointless extra shuffle, so
+    any wide node in the plan falls back to the exact probe."""
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(n in plan for n in _WIDE_NODES):
+            return None
         files = df.inputFiles()
     except Exception:
         return None

@@ -641,7 +641,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"ivf_index_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
     )
-    if not _os.path.isdir(_os.path.join(index_dir, "cells")):
+    # _SUCCESS (written last by the parquet committer) gates reuse: a crashed
+    # or in-flight build leaves cells/ without it and is rebuilt, never served
+    if not _os.path.isfile(_os.path.join(index_dir, "cells", "_SUCCESS")):
         SIM.build_ivf_index(e, index_dir)
     return SIM.ivf_search_index(
         spark, index_dir, e.filter(F.col("vec_id") < 10), k=5

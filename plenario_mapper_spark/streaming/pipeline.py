@@ -193,9 +193,18 @@ class MapperStream:
         result.dead_letter.write.mode("append").partitionBy("network").parquet(
             self.sinks.dead_letter_dir
         )
+        if self.sinks.emit_pusher is not None:
+            # persist: the json write and the push run the emit derivation as
+            # two jobs; one materialization serves both. Delivery semantics are
+            # AT-LEAST-ONCE, matching the reference (fire-and-forget emits
+            # under KCL replay, app/mapper.js:292-296): a retried partition
+            # task re-invokes the pusher with the same rows, so receivers
+            # dedupe on (node, datetime, feature) when exactly-once matters.
+            result.emits.persist()
         result.emits.write.mode("append").json(self.sinks.emit_dir)
         if self.sinks.emit_pusher is not None:
             result.emits.foreachPartition(_partition_push(self.sinks.emit_pusher))
+            result.emits.unpersist()
 
         # F4: alert derivation + durable blacklist state
         blacklist = self._load_blacklist()

@@ -80,20 +80,30 @@ def test_hyperplane_bucket_udf_matches_expression(spark, embeddings):
     assert rows and all(
         r["u"][t] == r[f"e{t}"] for r in rows for t in range(n_tables)
     )
+    # NULL embedding degrades to all-zero buckets (expression otherwise-branch)
+    null_row = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    ).select(_buckets_udf(dim, n_planes, n_tables, seed)(F.col("embedding")).alias("u"))
+    assert list(null_row.collect()[0]["u"]) == [0] * n_tables
 
 
 def test_simhash_udf_matches_expression(spark, docs):
     """The Arrow-vectorized md5 SimHash must be bit-for-bit identical to the
-    JVM expression form (which the DuckDB oracle mirrors)."""
-    subset = docs.filter(F.col("doc_id") < 80)
+    JVM expression form (which the DuckDB oracle mirrors) — including NULL
+    text -> NULL fingerprint (not 0: two null docs must not become a spurious
+    hamming-0 near-dup pair)."""
+    subset = docs.filter(F.col("doc_id") < 80).select("doc_id", "text").union(
+        spark.createDataFrame([(999999, None)], "doc_id long, text string")
+    )
     got = subset.select(
         "doc_id",
         DD.simhash(F.col("text"), token_hash="md5").alias("udf_sh"),
         DD.simhash_expr(F.col("text"), token_hash="md5").alias("expr_sh"),
     ).collect()
-    assert len(got) > 0
+    assert len(got) > 1
     for r in got:
         assert r["udf_sh"] == r["expr_sh"], r["doc_id"]
+    assert next(r for r in got if r["doc_id"] == 999999)["udf_sh"] is None
 
 
 def test_exact_dedup_and_fingerprint(spark, docs):
@@ -263,7 +273,11 @@ def test_cc_million_edge_scale(spark):
         (base + F.col("id") - F.col("id") % 10).alias("dst"),
     )
     stats: dict = {}
-    cc = DD.connected_components(chain.union(stars), "src", "dst", stats=stats)
+    # in_memory_threshold=0 forces the RELIABLE (parquet) checkpoint branch —
+    # the path a 100 TB run takes — including per-round previous-round deletion
+    cc = DD.connected_components(
+        chain.union(stars), "src", "dst", stats=stats, in_memory_threshold=0
+    )
     sizes_df = cc.groupBy("component").agg(F.count("*").alias("sz"))
     chain_sz = sizes_df.filter(F.col("component") == 0).collect()[0]["sz"]
     n_comp = sizes_df.count()
