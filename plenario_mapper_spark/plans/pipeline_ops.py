@@ -553,7 +553,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bv AS (SELECT doc_id, bit, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bitval FROM votes),
     ham AS (
       SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-             SUM(CASE WHEN x.bitval <> y.bitval THEN 1 ELSE 0 END) AS hamming
+             CAST(SUM(CASE WHEN x.bitval <> y.bitval THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bv x JOIN bv y ON x.bit = y.bit AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id
     )
@@ -864,8 +864,8 @@ def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,

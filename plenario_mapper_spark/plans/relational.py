@@ -827,7 +827,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_toks,
            len(list_distinct(toks)) AS n_uniq,
-           COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS total_chars,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS total_chars,
            len(list_filter(toks, t -> t = 'the')) AS n_the,
            array_to_string(toks[1:3], ' ') AS head3
     FROM (SELECT doc_id,

@@ -65,6 +65,62 @@ def test_documents_text_is_ascii(ddb):
     assert n == 0
 
 
+def _kind_of_spark(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    if s.startswith("decimal"):
+        return "d"
+    if s == "boolean":
+        return "b"
+    return "o"
+
+
+def _kind_of_duck(t: str) -> str:
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "H"  # pandas .df() converts to float64 -> driver hash mismatch
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "f"
+    if t.startswith("DECIMAL"):
+        return "d"
+    if t == "BOOLEAN":
+        return "b"
+    return "o"
+
+
+@pytest.mark.parametrize("name", sorted(_query_names()[1]))
+def test_oracle_dtype_lint(spark, ddb, name):
+    """Driver-hasher dtype lint (VERDICT r3 item 3). The driver compares Spark
+    toPandas() against DuckDB .df(); an uncast SUM/list_sum oracle column is
+    HUGEINT, which pandas renders as float64 ("42.0" vs Spark's int64 "42") and
+    silently hash-mismatches even when values are identical — this burned
+    q_scalar_array_hof for three straight rounds. DESCRIBE is plan-only, so the
+    lint costs no query execution: it fails any oracle exposing HUGEINT and any
+    integral-vs-float kind disagreement with the Spark-side analyzed schema."""
+    from plenario_mapper_spark.plans import ORACLES, QUERIES
+
+    duck_types = {
+        r[0]: r[1]
+        for r in ddb.execute(f"DESCRIBE ({ORACLES[name]})").fetchall()
+    }
+    spark_types = {f.name: f.dataType for f in QUERIES[name](spark, SF_DIR).schema}
+    assert sorted(duck_types) == sorted(spark_types), f"{name}: column sets differ"
+    bad = []
+    for col, dt in duck_types.items():
+        dk, sk = _kind_of_duck(dt), _kind_of_spark(spark_types[col])
+        if dk == "H":
+            bad.append(f"{col}: oracle is {dt} (HUGEINT family) — CAST it AS BIGINT")
+        elif {dk, sk} == {"i", "f"} or {dk, sk} == {"i", "d"}:
+            bad.append(f"{col}: oracle {dt} vs spark {spark_types[col].simpleString()}")
+    assert not bad, f"{name}: dtype lint: {bad}"
+
+
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_query_vs_oracle(spark, ddb, name):
     from plenario_mapper_spark.plans import ORACLES, QUERIES
