@@ -384,8 +384,10 @@ def connected_components(
       same trade).
 
     The final round's files back the RETURNED DataFrame and are left in
-    place — pass `checkpoint_dir` to own their lifecycle, else they live under
-    the system temp dir for the session.
+    place. A unique run-scoped subdirectory is always created under
+    `checkpoint_dir` (or the system temp dir), and cleanup only ever touches
+    that subdirectory — a caller-supplied directory with pre-existing contents
+    is never deleted.
 
     Reference has no graph ops (dedup clustering is an [ext] training-data
     requirement); pairs come from minhash_near_dup_pairs / simhash_near_dup_pairs
@@ -395,8 +397,8 @@ def connected_components(
     import uuid
 
     spark = pairs.sparkSession
-    workdir = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"cc_ckpt_{uuid.uuid4().hex}"
+    workdir = os.path.join(
+        checkpoint_dir or tempfile.gettempdir(), f"cc_run_{uuid.uuid4().hex}"
     )
 
     def _spill(df: DataFrame, tag: str) -> DataFrame:

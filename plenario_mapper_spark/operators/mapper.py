@@ -35,15 +35,24 @@ def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
     app/mapper.js:60-68. `data` arrives as raw JSON object text and leaves as
     MAP<STRING, VARIANT> (JSON runtime types preserved for coercion).
 
-    Duplicate keys after lowercasing follow JS last-wins object assignment
-    (`new_data[k.toLowerCase()] = data[k]` in a for-in loop, app/mapper.js:62-68):
-    the key occurring LAST in *document order* wins. A variant map alone can't
-    reproduce that — variant objects store fields sorted by name, so
-    `transform_keys(lower)` + LAST_WIN resolves `{"temp":2,"Temp":1}` to 2 where
-    JS yields 1. Exact parity needs the entry list rebuilt from
-    `json_object_keys` (document order, duplicates preserved) with values probed
-    from the variant map, and map_from_entries + mapKeyDedupPolicy=LAST_WIN (set
-    by session.get_spark) applying the JS overwrite rule.
+    Duplicate keys after lowercasing follow the reference's in-place rewrite
+    (app/mapper.js:63-68): it walks Object.keys(data) and reassigns ONLY keys
+    that are not already lowercase (`if (key != key.toLowerCase())`), so a
+    case-variant key ALWAYS overwrites a plain-lowercase key regardless of
+    document position ({"Temp":1,"temp":2} -> temp=1 and {"temp":2,"Temp":1}
+    -> temp=1), and among several case-variants the LAST in document order
+    wins ({"TEMP":3,"Temp":1} -> temp=1). A variant map alone can't reproduce
+    that — variant objects store fields sorted by name — so exact parity
+    rebuilds the entry list from `json_object_keys` (document order) as
+    plain-lowercase keys first, then non-lowercase keys in document order,
+    with values probed from the variant map, and map_from_entries +
+    mapKeyDedupPolicy=LAST_WIN (set by session.get_spark) applying the JS
+    overwrite rule.
+
+    Known divergence: JSON with duplicate SAME-case keys (which JSON.parse
+    silently resolves last-wins before the reference's loop runs) is rejected
+    by Spark's variant parser, so `data` becomes NULL here and the record
+    dead-letters instead of proceeding with the deduped object.
 
     That rebuild costs a second JSON walk + one map probe per key — measured
     ~2.5x on the whole hot path — so it runs ONLY for rows that actually carry
@@ -66,9 +75,13 @@ def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
     p = F.col(parsed_c)
     df = df.withColumn(cheap_c, F.transform_keys(p, lambda k, _: F.lower(k)))
     c = F.col(cheap_c)
+    keys = F.json_object_keys(F.col(data_col))
     exact = F.map_from_entries(
         F.transform(
-            F.json_object_keys(F.col(data_col)),
+            F.concat(
+                F.filter(keys, lambda k: k == F.lower(k)),
+                F.filter(keys, lambda k: k != F.lower(k)),
+            ),
             lambda k: F.struct(
                 F.lower(k).alias("key"), F.element_at(p, k).alias("value")
             ),
@@ -78,7 +91,9 @@ def normalize(obs: DataFrame, data_col: str = "data") -> DataFrame:
         {
             "node_id": F.lower("node_id"),
             "sensor": F.lower("sensor"),
-            data_col: F.when(F.size(c) == F.size(p), c).otherwise(exact),
+            data_col: F.when(p.isNull(), F.lit(None).cast("map<string,variant>"))
+            .when(F.size(c) == F.size(p), c)
+            .otherwise(exact),
         }
     ).drop(parsed_c, cheap_c)
 

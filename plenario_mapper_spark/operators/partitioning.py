@@ -53,7 +53,15 @@ def _local_sizes(files: list[str]) -> list[int] | None:
     return sizes
 
 
-_WIDE_NODES = ("Join", "Aggregate", "Distinct", "Window", "Repartition", "Sort")
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Distinct",
+    "Deduplicate",  # distinct()/dropDuplicates appear as Deduplicate in analyzed plans
+    "Window",
+    "Repartition",
+    "Sort",
+)
 
 
 def estimate_scan_partitions(df: DataFrame) -> int | None:

@@ -1127,18 +1127,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage shuffles candidates/edges only, never the corpus text; the
     final projection is an anti-join of doc ids (broadcast at any realistic
     dup rate). Partition invariants (survivors + removed = corpus, one
-    survivor per cluster) are asserted in tests."""
+    survivor per cluster) are asserted in tests. No final sort: the rows-only
+    check is order-insensitive, and a global orderBy would range-shuffle the
+    entire surviving corpus at 100 TB for nothing."""
     d = _t(spark, sf_dir, "documents")
     pairs = DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
     comp = DD.connected_components(pairs, "id_a", "id_b")
     removed = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return (
-        d.join(removed, "doc_id", "left_anti")
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-    )
+    return d.join(removed, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
 
 
 @register(

@@ -26,22 +26,39 @@ def test_normalization(obs_df, kmap_df):
 
 
 def test_normalize_duplicate_key_js_last_wins(spark):
-    """Case-colliding keys resolve by DOCUMENT order, last wins — the JS
-    for-in overwrite loop (app/mapper.js:62-68). A sorted variant map would
-    get `{"temp":2,"Temp":1}` wrong (sorted order puts "Temp" first, so
-    LAST_WIN over sorted entries keeps 2; JS keeps 1)."""
+    """Case-colliding keys follow app/mapper.js:63-68: the loop reassigns only
+    keys that are NOT already lowercase, so a case-variant always overwrites a
+    plain-lowercase key regardless of document position, and among several
+    case-variants the last in document order wins. (A plain sorted variant map
+    would get `{"temp":2,"Temp":1}` wrong — sorted order puts "Temp" first, so
+    LAST_WIN over sorted entries keeps 2; JS keeps 1.)"""
     df = spark.createDataFrame(
         [
-            ("a", '{"temp": 2, "Temp": 1}'),   # JS: Temp overwrites -> 1
-            ("b", '{"Temp": 1, "temp": 2}'),   # JS: temp overwrites -> 2
+            ("a", '{"temp": 2, "Temp": 1}'),   # variant overwrites lowercase -> 1
+            ("b", '{"Temp": 1, "temp": 2}'),   # variant still overwrites     -> 1
             ("c", '{"TEMP": 3}'),
+            ("d", '{"TEMP": 3, "Temp": 1}'),   # last variant in doc order    -> 1
+            ("e", '{"Temp": 1, "TEMP": 3}'),   # last variant in doc order    -> 3
+            ("f", '{"TEMP": 3, "temp": 2, "Temp": 1}'),  # variants beat plain -> 1
         ],
         "node_id string, data string",
     ).withColumn("sensor", F.lit("htu21d"))
     out = {r["node_id"]: r["data"] for r in M.normalize(df).collect()}
-    assert json.loads(str(out["a"]["temp"])) == 1
-    assert json.loads(str(out["b"]["temp"])) == 2
-    assert json.loads(str(out["c"]["temp"])) == 3
+    want = {"a": 1, "b": 1, "c": 3, "d": 1, "e": 3, "f": 1}
+    for node, expect in want.items():
+        assert json.loads(str(out[node]["temp"])) == expect, node
+
+
+def test_normalize_unparseable_data_is_null(spark):
+    """Same-case duplicate keys are rejected by the variant parser (JS
+    JSON.parse would dedupe last-wins — documented divergence): data must come
+    back NULL, not a map of lowercased keys with all-NULL values."""
+    df = spark.createDataFrame(
+        [("a", '{"temp": 1, "temp": 2}'), ("b", "not json")],
+        "node_id string, data string",
+    ).withColumn("sensor", F.lit("htu21d"))
+    out = {r["node_id"]: r["data"] for r in M.normalize(df).collect()}
+    assert out["a"] is None and out["b"] is None
 
 
 def test_validation_split(result):

@@ -129,6 +129,16 @@ def test_stratified_sample_is_narrow_filter(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_dedup_survivors_has_no_global_sort(spark):
+    """The survivors projection is order-insensitive; a trailing orderBy would
+    range-shuffle the whole surviving corpus at 100 TB. Pin: no global Sort /
+    RangePartitioning in the final plan (the CC stage's own exchanges are
+    hash-partitioned)."""
+    plan = _plan(QUERIES["q_dedup_survivors"](spark, SF))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert not re.search(r"Sort \[doc_id", plan), plan
+
+
 def test_topk_per_group_pushes_window_group_limit(spark):
     """The single-window rn <= 3 filter must compile to WindowGroupLimit below
     the sort: at 100 TB each partition keeps a 3-row heap instead of sorting
