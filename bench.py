@@ -33,9 +33,11 @@ HEADLINE = [
     "q_dedup_exact_docs",
     "q_dedup_minhash",
     "q_dedup_survivors",
+    "q_dedup_cluster_cc",
     "q_embed_cosine_topk",
     "q_ann_ivf_topk",
     "q_doc_lang_signal",
+    "q_doc_pack_sequences",
 ]
 
 

@@ -206,6 +206,46 @@ def decode_wav(b: bytes) -> Decoded:
 
 
 # ---------------------------------------------------------------------------
+# Resampling (pure numpy — the container has no PIL)
+# ---------------------------------------------------------------------------
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resample of a uint8 image (h, w) or (h, w, c) to (out_h, out_w).
+
+    Half-pixel-center sampling (the PIL/OpenCV convention): source coordinate
+    for output x is (x + 0.5) * w/out_w - 0.5, edges clamped. Rounding is
+    HALF-UP (floor(v + 0.5)), chosen over numpy's half-to-even so the result
+    is exactly mirrorable in integer SQL: at an exact 2x downsample every
+    weight is 0.25 and each output pixel is precisely
+    (a + b + c + d + 2) // 4 of its 2x2 source block — the closed form
+    q_binary_resize's DuckDB oracle recomputes. The 0.25-weighted float sum is
+    exact in IEEE double (integer sums <= 1020 scaled by a power of two), so
+    the SQL and numpy paths agree bit-for-bit."""
+    a = np.asarray(img, dtype=np.float64)
+    h, w = a.shape[:2]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("target dims must be positive")
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy, wx = ys - y0f, xs - x0f
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    if a.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    top = (1.0 - wx) * a[y0][:, x0] + wx * a[y0][:, x1]
+    bot = (1.0 - wx) * a[y1][:, x0] + wx * a[y1][:, x1]
+    res = (1.0 - wy) * top + wy * bot
+    return np.clip(np.floor(res + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 

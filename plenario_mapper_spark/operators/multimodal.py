@@ -115,19 +115,33 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
 
 
 def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize via Arrow-batched mapInPandas. STUB transform (truncate/pad bytes to
-    width*height — a real PIL `Image.resize` slots into the same batch loop);
-    the schema/partitioning contract is the real one: one output row per input,
-    payload replaced, target dims recorded."""
-    target = width * height
+    """REAL image resize via Arrow-batched mapInPandas: decode (pure-numpy
+    PNM/BMP codecs), bilinear-resample to (height, width) with half-pixel
+    centers (functions/codecs.bilinear_resize), re-encode in the source format.
+    One output row per input row. Non-image or undecodable payloads keep the
+    operator total: payload comes back NULL with resize_version 'unsupported'
+    (a Spark stage must never die on one bad blob — same policy as
+    decode_features). Scale shape: embarrassingly parallel, no shuffle; the
+    per-row cost is the decode+resample, all numpy inside one Arrow batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from plenario_mapper_spark.functions import codecs
+
+        encoders = {
+            "image/x-portable-graymap": codecs.encode_pnm,
+            "image/x-portable-pixmap": codecs.encode_pnm,
+            "image/bmp": codecs.encode_bmp,
+        }
         for pdf in it:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)[:target]
-                b = b + b"\x00" * (target - len(b))
-                out.append((int(doc_id), b, width, height, "stub-v1"))
+                dec = codecs.decode(payload) if payload is not None else None
+                if dec is None or dec.modality != "image":
+                    out.append((int(doc_id), None, width, height, "unsupported"))
+                    continue
+                px = codecs.bilinear_resize(dec.data, height, width)
+                b = encoders[dec.mime](px)
+                out.append((int(doc_id), b, width, height, "bilinear-v1"))
             yield pd.DataFrame(
                 out, columns=["doc_id", "payload", "width", "height", "resize_version"]
             )

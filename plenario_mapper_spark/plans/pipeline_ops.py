@@ -745,39 +745,58 @@ def q_binary_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_binary_resize",
     oracle="""
-    SELECT doc_id, 32 AS width, 32 AS height, 1024 AS out_bytes,
-           sha256(substring(text, 1, LEAST(length(text), 1024))) AS prefix_sha
+    SELECT doc_id, 8 AS width, 4 AS height, 43 AS out_bytes,
+           'image/x-portable-graymap' AS mime,
+           (SELECT AVG(CAST(
+                ( (doc_id      + 32*r.g + 2*c.g    ) % 256
+                + (doc_id      + 32*r.g + 2*c.g + 1) % 256
+                + (doc_id + 16 + 32*r.g + 2*c.g    ) % 256
+                + (doc_id + 16 + 32*r.g + 2*c.g + 1) % 256
+                + 2) // 4 AS DOUBLE))
+            FROM generate_series(0, 3) r(g), generate_series(0, 7) c(g))
+             AS val_mean
     FROM documents WHERE doc_id < 20
     """,
 )
 def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (operators/multimodal.resize_images): Arrow-batched
-    mapInPandas, one row out per row in, payload truncated/zero-padded to the
-    32x32 target (stub transform; a real PIL resize keeps the identical batch
-    contract). Oracle checks the output geometry and that the payload prefix is
-    byte-identical to the source — the zero pad is pinned by out_bytes. (DuckDB
-    lacks BLOB substring; the varchar slice is byte-exact here because the
-    corpus is ASCII — asserted by tests/test_oracle.py.)"""
+    """REAL image resize (H4), oracle-checked on pixel VALUES, not just
+    geometry: synthesize a P5 graymap 16x8 gradient per doc
+    (pixel(r,c) = (doc_id + 16r + c) % 256, same family as
+    q_binary_decode_stats), bilinear-downsample 2x to 8x4 through
+    operators/multimodal.resize_images (decode -> codecs.bilinear_resize ->
+    re-encode), then REAL-decode the OUTPUT payload and report its pixel mean.
+    At an exact 2x downsample with half-pixel centers every output pixel is
+    (a+b+c+d+2)//4 of its 2x2 block (codecs.bilinear_resize rounds half-up for
+    precisely this SQL-mirrorability), so the oracle recomputes the resized
+    image in closed form. out_bytes pins the re-encoded container: 11-byte
+    'P5\\n8 4\\n255\\n' header + 32 pixels = 43. The mean of 32 ints divides by
+    a power of two — exact in IEEE double on both engines."""
+    import numpy as np
+    import pandas as pd
     from plenario_mapper_spark.operators import multimodal as MM
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 20)
-        .select("doc_id", F.col("text").cast("binary").alias("payload"))
-    )
-    lens = d.select("doc_id", F.octet_length("payload").alias("orig_n"))
-    r = MM.resize_images(d, 32, 32)
+    def synth(it):
+        from plenario_mapper_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                px = ((i + np.arange(128)) % 256).astype(np.uint8).reshape(8, 16)
+                rows.append((i, codecs.encode_pnm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    r = MM.resize_images(payloads, 8, 4)
+    decoded = MM.decode_features(r).select("doc_id", "mime", "val_mean")
     return (
-        r.join(F.broadcast(lens), "doc_id")
-        .select(
-            "doc_id",
-            "width",
-            "height",
+        r.select(
+            "doc_id", "width", "height",
             F.octet_length("payload").alias("out_bytes"),
-            F.sha2(
-                F.expr("substring(payload, 1, least(orig_n, 1024))"), 256
-            ).alias("prefix_sha"),
         )
+        .join(decoded, "doc_id")
+        .select("doc_id", "width", "height", "out_bytes", "mime", "val_mean")
     )
 
 
@@ -892,6 +911,53 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q_events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session-window operator (F.session_window), batch shape — the
+    same expression the streaming pipeline uses under a watermark, so the
+    operator itself (not just the lag/cumsum formulation above) is
+    oracle-checked. Session bounds are Spark's half-open [min_ts, last_ts + gap):
+    an event exactly `gap` after its predecessor starts a NEW session, hence
+    the oracle's >= gap test (the lag/cumsum twin `q_events_sessionize`
+    deliberately keeps the reference-free > test and reports observed bounds;
+    both formulations are one shuffle on user_id). Ties in ts collapse into
+    one session either way (gap 0 < 30 min), so the oracle's ORDER BY ts is
+    deterministic for session assignment."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

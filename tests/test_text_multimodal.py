@@ -93,14 +93,26 @@ def test_multimodal_stub_features(spark):
 
 
 def test_multimodal_resize_and_frame_sample(spark):
-    payloads = [bytes(range(200)), b"xy"]
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    # real resize: P5 gradient 16x8 -> 8x4; 2x downsample is exactly the
+    # (a+b+c+d+2)//4 block average (codecs.bilinear_resize rounds half-up)
+    px = (np.arange(128) % 256).astype(np.uint8).reshape(8, 16)
+    payloads = [codecs.encode_pnm(px), b"xy"]
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
     )
     resized = {r["doc_id"]: r for r in MM.resize_images(df, 8, 4).collect()}
-    assert len(resized[0]["payload"]) == 32  # truncated to 8x4
-    assert bytes(resized[0]["payload"]) == bytes(range(32))
-    assert len(resized[1]["payload"]) == 32  # zero-padded
+    dec = codecs.decode(bytes(resized[0]["payload"]))
+    assert (dec.width, dec.height) == (8, 4)
+    blocks = px.reshape(4, 2, 8, 2).swapaxes(1, 2).reshape(4, 8, 4).sum(axis=2)
+    assert (dec.data == ((blocks + 2) // 4).astype(np.uint8)).all()
+    assert resized[0]["resize_version"] == "bilinear-v1"
+    # non-image payloads stay total: NULL payload, version 'unsupported'
+    assert resized[1]["payload"] is None
+    assert resized[1]["resize_version"] == "unsupported"
     assert (resized[1]["width"], resized[1]["height"]) == (8, 4)
 
     frames = MM.sample_frames(df, n_frames=4, frame_ms=250).collect()
@@ -110,7 +122,9 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_doc[0]) == 4  # UDTF fan-out: 1 row in, n_frames out
     f0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
     assert [r["ts_ms"] for r in f0] == [0, 250, 500, 750]
-    assert bytes(f0[1]["frame"]) == bytes(range(50, 100))  # slice 2 of 4
+    b0 = payloads[0]
+    step = len(b0) // 4
+    assert bytes(f0[1]["frame"]) == b0[step : 2 * step]  # slice 2 of 4
 
 
 def test_codec_roundtrips():
