@@ -96,6 +96,10 @@ _FRONT = [
     # (3) new / rewritten this round
     "q_events_session_window",
     "q_binary_resize",
+    "q_doc_decontaminate",
+    "q_doc_gopher_repetition",
+    "q_doc_langid_confusion",
+    "q_embed_kmeans_assign",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -110,6 +114,11 @@ _FRONT = [
 # Demoted past the 50-slot window: green rows+schema+hash (or rows-only for the
 # 3 no-oracle ANN entries) in CORRECTNESS_r03.json, untouched this round.
 _BACK = [
+    # r03-green relational core demoted to fund the four new H-family slots
+    "q10_returned_items",
+    "q18_large_orders",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",

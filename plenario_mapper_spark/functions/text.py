@@ -83,6 +83,18 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def pos_ngrams(text: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) word n-grams — the repetition-analysis unit:
+    duplicate-gram fractions need every occurrence, unlike the distinct
+    shingle set MinHash uses. Empty for docs shorter than n tokens."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 64-bit document fingerprint (normalized-token rolling hash):
     xxhash64 over the canonical token stream — key for exact near-layout dedup."""

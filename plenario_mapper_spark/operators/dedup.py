@@ -548,3 +548,35 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    is_bench: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing at least one
+    word n-gram with the held-out benchmark set (the standard train/test
+    overlap check a training-data pipeline runs before every release).
+
+    Plan shape for 100 TB: both sides reduce to (id, gram) pairs at the scan
+    stage — the corpus text never moves. The benchmark gram set (tiny by
+    construction: eval suites are KBs against a TB corpus) is distinct-ed and
+    BROADCAST, so the overlap test is a map-side hash probe with no shuffle of
+    the corpus gram stream; only the matched (doc, gram) hits shuffle for the
+    per-doc distinct count. Returns (id_col, n_shared_grams) for contaminated
+    docs only — the anti-join against this result is the cleaned corpus."""
+    grams = docs.select(
+        F.col(id_col),
+        is_bench.alias("_bench"),
+        F.explode(TX.shingles(F.col(text_col), n)).alias("gram"),
+    )
+    bench = grams.filter(F.col("_bench")).select("gram").distinct()
+    return (
+        grams.filter(~F.col("_bench"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
+    )

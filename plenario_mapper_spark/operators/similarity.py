@@ -361,3 +361,70 @@ def ivf_search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+def label_centroids(
+    items: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding (the class centroid), computed distributed:
+    posexplode -> per-(label, dim) partial-avg (map-side combine) -> re-assemble
+    the dense vector sorted by dimension. No driver collect — K centroid rows
+    materialize as a tiny DataFrame the caller broadcasts. This is the building
+    block for semantic clustering / k-means-style assignment over a corpus
+    whose vectors never fit one machine."""
+    u = items.select(
+        F.col(label_col).alias("cid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+    )
+    return (
+        u.groupBy("cid", "i")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+
+
+def assign_to_centroids(
+    items: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (one Lloyd's step / cluster inference):
+    broadcast the K centroids against every item, squared-L2 via a JVM
+    zip_with/aggregate fold (no Python, no shuffle for the scoring pass), then
+    a single groupBy(item) argmin. Ties break toward the smallest cid via
+    struct-min, so assignment is deterministic and engine-reproducible.
+
+    Returns (id_col, *carry_cols, assigned_cid, dist). At 100 TB: the scoring
+    join is broadcast (K rows), the argmin shuffles item-count rows of a few
+    narrow columns — never the vectors themselves past the scoring projection.
+    carry_cols ride along in the argmin group key (they are functionally
+    dependent on the id), avoiding a second join back to the items."""
+    carry = list(carry_cols or [])
+    it = items.select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    dist = F.aggregate(
+        F.zip_with("_v", "centroid", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        it.join(F.broadcast(centroids))
+        .select(id_col, *carry, F.col("cid"), dist.alias("dist"))
+        .groupBy(id_col, *carry)
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select(
+            id_col,
+            *carry,
+            F.col("_m.cid").alias("assigned_cid"),
+            F.col("_m.dist").alias("dist"),
+        )
+    )

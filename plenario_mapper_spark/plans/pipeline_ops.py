@@ -1247,3 +1247,159 @@ def q_group_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round(gm(F.col("value")), 6).alias("geomean")
     )
+
+
+_SQL_GRAM4 = (
+    "CASE WHEN len(toks) >= 4 THEN list_distinct(list_transform(range(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+@register(
+    "q_doc_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({_SQL_GRAM4}) AS gram FROM t),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25)
+    SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+    FROM g JOIN b USING (gram) WHERE g.doc_id >= 25 GROUP BY g.doc_id
+    """,
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train/test overlap sweep every training
+    pipeline runs before a data release: docs 0-24 stand in for the held-out
+    eval suite; every other doc sharing >=1 word 4-gram with it is flagged with
+    its distinct-shared-gram count. The benchmark gram set broadcasts (eval
+    suites are KBs against a 100 TB corpus), so the corpus-side probe is
+    map-side — see operators/dedup.ngram_contamination."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_contamination(d, F.col("doc_id") < 25, n=4)
+
+
+@register(
+    "q_doc_gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 3),
+    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+    ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_wc FROM wc GROUP BY doc_id),
+    g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM t WHERE len(toks) >= 3),
+    ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT gram) AS nd_tri
+           FROM g GROUP BY doc_id)
+    SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+           CAST(ROUND(CAST(max_wc AS DOUBLE) / n_words, 6) AS DOUBLE) AS max_word_frac,
+           CAST(ROUND(1.0 - CAST(nd_tri AS DOUBLE) / n_tri, 6) AS DOUBLE) AS dup_trigram_frac,
+           CAST(CASE WHEN CAST(max_wc AS DOUBLE) / n_words <= 0.2
+                      AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= 0.05
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ws JOIN ts USING (doc_id)
+    """,
+)
+def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher/MassiveText rules, Rae et
+    al. 2021, Table A1): most-common-word mass fraction and duplicate-trigram
+    fraction per doc, plus the keep/drop verdict at the classic thresholds
+    (<=0.2 top-word mass, <=0.05 duplicate trigrams). Docs under 3 tokens are
+    out of scope (no trigram exists).
+
+    Scale shape: two explode->groupBy(doc_id,...) partial aggregations (word
+    counts, positional trigram counts), both keyed by doc_id so the final join
+    is co-partitioned; text never shuffles, only (doc, gram) pairs do."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    words = d.select("doc_id", F.explode(toks).alias("tok"))
+    ws = (
+        words.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
+    )
+    tri = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.explode(TX.pos_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    ts = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")
+    )
+    max_frac = F.col("max_wc") / F.col("n_words")
+    dup_frac = F.lit(1.0) - F.col("nd_tri") / F.col("n_tri")
+    return (
+        ws.join(ts, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(max_frac, 6).alias("max_word_frac"),
+            F.round(dup_frac, 6).alias("dup_trigram_frac"),
+            ((max_frac <= 0.2) & (dup_frac <= 0.05)).cast("int").alias("keep"),
+        )
+    )
+
+
+@register(
+    "q_doc_langid_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS en,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS es,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS fr,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['der','die','und','das','ist','von','mit','den','ein','zu'], x))) AS de
+      FROM documents)
+    SELECT lang,
+           CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                WHEN fr >= greatest(en, es, de) THEN 'fr'
+                WHEN es >= greatest(en, de) THEN 'es'
+                WHEN en >= de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY lang, pred_lang
+    """,
+)
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language prediction (stopword-vote argmax, functions/text.lang_id;
+    ties resolve to the lexicographically greatest language, which the oracle's
+    CASE ladder reproduces by testing fr > es > en > de) cross-tabulated against
+    the ground-truth lang label — the confusion matrix a corpus pipeline
+    monitors to catch language-ID drift. Scan-stage expression + one tiny
+    groupBy; nothing but (lang, pred) pairs shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+@register(
+    "q_embed_kmeans_assign",
+    oracle="""
+    WITH u AS (SELECT label, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+               FROM embeddings),
+    ci AS (SELECT label, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS c
+           FROM u GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(c ORDER BY i) AS centroid FROM ci GROUP BY label),
+    d AS (SELECT e.vec_id, e.label, cent.cid,
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.centroid[i])^2)) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    a AS (SELECT vec_id, label, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d)
+    SELECT label, cid AS assigned_cid, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a WHERE rn = 1 GROUP BY label, assigned_cid
+    """,
+)
+def q_embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering primitive: per-label mean centroids (distributed,
+    no collect — operators/similarity.label_centroids) then nearest-centroid
+    assignment of every vector (one Lloyd's step / cluster inference,
+    assign_to_centroids), reported as the label-vs-assigned confusion matrix.
+    The scoring join broadcasts K centroid rows; only (vec_id, cid, dist)
+    triples shuffle for the argmin — the vectors themselves never leave the
+    scan stage. Ties break toward the smallest cid in both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = SIM.label_centroids(e)
+    a = SIM.assign_to_centroids(e, cent, carry_cols=["label"])
+    return a.groupBy("label", "assigned_cid").agg(
+        F.count("*").cast("long").alias("n")
+    )

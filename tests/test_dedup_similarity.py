@@ -359,3 +359,67 @@ def test_cc_string_ids(spark):
         "x": "x",
         "y": "x",
     }
+
+
+def test_pos_ngrams_counts_duplicates_and_short_docs(spark):
+    """pos_ngrams keeps every occurrence (unlike the distinct shingle set) and
+    yields an empty list below n tokens."""
+    from plenario_mapper_spark.functions.text import pos_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y")], "id long, text string"
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", pos_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert got[1] == ["a b a", "b a b", "a b a", "b a b"]  # duplicates preserved
+    assert got[2] == []
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    """A corpus doc sharing a 4-gram with the benchmark is flagged with its
+    distinct shared-gram count; clean docs are absent."""
+    from plenario_mapper_spark.operators.dedup import ngram_contamination
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),  # benchmark
+            (10, "we saw the quick brown fox yesterday morning"),  # 1 shared 4-gram
+            (11, "completely different words in this sentence here"),  # clean
+            (12, "over the lazy dog and the quick brown fox too"),  # 2 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_contamination(df, F.col("doc_id") < 10, n=4)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out.collect()}
+    # doc 10 shares "the quick brown fox"; doc 12 shares that plus
+    # "over the lazy dog"; doc 11 shares nothing and must be absent.
+    assert got == {10: 1, 12: 2}
+
+
+def test_label_centroids_and_assignment(spark):
+    """Centroids are per-label element-wise means; assignment is argmin L2 with
+    ties toward the smallest cid; carry_cols ride through."""
+    from plenario_mapper_spark.operators.similarity import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [2.0, 2.0], 0),
+            (3, [10.0, 10.0], 1),
+            (4, [12.0, 12.0], 1),
+            (5, [1.0, 1.0], 7),  # exactly between its own centroid? no: label 7 centroid is itself
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cent = {r["cid"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert cent[0] == [1.0, 1.0] and cent[1] == [11.0, 11.0] and cent[7] == [1.0, 1.0]
+
+    out = assign_to_centroids(df, label_centroids(df), carry_cols=["label"])
+    got = {r["vec_id"]: (r["label"], r["assigned_cid"]) for r in out.collect()}
+    # vec 5 is distance 0 from BOTH cid 0 and cid 7 centroids -> tie breaks to 0
+    assert got[5] == (7, 0)
+    assert got[1] == (0, 0) and got[3] == (1, 1)

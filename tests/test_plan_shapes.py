@@ -145,3 +145,31 @@ def test_topk_per_group_pushes_window_group_limit(spark):
     every customer's orders before filtering."""
     plan = _plan(QUERIES["q_topk_per_group"](spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must BROADCAST (eval suites are KBs against a
+    100 TB corpus) so the corpus gram stream is probed map-side; the only
+    shuffles are the bench distinct and the per-doc count — never the raw
+    corpus gram stream through a join shuffle."""
+    plan = _plan(QUERIES["q_doc_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids_and_keeps_vectors_narrow(spark):
+    """Centroid scoring must be a broadcast nested-loop/hash join of K rows —
+    a shuffle of the vector side here would move every embedding at 100 TB."""
+    plan = _plan(QUERIES["q_embed_kmeans_assign"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # broadcast NL is fine; full cartesian is not
+
+
+def test_gopher_repetition_joins_copartitioned_on_doc_id(spark):
+    """Word stats and trigram stats both aggregate keyed by doc_id, so each
+    side must show two-phase aggregation (map-side partial before its
+    exchange) — the property that keeps the gram streams combine-able."""
+    plan = _plan(QUERIES["q_doc_gopher_repetition"](spark, SF))
+    # both aggregations are two-phase (partial before the exchange)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
