@@ -100,6 +100,8 @@ _FRONT = [
     "q_doc_gopher_repetition",
     "q_doc_langid_confusion",
     "q_embed_kmeans_assign",
+    "q_embed_near_dup_exact",  # threshold retuned 0.9 -> 0.4 (was vacuously empty)
+    "q_embed_near_dup",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -119,11 +121,11 @@ _BACK = [
     "q18_large_orders",
     "q_subquery_scalar",
     "q_subquery_correlated",
+    "q_time_rollup",
+    "q_events_tumbling_window",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
-    "q_embed_near_dup",
-    "q_embed_near_dup_exact",
     "q_binary_meta",
     "q_binary_frame_sample",
     "q_binary_decode_stats",

@@ -652,9 +652,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_embed_near_dup")  # rows-only
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (>= 0.9) via hyperplane buckets."""
+    """Embedding-cosine near-duplicate pairs via hyperplane buckets. Threshold
+    0.4 because the synthetic corpus holds no true near-dups (max pairwise
+    cosine ~0.51): 0.4 keeps the candidate-verify path exercised on real,
+    nonzero output instead of a vacuously-empty 0.9 sweep. Bucket geometry is
+    widened to match (6 planes x 8 tables: per-pair collision ~(1-66deg/180deg)^6
+    per table, ~40%% overall recall at cos 0.4) — at a production 0.9 threshold
+    the default narrow buckets (10x6) are the right trade."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(e, threshold=0.9)
+    return SIM.embedding_near_dup_pairs(
+        e, threshold=0.4, n_planes=6, n_tables=8
+    )
 
 
 @register(
@@ -669,16 +677,18 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               * sqrt(list_sum([b.v[j] * b.v[j] FOR j IN generate_series(1, len(b.v))]))) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
     SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
-    FROM scored WHERE cos >= 0.9
+    FROM scored WHERE cos >= 0.4
     """,
 )
 def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT cosine near-dup pairs (>= 0.9) on a bounded slice (vec_id < 500) —
+    """EXACT cosine near-dup pairs (>= 0.4) on a bounded slice (vec_id < 500) —
     the brute-force truth the bucketed q_embed_near_dup approximates, and the
     oracle-checked proof of the cosine/threshold semantics. Quadratic by design;
-    the unbounded-scale variant is q_embed_near_dup."""
+    the unbounded-scale variant is q_embed_near_dup. 0.4 (not the production
+    0.9) because this corpus has no true near-dups — an empty result set would
+    hash-match vacuously; at 0.4 the oracle verifies ~60 real cosine values."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    return SIM.exact_near_dup_pairs(e, threshold=0.9)
+    return SIM.exact_near_dup_pairs(e, threshold=0.4)
 
 
 # --------------------------------------------------------------------------------
