@@ -102,6 +102,7 @@ _FRONT = [
     "q_embed_kmeans_assign",
     "q_embed_near_dup_exact",  # threshold retuned 0.9 -> 0.4 (was vacuously empty)
     "q_embed_near_dup",
+    "q_doc_redact_pii",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -123,6 +124,7 @@ _BACK = [
     "q_subquery_correlated",
     "q_time_rollup",
     "q_events_tumbling_window",
+    "q_agg_cube",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",

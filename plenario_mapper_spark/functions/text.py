@@ -111,3 +111,30 @@ def shingles(text: Column, n: int = 3) -> Column:
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded repetition only, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern — counted on the ORIGINAL text, before
+    any redaction reshapes it."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, then phones, then IPs with typed placeholder tokens.
+    Order matters and is part of the contract: the email pattern can span
+    digit runs a phone/IP pattern would otherwise claim, and the placeholder
+    tokens are digit-free so later passes never match inside earlier ones.
+    Pure JVM regexp_replace chain — the scan-stage scrub a governance pipeline
+    runs over every ingested document."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return F.regexp_replace(out, PII_PATTERNS["ip"], "<IP>")

@@ -1413,3 +1413,71 @@ def q_embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("label", "assigned_cid").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+@register(
+    "q_doc_redact_pii",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@test.org' ELSE '' END
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' call 312-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS rt
+      FROM enriched)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           CAST(length(rt) AS BIGINT) AS n_chars_redacted,
+           md5(rt) AS redacted_md5
+    FROM red
+    """,
+)
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the governance pass a corpus pipeline runs at ingest: count
+    then redact emails/phones/IPs with typed placeholders (functions/text,
+    email -> phone -> ip chain; ordering contract documented there). The corpus
+    text carries no natural PII, so the query plants a deterministic PII tail
+    per doc (pure engine-independent string expression, identical in the
+    oracle) — the md5 of the redacted text then pins the full replacement
+    semantics byte-for-byte. All scan-stage JVM regexp; no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" cc admin"), did, F.lit("@test.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call 312-555-0"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    t = d.select("doc_id", enriched.alias("t"))
+    rt = TX.redact_pii(F.col("t"))
+    return t.select(
+        "doc_id",
+        TX.pii_count(F.col("t"), "email").cast("long").alias("n_emails"),
+        TX.pii_count(F.col("t"), "phone").cast("long").alias("n_phones"),
+        TX.pii_count(F.col("t"), "ip").cast("long").alias("n_ips"),
+        F.length(rt).cast("long").alias("n_chars_redacted"),
+        F.md5(rt).alias("redacted_md5"),
+    )

@@ -257,3 +257,38 @@ def test_sampling_threshold_properties():
         threshold_for(1.5)
     with pytest.raises(ValueError):
         threshold_for(-0.1)
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Email pass runs first (an address containing digit runs must become
+    <EMAIL>, not be half-eaten by the phone/ip pass); placeholders are
+    digit-free so later passes never rewrite earlier ones; counts reflect the
+    original text."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail 312.555.0199@spam.com or x@y.io, call (312) 555-0142 at 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("rt"),
+            pii_count(F.col("t"), "email").alias("ne"),
+            pii_count(F.col("t"), "phone").alias("np"),
+            pii_count(F.col("t"), "ip").alias("ni"),
+        ).collect()
+    }
+    assert out[1]["rt"] == "mail <EMAIL> or <EMAIL>, call <PHONE> at <IP>"
+    # counts run on the ORIGINAL text, so the phone-shaped digit run inside
+    # the first email address counts as a phone too (2, not 1) — redaction,
+    # by contrast, consumed it as part of <EMAIL> (asserted above).
+    assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (2, 2, 1)
+    assert out[2]["rt"] == "nothing sensitive here"
+    assert (out[2]["ne"], out[2]["np"], out[2]["ni"]) == (0, 0, 0)
