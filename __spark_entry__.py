@@ -60,11 +60,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation: the 21 queries demoted in r3 return to the very front (their
 # last driver rows predate the NTZ `_t` loader), followed by the three
 # oracle-cast fixes (HUGEINT -> BIGINT, ending a 3-round hash-red streak), the
-# new/rewritten queries, the whole mapper family (normalize()'s case-collision
+# new/rewritten queries (incl. 11 added this round: decontaminate, gopher
+# repetition, langid confusion, kmeans assign, PII redaction, and TPC-H
+# Q6/Q7/Q8/Q13/Q14/Q17), the whole mapper family (normalize()'s case-collision
 # rule changed this round), and the CC/survivors canaries (checkpoint-dir and
-# plan changes). Demoted this round: 22 queries untouched since their green
+# plan changes). Demoted this round: 33 queries untouched since their green
 # rows+schema+hash rows in CORRECTNESS_r03.json; local tools/t2.py +
-# tests/test_oracle.py keep mirroring them per-commit (all 65 oracle-backed
+# tests/test_oracle.py keep mirroring them per-commit (all 76 oracle-backed
 # queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
@@ -103,6 +105,12 @@ _FRONT = [
     "q_embed_near_dup_exact",  # threshold retuned 0.9 -> 0.4 (was vacuously empty)
     "q_embed_near_dup",
     "q_doc_redact_pii",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -125,6 +133,12 @@ _BACK = [
     "q_time_rollup",
     "q_events_tumbling_window",
     "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_asof_join",
+    "q_window_rank",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
