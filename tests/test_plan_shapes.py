@@ -173,3 +173,23 @@ def test_gopher_repetition_joins_copartitioned_on_doc_id(spark):
     plan = _plan(QUERIES["q_doc_gopher_repetition"](spark, SF))
     # both aggregations are two-phase (partial before the exchange)
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """Q6 is the pushdown litmus: shipdate range, discount band, and quantity
+    cap must all appear in the parquet scan's PushedFilters — a Q6 that
+    filters post-scan reads the whole fact table at 100 TB."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed: {line}"
+
+
+def test_q8_dimension_chain_broadcasts(spark):
+    """Q8's nation(x2)/region/part dimension chain must broadcast — the
+    fact-fact joins are the only shuffles a 7-table star should pay."""
+    plan = _plan(QUERIES["q8_market_share"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
