@@ -111,6 +111,7 @@ _FRONT = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
+    "q_doc_split_assign",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -139,6 +140,7 @@ _BACK = [
     "q_agg_percentiles",
     "q_asof_join",
     "q_window_rank",
+    "q5_local_supplier",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",

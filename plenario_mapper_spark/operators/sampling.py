@@ -68,3 +68,36 @@ def deterministic_stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(threshold_for(frac))
         ).otherwise(thr)
     return df.filter(_hash_u32(F.col(key_col), salt) < thr)
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer gate bounds for named splits (must sum to 1.0 within
+    rounding; the final split absorbs the full remaining domain so every row
+    lands in exactly one split)."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bounds, cum = [], 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        bounds.append((name, threshold_for(cum)))
+    bounds.append((names[-1], 1 << _DOMAIN_BITS))
+    return bounds
+
+
+def deterministic_split(
+    df: DataFrame, key_col: str, splits: dict[str, float], salt: str = "s0"
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test and friends)
+    by cumulative hash-gate bands — the split a training pipeline must be able
+    to reproduce forever: membership is a pure function of (salt, key), so the
+    assignment survives repartitioning, appends (old rows never migrate), and
+    re-runs on any engine. Adds a `split` column; single narrow projection,
+    no shuffle, no state."""
+    h = _hash_u32(F.col(key_col), salt)
+    bounds = split_thresholds(splits)
+    expr = F.when(h < F.lit(bounds[0][1]), F.lit(bounds[0][0]))
+    for name, bound in bounds[1:-1]:
+        expr = expr.when(h < F.lit(bound), F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(bounds[-1][0])))

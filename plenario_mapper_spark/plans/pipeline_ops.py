@@ -1481,3 +1481,30 @@ def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(rt).cast("long").alias("n_chars_redacted"),
         F.md5(rt).alias("redacted_md5"),
     )
+
+
+@register(
+    "q_doc_split_assign",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(md5('sp1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < 3865470566 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('sp1|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < 4080218931 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by cumulative md5
+    hash-gate bands (operators/sampling.deterministic_split): the split a
+    training pipeline must reproduce forever — stable under repartitioning,
+    appends (old rows never migrate bands), and engine swaps, which is exactly
+    what the oracle proves by recomputing membership from the same integer
+    gate. Single narrow projection; at 100 TB this runs at scan speed."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return SP.deterministic_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="sp1"
+    ).select("doc_id", "source", "split")

@@ -48,3 +48,35 @@ def test_salted_collect_list_same_multiset(spark):
         for r in df.groupBy("k").agg(F.collect_list("v").alias("vals")).collect()
     }
     assert got == want
+
+
+def test_deterministic_split_partitions_domain_and_is_append_stable(spark):
+    """Every row lands in exactly one split; fractions land near targets; and
+    assignment is a pure function of the key — re-running on any subset
+    (append simulation) never migrates a row."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.operators.sampling import deterministic_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert 1500 < counts["train"] < 1700  # ~1600 expected, binomial noise
+    # append stability: the first half alone gets identical assignments
+    first = deterministic_split(
+        df.filter(F.col("k") < 1000), "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x"
+    )
+    full = {r["k"]: r["split"] for r in out.filter(F.col("k") < 1000).collect()}
+    sub = {r["k"]: r["split"] for r in first.collect()}
+    assert full == sub
+
+
+def test_split_thresholds_validates_fractions(spark):
+    import pytest as _pytest
+
+    from plenario_mapper_spark.operators.sampling import split_thresholds
+
+    with _pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
