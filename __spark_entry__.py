@@ -112,6 +112,7 @@ _FRONT = [
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q_doc_split_assign",
+    "q_embed_kmeans_iterate",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -141,6 +142,7 @@ _BACK = [
     "q_asof_join",
     "q_window_rank",
     "q5_local_supplier",
+    "q3_shipping_priority",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",

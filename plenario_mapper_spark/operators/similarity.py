@@ -428,3 +428,63 @@ def assign_to_centroids(
             F.col("_m.dist").alias("dist"),
         )
     )
+
+
+def kmeans_iterate(
+    items: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as an iterative DataFrame algorithm (the clustering
+    counterpart to connected_components' round loop): deterministic seeds
+    (the k lowest-id vectors, cid = seed id), then n_iter rounds of
+    broadcast-assign -> recompute, then a final assignment with the converged
+    centroids. Returns (id_col, assigned_cid).
+
+    Scale shape per round: the assignment is a broadcast join of K centroid
+    rows (vectors never shuffle for scoring); the update shuffles (cid, dim,
+    value) triples for the two-phase average — k*dim cells, independent of
+    corpus size, after the map-side partial. Unrolled n_iter keeps the plan
+    finite and oracle-expressible; empty clusters drop out in both engines
+    identically. A production fit would checkpoint rounds like
+    connected_components — at n_iter<=3 lineage stays shallow enough not to."""
+    it = items.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cent = it.filter(F.col("_id") < k).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("centroid")
+    )
+
+    def _assign(c):
+        dist = F.aggregate(
+            F.zip_with("_v", "centroid", lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            it.join(F.broadcast(c))
+            .select("_id", "_v", F.col("cid"), dist.alias("dist"))
+            .groupBy("_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("_m"),
+                F.first("_v").alias("_v"),
+            )
+            .select("_id", F.col("_m.cid").alias("cid"), "_v")
+        )
+
+    for _ in range(n_iter):
+        a = _assign(cent)
+        cent = (
+            a.select("cid", F.posexplode("_v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+    return _assign(cent).select(F.col("_id").alias(id_col), F.col("cid").alias("assigned_cid"))

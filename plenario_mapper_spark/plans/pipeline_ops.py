@@ -1508,3 +1508,47 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.deterministic_split(
         d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="sp1"
     ).select("doc_id", "source", "split")
+
+
+_KM_ASSIGN = """
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+                               i -> (e.v[i] - c.centroid[i])^2)), c.cid) AS rn
+    FROM e CROSS JOIN {cent} c) WHERE rn = 1
+"""
+
+_KM_UPDATE = """
+  SELECT cid, list(m ORDER BY i) AS centroid FROM (
+    SELECT cid, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS m
+    FROM (SELECT a.cid, unnest(list_zip(e.v, range(1, len(e.v)+1))) AS z
+          FROM {assign} a JOIN e ON a.vec_id = e.vec_id)
+    GROUP BY cid, i) GROUP BY cid
+"""
+
+
+@register(
+    "q_embed_kmeans_iterate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < 8),
+    a1 AS ({_KM_ASSIGN.format(cent='c0')}),
+    c1 AS ({_KM_UPDATE.format(assign='a1')}),
+    a2 AS ({_KM_ASSIGN.format(cent='c1')}),
+    c2 AS ({_KM_UPDATE.format(assign='a2')}),
+    a3 AS ({_KM_ASSIGN.format(cent='c2')})
+    SELECT vec_id, cid AS assigned_cid FROM a3
+    """,
+)
+def q_embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means (k=8, 2 update rounds, deterministic lowest-id
+    seeds) as an iterative DataFrame algorithm — operators/similarity.
+    kmeans_iterate; the oracle unrolls the same rounds as chained CTEs, so
+    every per-vector assignment after convergence steps is hash-compared.
+    Assignment flips between engines would require two centroids equidistant
+    to ~1e-12 — the update averages differ only in summation order."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_iterate(e, k=8, n_iter=2)

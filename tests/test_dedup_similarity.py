@@ -423,3 +423,25 @@ def test_label_centroids_and_assignment(spark):
     # vec 5 is distance 0 from BOTH cid 0 and cid 7 centroids -> tie breaks to 0
     assert got[5] == (7, 0)
     assert got[1] == (0, 0) and got[3] == (1, 1)
+
+
+def test_kmeans_iterate_converges_on_separated_clusters(spark):
+    """Three well-separated planted clusters with ids interleaved mod 3, so the
+    k=3 lowest-id seeds (0,1,2) start one per cluster: after 2 Lloyd's rounds
+    every point must sit with its planted group, each group under a distinct
+    cluster id. (Lloyd's is a local optimizer — all-seeds-in-one-cluster
+    layouts can legitimately stay mixed, so the test fixes the seeding, not
+    the algorithm.)"""
+    from plenario_mapper_spark.operators.similarity import kmeans_iterate
+
+    rows = []
+    for g, base in enumerate([0.0, 100.0, -100.0]):
+        for j in range(10):
+            rows.append((g + 3 * j, [base + j * 0.1, base - j * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_iterate(df, k=3, n_iter=2)
+    got = {r["vec_id"]: r["assigned_cid"] for r in out.collect()}
+    assert len(got) == 30
+    by_group = [{got[g + 3 * j] for j in range(10)} for g in range(3)]
+    assert all(len(s) == 1 for s in by_group), by_group
+    assert len(by_group[0] | by_group[1] | by_group[2]) == 3, by_group
