@@ -83,16 +83,27 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _gram_join(toks: Column, n: int) -> Column:
+    """All positional n-grams of a token array via n shifted slices +
+    arrays_zip — O(n * len) with exactly n array copies per doc. The obvious
+    per-index formulation (transform over indices, slice(toks, i+1, n) inside
+    the lambda) is O(len) interpreted slice materializations per doc and
+    measured 25-40x slower at corpus scale (10 s vs 0.4 s for the trigram
+    explode of 5k docs at sf0.1) — HOF lambdas are CodegenFallback, so every
+    inner slice is an interpreted ArrayData copy."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+
+
 def pos_ngrams(text: Column, n: int = 3) -> Column:
     """Positional (non-distinct) word n-grams — the repetition-analysis unit:
     duplicate-gram fractions need every occurrence, unlike the distinct
     shingle set MinHash uses. Empty for docs shorter than n tokens."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= n, _gram_join(toks, n)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def fingerprint(text: Column) -> Column:
@@ -102,14 +113,14 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), the MinHash input unit."""
+    """Word n-gram shingle set (distinct), the MinHash input unit. Built via
+    the linear shifted-slice zip (_gram_join), not per-index slicing — see the
+    measurement note there."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        F.when(F.size(toks) >= n, _gram_join(toks, n)).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     )
 
 
