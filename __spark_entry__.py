@@ -60,14 +60,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation: the 21 queries demoted in r3 return to the very front (their
 # last driver rows predate the NTZ `_t` loader), followed by the three
 # oracle-cast fixes (HUGEINT -> BIGINT, ending a 3-round hash-red streak), the
-# new/rewritten queries (incl. 11 added this round: decontaminate, gopher
-# repetition, langid confusion, kmeans assign, PII redaction, and TPC-H
-# Q6/Q7/Q8/Q13/Q14/Q17), the whole mapper family (normalize()'s case-collision
-# rule changed this round), and the CC/survivors canaries (checkpoint-dir and
-# plan changes). Demoted this round: 33 queries untouched since their green
-# rows+schema+hash rows in CORRECTNESS_r03.json; local tools/t2.py +
-# tests/test_oracle.py keep mirroring them per-commit (all 76 oracle-backed
-# queries MATCH at the time of writing).
+# new/rewritten queries (incl. 13 added this round: decontaminate, gopher
+# repetition, langid confusion, kmeans assign + full Lloyd's iterate, PII
+# redaction, train/val/test split, and TPC-H Q6/Q7/Q8/Q13/Q14/Q17, plus the
+# near-dup/jaccard vacuous-threshold retunes), the whole mapper family
+# (normalize()'s case-collision rule changed this round), and the CC/survivors
+# canaries (checkpoint-dir and plan changes). Demoted this round: 35 queries
+# untouched since their green rows+schema+hash rows in CORRECTNESS_r03.json;
+# local tools/t2.py + tests/test_oracle.py keep mirroring them per-commit
+# (all 78 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     "q_agg_approx_distinct",
@@ -113,6 +114,7 @@ _FRONT = [
     "q17_small_quantity_revenue",
     "q_doc_split_assign",
     "q_embed_kmeans_iterate",
+    "q_ngram_jaccard_pairs",  # bigram/0.05 retune (trigram/0.1 was vacuously empty)
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -143,6 +145,7 @@ _BACK = [
     "q_window_rank",
     "q5_local_supplier",
     "q3_shipping_priority",
+    "q1_pricing_summary",
     "q_embed_cosine_topk",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
@@ -161,7 +164,6 @@ _BACK = [
     "q_doc_tfidf_top_terms",
     "q_dedup_exact_docs",
     "q_dedup_fingerprint",
-    "q_ngram_jaccard_pairs",
     "q_skew_salted_collect",
 ]
 

@@ -499,8 +499,8 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sh AS (
       SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) >= 3
-               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+             list_distinct(CASE WHEN len(toks) >= 2
+               THEN [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks) - 1)]
                ELSE [array_to_string(toks, ' ')] END) AS s
       FROM (SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
@@ -510,15 +510,20 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.1
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-trigram Jaccard near-dup pairs on a bounded slice (doc_id<60) —
-    the brute-force truth the MinHash path approximates. Quadratic by design;
-    the unbounded-scale variant is q_dedup_minhash."""
+    """EXACT word-BIGRAM Jaccard pairs on a bounded slice (doc_id<60) — the
+    brute-force shape the MinHash path approximates. Bigram shingles at 0.05
+    (not the minhash operator's production trigram/0.5 defaults, which this
+    word-salad corpus never reaches — max trigram Jaccard here is 0.022, so
+    that query returned an empty, vacuously-matching set): at bigram/0.05 the
+    oracle verifies real intersection/union arithmetic on ~18 pairs. The
+    minhash recall contract vs trigram truth stays in pytest. Quadratic by
+    design; the unbounded-scale variant is q_dedup_minhash."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.1, shingle_n=3)
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05, shingle_n=2)
 
 
 @register("q_dedup_minhash")  # rows-only: LSH not SQL-expressible; verified in tests
