@@ -71,7 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (all 78 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
-    "q_agg_approx_distinct",
+    # (q_agg_approx_distinct yields its slot to q_doc_chunk_windows: a stale
+    # rows-only sketch row is the weakest marginal signal in the window)
     "q_agg_approx_percentile",
     "q_dedup_minhash",
     "q_explode_tokens",
@@ -115,6 +116,7 @@ _FRONT = [
     "q_doc_split_assign",
     "q_embed_kmeans_iterate",
     "q_ngram_jaccard_pairs",  # bigram/0.05 retune (trigram/0.1 was vacuously empty)
+    "q_doc_chunk_windows",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -129,6 +131,7 @@ _FRONT = [
 # Demoted past the 50-slot window: green rows+schema+hash (or rows-only for the
 # 3 no-oracle ANN entries) in CORRECTNESS_r03.json, untouched this round.
 _BACK = [
+    "q_agg_approx_distinct",
     # r03-green relational core demoted to fund the four new H-family slots
     "q10_returned_items",
     "q18_large_orders",

@@ -1557,3 +1557,56 @@ def q_embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~1e-12 — the update averages differ only in summation order."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.kmeans_iterate(e, k=8, n_iter=2)
+
+
+@register(
+    "q_doc_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INT) AS chunk_idx,
+             toks[(i - 1) * 8 + 1 : (i - 1) * 8 + 16] AS chunk
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, CASE WHEN len(toks) <= 16 THEN 1
+                                        ELSE CAST(ceil((len(toks) - 16) / 8.0) AS BIGINT) + 1 END + 1)) AS i
+            FROM t))
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 16 tokens, stride 8 — the
+    overlap-chunking an embedding/RAG pipeline runs before vectorizing): each
+    doc explodes into ceil((len-16)/8)+1 chunks, the final partial chunk
+    included, each pinned by token count and an md5 of its joined text so the
+    oracle verifies the exact chunk boundaries byte-for-byte. Pure scan-stage
+    expressions (slice per chunk is O(window), chunks per doc ~len/stride, so
+    total work is O(len * window / stride) per doc) — no shuffle, no state;
+    at 100 TB this is a narrow map the scan absorbs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_chunks = F.when(F.size(toks) <= 16, F.lit(1)).otherwise(
+        F.ceil((F.size(toks) - 16) / F.lit(8.0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * 8 + 1, 16).alias("chunk"),
+        ),
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk")
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
