@@ -38,6 +38,7 @@ HEADLINE = [
     "q_ann_ivf_topk",
     "q_doc_lang_signal",
     "q_doc_pack_sequences",
+    "q_doc_redact_pii",
 ]
 
 

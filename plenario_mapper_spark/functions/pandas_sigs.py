@@ -210,3 +210,25 @@ def geomean_udf():
         return float(np.exp(np.log(v.astype("float64")).mean()))
 
     return geomean
+
+
+def make_pos_ngrams_udf(n):
+    """text -> array<string> POSITIONAL (non-distinct) word n-grams; empty
+    under n tokens. Semantics identical to functions.text.pos_ngrams — exists
+    for the same measured reason as make_shingles_udf: the corpus-wide
+    repetition scan explodes every occurrence, and the Arrow batch loop is
+    ~4x faster than even the shifted-slice zip expression (0.5s vs 1.7s for
+    5k docs at sf0.1)."""
+    split_re = re.compile(r"[^a-z0-9_]+")
+
+    def _one(text):
+        toks = [w for w in split_re.split((text or "").lower()) if w]
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    @pandas_udf("array<string>")
+    def pg(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return pg

@@ -1332,8 +1332,13 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
     )
+    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
+
+    # Arrow-vectorized positional grams (semantics pinned to TX.pos_ngrams by
+    # tests + this oracle) — measured ~4x over the zip expression at corpus
+    # scale; see make_pos_ngrams_udf.
     tri = d.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(TX.pos_ngrams(F.col("text"), 3)).alias("gram")
+        "doc_id", F.explode(make_pos_ngrams_udf(3)(F.col("text"))).alias("gram")
     )
     ts = tri.groupBy("doc_id").agg(
         F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")

@@ -292,3 +292,23 @@ def test_redact_pii_order_and_counts(spark):
     assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (2, 2, 1)
     assert out[2]["rt"] == "nothing sensitive here"
     assert (out[2]["ne"], out[2]["np"], out[2]["ni"]) == (0, 0, 0)
+
+
+def test_pos_ngrams_udf_matches_expression(spark):
+    """The Arrow positional-gram UDF must agree with the JVM expression on
+    every doc, including duplicate grams and sub-n short docs."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
+    from plenario_mapper_spark.functions.text import pos_ngrams
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").union(
+        spark.createDataFrame([(99991, "a b a b a", "en", "s", 9),
+                               (99992, "x y", "en", "s", 3)],
+                              "doc_id long, text string, lang string, source string, n_chars long")
+    )
+    rows = d.select(
+        pos_ngrams(F.col("text"), 3).alias("e"),
+        make_pos_ngrams_udf(3)(F.col("text")).alias("u"),
+    ).collect()
+    assert rows and all(r["e"] == r["u"] for r in rows)
