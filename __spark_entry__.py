@@ -71,9 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (all 78 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
-    # (q_agg_approx_distinct yields its slot to q_doc_chunk_windows: a stale
-    # rows-only sketch row is the weakest marginal signal in the window)
-    "q_agg_approx_percentile",
+    # (the two stale rows-only sketch entries yield their slots to
+    # q_doc_chunk_windows and q_doc_curation_pipeline: a stale rows-only
+    # sketch row is the weakest marginal signal in the window)
     "q_dedup_minhash",
     "q_explode_tokens",
     "q_join_left",
@@ -117,6 +117,7 @@ _FRONT = [
     "q_embed_kmeans_iterate",
     "q_ngram_jaccard_pairs",  # bigram/0.05 retune (trigram/0.1 was vacuously empty)
     "q_doc_chunk_windows",
+    "q_doc_curation_pipeline",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -132,6 +133,7 @@ _FRONT = [
 # 3 no-oracle ANN entries) in CORRECTNESS_r03.json, untouched this round.
 _BACK = [
     "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
     # r03-green relational core demoted to fund the four new H-family slots
     "q10_returned_items",
     "q18_large_orders",

@@ -1620,3 +1620,93 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "q_doc_curation_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
+    long_enough AS (SELECT * FROM t WHERE len(toks) >= 10),
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM long_enough),
+    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+    ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_wc FROM wc GROUP BY doc_id),
+    g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+          FROM long_enough),
+    ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT gram) AS nd_tri
+           FROM g GROUP BY doc_id),
+    quality AS (
+      SELECT le.doc_id, le.source, le.toks, ws.n_words
+      FROM long_enough le JOIN ws USING (doc_id) JOIN ts USING (doc_id)
+      WHERE CAST(max_wc AS DOUBLE) / n_words <= 0.2
+        AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= 0.05),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM quality GROUP BY array_to_string(toks, ' ')),
+    curated AS (
+      SELECT q.doc_id, q.source, q.n_words,
+             CASE WHEN CAST(('0x' || substr(md5('cur1|' || CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       < 3865470566 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('cur1|' || CAST(q.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       < 4080218931 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM quality q JOIN survivors USING (doc_id))
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM curated GROUP BY split, source
+    """,
+)
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composed pipeline a training-data run
+    executes, every stage an operator this engine ships individually: length
+    floor (>=10 word tokens) -> Gopher repetition filter (top-word mass <=0.2,
+    dup-trigram <=0.05) -> keep-first exact dedup on the canonical token
+    fingerprint -> deterministic 90/5/5 split assignment -> per-(split, source)
+    doc and token accounting. The oracle recomputes the whole pipeline in SQL,
+    so stage COMPOSITION (filter ordering, dedup-after-filter, split-on-
+    survivors) is what's verified, not just each stage alone.
+
+    Scale shape: the two repetition aggregations and the fingerprint dedup all
+    key on doc_id/fingerprint (hash-partition shuffles with map-side partials);
+    the split/accounting tail is scan-stage + one small agg. Corpus text never
+    shuffles — only (doc, gram) pairs and per-doc stat rows."""
+    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    le = d.select("doc_id", "source", "text").filter(F.size(toks) >= 10)
+    words = le.select("doc_id", F.explode(toks).alias("tok"))
+    ws = (
+        words.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
+    )
+    tri = le.select(
+        "doc_id", F.explode(make_pos_ngrams_udf(3)(F.col("text"))).alias("gram")
+    )
+    ts = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")
+    )
+    quality = (
+        le.join(ws, "doc_id")
+        .join(ts, "doc_id")
+        .filter(
+            (F.col("max_wc") / F.col("n_words") <= 0.2)
+            & (F.lit(1.0) - F.col("nd_tri") / F.col("n_tri") <= 0.05)
+        )
+        .select("doc_id", "source", "text", "n_words")
+    )
+    survivors = quality.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    curated = quality.join(survivors.select("doc_id"), "doc_id")
+    assigned = SP.deterministic_split(
+        curated, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="cur1"
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )
