@@ -60,15 +60,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation: the 21 queries demoted in r3 return to the very front (their
 # last driver rows predate the NTZ `_t` loader), followed by the three
 # oracle-cast fixes (HUGEINT -> BIGINT, ending a 3-round hash-red streak), the
-# new/rewritten queries (incl. 13 added this round: decontaminate, gopher
+# new/rewritten queries (incl. 15 added this round: decontaminate, gopher
 # repetition, langid confusion, kmeans assign + full Lloyd's iterate, PII
-# redaction, train/val/test split, and TPC-H Q6/Q7/Q8/Q13/Q14/Q17, plus the
-# near-dup/jaccard vacuous-threshold retunes), the whole mapper family
+# redaction, train/val/test split, overlap chunking, the composed curation
+# pipeline, and TPC-H Q6/Q7/Q8/Q13/Q14/Q17, plus the near-dup/jaccard
+# vacuous-threshold retunes), the whole mapper family
 # (normalize()'s case-collision rule changed this round), and the CC/survivors
-# canaries (checkpoint-dir and plan changes). Demoted this round: 35 queries
+# canaries (checkpoint-dir and plan changes). Demoted this round: 37 queries
 # untouched since their green rows+schema+hash rows in CORRECTNESS_r03.json;
 # local tools/t2.py + tests/test_oracle.py keep mirroring them per-commit
-# (all 78 oracle-backed queries MATCH at the time of writing).
+# (all 80 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     # (the two stale rows-only sketch entries yield their slots to

@@ -183,11 +183,14 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
             F.lit("events_net").alias("network"),
             F.col("props").alias("data"),
         )
-        # two full runs (fresh checkpoint+state each), report the best — the
+        # three full runs (fresh checkpoint+state each), report the best — the
         # first pays streaming-engine warm-up, same warm-run model as the
-        # batch timings above
+        # batch timings above. Three (not two) because the per-batch fixed
+        # costs (sink commits, state store init) carry ~40% run-to-run spread
+        # on a shared machine — observed 8.4k vs 12.3k rows/s across
+        # standalone best-of-2 runs of the same commit.
         secs = float("inf")
-        for i in range(2):
+        for i in range(3):
             stream = MapperStream(spark, metadata_provider, sinks)
             t0 = time.perf_counter()
             q = stream.start(obs, os.path.join(work, f"chk{i}"), trigger_once=True)
