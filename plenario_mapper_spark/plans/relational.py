@@ -1385,8 +1385,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg-per-part subquery decorrelated into a self-join of lineitem against
     its own per-part average. The per-part aggregate and the probe co-key on
     l_partkey (one shuffle feeds both sides); part's brand/size filter pushes
-    to its scan and broadcasts. Quantities are integer-valued doubles, so both
-    engines' averages are exact and the qty_cut comparison is engine-stable."""
+    to its scan, and the join strategy is left UN-HINTED: part scales with SF
+    (~100M rows survive the filter at 100 TB), so a broadcast hint here would
+    be the q5-supplier mistake — AQE broadcast-converts from the measured
+    post-filter size when it genuinely fits. Quantities are integer-valued
+    doubles, so both engines' averages are exact and the qty_cut comparison is
+    engine-stable."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
@@ -1395,7 +1399,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(cut, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(

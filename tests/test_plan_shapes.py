@@ -193,3 +193,27 @@ def test_q8_dimension_chain_broadcasts(spark):
     plan = _plan(QUERIES["q8_market_share"](spark, SF))
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q17_part_join_is_estimate_driven_not_hinted(spark):
+    """Part scales with SF (~100M rows survive the brand/size filter at
+    100 TB), so q17 must not pin it with a broadcast HINT — same policy the
+    q5 supplier test enforces. With thresholds disabled, an un-hinted part
+    must fall back to a shuffle join."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(QUERIES["q17_small_quantity_revenue"](spark, SF))
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    for sub in _broadcast_subtrees(plan):
+        assert "part.parquet" not in sub, sub
