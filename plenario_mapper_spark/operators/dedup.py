@@ -568,16 +568,19 @@ def ngram_contamination(
     the corpus gram stream; only the matched (doc, gram) hits shuffle for the
     per-doc distinct count. Returns (id_col, n_shared_grams) for contaminated
     docs only — the anti-join against this result is the cleaned corpus."""
-    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
 
-    # Arrow-vectorized shingle set (semantics pinned identical to TX.shingles
-    # by tests + the oracle): the corpus-wide gram explode is the dominant
-    # cost here and the batch loop measures ~4x faster than the best JVM
-    # expression form — the measured-justification rule for leaving codegen.
+    # Arrow-vectorized POSITIONAL grams (empty under n tokens — NOT the
+    # shingle set's whole-text fallback, which would flag two sub-n docs as
+    # "sharing an n-gram" neither contains): the corpus-wide gram explode is
+    # the dominant cost here and the batch loop measures ~4x faster than the
+    # best JVM expression form — the measured-justification rule for leaving
+    # codegen. Duplicate grams within a doc are harmless: both the benchmark
+    # set and the per-doc hit count are distinct-ed downstream.
     grams = docs.select(
         F.col(id_col),
         is_bench.alias("_bench"),
-        F.explode(make_shingles_udf(n)(F.col(text_col))).alias("gram"),
+        F.explode(make_pos_ngrams_udf(n)(F.col(text_col))).alias("gram"),
     )
     bench = grams.filter(F.col("_bench")).select("gram").distinct()
     return (

@@ -139,8 +139,15 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
                 if dec is None or dec.modality != "image":
                     out.append((int(doc_id), None, width, height, "unsupported"))
                     continue
-                px = codecs.bilinear_resize(dec.data, height, width)
-                b = encoders[dec.mime](px)
+                try:
+                    # a structurally-valid header can still carry degenerate
+                    # geometry (e.g. a 0x0 PNM) — resample/encode must degrade
+                    # like decode does, never kill the stage
+                    px = codecs.bilinear_resize(dec.data, height, width)
+                    b = encoders[dec.mime](px)
+                except Exception:
+                    out.append((int(doc_id), None, width, height, "unsupported"))
+                    continue
                 out.append((int(doc_id), b, width, height, "bilinear-v1"))
             yield pd.DataFrame(
                 out, columns=["doc_id", "payload", "width", "height", "resize_version"]

@@ -24,9 +24,17 @@ _DOMAIN_BITS = 32
 
 def _hash_u32(key: Column, salt: str) -> Column:
     """Uniform 32-bit integer from md5(salt|key). md5 (not xxhash64) so an
-    external system — or the DuckDB oracle — reproduces membership exactly."""
+    external system — or the DuckDB oracle — reproduces membership exactly.
+
+    NULL keys hash the explicit sentinel '<null>' (all null-keyed rows land
+    together, deterministically). Without the coalesce, concat_ws silently
+    drops the null, Spark hashes md5(salt) alone, and the documented SQL
+    mirror `md5(salt || '|' || CAST(key AS VARCHAR))` — which is NULL —
+    disagrees. The engine-independent mirror for nullable keys is
+    `md5(salt || '|' || COALESCE(CAST(key AS VARCHAR), '<null>'))`."""
+    canon = F.coalesce(key.cast("string"), F.lit("<null>"))
     return F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat_ws("|", F.lit(salt), canon)), 1, 8),
         16,
         10,
     ).cast("long")

@@ -453,8 +453,12 @@ def kmeans_iterate(
     it = items.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    cent = it.filter(F.col("_id") < k).select(
-        F.col("_id").alias("cid"), F.col("_v").alias("centroid")
+    # genuinely the k LOWEST ids (not `id < k`, which silently under-seeds —
+    # down to an empty result — on sparse or offset id spaces)
+    cent = (
+        it.orderBy("_id")
+        .limit(k)
+        .select(F.col("_id").alias("cid"), F.col("_v").alias("centroid"))
     )
 
     def _assign(c):

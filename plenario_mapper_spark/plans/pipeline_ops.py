@@ -1264,10 +1264,15 @@ def q_group_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Positional 4-grams, EMPTY under 4 tokens (mirrors ngram_contamination's
+# pos-gram semantics: a sub-n doc shares no n-gram with anything; the old
+# whole-text fallback would have matched two identical short docs on a gram
+# neither contains). distinct-ing here is an optimization only — every
+# consumer distinct-s downstream.
 _SQL_GRAM4 = (
     "CASE WHEN len(toks) >= 4 THEN list_distinct(list_transform(range(1, len(toks)-2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) "
-    "ELSE [array_to_string(toks, ' ')] END"
+    "ELSE CAST([] AS VARCHAR[]) END"
 )
 
 

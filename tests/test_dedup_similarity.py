@@ -445,3 +445,31 @@ def test_kmeans_iterate_converges_on_separated_clusters(spark):
     by_group = [{got[g + 3 * j] for j in range(10)} for g in range(3)]
     assert all(len(s) == 1 for s in by_group), by_group
     assert len(by_group[0] | by_group[1] | by_group[2]) == 3, by_group
+
+
+def test_kmeans_iterate_seeds_are_lowest_ids_not_id_lt_k(spark):
+    """Offset/sparse id spaces must still get k seeds (regression: `_id < k`
+    selected zero seeds for ids starting at 100 and returned an empty frame)."""
+    from plenario_mapper_spark.operators.similarity import kmeans_iterate
+
+    rows = [(100 + g + 3 * j, [float(g * 50), float(g * 50)]) for g in range(3) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_iterate(df, k=3, n_iter=2).collect()
+    assert len(out) == 30
+    assert {r["assigned_cid"] for r in out} == {100, 101, 102}
+
+
+def test_ngram_contamination_short_docs_share_nothing(spark):
+    """Sub-n-token docs contain no n-gram, so identical short docs must NOT be
+    flagged (regression: the shingle whole-text fallback matched them)."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.operators.dedup import ngram_contamination
+
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (10, "tiny doc"), (11, ""),
+         (1, ""),  # empty benchmark doc must not poison empty corpus docs
+         ],
+        "doc_id long, text string",
+    )
+    assert ngram_contamination(df, F.col("doc_id") < 10, n=4).collect() == []

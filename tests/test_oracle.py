@@ -57,8 +57,10 @@ ALL_NAMES, _ = _query_names()
 
 
 def test_documents_text_is_ascii(ddb):
-    """q_binary_resize's oracle slices text with varchar substring (DuckDB has no
-    BLOB substring); that is byte-exact only while the corpus is ASCII."""
+    """Several oracles hash or measure `text` as a string where the Spark side
+    works on bytes (md5/length in q_doc_redact_pii, q_doc_chunk_windows,
+    q_binary_meta's CAST-to-BLOB digest); string-vs-byte equivalence is exact
+    only while the corpus is ASCII, so pin that invariant."""
     n = ddb.execute(
         "SELECT count(*) FROM documents WHERE octet_length(CAST(text AS BLOB)) <> length(text)"
     ).fetchone()[0]
@@ -100,9 +102,12 @@ def test_oracle_dtype_lint(spark, ddb, name):
     toPandas() against DuckDB .df(); an uncast SUM/list_sum oracle column is
     HUGEINT, which pandas renders as float64 ("42.0" vs Spark's int64 "42") and
     silently hash-mismatches even when values are identical — this burned
-    q_scalar_array_hof for three straight rounds. DESCRIBE is plan-only, so the
-    lint costs no query execution: it fails any oracle exposing HUGEINT and any
-    integral-vs-float kind disagreement with the Spark-side analyzed schema."""
+    q_scalar_array_hof for three straight rounds. The DuckDB side's DESCRIBE is
+    plan-only; the Spark side reads .schema off the built DataFrame, which is
+    plan-only for most queries but DOES execute eagerly-materializing ones
+    (q_dedup_cluster_cc runs its CC rounds at construction) — accepted cost,
+    the lint's coverage matters more. It fails any oracle exposing HUGEINT and
+    any integral-vs-float kind disagreement with the Spark-side schema."""
     from plenario_mapper_spark.plans import ORACLES, QUERIES
 
     duck_types = {

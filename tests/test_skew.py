@@ -80,3 +80,20 @@ def test_split_thresholds_validates_fractions(spark):
 
     with _pytest.raises(ValueError):
         split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_deterministic_split_null_key_is_deterministic_sentinel(spark):
+    """NULL keys hash the explicit '<null>' sentinel (engine-mirrorable),
+    matching md5('x|<null>') — not concat_ws's silent null-drop."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(None,), (1,)], "k long")
+    out = {("null" if r["k"] is None else r["k"]): r["split"]
+           for r in deterministic_split(df, "k", {"a": 0.5, "b": 0.5}, salt="x").collect()}
+    h = int(hashlib.md5(b"x|<null>").hexdigest()[:8], 16)
+    expected = "a" if h < (1 << 31) else "b"
+    assert out["null"] == expected

@@ -312,3 +312,18 @@ def test_pos_ngrams_udf_matches_expression(spark):
         make_pos_ngrams_udf(3)(F.col("text")).alias("u"),
     ).collect()
     assert rows and all(r["e"] == r["u"] for r in rows)
+
+
+def test_resize_degenerate_image_degrades_not_dies(spark):
+    """A structurally-valid PNM with zero-area geometry must come back as
+    'unsupported', not kill the stage (regression: IndexError in
+    bilinear_resize on the empty pixel array)."""
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(0, b"P5\n0 0\n255\n"), (1, b"P5\n3 0\n255\n")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.resize_images(df, 8, 4).collect()}
+    assert rows[0]["payload"] is None and rows[0]["resize_version"] == "unsupported"
+    assert rows[1]["payload"] is None and rows[1]["resize_version"] == "unsupported"
