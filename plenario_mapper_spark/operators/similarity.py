@@ -411,6 +411,21 @@ def assign_to_centroids(
         F.col(id_col), *[F.col(c) for c in carry],
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    return _nearest(it, centroids, [id_col, *carry]).select(
+        id_col,
+        *carry,
+        F.col("_m.cid").alias("assigned_cid"),
+        F.col("_m.dist").alias("dist"),
+    )
+
+
+def _nearest(it: DataFrame, centroids: DataFrame, group_cols, extra_aggs=()):
+    """THE nearest-centroid core both assign_to_centroids and kmeans_iterate
+    run — single-sourced because its semantics (squared-L2 JVM fold; argmin
+    via struct-min with smallest-cid tie-break) are an oracle-pinned contract
+    that must not drift between the two callers. Expects `it` to carry the
+    vector as `_v` and `centroids` as (cid, centroid); returns one row per
+    group_cols with `_m` = struct(dist, cid) plus any extra_aggs."""
     dist = F.aggregate(
         F.zip_with("_v", "centroid", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -418,15 +433,9 @@ def assign_to_centroids(
     )
     return (
         it.join(F.broadcast(centroids))
-        .select(id_col, *carry, F.col("cid"), dist.alias("dist"))
-        .groupBy(id_col, *carry)
-        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
-        .select(
-            id_col,
-            *carry,
-            F.col("_m.cid").alias("assigned_cid"),
-            F.col("_m.dist").alias("dist"),
-        )
+        .select(*group_cols, "_v", F.col("cid"), dist.alias("dist"))
+        .groupBy(*group_cols)
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"), *extra_aggs)
     )
 
 
@@ -462,20 +471,11 @@ def kmeans_iterate(
     )
 
     def _assign(c):
-        dist = F.aggregate(
-            F.zip_with("_v", "centroid", lambda x, m: (x - m) * (x - m)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            it.join(F.broadcast(c))
-            .select("_id", "_v", F.col("cid"), dist.alias("dist"))
-            .groupBy("_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("_m"),
-                F.first("_v").alias("_v"),
-            )
-            .select("_id", F.col("_m.cid").alias("cid"), "_v")
+        # shared argmin core (_nearest): same distance + tie-break as
+        # assign_to_centroids by construction. _v rides along via first()
+        # (deterministic: all rows in an _id group carry the same vector).
+        return _nearest(it, c, ["_id"], [F.first("_v").alias("_v")]).select(
+            "_id", F.col("_m.cid").alias("cid"), "_v"
         )
 
     for _ in range(n_iter):

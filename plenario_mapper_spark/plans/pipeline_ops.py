@@ -1297,10 +1297,16 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_contamination(d, F.col("doc_id") < 25, n=4)
 
 
-@register(
-    "q_doc_gopher_repetition",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+# Gopher/MassiveText repetition-rule thresholds (Rae et al. 2021, Table A1) —
+# single source for BOTH queries that apply them (standalone gopher filter and
+# the curation capstone) and BOTH oracles (interpolated below): a retune edits
+# exactly one place.
+GOPHER_MAX_WORD_FRAC = 0.2
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.05
+
+# Shared oracle CTE block: per-doc word/trigram repetition stats over `t`
+# (doc_id, toks). Docs under 3 tokens drop out (no trigram exists).
+_SQL_REP_STATS = """
     w AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 3),
     wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
     ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_wc FROM wc GROUP BY doc_id),
@@ -1308,14 +1314,51 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
           FROM t WHERE len(toks) >= 3),
     ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT gram) AS nd_tri
-           FROM g GROUP BY doc_id)
-    SELECT ws.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+           FROM g GROUP BY doc_id),
+    rep AS (SELECT ws.doc_id, ws.n_words, ws.max_wc, ts.n_tri, ts.nd_tri
+            FROM ws JOIN ts USING (doc_id))
+"""
+
+
+def _doc_repetition_stats(d: DataFrame) -> DataFrame:
+    """Per-doc repetition evidence (doc_id, n_words, max_wc, n_tri, nd_tri):
+    two explode->groupBy(doc_id, ...) partial aggregations (word counts via
+    JVM explode, positional trigrams via the Arrow UDF), joined co-partitioned
+    on doc_id. Shared by q_doc_gopher_repetition and the curation capstone so
+    the repetition semantics cannot drift between them. Docs with <3 word
+    tokens drop out (no trigram exists)."""
+    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
+
+    toks = TX.tokens(F.col("text"))
+    base = d.filter(F.size(toks) >= 3)
+    words = base.select("doc_id", F.explode(toks).alias("tok"))
+    ws = (
+        words.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
+    )
+    tri = base.select(
+        "doc_id", F.explode(make_pos_ngrams_udf(3)(F.col("text"))).alias("gram")
+    )
+    ts = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")
+    )
+    return ws.join(ts, "doc_id")
+
+
+@register(
+    "q_doc_gopher_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    {_SQL_REP_STATS}
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(ROUND(CAST(max_wc AS DOUBLE) / n_words, 6) AS DOUBLE) AS max_word_frac,
            CAST(ROUND(1.0 - CAST(nd_tri AS DOUBLE) / n_tri, 6) AS DOUBLE) AS dup_trigram_frac,
-           CAST(CASE WHEN CAST(max_wc AS DOUBLE) / n_words <= 0.2
-                      AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= 0.05
+           CAST(CASE WHEN CAST(max_wc AS DOUBLE) / n_words <= {GOPHER_MAX_WORD_FRAC}
+                      AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= {GOPHER_MAX_DUP_TRIGRAM_FRAC}
                      THEN 1 ELSE 0 END AS INT) AS keep
-    FROM ws JOIN ts USING (doc_id)
+    FROM rep
     """,
 )
 def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,36 +1372,17 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, positional trigram counts), both keyed by doc_id so the final join
     is co-partitioned; text never shuffles, only (doc, gram) pairs do."""
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    words = d.select("doc_id", F.explode(toks).alias("tok"))
-    ws = (
-        words.groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
-    )
-    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
-
-    # Arrow-vectorized positional grams (semantics pinned to TX.pos_ngrams by
-    # tests + this oracle) — measured ~4x over the zip expression at corpus
-    # scale; see make_pos_ngrams_udf.
-    tri = d.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(make_pos_ngrams_udf(3)(F.col("text"))).alias("gram")
-    )
-    ts = tri.groupBy("doc_id").agg(
-        F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")
-    )
     max_frac = F.col("max_wc") / F.col("n_words")
     dup_frac = F.lit(1.0) - F.col("nd_tri") / F.col("n_tri")
-    return (
-        ws.join(ts, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round(max_frac, 6).alias("max_word_frac"),
-            F.round(dup_frac, 6).alias("dup_trigram_frac"),
-            ((max_frac <= 0.2) & (dup_frac <= 0.05)).cast("int").alias("keep"),
-        )
+    keep = (max_frac <= GOPHER_MAX_WORD_FRAC) & (
+        dup_frac <= GOPHER_MAX_DUP_TRIGRAM_FRAC
+    )
+    return _doc_repetition_stats(d).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(max_frac, 6).alias("max_word_frac"),
+        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        keep.cast("int").alias("keep"),
     )
 
 
@@ -1631,20 +1655,13 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_curation_pipeline",
     oracle=f"""
     WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
-    long_enough AS (SELECT * FROM t WHERE len(toks) >= 10),
-    w AS (SELECT doc_id, unnest(toks) AS tok FROM long_enough),
-    wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
-    ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_wc FROM wc GROUP BY doc_id),
-    g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-          FROM long_enough),
-    ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT gram) AS nd_tri
-           FROM g GROUP BY doc_id),
+    {_SQL_REP_STATS},
     quality AS (
-      SELECT le.doc_id, le.source, le.toks, ws.n_words
-      FROM long_enough le JOIN ws USING (doc_id) JOIN ts USING (doc_id)
-      WHERE CAST(max_wc AS DOUBLE) / n_words <= 0.2
-        AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= 0.05),
+      SELECT t.doc_id, t.source, t.toks, rep.n_words
+      FROM t JOIN rep USING (doc_id)
+      WHERE rep.n_words >= 10
+        AND CAST(max_wc AS DOUBLE) / n_words <= {GOPHER_MAX_WORD_FRAC}
+        AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= {GOPHER_MAX_DUP_TRIGRAM_FRAC}),
     survivors AS (
       SELECT MIN(doc_id) AS doc_id
       FROM quality GROUP BY array_to_string(toks, ' ')),
@@ -1665,42 +1682,34 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus curation — the composed pipeline a training-data run
     executes, every stage an operator this engine ships individually: length
-    floor (>=10 word tokens) -> Gopher repetition filter (top-word mass <=0.2,
-    dup-trigram <=0.05) -> keep-first exact dedup on the canonical token
-    fingerprint -> deterministic 90/5/5 split assignment -> per-(split, source)
-    doc and token accounting. The oracle recomputes the whole pipeline in SQL,
-    so stage COMPOSITION (filter ordering, dedup-after-filter, split-on-
-    survivors) is what's verified, not just each stage alone.
+    floor (>=10 word tokens) -> Gopher repetition filter (the shared
+    GOPHER_* thresholds via _doc_repetition_stats, so this capstone applies
+    EXACTLY the rule q_doc_gopher_repetition ships) -> keep-first exact dedup
+    on the canonical token fingerprint -> deterministic 90/5/5 split
+    assignment -> per-(split, source) doc and token accounting. The oracle
+    recomputes the whole pipeline in SQL, so stage COMPOSITION (filter
+    ordering, dedup-after-filter, split-on-survivors) is what's verified, not
+    just each stage alone.
 
     Scale shape: the two repetition aggregations and the fingerprint dedup all
     key on doc_id/fingerprint (hash-partition shuffles with map-side partials);
     the split/accounting tail is scan-stage + one small agg. Corpus text never
-    shuffles — only (doc, gram) pairs and per-doc stat rows."""
-    from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
+    shuffles — only (doc, gram) pairs and per-doc stat rows. The length floor
+    is n_words >= 10 (n_words is the full word-token count, so no second
+    tokenizer pass is needed)."""
     from plenario_mapper_spark.operators import sampling as SP
 
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    le = d.select("doc_id", "source", "text").filter(F.size(toks) >= 10)
-    words = le.select("doc_id", F.explode(toks).alias("tok"))
-    ws = (
-        words.groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.sum("count").alias("n_words"), F.max("count").alias("max_wc"))
-    )
-    tri = le.select(
-        "doc_id", F.explode(make_pos_ngrams_udf(3)(F.col("text"))).alias("gram")
-    )
-    ts = tri.groupBy("doc_id").agg(
-        F.count("*").alias("n_tri"), F.count_distinct("gram").alias("nd_tri")
-    )
     quality = (
-        le.join(ws, "doc_id")
-        .join(ts, "doc_id")
+        d.select("doc_id", "source", "text")
+        .join(_doc_repetition_stats(d), "doc_id")
         .filter(
-            (F.col("max_wc") / F.col("n_words") <= 0.2)
-            & (F.lit(1.0) - F.col("nd_tri") / F.col("n_tri") <= 0.05)
+            (F.col("n_words") >= 10)
+            & (F.col("max_wc") / F.col("n_words") <= GOPHER_MAX_WORD_FRAC)
+            & (
+                F.lit(1.0) - F.col("nd_tri") / F.col("n_tri")
+                <= GOPHER_MAX_DUP_TRIGRAM_FRAC
+            )
         )
         .select("doc_id", "source", "text", "n_words")
     )
