@@ -1573,7 +1573,7 @@ _KM_UPDATE = """
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS centroid FROM e WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, v AS centroid FROM e ORDER BY vec_id LIMIT 8),
     a1 AS ({_KM_ASSIGN.format(cent='c0')}),
     c1 AS ({_KM_UPDATE.format(assign='a1')}),
     a2 AS ({_KM_ASSIGN.format(cent='c1')}),
