@@ -72,10 +72,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (all 80 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
-    # (the two stale rows-only sketch entries yield their slots to
-    # q_doc_chunk_windows and q_doc_curation_pipeline: a stale rows-only
-    # sketch row is the weakest marginal signal in the window)
-    "q_dedup_minhash",
+    # (the three stale rows-only entries — two sketches + minhash — yield
+    # their slots to q_doc_chunk_windows, q_doc_curation_pipeline and
+    # q_dedup_incremental: a stale rows-only row is the weakest marginal
+    # signal in the window; minhash keeps bench-wall accountability and its
+    # pytest recall contract)
     "q_explode_tokens",
     "q_join_left",
     "q_join_right",
@@ -119,6 +120,7 @@ _FRONT = [
     "q_ngram_jaccard_pairs",  # bigram/0.05 retune (trigram/0.1 was vacuously empty)
     "q_doc_chunk_windows",
     "q_doc_curation_pipeline",
+    "q_dedup_incremental",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -135,6 +137,7 @@ _FRONT = [
 _BACK = [
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
+    "q_dedup_minhash",
     # r03-green relational core demoted to fund the four new H-family slots
     "q10_returned_items",
     "q18_large_orders",

@@ -589,3 +589,59 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
     )
+
+
+def build_fingerprint_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the corpus's canonical-token fingerprint set, partitioned by
+    fp bucket — the build-once side of INCREMENTAL dedup (the lifecycle a
+    production ingest runs: index the historical corpus once, then check each
+    arriving batch against it instead of re-deduping 100 TB per batch).
+
+    Layout: <index_dir>/fps/bucket=<b>/ holding distinct fp values. The
+    bucket partitioning is the serving payoff: a batch's fingerprints touch
+    at most |batch| buckets, and partition pruning skips every other file at
+    the scan — check cost scales with the BATCH, not the corpus."""
+    import os
+
+    fps = (
+        docs.select(TX.fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int"))
+    )
+    fps.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, "fps")
+    )
+
+
+def dedup_against_index(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Incremental dedup serve path: keep only the new-batch docs whose
+    canonical-token fingerprint is NOT already in the persisted corpus index
+    (see build_fingerprint_index). The left-anti join keys on (bucket, fp), so
+    the bucket equi-condition reaches the index scan as a partition filter —
+    with a small arriving batch, AQE broadcasts the batch side and the corpus
+    index is read only in the touched buckets. Within-batch duplicates also
+    collapse (keep-lowest-id), so the returned rows are exactly what a
+    consumer appends to the corpus (and whose fps it merges into the index)."""
+    import os
+
+    idx = spark.read.parquet(os.path.join(index_dir, "fps"))
+    new = new_docs.withColumn("fp", TX.fingerprint(F.col(text_col))).withColumn(
+        "bucket", F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int")
+    )
+    w_first = new.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    fresh = new.join(w_first, [id_col, "fp"]).join(
+        idx, ["bucket", "fp"], "left_anti"
+    )
+    return fresh.drop("fp", "bucket")

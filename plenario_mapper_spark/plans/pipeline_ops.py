@@ -1724,3 +1724,50 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, source,
+             array_to_string({_SQL_TOKENS}, ' ') AS c
+      FROM documents),
+    corpus AS (SELECT DISTINCT c FROM canon WHERE doc_id < 400),
+    batch_first AS (
+      SELECT MIN(doc_id) AS doc_id FROM canon WHERE doc_id >= 400 GROUP BY c)
+    SELECT n.doc_id, n.source
+    FROM canon n JOIN batch_first USING (doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.c = n.c)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup against a PERSISTED corpus index — the production
+    ingest lifecycle (index the historical corpus once; per arriving batch,
+    anti-join only the touched fp buckets): docs < 400 play the indexed
+    corpus, docs >= 400 the arriving batch; returned rows are the batch docs
+    that are genuinely novel (not in the corpus, first of their kind within
+    the batch). The oracle recomputes novelty from canonical token strings
+    directly — the index is a serving artifact, not a semantic one. Index dir
+    is content-addressed + _SUCCESS-gated exactly like the IVF index."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = src
+    index_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"fp_index_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    if not _os.path.isfile(_os.path.join(index_dir, "fps", "_SUCCESS")):
+        DD.build_fingerprint_index(d.filter(F.col("doc_id") < 400), index_dir)
+    batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "source", "text")
+    return DD.dedup_against_index(spark, index_dir, batch).select(
+        "doc_id", "source"
+    )

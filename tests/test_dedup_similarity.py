@@ -473,3 +473,34 @@ def test_ngram_contamination_short_docs_share_nothing(spark):
         "doc_id long, text string",
     )
     assert ngram_contamination(df, F.col("doc_id") < 10, n=4).collect() == []
+
+
+def test_fingerprint_index_build_and_incremental_serve(spark, tmp_path):
+    """Index lifecycle: corpus fps persisted bucket-partitioned; a new batch
+    keeps only genuinely-novel docs (corpus members and within-batch repeats
+    collapse, layout-insensitively)."""
+    from plenario_mapper_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fpidx")
+    build_fingerprint_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            (10, "Alpha,   BETA gamma!"),  # corpus dup modulo layout -> dropped
+            (11, "eta theta iota"),        # novel
+            (12, "eta  THETA iota"),       # within-batch dup of 11 -> dropped
+            (13, "kappa lambda mu"),       # novel
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_against_index(spark, idx, batch).collect())
+    assert got == [11, 13]
+    # bucket partitioning is on disk (the partition-pruning serve contract)
+    import os
+    assert any(d.startswith("bucket=") for d in os.listdir(os.path.join(idx, "fps")))
