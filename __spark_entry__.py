@@ -60,16 +60,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 rotation: the 21 queries demoted in r3 return to the very front (their
 # last driver rows predate the NTZ `_t` loader), followed by the three
 # oracle-cast fixes (HUGEINT -> BIGINT, ending a 3-round hash-red streak), the
-# new/rewritten queries (incl. 15 added this round: decontaminate, gopher
+# new/rewritten queries (incl. 18 added this round: decontaminate, gopher
 # repetition, langid confusion, kmeans assign + full Lloyd's iterate, PII
 # redaction, train/val/test split, overlap chunking, the composed curation
-# pipeline, and TPC-H Q6/Q7/Q8/Q13/Q14/Q17, plus the near-dup/jaccard
-# vacuous-threshold retunes), the whole mapper family
+# pipeline, incremental index dedup, and TPC-H Q6/Q7/Q8/Q13/Q14/Q15/Q17/Q22,
+# plus the near-dup/jaccard vacuous-threshold retunes), the whole mapper family
 # (normalize()'s case-collision rule changed this round), and the CC/survivors
-# canaries (checkpoint-dir and plan changes). Demoted this round: 37 queries
+# canaries (checkpoint-dir and plan changes). Demoted this round: 40 queries
 # untouched since their green rows+schema+hash rows in CORRECTNESS_r03.json;
 # local tools/t2.py + tests/test_oracle.py keep mirroring them per-commit
-# (all 80 oracle-backed queries MATCH at the time of writing).
+# (all 83 oracle-backed queries MATCH at the time of writing).
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     # (the three stale rows-only entries — two sketches + minhash — yield
@@ -77,7 +77,6 @@ _FRONT = [
     # q_dedup_incremental: a stale rows-only row is the weakest marginal
     # signal in the window; minhash keeps bench-wall accountability and its
     # pytest recall contract)
-    "q_explode_tokens",
     "q_join_left",
     "q_join_right",
     "q_join_semi",
@@ -90,7 +89,6 @@ _FRONT = [
     "q_window_frames_ntile",
     "q_topk",
     "q_topk_per_group",
-    "q_setops",
     "q_scalar_datetime",
     "q_scalar_string",
     "q_scalar_case_math",
@@ -121,6 +119,8 @@ _FRONT = [
     "q_doc_chunk_windows",
     "q_doc_curation_pipeline",
     "q_dedup_incremental",
+    "q15_top_supplier",
+    "q22_idle_balances",
     # (4) mapper family: normalize() case-collision semantics changed
     "q_mapper_split_events",
     "q_mapper_route_events",
@@ -135,6 +135,10 @@ _FRONT = [
 # Demoted past the 50-slot window: green rows+schema+hash (or rows-only for the
 # 3 no-oracle ANN entries) in CORRECTNESS_r03.json, untouched this round.
 _BACK = [
+    # stale-since-r02 but double-green + timestamp-free: yielded slots to the
+    # round's Q15/Q22 first-time checks
+    "q_explode_tokens",
+    "q_setops",
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
     "q_dedup_minhash",

@@ -1408,3 +1408,98 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT MAX(total) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view consumed twice — once as the
+    join input, once reduced to a scalar MAX the filter compares against.
+    The view computes ONCE per consumer from the same quarter-sliced scan
+    (filter pushed down); revenue is DECIMAL-exact, so the equality against
+    the scalar max is engine-stable (a double formulation could drop the top
+    supplier to a last-bit rounding difference)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("total")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    max_total = revenue.agg(F.max("total").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(max_total), F.col("total") == F.col("m"))
+        .select(
+            "s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q22_idle_balances",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+    cutoff AS (SELECT AVG(bal) AS a FROM eligible WHERE bal > 0)
+    SELECT e.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(e.bal) AS DOUBLE) AS total_bal
+    FROM eligible e, cutoff
+    WHERE e.bal > cutoff.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY e.c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nation-key bands stand in for the reference's
+    phone prefixes, absent from this schema): promising-but-idle customers —
+    above the positive-balance average of an eligible nation band AND with no
+    1-URGENT order (this generator gives every customer orders, so plain
+    "no orders" is vacuously empty — the urgency predicate keeps the anti-join
+    semantics real with ~10% survivors). Exercises the scalar-aggregate
+    subquery (broadcast one-row cutoff) composed with a NOT EXISTS anti-join
+    against a filtered fact table. The
+    average runs over DECIMAL balances, so the cutoff — and therefore the
+    boundary rows — is bit-identical across engines; a double AVG could
+    disagree in the last bit and flip membership."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    eligible = c.select(
+        "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
+    )
+    cutoff = eligible.filter(F.col("bal") > 0).agg(F.avg("bal").alias("a"))
+    o = _t(spark, sf_dir, "orders")
+    return (
+        eligible.join(F.broadcast(cutoff))
+        .filter(F.col("bal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            eligible.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("bal").cast("double").alias("total_bal"),
+        )
+    )
