@@ -217,3 +217,19 @@ def test_q17_part_join_is_estimate_driven_not_hinted(spark):
             conf.set(k, v)
     for sub in _broadcast_subtrees(plan):
         assert "part.parquet" not in sub, sub
+
+
+def test_q15_scalar_max_broadcasts_not_sorts(spark):
+    """The revenue view's scalar MAX must reach the filter as a broadcast
+    one-row table — not via any global sort of the revenue relation."""
+    plan = _plan(QUERIES["q15_top_supplier"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q22_cutoff_broadcasts_and_anti_join_present(spark):
+    """The scalar-average cutoff is a one-row broadcast; the idle test compiles
+    to a genuine anti join (no correlated re-execution per row)."""
+    plan = _plan(QUERIES["q22_idle_balances"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan or "anti" in plan.lower(), plan
