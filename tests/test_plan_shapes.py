@@ -233,3 +233,12 @@ def test_q22_cutoff_broadcasts_and_anti_join_present(spark):
     plan = _plan(QUERIES["q22_idle_balances"](spark, SF))
     assert "BroadcastExchange" in plan
     assert "LeftAnti" in plan or "anti" in plan.lower(), plan
+
+
+def test_dedup_incremental_is_anti_join_no_cartesian(spark):
+    """The serve path must compile to a genuine anti join against the
+    persisted index keyed (bucket, fp) — never a cartesian or a full
+    re-dedup of both relations."""
+    plan = _plan(QUERIES["q_dedup_incremental"](spark, SF))
+    assert "LeftAnti" in plan or "anti" in plan.lower(), plan
+    assert "CartesianProduct" not in plan

@@ -97,3 +97,34 @@ def test_deterministic_split_null_key_is_deterministic_sentinel(spark):
     h = int(hashlib.md5(b"x|<null>").hexdigest()[:8], 16)
     expected = "a" if h < (1 << 31) else "b"
     assert out["null"] == expected
+
+
+def test_split_bands_partition_domain_property(spark):
+    """Property (hypothesis): for random split specs, the cumulative bands
+    exactly tile the 32-bit domain — no gap, no overlap, monotone bounds —
+    so every hash value maps to exactly one split."""
+    from hypothesis import given, settings, strategies as st
+
+    from plenario_mapper_spark.operators.sampling import split_thresholds
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(raw):
+        total = sum(raw)
+        fracs = {f"s{i}": v / total for i, v in enumerate(raw)}
+        # normalize rounding drift so the contract precondition holds
+        fracs[f"s{len(raw)-1}"] += 1.0 - sum(fracs.values())
+        bounds = split_thresholds(fracs)
+        uppers = [b for _, b in bounds]
+        assert uppers == sorted(uppers)
+        assert uppers[-1] == 1 << 32
+        assert all(0 <= b <= 1 << 32 for b in uppers)
+        assert len({n for n, _ in bounds}) == len(bounds)
+
+    check()
