@@ -27,7 +27,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an error) when either vector has zero
+    norm. Spark 4 runs ANSI mode, where a plain division makes ONE zero/empty
+    embedding anywhere in a 100 TB corpus a job-killing DIVIDE_BY_ZERO —
+    try_divide degrades it to a NULL score instead, which threshold filters
+    (NULL -> false) and desc rankings (nulls last) already handle."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -41,9 +46,12 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 
 def unit(a: Column) -> Column:
-    """L2-normalized copy (pre-normalizing once beats normalizing per pair)."""
+    """L2-normalized copy (pre-normalizing once beats normalizing per pair).
+    Zero-norm vectors normalize to all-NULL elements (try_divide, see cosine)
+    rather than raising under ANSI; their downstream dot products are NULL and
+    fall out of rankings."""
     n = norm(a)
-    return F.transform(a, lambda v: v / n)
+    return F.transform(a, lambda v: F.try_divide(v, n))
 
 
 def simhash_bucket(a: Column, planes: list[list[float]]) -> Column:

@@ -47,7 +47,9 @@ def brute_force_topk(
         .withColumn("n", V.norm(F.col("qv")))
         .select(
             "query_id",
-            F.transform(F.col("qv"), lambda x: x / F.col("n")).alias("qu"),
+            F.transform(
+                F.col("qv"), lambda x: F.try_divide(x, F.col("n"))
+            ).alias("qu"),
         )
     )
     it = (
@@ -59,7 +61,11 @@ def brute_force_topk(
         .withColumn("n", V.norm(F.col("iv")))
         .select(
             "item_id",
-            F.transform(F.col("iv"), lambda x: x / F.col("n")).alias("iu"),
+            # try_divide: a zero-norm vector must NULL out, not ANSI-error
+            # the whole index build (see functions/vector.cosine)
+            F.transform(
+                F.col("iv"), lambda x: F.try_divide(x, F.col("n"))
+            ).alias("iu"),
         )
         .persist()
     )

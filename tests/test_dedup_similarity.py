@@ -504,3 +504,34 @@ def test_fingerprint_index_build_and_incremental_serve(spark, tmp_path):
     # bucket partitioning is on disk (the partition-pruning serve contract)
     import os
     assert any(d.startswith("bucket=") for d in os.listdir(os.path.join(idx, "fps")))
+
+
+def test_zero_vector_degrades_to_null_score_not_ansi_error(spark):
+    """Spark 4 ANSI mode: one zero (or empty) embedding must not kill a
+    corpus-wide cosine job — scores NULL out and fall past thresholds and
+    desc rankings instead (regression: plain division raised DIVIDE_BY_ZERO)."""
+    from plenario_mapper_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [1.0, 2.0]),
+            (3, [2.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cos = df.alias("a").join(df.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        V.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+    )
+    got = {(r["ia"], r["ib"]): r["c"] for r in cos.collect()}
+    assert got[(1, 2)] is None and got[(1, 3)] is None
+    assert got[(2, 3)] == pytest.approx(1.0)
+    # the exact near-dup path stays total and drops the NULL pairs
+    pairs = SIM.exact_near_dup_pairs(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+    # brute-force top-k: zero vector ranks nothing but others still rank
+    out = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 2), k=2)
+    assert [r["item_id"] for r in out.collect()] == [3, 1] or [
+        r["item_id"] for r in out.collect()
+    ] == [3]

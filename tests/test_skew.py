@@ -128,3 +128,13 @@ def test_split_bands_partition_domain_property(spark):
         assert len({n for n, _ in bounds}) == len(bounds)
 
     check()
+
+
+def test_deterministic_sample_fraction_edges(spark):
+    """fraction=0 keeps nothing, fraction=1 keeps everything — the integer
+    gate has no floating-point boundary to leak a row at either extreme."""
+    from plenario_mapper_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+    assert deterministic_sample(df, "k", 1.0).count() == 500
