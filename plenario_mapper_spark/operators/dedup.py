@@ -591,6 +591,12 @@ def ngram_contamination(
     )
 
 
+# Version tag persisted with every fingerprint index: bump when the
+# canonicalization/tokenizer/hash underlying TX.fingerprint changes, so a
+# stale on-disk index is rejected instead of silently serving wrong novelty.
+FINGERPRINT_VERSION = "xxhash64-canontok-v1"
+
+
 def build_fingerprint_index(
     docs: DataFrame,
     index_dir: str,
@@ -606,6 +612,7 @@ def build_fingerprint_index(
     bucket partitioning is the serving payoff: a batch's fingerprints touch
     at most |batch| buckets, and partition pruning skips every other file at
     the scan — check cost scales with the BATCH, not the corpus."""
+    import json
     import os
 
     fps = (
@@ -616,6 +623,14 @@ def build_fingerprint_index(
     fps.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, "fps")
     )
+    # n_buckets is PART OF THE INDEX, not a serve-time choice: a serve pass
+    # recomputing buckets modulo a different N keys the anti-join on buckets
+    # the stored rows don't carry and silently lets every duplicate through.
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(
+            {"n_buckets": n_buckets, "fingerprint": FINGERPRINT_VERSION}, fh
+        )
 
 
 def dedup_against_index(
@@ -624,7 +639,6 @@ def dedup_against_index(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 64,
 ) -> DataFrame:
     """Incremental dedup serve path: keep only the new-batch docs whose
     canonical-token fingerprint is NOT already in the persisted corpus index
@@ -634,14 +648,37 @@ def dedup_against_index(
     index is read only in the touched buckets. Within-batch duplicates also
     collapse (keep-lowest-id), so the returned rows are exactly what a
     consumer appends to the corpus (and whose fps it merges into the index)."""
+    import json
     import os
 
-    idx = spark.read.parquet(os.path.join(index_dir, "fps"))
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("fingerprint") != FINGERPRINT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} was built with fingerprint "
+            f"{meta.get('fingerprint')!r}; this code serves {FINGERPRINT_VERSION!r}"
+            " - rebuild the index"
+        )
+    n_buckets = int(meta["n_buckets"])
     new = new_docs.withColumn("fp", TX.fingerprint(F.col(text_col))).withColumn(
         "bucket", F.pmod(F.col("fp"), F.lit(n_buckets)).cast("int")
     )
-    w_first = new.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    fresh = new.join(w_first, [id_col, "fp"]).join(
-        idx, ["bucket", "fp"], "left_anti"
+    # within-batch keep-first in ONE pass (a window, not a self-join that
+    # would re-run the tokenize+hash fingerprint over the batch text twice)
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
+    first = new.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    # STATIC bucket pruning: Spark's dynamic partition pruning does not cover
+    # the right side of a LeftAnti join (verified on the executed plan), so
+    # without this the serve pass scans and broadcasts the ENTIRE corpus
+    # index. The batch's distinct buckets are bounded by n_buckets (a driver
+    # collect of at most n_buckets ints), and the isin filter reaches the
+    # index scan as a PartitionFilter - serve cost now really does scale with
+    # the batch's touched buckets, as the build docstring promises.
+    touched = [r["bucket"] for r in first.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(os.path.join(index_dir, "fps")).filter(
+        F.col("bucket").isin(touched) if touched else F.lit(False)
     )
+    fresh = first.join(idx, ["bucket", "fp"], "left_anti")
     return fresh.drop("fp", "bucket")

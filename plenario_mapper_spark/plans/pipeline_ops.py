@@ -1304,15 +1304,20 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_MAX_WORD_FRAC = 0.2
 GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.05
 
-# Shared oracle CTE block: per-doc word/trigram repetition stats over `t`
-# (doc_id, toks). Docs under 3 tokens drop out (no trigram exists).
-_SQL_REP_STATS = """
-    w AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= 3),
+def _sql_rep_stats(min_tokens: int) -> str:
+    """Shared oracle CTE block: per-doc word/trigram repetition stats over `t`
+    (doc_id, toks), restricted to docs with >= min_tokens tokens (callers with
+    a higher length floor push it down here so sub-floor docs never pay the
+    unnest work — mirroring _doc_repetition_stats). min_tokens >= 3 always
+    (no trigram exists below 3)."""
+    assert min_tokens >= 3
+    return f"""
+    w AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) >= {min_tokens}),
     wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
     ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_wc FROM wc GROUP BY doc_id),
     g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
-          FROM t WHERE len(toks) >= 3),
+          FROM t WHERE len(toks) >= {min_tokens}),
     ts AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT gram) AS nd_tri
            FROM g GROUP BY doc_id),
     rep AS (SELECT ws.doc_id, ws.n_words, ws.max_wc, ts.n_tri, ts.nd_tri
@@ -1320,17 +1325,19 @@ _SQL_REP_STATS = """
 """
 
 
-def _doc_repetition_stats(d: DataFrame) -> DataFrame:
+def _doc_repetition_stats(d: DataFrame, min_tokens: int = 3) -> DataFrame:
     """Per-doc repetition evidence (doc_id, n_words, max_wc, n_tri, nd_tri):
     two explode->groupBy(doc_id, ...) partial aggregations (word counts via
     JVM explode, positional trigrams via the Arrow UDF), joined co-partitioned
     on doc_id. Shared by q_doc_gopher_repetition and the curation capstone so
-    the repetition semantics cannot drift between them. Docs with <3 word
-    tokens drop out (no trigram exists)."""
+    the repetition semantics cannot drift between them. min_tokens pushes a
+    caller's length floor BELOW the explodes, so sub-floor docs never pay the
+    gram work (>=3 always: no trigram exists below 3)."""
     from plenario_mapper_spark.functions.pandas_sigs import make_pos_ngrams_udf
 
+    assert min_tokens >= 3
     toks = TX.tokens(F.col("text"))
-    base = d.filter(F.size(toks) >= 3)
+    base = d.filter(F.size(toks) >= min_tokens)
     words = base.select("doc_id", F.explode(toks).alias("tok"))
     ws = (
         words.groupBy("doc_id", "tok")
@@ -1351,7 +1358,7 @@ def _doc_repetition_stats(d: DataFrame) -> DataFrame:
     "q_doc_gopher_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-    {_SQL_REP_STATS}
+    {_sql_rep_stats(3)}
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(ROUND(CAST(max_wc AS DOUBLE) / n_words, 6) AS DOUBLE) AS max_word_frac,
            CAST(ROUND(1.0 - CAST(nd_tri AS DOUBLE) / n_tri, 6) AS DOUBLE) AS dup_trigram_frac,
@@ -1655,12 +1662,11 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_curation_pipeline",
     oracle=f"""
     WITH t AS (SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents),
-    {_SQL_REP_STATS},
+    {_sql_rep_stats(10)},
     quality AS (
       SELECT t.doc_id, t.source, t.toks, rep.n_words
       FROM t JOIN rep USING (doc_id)
-      WHERE rep.n_words >= 10
-        AND CAST(max_wc AS DOUBLE) / n_words <= {GOPHER_MAX_WORD_FRAC}
+      WHERE CAST(max_wc AS DOUBLE) / n_words <= {GOPHER_MAX_WORD_FRAC}
         AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= {GOPHER_MAX_DUP_TRIGRAM_FRAC}),
     survivors AS (
       SELECT MIN(doc_id) AS doc_id
@@ -1702,10 +1708,9 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     quality = (
         d.select("doc_id", "source", "text")
-        .join(_doc_repetition_stats(d), "doc_id")
+        .join(_doc_repetition_stats(d, min_tokens=10), "doc_id")
         .filter(
-            (F.col("n_words") >= 10)
-            & (F.col("max_wc") / F.col("n_words") <= GOPHER_MAX_WORD_FRAC)
+            (F.col("max_wc") / F.col("n_words") <= GOPHER_MAX_WORD_FRAC)
             & (
                 F.lit(1.0) - F.col("nd_tri") / F.col("n_tri")
                 <= GOPHER_MAX_DUP_TRIGRAM_FRAC
@@ -1761,11 +1766,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ident = f"{src}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
         ident = src
+    # the cache key carries the fingerprint-semantics version alongside the
+    # data identity: a tokenizer/hash change in a later commit must MISS this
+    # cache, not silently serve an index built under the old semantics
+    ident = f"{ident}|{DD.FINGERPRINT_VERSION}|b64"
     index_dir = _os.path.join(
         tempfile.gettempdir(),
         f"fp_index_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
     )
-    if not _os.path.isfile(_os.path.join(index_dir, "fps", "_SUCCESS")):
+    if not (
+        _os.path.isfile(_os.path.join(index_dir, "fps", "_SUCCESS"))
+        and _os.path.isfile(_os.path.join(index_dir, "meta.json"))
+    ):
         DD.build_fingerprint_index(d.filter(F.col("doc_id") < 400), index_dir)
     batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "source", "text")
     return DD.dedup_against_index(spark, index_dir, batch).select(

@@ -1457,12 +1457,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH eligible AS (
       SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
       FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
-    cutoff AS (SELECT AVG(bal) AS a FROM eligible WHERE bal > 0)
+    cutoff AS (SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+                      SUM(bal) AS s
+               FROM eligible WHERE bal > 0)
     SELECT e.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
            CAST(SUM(e.bal) AS DOUBLE) AS total_bal
     FROM eligible e, cutoff
-    WHERE e.bal > cutoff.a
+    WHERE e.bal * cutoff.n > cutoff.s
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = e.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
@@ -1477,21 +1479,25 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no orders" is vacuously empty — the urgency predicate keeps the anti-join
     semantics real with ~10% survivors). Exercises the scalar-aggregate
     subquery (broadcast one-row cutoff) composed with a NOT EXISTS anti-join
-    against a filtered fact table. The
-    average runs over DECIMAL balances, so the cutoff — and therefore the
-    boundary rows — is bit-identical across engines; a double AVG could
-    disagree in the last bit and flip membership."""
+    against a filtered fact table. The above-average test is the
+    DIVISION-FREE form bal * count > sum over DECIMAL balances — exact
+    integer/decimal arithmetic in both engines. An AVG formulation is NOT
+    engine-stable even over DECIMAL input: DuckDB's AVG(DECIMAL) returns
+    DOUBLE while Spark's yields DECIMAL(p+4, s+4), so a balance lying between
+    the two rounded cutoffs would flip membership."""
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
     )
     eligible = c.select(
         "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
     )
-    cutoff = eligible.filter(F.col("bal") > 0).agg(F.avg("bal").alias("a"))
+    cutoff = eligible.filter(F.col("bal") > 0).agg(
+        F.count("*").cast("decimal(18,0)").alias("n"), F.sum("bal").alias("s")
+    )
     o = _t(spark, sf_dir, "orders")
     return (
         eligible.join(F.broadcast(cutoff))
-        .filter(F.col("bal") > F.col("a"))
+        .filter(F.col("bal") * F.col("n") > F.col("s"))
         .join(
             o.filter(F.col("o_orderpriority") == "1-URGENT"),
             eligible.c_custkey == o.o_custkey,

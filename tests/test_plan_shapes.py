@@ -235,10 +235,21 @@ def test_q22_cutoff_broadcasts_and_anti_join_present(spark):
     assert "LeftAnti" in plan or "anti" in plan.lower(), plan
 
 
-def test_dedup_incremental_is_anti_join_no_cartesian(spark):
+def test_dedup_incremental_is_anti_join_with_bucket_pruning(spark):
     """The serve path must compile to a genuine anti join against the
     persisted index keyed (bucket, fp) — never a cartesian or a full
-    re-dedup of both relations."""
+    re-dedup of both relations — AND the index scan must carry a static
+    bucket PartitionFilter (DPP does not cover a LeftAnti right side, so
+    without the explicit isin the whole corpus index is scanned and
+    broadcast per batch)."""
     plan = _plan(QUERIES["q_dedup_incremental"](spark, SF))
     assert "LeftAnti" in plan or "anti" in plan.lower(), plan
     assert "CartesianProduct" not in plan
+    idx_scans = [
+        ln for ln in plan.splitlines() if "fps" in ln and "PartitionFilters" in ln
+    ]
+    assert idx_scans, plan
+    assert any(
+        "INSET" in ln.split("PartitionFilters")[1] or "isin" in ln.lower()
+        for ln in idx_scans
+    ), idx_scans
