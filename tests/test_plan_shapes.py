@@ -253,3 +253,68 @@ def test_dedup_incremental_is_anti_join_with_bucket_pruning(spark):
         "INSET" in ln.split("PartitionFilters")[1] or "isin" in ln.lower()
         for ln in idx_scans
     ), idx_scans
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    """Q4's EXISTS must be a LEFT SEMI (one probe per order, however many
+    matching lineitems) — never an inner join + distinct, which would
+    duplicate-then-dedup the fact table at 100 TB."""
+    plan = _plan(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan or "semi" in plan.lower(), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+    assert any("l_returnflag" in ln for ln in pushed), plan
+
+
+def test_q19_envelope_predicates_reach_both_scans(spark):
+    """The OR-of-ANDs references both sides, but its single-side envelopes
+    (brand IN / quantity range) must still be inferred and pushed to each
+    scan — a Q19 that evaluates the disjunction only at the join reads both
+    tables whole."""
+    plan = _plan(QUERIES["q19_disjunctive_revenue"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), plan
+    assert any("l_quantity" in ln for ln in pushed), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_self_joins_key_on_orderkey_only(spark):
+    """Both correlated-subquery legs must lower to semi/anti joins keyed on
+    l_orderkey (the inequality stays a residual condition) — a plan that
+    turned the <> correlate into the join key would be a cartesian per
+    order. All lineitem legs must also prune to the two-column
+    (orderkey, suppkey) projection."""
+    plan = _plan(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert ("LeftSemi" in plan or "semi" in plan.lower()), plan
+    assert ("LeftAnti" in plan or "anti" in plan.lower()), plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "lineitem.parquet" in ln and "ReadSchema" in ln:
+            assert "l_extendedprice" not in ln, ln
+
+
+def test_q2_region_reduction_broadcasts_supply_min_reuses_shuffle(spark):
+    """The supplier->nation->region reduction must reach lineitem as a
+    broadcast; the per-part best-cost aggregate and its probe co-key on
+    l_partkey, so the decorrelated min must not introduce a range/global
+    sort anywhere."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q11_supval_is_computed_once(spark):
+    """The grouped view feeds both the row stream and the grand total; the
+    plan must reuse the aggregate's exchange (ReusedExchange or a reused
+    subquery), not recompute the lineitem scan twice... Spark reuses
+    exchanges only when the subtrees are identical — assert at most 2
+    lineitem scans (one per consumer) and that the one-row total arrives
+    via broadcast, not a sort."""
+    plan = _plan(QUERIES["q11_important_parts"](spark, SF))
+    assert "BroadcastExchange" in plan
+    n_scans = sum(
+        1 for ln in plan.splitlines()
+        if "lineitem.parquet" in ln and "Scan parquet" in ln
+    )
+    reused = "ReusedExchange" in plan or "ReusedSubquery" in plan
+    assert reused or n_scans <= 2, plan
