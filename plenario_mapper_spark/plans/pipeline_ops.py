@@ -495,6 +495,49 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_span_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i, array_to_string(toks[i+1:i+3], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
+            FROM docs WHERE len(toks) >= 3)),
+    dup AS (SELECT g, MIN(doc_id) AS own FROM grams
+            GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT DISTINCT gr.doc_id, gr.i + off.o AS p
+            FROM grams gr
+            JOIN dup d ON d.g = gr.g AND gr.doc_id <> d.own
+            CROSS JOIN (SELECT unnest(range(0, 3)) AS o) off),
+    toksp AS (
+      SELECT doc_id, i, toks[i+1] AS tok
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+            FROM docs WHERE len(toks) >= 1))
+    SELECT t.doc_id,
+           CAST(COUNT(*) FILTER (WHERE c.p IS NULL) AS BIGINT) AS kept_tokens,
+           CAST(COUNT(*) FILTER (WHERE c.p IS NOT NULL) AS BIGINT) AS removed_tokens,
+           md5(COALESCE(string_agg(t.tok, ' ' ORDER BY t.i) FILTER (WHERE c.p IS NULL), ''))
+             AS kept_md5
+    FROM toksp t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.i
+    GROUP BY t.doc_id
+    """,
+)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (operators/dedup.exact_span_dedup): every word
+    trigram span occurring in >1 document survives only in its lowest-id
+    owner; other documents lose the covered token positions. The oracle
+    recomputes ownership/coverage by gram STRING while the operator joins on
+    md5 digests — identical partitions (the digest identification is exact),
+    so per-doc kept/removed counts AND the order-preserving md5 of the
+    surviving text must agree byte-for-byte. Trigrams (production k~50)
+    because this 40-word synthetic vocabulary only repeats short spans."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_span_dedup(d, "doc_id", "text", k=3)
+
+
+@register(
     "q_ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (

@@ -535,3 +535,58 @@ def test_zero_vector_degrades_to_null_score_not_ansi_error(spark):
     assert [r["item_id"] for r in out.collect()] == [3, 1] or [
         r["item_id"] for r in out.collect()
     ] == [3]
+
+
+def test_exact_span_dedup_ownership_and_rebuild(spark):
+    """Hand-computed ExactSubstr semantics: the duplicated trigram 'a b c'
+    (docs 0, 1, 2) survives only in its lowest-id owner; other docs lose the
+    covered positions, order of the survivors is preserved, and a fully
+    covered doc degrades to the empty digest (not NULL / not dropped)."""
+    import hashlib
+
+    from plenario_mapper_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "x a b c y"),
+            (2, "a b c"),
+            (3, "p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in DD.exact_span_dedup(docs, k=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["kept_tokens"], out[0]["removed_tokens"]) == (5, 0)
+    assert out[0]["kept_md5"] == md5("a b c d e")
+    # doc 1: only positions 1-3 ('a b c') are covered; 'x' and 'y' survive in order
+    assert (out[1]["kept_tokens"], out[1]["removed_tokens"]) == (2, 3)
+    assert out[1]["kept_md5"] == md5("x y")
+    # doc 2 is fully covered -> empty string digest, row still present
+    assert (out[2]["kept_tokens"], out[2]["removed_tokens"]) == (0, 3)
+    assert out[2]["kept_md5"] == md5("")
+    # doc 3 shares nothing
+    assert (out[3]["kept_tokens"], out[3]["removed_tokens"]) == (4, 0)
+
+
+def test_exact_span_dedup_overlapping_spans_union_coverage(spark):
+    """Two duplicated spans overlapping in one victim must remove the UNION of
+    their positions exactly once (collect_set coverage, no double counting)."""
+    from plenario_mapper_spark.operators import dedup as DD
+
+    # victim 13 contains 'a b c d' => duplicated trigrams 'a b c' (owner 10)
+    # and 'b c d' (owner 12, since 12 < 13) cover its positions 1..4 jointly:
+    # 4 removed, not 6 (the overlap at 'b c' is removed once).
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c z z"),
+            (12, "b c d z z"),
+            (13, "q a b c d q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.exact_span_dedup(docs, k=3).collect()}
+    assert (out[13]["kept_tokens"], out[13]["removed_tokens"]) == (2, 4)
+    assert (out[10]["removed_tokens"], out[12]["removed_tokens"]) == (0, 0)
