@@ -29,6 +29,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q_window_rank",
     "q_events_sessionize",
+    # widest join tree in the TPC-H completion set (5-table star, LIKE prune)
+    "q9_product_type_profit",
     # training-data ops
     "q_dedup_exact_docs",
     "q_dedup_minhash",
