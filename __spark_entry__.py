@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # untouched since their green rows+schema+hash rows in CORRECTNESS_r03.json;
 # local tools/t2.py + tests/test_oracle.py keep mirroring them per-commit
 # (all 83 oracle-backed queries MATCH at the time of writing).
+#
+# Added later in round 4 (mid-positioned, i.e. OUTSIDE this round's 50-slot
+# window by construction — the window was already committed to the 21 stale
+# rows + 3 red-fixes + this round's earlier additions): the TPC-H completion
+# nine (q2/q4/q9/q11/q12/q16/q19/q20/q21) and q_doc_span_dedup. All are
+# local-t2 MATCH at sf0.01; they are the round-5 rotation's first claimants.
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     # (the three stale rows-only entries — two sketches + minhash — yield

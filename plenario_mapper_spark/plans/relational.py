@@ -2002,3 +2002,74 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
+
+
+@register(
+    "q_events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, MIN(bucket) AS h0, MAX(bucket) AS h1
+              FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+             FROM spans)
+    SELECT g.event_type, CAST(g.bucket AS TIMESTAMP) AS bucket,
+           CAST(COALESCE(hy.n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(hy.v IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_value,
+           hy.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly hy
+      ON hy.event_type = g.event_type AND hy.bucket = g.bucket
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (the resample/interpolate operator
+    every metrics pipeline needs and SQL engines bolt on as gapfill()/
+    time_bucket_gapfill): densify each series to a complete hourly grid
+    between ITS OWN first and last observation, mark the synthesized buckets,
+    and carry the last observed hourly aggregate forward across gaps.
+
+    Scale shape: the grid derives from the per-series (min, max) span — one
+    row per series before the explode, so the generated rows are bounded by
+    observed span / step per series, never by the global time range (a series
+    live for a day costs 24 rows even in a table spanning years; a corrupt
+    future timestamp inflates only its own series). The left join back to the
+    observed buckets and the forward-fill window both key on the series id:
+    with AQE the grid side is measured-small per group and every stage after
+    the first aggregation is series-partitioned — no global sort, no
+    cross-series traffic. The fill is last(ignorenulls) over an unbounded
+    preceding frame — O(1) running state per series, not a per-gap backward
+    scan. First bucket of each series is observed by construction, so
+    filled_value is total. The hourly sum goes through DECIMAL(18,2) (the
+    q_events_tumbling_window discipline) so the carried value is
+    engine-exact."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum(_dec("value")).alias("v"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("h0"), F.max("bucket").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

@@ -138,3 +138,44 @@ def test_deterministic_sample_fraction_edges(spark):
     df = spark.range(0, 500).withColumnRenamed("id", "k")
     assert deterministic_sample(df, "k", 0.0).count() == 0
     assert deterministic_sample(df, "k", 1.0).count() == 500
+
+
+def test_gap_fill_per_series_span_and_forward_fill(spark):
+    """Gap-fill semantics on a hand-built two-series frame: the grid is each
+    series' OWN [min, max] span (series b does not inherit series a's range),
+    synthesized buckets carry n_events=0 / is_gap=true, and the filled value
+    is the last OBSERVED hourly sum, carried across consecutive gaps."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.plans import QUERIES
+
+    e = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 1.0),
+            ("a", "2024-01-01 00:40:00", 2.0),
+            # hours 01 and 02 missing for series a
+            ("a", "2024-01-01 03:05:00", 7.0),
+            ("b", "2024-01-01 02:00:00", 5.0),
+        ],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # drive the registered plan against a temp parquet dir shaped like a sf dir
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        e.write.parquet(os.path.join(d, "events.parquet"))
+        rows = {
+            (r["event_type"], str(r["bucket"])): r
+            for r in QUERIES["q_events_gap_fill"](spark, d).collect()
+        }
+    # series a: 4 buckets (00..03), two synthesized
+    a_keys = sorted(k for k in rows if k[0] == "a")
+    assert len(a_keys) == 4
+    g1 = rows[("a", "2024-01-01 01:00:00")]
+    g2 = rows[("a", "2024-01-01 02:00:00")]
+    assert g1["is_gap"] and g2["is_gap"]
+    assert g1["n_events"] == 0 and g2["n_events"] == 0
+    assert g1["filled_value"] == 3.0 and g2["filled_value"] == 3.0
+    assert rows[("a", "2024-01-01 03:00:00")]["filled_value"] == 7.0
+    # series b: exactly its own single bucket — no inherited span
+    assert sorted(k for k in rows if k[0] == "b") == [("b", "2024-01-01 02:00:00")]
+    assert not rows[("b", "2024-01-01 02:00:00")]["is_gap"]
