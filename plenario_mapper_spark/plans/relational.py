@@ -1577,10 +1577,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     l = _t(spark, sf_dir, "lineitem")
+    # supply feeds TWO lineages (best and the probe); without the persist each
+    # recomputes the full lineitem scan + aggregate (verified: 2 scans, no
+    # ReusedExchange — the consumers' differing column pruning makes the
+    # subtrees non-identical). Persisting the reduced (part, supp, cost)
+    # relation — ~1/7th of lineitem's rows, 3 narrow columns — halves the
+    # dominant scan+shuffle, the q_doc_tfidf_top_terms pattern.
     supply = (
         l.join(F.broadcast(asia.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .persist()
     )
     best = supply.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("best_cost")
