@@ -1,0 +1,97 @@
+"""Declarative data-quality constraint checking (the deequ/dbt-test shape).
+
+A training-data pipeline gates every ingest on a battery of table constraints
+— key uniqueness, null rates, accepted domains, value ranges. Run naively
+that is one scan per check; at 100 TB, k checks = k full-table reads. This
+module compiles the whole check battery into ONE aggregation pass: every
+constraint lowers to an aggregate expression (conditional count, exact
+distinct count), Spark computes them side by side in a single partial+final
+hash agg over a single scan, and the one-row result explodes into the
+per-check report. Adding a check adds a column to the agg, not a pass over
+the data.
+
+Checks are data, not code (name + params), so a registry/config can own the
+battery and the report is joinable history: (check_name, violations, passed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: `kind` in {not_null, unique, accepted_values, in_range,
+    non_negative, row_count_min}. `violations` semantics per kind:
+    - not_null: rows where any of `cols` is NULL
+    - unique: non-null duplicate rows = COUNT(col) - COUNT(DISTINCT col)
+      (NULL keys are the not_null check's business, counted once there)
+    - accepted_values: non-null rows outside `values`
+    - in_range: non-null rows outside [lo, hi]
+    - non_negative: non-null rows < 0
+    - row_count_min: max(0, min_rows - COUNT(*)) — a short table 'violates'
+      by its shortfall, so the report stays a plain count column"""
+
+    name: str
+    kind: str
+    cols: tuple[str, ...] = ()
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    min_rows: int = 0
+
+
+def _violations(c: Check) -> Column:
+    col = F.col(c.cols[0]) if c.cols else None
+    if c.kind == "not_null":
+        pred = F.lit(False)
+        for name in c.cols:
+            pred = pred | F.col(name).isNull()
+        return F.sum(F.when(pred, 1).otherwise(0))
+    if c.kind == "unique":
+        return F.count(col) - F.count_distinct(col)
+    if c.kind == "accepted_values":
+        return F.sum(F.when(col.isNotNull() & ~col.isin(*c.values), 1).otherwise(0))
+    if c.kind == "in_range":
+        return F.sum(
+            F.when(col.isNotNull() & ~col.between(c.lo, c.hi), 1).otherwise(0)
+        )
+    if c.kind == "non_negative":
+        return F.sum(F.when(col < 0, 1).otherwise(0))
+    if c.kind == "row_count_min":
+        return F.greatest(F.lit(c.min_rows) - F.count(F.lit(1)), F.lit(0))
+    raise ValueError(f"unknown check kind: {c.kind!r}")
+
+
+def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run the battery in one aggregation pass over one scan; returns
+    (check_name STRING, violations BIGINT, passed BOOLEAN), one row per
+    check, in no guaranteed order (it's a report table, join/filter it).
+
+    Scale: the agg has no grouping key, so the partial aggregates are one
+    row per task and the final agg is a single-row reduce — the cost is the
+    scan, paid once for the whole battery. Only the checked columns are
+    read (column pruning sees through the conditional counts)."""
+    aggs = [
+        F.coalesce(_violations(c).cast("long"), F.lit(0)).alias(c.name)
+        for c in checks
+    ]
+    row = df.agg(*aggs)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c.name).alias("check_name"),
+                    F.col(c.name).alias("violations"),
+                )
+                for c in checks
+            ]
+        )
+    ).alias("r")
+    return row.select(report).select(
+        "r.check_name",
+        "r.violations",
+        (F.col("r.violations") == 0).alias("passed"),
+    )

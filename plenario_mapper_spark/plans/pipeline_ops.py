@@ -495,6 +495,74 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_constraints",
+    oracle="""
+    SELECT 'orderkey_not_null' AS check_name,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('P', 'O', 'F') THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('P', 'O', 'F') THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_range',
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND o_totalprice NOT BETWEEN 0 AND 1000000000 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice IS NOT NULL
+                     AND o_totalprice NOT BETWEEN 0 AND 1000000000 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'row_count_min',
+           CAST(GREATEST(1000 - COUNT(*), 0) AS BIGINT),
+           GREATEST(1000 - COUNT(*), 0) = 0
+    FROM orders
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint battery (operators/quality.check_constraints) on
+    the orders table: key nullability + uniqueness, status domain, price
+    range, minimum row count. The whole battery is ONE aggregation pass over
+    ONE scan (each check is an aggregate expression computed side by side) —
+    the oracle's six UNION ALL scans recompute the same metrics the portable
+    way; the Spark plan pays one. Violation semantics per check documented
+    on operators.quality.Check."""
+    from plenario_mapper_spark.operators import quality as QC
+
+    o = _t(spark, sf_dir, "orders")
+    return QC.check_constraints(
+        o,
+        [
+            QC.Check("orderkey_not_null", "not_null", cols=("o_orderkey",)),
+            QC.Check("orderkey_unique", "unique", cols=("o_orderkey",)),
+            QC.Check(
+                "status_domain", "accepted_values",
+                cols=("o_orderstatus",), values=("P", "O", "F"),
+            ),
+            QC.Check(
+                "totalprice_range", "in_range",
+                cols=("o_totalprice",), lo=0, hi=1_000_000_000,
+            ),
+            QC.Check("custkey_not_null", "not_null", cols=("o_custkey",)),
+            QC.Check("row_count_min", "row_count_min", min_rows=1000),
+        ],
+    )
+
+
+@register(
     "q_doc_span_dedup",
     oracle="""
     WITH docs AS (

@@ -1,0 +1,76 @@
+"""Constraint-battery semantics + the one-scan plan contract."""
+
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.operators import quality as QC
+
+
+def _report(df, checks):
+    return {r["check_name"]: (r["violations"], r["passed"])
+            for r in QC.check_constraints(df, checks).collect()}
+
+
+def test_violation_semantics_on_dirty_frame(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (1, "B", -5.0),      # dup key, bad domain, negative
+            (None, "A", 3.0),    # null key
+            (2, None, 2000.0),   # null domain col (not a domain violation), out of range
+        ],
+        "k long, status string, price double",
+    )
+    rep = _report(
+        df,
+        [
+            QC.Check("k_not_null", "not_null", cols=("k",)),
+            QC.Check("k_unique", "unique", cols=("k",)),
+            QC.Check("status_domain", "accepted_values", cols=("status",), values=("A", "B")),
+            QC.Check("price_range", "in_range", cols=("price",), lo=0, hi=100),
+            QC.Check("price_non_negative", "non_negative", cols=("price",)),
+            QC.Check("min_rows", "row_count_min", min_rows=10),
+        ],
+    )
+    assert rep["k_not_null"] == (1, False)
+    assert rep["k_unique"] == (1, False)          # one non-null duplicate
+    assert rep["status_domain"] == (0, True)      # NULL status is not a domain violation
+    assert rep["price_range"] == (2, False)       # -5 and 2000
+    assert rep["price_non_negative"] == (1, False)
+    assert rep["min_rows"] == (6, False)          # shortfall of 6 rows
+
+
+def test_clean_frame_all_pass_and_empty_battery_edge(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, status string")
+    rep = _report(
+        df,
+        [
+            QC.Check("k_unique", "unique", cols=("k",)),
+            QC.Check("min_rows", "row_count_min", min_rows=2),
+        ],
+    )
+    assert rep == {"k_unique": (0, True), "min_rows": (0, True)}
+
+
+def test_battery_is_one_scan(spark, tmp_path):
+    """Six checks must compile to a single scan of the table — the whole point
+    vs the oracle's six UNION ALL passes."""
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = QC.check_constraints(
+        df,
+        [
+            QC.Check("id_not_null", "not_null", cols=("id",)),
+            QC.Check("id_unique", "unique", cols=("id",)),
+            QC.Check("v_range", "in_range", cols=("v",), lo=0, hi=6),
+            QC.Check("v_non_negative", "non_negative", cols=("v",)),
+            QC.Check("min_rows", "row_count_min", min_rows=1),
+            QC.Check("v_domain", "accepted_values", cols=("v",), values=tuple(range(7))),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
+    assert scans == 1, plan
+    assert {r["passed"] for r in out.collect()} == {True}
