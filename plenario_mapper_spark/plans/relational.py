@@ -2080,3 +2080,29 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().alias("is_gap"),
         )
     )
+
+
+@register("q_agg_hll_rollup")  # rows-only: sketch estimates are engine-specific
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB distinct-count serving pattern.
+    approx_count_distinct (q_agg_approx_distinct) answers ONE granularity per
+    scan; this materializes per-(series, day) HLL sketches once —
+    `hll_sketch_agg`, a binary column you'd persist with the daily rollup —
+    and answers every coarser window by `hll_union_agg` over sketches, no
+    re-scan of the fact table. Datasketches HLL union is lossless at equal
+    lgConfigK: the merged estimate is bit-identical to sketching the raw
+    stream whole (asserted in tests), so serving from the rollup sacrifices
+    nothing vs the direct scan. Scale: the daily pre-agg is the only pass
+    over events; the union pass reduces |days| x |series| sketch rows of
+    ~2^lgK bytes each."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )

@@ -179,3 +179,39 @@ def test_gap_fill_per_series_span_and_forward_fill(spark):
     # series b: exactly its own single bucket — no inherited span
     assert sorted(k for k in rows if k[0] == "b") == [("b", "2024-01-01 02:00:00")]
     assert not rows[("b", "2024-01-01 02:00:00")]["is_gap"]
+
+
+def test_hll_rollup_merge_is_lossless_and_bounded(spark):
+    """The sketch rollup's contract: (a) union-merging per-day sketches gives
+    the SAME estimate as sketching the whole stream directly (Datasketches
+    HLL merge is lossless at equal lgConfigK) — serving coarse windows from
+    the persisted daily rollup sacrifices nothing; (b) the estimate is
+    within HLL's error bound of the exact distinct count."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rollup = {
+        r["event_type"]: r["est_users"]
+        for r in QUERIES["q_agg_hll_rollup"](spark, sf).collect()
+    }
+    e = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    direct = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rollup == direct  # lossless merge, bit-identical estimates
+    for et, est in rollup.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
