@@ -327,3 +327,29 @@ def test_resize_degenerate_image_degrades_not_dies(spark):
     rows = {r["doc_id"]: r for r in MM.resize_images(df, 8, 4).collect()}
     assert rows[0]["payload"] is None and rows[0]["resize_version"] == "unsupported"
     assert rows[1]["payload"] is None and rows[1]["resize_version"] == "unsupported"
+
+
+def test_native_udtf_direct_and_lateral(spark):
+    """The §2.G table-function surface via the first-class @udtf API: direct
+    invocation and a SQL LATERAL join both fan one row out to typed rows;
+    empty text yields zero rows (generator semantics, not a NULL row)."""
+    from pyspark.sql.functions import lit
+
+    from plenario_mapper_spark.functions.udtf_sigs import ChunkWords, register_udtfs
+
+    direct = ChunkWords(lit("a b c d e"), lit(2)).collect()
+    assert [(r["chunk"], r["idx"], r["n_tokens"]) for r in direct] == [
+        ("a b", 0, 2), ("c d", 1, 2), ("e", 2, 1),
+    ]
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "x y z"), (2, "")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.chunk, c.idx FROM udtf_docs d, "
+        "LATERAL chunk_words(d.text, 2) c ORDER BY d.doc_id, c.idx"
+    ).collect()
+    assert [(r["doc_id"], r["chunk"], r["idx"]) for r in rows] == [
+        (1, "x y", 0), (1, "z", 1),
+    ]  # doc 2 (empty text) contributes no rows
