@@ -1,0 +1,88 @@
+"""Incremental rollup maintenance — update a persisted aggregate from a batch,
+touching only the partitions the batch lands in.
+
+The continuous-aggregate shape (`q_time_rollup`) answers "recompute the rollup
+from the facts"; at 100 TB you cannot afford that per ingest. The maintained
+form: keep the rollup as a day-partitioned parquet table of MERGEABLE partial
+aggregates (counts, decimal sums — anything with an associative merge), and on
+each batch (1) partially aggregate the batch alone, (2) read back ONLY the
+rollup partitions for days the batch touches, (3) merge, (4) rewrite exactly
+those partitions via dynamic partition overwrite. Cost scales with the batch
+and the touched-day set, never with rollup history — the same
+check-cost-scales-with-batch contract as `dedup.dedup_against_index`.
+
+Late/out-of-order data is handled by construction: a late row simply touches
+an old day, whose partition is read-merged-rewritten like any other. The
+merge is exact because the stored measures are mergeable partials (no
+averages stored — derive avg = sum/n at query time).
+
+Crash safety: dynamic partition overwrite stages each partition's replacement
+files before committing, and a re-run of the same batch after a crash is NOT
+idempotent (it would double-merge) — the caller pairs this with its ingest
+ledger (e.g. the streaming checkpoint's batch id) exactly as the reference
+pairs Redshift INSERTs with Kinesis checkpoints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def daily_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """The mergeable per-(day, event_type) partial: n + DECIMAL sum (avg is
+    derived at read time; storing it would break mergeability)."""
+    return events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def update_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    batch: DataFrame,
+    ts_col: str = "ts",
+) -> list[str]:
+    """Merge a batch into the persisted day-partitioned rollup; returns the
+    ISO days rewritten. Reads back only touched partitions (static partition
+    filter -> parquet PartitionFilters prune the rest of history), merges by
+    (day, event_type), rewrites only those partitions (dynamic overwrite
+    leaves untouched days' files alone)."""
+    from pyspark.errors import AnalysisException
+
+    delta = daily_rollup(batch, ts_col)
+    # touched-day list is driver-side by design: it is O(days-in-batch) — a
+    # handful of values even for a very late-skewed batch — and it must be a
+    # literal so the read-back becomes a static PartitionFilter.
+    days = [r["day"].isoformat() for r in delta.select("day").distinct().collect()]
+    try:
+        existing = spark.read.parquet(rollup_path).filter(
+            F.col("day").cast("string").isin(days)
+        )
+        merged = (
+            delta.unionByName(existing)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+            )
+        )
+    except AnalysisException:  # first batch: nothing persisted yet
+        merged = delta
+    saved = spark.conf.get(_OVERWRITE_MODE, "static")
+    try:
+        spark.conf.set(_OVERWRITE_MODE, "dynamic")
+        # merged READS the partitions the write replaces: materialize it before
+        # the overwrite commits (localCheckpoint severs the lineage), so
+        # correctness never leans on the writer's staging order. The
+        # checkpointed relation is O(touched days x series) rows — tiny.
+        merged.localCheckpoint().write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(rollup_path)
+    finally:
+        spark.conf.set(_OVERWRITE_MODE, saved)
+    return sorted(days)
