@@ -563,6 +563,60 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(n_tokens) AS tok_total,
+             SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS sqrt_total
+      FROM per_source)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / t.tok_total AS actual_frac,
+           SQRT(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_total AS target_frac,
+           (SQRT(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_total)
+             / (CAST(p.n_tokens AS DOUBLE) / t.tok_total) AS sample_weight
+    FROM per_source p, tot t
+    """,
+)
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing weights — the data-mixing step before
+    training: per-source token mass, its share of the corpus, a
+    temperature-flattened target share (T=2: target proportional to
+    sqrt(mass), the multilingual up/down-sampling rule), and the per-source
+    sampling weight target/actual that a weighted sampler (H6's hash gate
+    with per-source fractions) consumes. One scan computes per-source
+    partials; the two corpus totals are a one-row broadcast (q11's
+    scalar-aggregate shape). Doubles are safe here: both engines compute
+    sqrt/divide over identical BIGINT-derived doubles (IEEE-identical), and
+    the only cross-row double sum (sqrt_total, one term per SOURCE, not per
+    row) sits far above the 6-decimal comparison grid."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("sqrt_total"),
+    )
+    actual = F.col("n_tokens").cast("double") / F.col("tok_total")
+    target = F.sqrt(F.col("n_tokens").cast("double")) / F.col("sqrt_total")
+    return (
+        per_source.join(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            actual.alias("actual_frac"),
+            target.alias("target_frac"),
+            (target / actual).alias("sample_weight"),
+        )
+    )
+
+
+@register(
     "q_doc_span_dedup",
     oracle="""
     WITH docs AS (

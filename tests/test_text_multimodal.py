@@ -353,3 +353,20 @@ def test_native_udtf_direct_and_lateral(spark):
     assert [(r["doc_id"], r["chunk"], r["idx"]) for r in rows] == [
         (1, "x y", 0), (1, "z", 1),
     ]  # doc 2 (empty text) contributes no rows
+
+
+def test_mixture_weights_invariants(spark):
+    """Mixture-weight contract: both fraction columns are distributions
+    (sum to 1), resampling by the weights lands exactly on the target
+    mixture, and the temperature flattening upweights small sources,
+    downweights large ones (weight strictly decreasing in source size)."""
+    from plenario_mapper_spark.plans import QUERIES
+
+    rows = QUERIES["q_doc_mixture_weights"](spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r["actual_frac"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["target_frac"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["actual_frac"] * r["sample_weight"] - r["target_frac"]) < 1e-12
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    weights = [r["sample_weight"] for r in by_size]
+    assert weights == sorted(weights, reverse=True)
