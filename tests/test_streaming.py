@@ -490,3 +490,71 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # must not re-emit it or bump its count
     assert ("2024-01-01T00:00:00", 1) in rows
     assert not any(s.startswith("2024-01-01T00:00") and n == 2 for s, n in rows)
+
+
+def test_streaming_incremental_rollup_maintenance(spark, tmp_path):
+    """The H17 maintained-aggregate lifecycle as a real stream: each
+    foreachBatch folds its micro-batch into the persisted day-partitioned
+    rollup (update_rollup), new files arriving between runs become new
+    micro-batches via the checkpoint, and after all batches the maintained
+    rollup equals a full recompute over everything ingested — including a
+    late row that lands in an already-written day partition."""
+    import os
+
+    from plenario_mapper_spark.operators import incremental as IC
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+    rollup_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts string, event_type string, value double")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _bid: IC.update_rollup(spark, rollup_path, batch)
+                if batch.count()
+                else None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        {"ts": "2024-01-01T01:00:00", "event_type": "click", "value": 1.5},
+        {"ts": "2024-01-01T02:00:00", "event_type": "view", "value": 4.0},
+    ]
+    batch2 = [
+        {"ts": "2024-01-02T01:00:00", "event_type": "click", "value": 10.0},
+        {"ts": "2024-01-01T23:00:00", "event_type": "click", "value": 0.5},  # late
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in batch1:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+    with open(src / "b2.json", "w") as f:
+        for r in batch2:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+
+    all_rows = (
+        spark.read.schema("ts string, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"]): (r["n"], float(r["sum_value"]))
+        for r in IC.daily_rollup(all_rows).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01", "click")] == (2, 2.0)  # late row merged into day 1
