@@ -2106,3 +2106,133 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_days"),
         )
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT 'signup' AS stage, CAST(1 AS INT) AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'click_after_signup', 2, CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase_after_click', 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup -> click -> purchase, strictly ordered
+    per user): stage k counts users whose earliest stage-k event follows
+    their earliest stage-(k-1) completion — the product-analytics query every
+    event store ships as a primitive. Each stage is a conditional-min
+    aggregate joined back to the previous stage's (user, ts) result: ALL
+    shuffles key on user_id, so after the first stage's exchange the
+    subsequent joins and aggs co-locate (no re-key anywhere, and the
+    per-stage relations shrink monotonically — stage joins get cheaper as
+    the funnel narrows). The per-type filters push into each scan pass;
+    timestamps compare exactly (no bucketing), so the strict ordering is
+    engine-stable."""
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df, stage, step):
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(step).cast("int").alias("step"),
+            F.count("*").cast("long").alias("users"),
+        )
+
+    return (
+        _count(s1, "signup", 1)
+        .unionByName(_count(s2, "click_after_signup", 2))
+        .unionByName(_count(s3, "purchase_after_click", 3))
+    )
+
+
+@register(
+    "q_events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+    SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucket into the week they first appear;
+    cell (cohort, k) counts members active k weeks later, normalized by
+    cohort size. The classic retention triangle. Scale shape: the first-seen
+    reduction and the activity join BOTH key on user_id (one exchange each,
+    co-located); the distinct (user, cohort, offset) dedup is map-side
+    partial; cohort sizes are a tiny relation joined broadcast onto the
+    ~(weeks x weeks)/2 result. Week bucketing uses date_trunc('week') in
+    both engines (ISO Monday weeks), and the offset is whole weeks between
+    truncated stamps — integer-exact."""
+    e = _events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
