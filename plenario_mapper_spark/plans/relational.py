@@ -2236,3 +2236,59 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_events_winsorized",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(GREATEST(LEAST(e.value, c.hi), c.lo) AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clamp each series to its own exact
+    [p05, p95] band, count the clipped tails, and report the outlier-robust
+    mean — the metric-hygiene pass run before alerting thresholds are fit.
+    The percentile cutoffs are EXACT (linear interpolation, the
+    q_agg_percentiles parity); cutoffs are a per-series one-row relation
+    broadcast back onto the events scan, so the clamp pass is map-side —
+    two passes total over events (one sort-based percentile, one clamp+agg),
+    no per-row Python. The clamped sum goes through DECIMAL(18,2) (the
+    established double->decimal cast parity) so the mean is
+    order-independent; boundary classification is engine-stable because an
+    integral (n-1)*q rank makes the cutoff an exact data value in both
+    engines, and a fractional rank interpolates strictly between two data
+    points no raw value can equal."""
+    e = _events(spark, sf_dir)
+    cuts = e.groupBy(F.col("event_type").alias("c_type")).agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return (
+        e.join(F.broadcast(cuts), e.event_type == F.col("c_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            (
+                F.sum(clamped.cast("decimal(18,2)")).cast("double") / F.count("*")
+            ).alias("winsorized_mean"),
+        )
+    )
