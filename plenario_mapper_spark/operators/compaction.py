@@ -86,21 +86,36 @@ def compact_dataset(
     target_file_bytes: str = "128m",
 ) -> tuple[int, int]:
     """Rewrite a fragmented local parquet dataset in place; returns
-    (files_before, files_after). Crash-safe ordering: the compacted copy is
-    fully written to a sibling temp dir first, then swapped in by rename —
-    the original is never deleted before its replacement is durable, and a
-    crash mid-swap leaves either the old or the new complete directory (plus
-    at worst an orphan temp dir to GC), never a partial table."""
+    (files_before, files_after). Durability ordering: the compacted copy is
+    fully written to a sibling temp dir first, and the original is never
+    deleted before its replacement is in place — a crash never loses data
+    and never leaves a PARTIAL table. The swap itself is two renames, so
+    there IS a brief window where the live path is absent (plain
+    filesystems have no atomic directory exchange); a crash inside it
+    leaves the complete original at the DETERMINISTIC sibling
+    `_<name>.old` — recovery is `mv` it back, and this function refuses to
+    start while such a sibling exists rather than silently burying it.
+    Concurrent readers must be fenced by the caller's scheduler (the same
+    requirement every non-transactional table rewrite has; a table format
+    with a metadata pointer is the upgrade path when readers can't pause)."""
+    import shutil
+
     before, _, _ = file_stats(spark, path)
     df = spark.read.parquet(path)
     parent, name = os.path.dirname(path.rstrip("/")), os.path.basename(path.rstrip("/"))
     tmp = os.path.join(parent, f"_{name}.compact-{uuid.uuid4().hex[:8]}")
-    old = os.path.join(parent, f"_{name}.old-{uuid.uuid4().hex[:8]}")
+    old = os.path.join(parent, f"_{name}.old")
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"{old} exists — a previous swap did not finish; restore or remove it first"
+        )
     write_compacted(df, tmp, partition_by, target_file_bytes)
     os.rename(path, old)
-    os.rename(tmp, path)
-    import shutil
-
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll the original back into place
+        raise
     shutil.rmtree(old)
     after, _, _ = file_stats(spark, path)
     return before, after

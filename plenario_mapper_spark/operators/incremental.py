@@ -32,12 +32,28 @@ _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 def daily_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """The mergeable per-(day, event_type) partial: n + DECIMAL sum (avg is
-    derived at read time; storing it would break mergeability)."""
-    return events.groupBy(
-        F.to_date(F.col(ts_col)).alias("day"), "event_type"
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    derived at read time; storing it would break mergeability).
+
+    Rows with a NULL timestamp are excluded: to_date(NULL) has no day to land
+    in, and a day=NULL partition would poison both the touched-day literal
+    list and the partition layout. Malformed timestamps are the ingest
+    dead-letter path's business (operators/mapper routes them); an aggregate
+    maintainer must not silently fold them into some arbitrary day.
+
+    The stored sum is pinned to DECIMAL(18,2) AFTER the aggregate: Spark
+    widens SUM(decimal(18,2)) to decimal(28,2), and persisting that on one
+    code path while another writes (18,2) splits the dataset across two
+    parquet physical types (FIXED_LEN_BYTE_ARRAY vs INT64) — readers then
+    fail on whichever footer schema inference didn't pick."""
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
     )
 
 
@@ -54,7 +70,11 @@ def update_rollup(
     leaves untouched days' files alone)."""
     from pyspark.errors import AnalysisException
 
-    delta = daily_rollup(batch, ts_col)
+    # localCheckpoint materializes the batch aggregate ONCE — it feeds both
+    # the touched-day collect and the merge; without it the full batch scan +
+    # groupBy re-runs at write time (and the whole module's contract is that
+    # cost scales with ONE pass over the batch).
+    delta = daily_rollup(batch, ts_col).localCheckpoint()
     # touched-day list is driver-side by design: it is O(days-in-batch) — a
     # handful of values even for a very late-skewed batch — and it must be a
     # literal so the read-back becomes a static PartitionFilter.

@@ -75,10 +75,18 @@ def zorder_write(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
     ).first()
+    # empty input or an all-NULL column yields NULL stats: degrade that
+    # column's lane to the constant 0 cell (same place zorder_scale sends
+    # NULL rows) instead of crashing a scheduled rewrite on a just-truncated
+    # or degenerate dataset.
+    bounds = [
+        (stats[f"_lo_{c}"], stats[f"_hi_{c}"]) for c in cols
+    ]
+    bounds = [(0, 0) if lo is None or hi is None else (lo, hi) for lo, hi in bounds]
     z = interleave_bits(
         [
-            zorder_scale(F.col(c), stats[f"_lo_{c}"], stats[f"_hi_{c}"], bits)
-            for c in cols
+            zorder_scale(F.col(c), lo, hi, bits)
+            for c, (lo, hi) in zip(cols, bounds)
         ],
         bits,
     )

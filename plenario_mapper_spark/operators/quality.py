@@ -26,8 +26,9 @@ class Check:
     """One constraint: `kind` in {not_null, unique, accepted_values, in_range,
     non_negative, row_count_min}. `violations` semantics per kind:
     - not_null: rows where any of `cols` is NULL
-    - unique: non-null duplicate rows = COUNT(col) - COUNT(DISTINCT col)
-      (NULL keys are the not_null check's business, counted once there)
+    - unique: duplicate fully-non-null key tuples = COUNT(rows with every key
+      col non-null) - COUNT(DISTINCT cols...) — composite keys supported;
+      any-NULL keys are the not_null check's business, counted once there
     - accepted_values: non-null rows outside `values`
     - in_range: non-null rows outside [lo, hi]
     - non_negative: non-null rows < 0
@@ -44,6 +45,10 @@ class Check:
 
 
 def _violations(c: Check) -> Column:
+    if c.kind in ("accepted_values", "in_range", "non_negative") and len(c.cols) != 1:
+        raise ValueError(f"check {c.name!r}: kind {c.kind!r} takes exactly one column")
+    if c.kind in ("not_null", "unique") and not c.cols:
+        raise ValueError(f"check {c.name!r}: kind {c.kind!r} needs at least one column")
     col = F.col(c.cols[0]) if c.cols else None
     if c.kind == "not_null":
         pred = F.lit(False)
@@ -51,7 +56,15 @@ def _violations(c: Check) -> Column:
             pred = pred | F.col(name).isNull()
         return F.sum(F.when(pred, 1).otherwise(0))
     if c.kind == "unique":
-        return F.count(col) - F.count_distinct(col)
+        # composite keys: rows with every key column non-null, minus distinct
+        # key tuples (count_distinct over several cols already skips any-null
+        # rows, so the two sides agree on the domain)
+        all_non_null = F.lit(True)
+        for name in c.cols:
+            all_non_null = all_non_null & F.col(name).isNotNull()
+        return F.sum(F.when(all_non_null, 1).otherwise(0)) - F.count_distinct(
+            *[F.col(name) for name in c.cols]
+        )
     if c.kind == "accepted_values":
         return F.sum(F.when(col.isNotNull() & ~col.isin(*c.values), 1).otherwise(0))
     if c.kind == "in_range":

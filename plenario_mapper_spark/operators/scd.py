@@ -32,8 +32,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def scd2_init(updates: DataFrame, key: str, attrs: list[str], ts_col: str) -> DataFrame:
     """Bootstrap a versioned dimension from a timestamped update stream (also
-    the reducer scd2_merge leans on for within-batch chains)."""
-    w = Window.partitionBy(key).orderBy(ts_col)
+    the reducer scd2_merge leans on for within-batch chains).
+
+    Ties — two updates for one key at the SAME timestamp (an upstream retry,
+    two sources flushing the same tick) — order deterministically by attr
+    values: Window.orderBy on ts alone leaves tie order undefined, and which
+    attrs end up current must not vary run to run. The attr sort is an
+    arbitrary-but-stable convention (same discipline as lang_id/centroid
+    tie-breaks); callers needing a semantic winner should disambiguate
+    upstream with a sequence number in ts_col."""
+    w = Window.partitionBy(key).orderBy(ts_col, *attrs)
     # collapse consecutive duplicates: a row opens a version only if any attr
     # differs from the key's previous update (first row always opens)
     changed = F.lit(False)
@@ -42,7 +50,7 @@ def scd2_init(updates: DataFrame, key: str, attrs: list[str], ts_col: str) -> Da
         changed = changed | ~prev.eqNullSafe(F.col(a))
     changed = changed | F.lag(ts_col).over(w).isNull()
     vers = updates.withColumn("_open", changed).filter(F.col("_open")).drop("_open")
-    w2 = Window.partitionBy(key).orderBy(ts_col)
+    w2 = Window.partitionBy(key).orderBy(ts_col, *attrs)
     return vers.select(
         key,
         *attrs,

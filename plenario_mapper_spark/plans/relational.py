@@ -1554,9 +1554,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bits; no epsilon needed). Region membership restricts the supply
     relation BEFORE the min (real Q2 semantics: best ASIA supplier, not best
     global supplier who happens to be Asian), which also guarantees every
-    qualifying part emits >= 1 row. Scale: the supplier->nation->region
-    reduction is broadcast (25/5 rows fixed; supplier itself scales but the
-    region filter output is what ships); supply and best co-key on l_partkey
+    qualifying part emits >= 1 row. Scale: nation/region carry hints (25/5
+    rows, catalog-constant); the region-filtered SUPPLIER set scales with SF
+    (~2M rows at 100 TB), so its joins are un-hinted — AQE broadcast-converts
+    from the measured size when it fits and shuffle-joins otherwise; supply and best co-key on l_partkey
     so the decorrelation costs one extra shuffle of a (part,supp,cost)
     relation ~1e-3 the width of lineitem; part's size/type filter pushes to
     its scan. Ties (two ASIA suppliers at the same min cost) are all kept,
@@ -1584,7 +1585,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation — ~1/7th of lineitem's rows, 3 narrow columns — halves the
     # dominant scan+shuffle, the q_doc_tfidf_top_terms pattern.
     supply = (
-        l.join(F.broadcast(asia.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        l.join(asia.select("s_suppkey"), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
         .persist()
@@ -1602,7 +1603,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (supply.unit_cost == best.best_cost),
         )
         .join(p, supply.l_partkey == p.p_partkey)
-        .join(F.broadcast(asia), supply.l_suppkey == asia.s_suppkey)
+        .join(asia, supply.l_suppkey == asia.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
     )
 
@@ -1721,8 +1722,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in both engines. Scale: supval computes ONCE and feeds both
     consumers (Spark reuses the shuffle output across the two subtrees —
     ReusedExchange in the plan, not a recompute); the grand total is a
-    one-row broadcast; the region-restricted supplier set broadcasts into
-    the lineitem scan side."""
+    one-row broadcast; the region-restricted supplier set joins lineitem
+    UN-HINTED (it scales with SF — AQE decides from the measured size)."""
     l = _t(spark, sf_dir, "lineitem")
     eu_sup = (
         _t(spark, sf_dir, "supplier")
@@ -1740,7 +1741,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     supval = (
-        l.join(F.broadcast(eu_sup), l.l_suppkey == F.col("s_suppkey"))
+        l.join(eu_sup, l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("val"))
     )
@@ -1830,10 +1831,10 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe anti join — expressed as LEFT ANTI so Catalyst never considers
     the NOT-IN-with-NULL three-valued trap. Scale: the distinct pair
     reduction happens BEFORE any join (partial distinct map-side, one
-    shuffle of narrow int pairs); the negative supplier list is broadcast
-    anti; part's selective IN/size filters push to its scan and the
-    surviving dimension broadcast-joins; the final distinct-count agg
-    re-shuffles on the (brand,type,size) group key."""
+    shuffle of narrow int pairs); the negative supplier list and the
+    filtered part side join UN-HINTED (both scale with SF; AQE converts
+    from measured sizes); the final distinct-count agg re-shuffles on the
+    (brand,type,size) group key."""
     l = _t(spark, sf_dir, "lineitem")
     pairs = l.select("l_partkey", "l_suppkey").distinct()
     bad_sup = (
@@ -1847,7 +1848,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     )
     return (
-        pairs.join(F.broadcast(bad_sup), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        pairs.join(bad_sup, pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
         .join(p, pairs.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
@@ -1923,12 +1924,13 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate threshold BETWEEN the two membership tests. Adapted: no
     partsupp availqty, so the threshold is absolute shipped quantity
     (> 300 units of red parts in 1997) rather than half of availqty — the
-    nesting topology is unchanged. Scale: the inner part list is a
-    broadcast semi into the lineitem scan (LIKE filter pushed to part's
-    scan); the per-supplier sum shuffles only surviving (suppkey, qty)
-    pairs; the resulting supplier id list is tiny and broadcasts as the
-    outer semi join's build side; quantities are integer-valued doubles so
-    the HAVING comparison is exact."""
+    nesting topology is unchanged. Scale: the inner part list semi-joins
+    into lineitem and the qualifying supplier id list semi-joins the outer
+    supplier scan, both UN-HINTED — each scales with SF, and AQE broadcast-
+    converts whichever measures small at runtime (the LIKE filter still
+    pushes to part's scan); the per-supplier sum shuffles only surviving
+    (suppkey, qty) pairs; quantities are integer-valued doubles so the
+    HAVING comparison is exact."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -1939,7 +1941,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     qualifying = (
-        l.join(F.broadcast(red_parts), l.l_partkey == F.col("p_partkey"), "left_semi")
+        l.join(red_parts, l.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
@@ -1948,7 +1950,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        s.join(F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )

@@ -69,5 +69,17 @@ def test_compact_dataset_in_place_swap(spark, tmp_path):
     assert before >= 30 and after <= 4
     assert spark.read.parquet(src).orderBy("id").collect() == want
     # no leftover temp/old siblings
-    leftovers = [d for d in os.listdir(src + "/..") if ".compact-" in d or ".old-" in d]
+    leftovers = [d for d in os.listdir(src + "/..") if ".compact-" in d or ".old" in d]
     assert leftovers == []
+
+
+def test_compact_dataset_refuses_over_unfinished_swap(spark, tmp_path):
+    """A leftover `.old` sibling from a crashed swap must stop a new
+    compaction loudly instead of being silently buried."""
+    import pytest as _pytest
+
+    src = _fragmented(spark, tmp_path, n_files=4)
+    parent, name = os.path.dirname(src), os.path.basename(src)
+    os.makedirs(os.path.join(parent, f"_{name}.old"))
+    with _pytest.raises(RuntimeError, match="did not finish"):
+        CP.compact_dataset(spark, src)

@@ -57,3 +57,45 @@ def test_update_rollup_untouched_partitions_not_rewritten(spark, tmp_path):
              for f in os.listdir(day1_dir) if f.endswith(".parquet")}
     assert before == after  # day 1's files untouched by a day-5 batch
     assert os.path.isdir(os.path.join(path, "day=2024-01-05"))
+
+
+def test_rollup_parquet_decimal_type_is_uniform_across_batches(spark, tmp_path):
+    """First-batch and merge paths must persist the SAME decimal physical
+    type: Spark widens SUM(decimal(18,2)) to (28,2), and a rollup whose day
+    partitions mix (28,2) and (18,2) footers becomes unreadable
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH on whichever footer inference didn't
+    pick). Regression for the empirically reproduced crash."""
+    import pyarrow.parquet as pq
+    import glob
+
+    path = str(tmp_path / "rollup")
+    IC.update_rollup(spark, path, _events(spark, [
+        ("2024-09-01 01:00:00", "click", 1.0),
+    ]))
+    IC.update_rollup(spark, path, _events(spark, [
+        ("2024-01-05 01:00:00", "view", 2.0),
+    ]))
+    types = {
+        str(pq.ParquetFile(f).schema_arrow.field("sum_value").type)
+        for f in glob.glob(path + "/day=*/*.parquet")
+    }
+    assert types == {"decimal128(18, 2)"}, types
+    # and the whole rollup reads + merges cleanly afterwards
+    IC.update_rollup(spark, path, _events(spark, [
+        ("2024-09-01 02:00:00", "click", 3.0),
+    ]))
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_rollup_null_timestamps_are_excluded_not_fatal(spark, tmp_path):
+    """A malformed/NULL timestamp must not kill the maintenance job (it used
+    to: day=None crashed the touched-day isoformat) nor land in any day."""
+    path = str(tmp_path / "rollup")
+    batch = _events(spark, [
+        ("2024-01-01 01:00:00", "click", 1.0),
+        (None, "click", 99.0),
+    ])
+    touched = IC.update_rollup(spark, path, batch)
+    assert touched == ["2024-01-01"]
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and float(rows[0]["sum_value"]) == 1.0

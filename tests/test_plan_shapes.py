@@ -318,3 +318,38 @@ def test_q11_supval_is_computed_once(spark):
     )
     reused = "ReusedExchange" in plan or "ReusedSubquery" in plan
     assert reused or n_scans <= 2, plan
+
+
+def test_tpch_completion_set_has_no_sf_scaling_broadcast_hints(spark):
+    """Q2/Q11/Q16/Q20's derived supplier/part sets scale with SF, so none may
+    be pinned with a broadcast HINT — same policy as the q5-supplier and
+    q17-part tests. With both thresholds disabled, only the catalog-constant
+    nation/region hints may broadcast; any supplier/part/lineitem relation on
+    a broadcast build side means a hint crept back in."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for q in (
+            "q2_min_cost_supplier",
+            "q11_important_parts",
+            "q16_supplier_count",
+            "q20_promotion_suppliers",
+        ):
+            plan = _plan(QUERIES[q](spark, SF))
+            for sub in _broadcast_subtrees(plan):
+                if "HashAggregate(keys=[]" in sub:
+                    continue  # one-row scalar reduction (q11's grand total):
+                    # broadcasting it is right regardless of what it scanned
+                for fact in ("supplier.parquet", "part.parquet", "lineitem.parquet"):
+                    assert fact not in sub, (q, sub)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -74,3 +74,19 @@ def test_battery_is_one_scan(spark, tmp_path):
     scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
     assert scans == 1, plan
     assert {r["passed"] for r in out.collect()} == {True}
+
+
+def test_unique_supports_composite_keys_and_guards_single_col_kinds(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (None, "a")],
+        "k long, sub string",
+    )
+    rep = _report(df, [QC.Check("pk", "unique", cols=("k", "sub"))])
+    # (1,a) duplicated once; the NULL-key row is out of the unique domain
+    assert rep["pk"] == (1, False)
+    with _pytest.raises(ValueError, match="exactly one column"):
+        QC.check_constraints(df, [QC.Check("bad", "in_range", cols=("k", "sub"), lo=0, hi=1)]).collect()
+    with _pytest.raises(ValueError, match="at least one column"):
+        QC.check_constraints(df, [QC.Check("bad2", "unique")]).collect()
