@@ -563,6 +563,54 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(LN(CAST(v.cnt AS DOUBLE) / tt.n)), 6) AS mean_logprob
+    FROM toks t
+      JOIN vocab v ON v.tok = t.tok
+      CROSS JOIN tot tt
+    GROUP BY t.doc_id
+    """,
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics language-model quality score: per-doc mean unigram
+    log-probability under the corpus's own empirical distribution — the
+    cheap stand-in for LM-perplexity filtering (docs of rare/garbled tokens
+    score low; every token appears in the vocab by construction, so no
+    smoothing term is needed and both engines compute identical
+    LN(cnt/total) doubles). Scale shape: the token explode feeds BOTH the
+    vocabulary count and the per-doc probe — the tfidf persist pattern; the
+    vocabulary joins back un-hinted (corpus-scale vocabularies exceed any
+    broadcast budget; AQE converts when it measures small) and the one-row
+    total is a broadcast scalar. AVG of doubles is order-dependent in the
+    16th digit, far below the 6-decimal comparison grid (and ROUND'd
+    identically on both sides — values here are nowhere near .5e-6
+    boundaries, cf. the verify gotchas on double ROUND)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")).persist()
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+@register(
     "q_doc_mixture_weights",
     oracle=f"""
     WITH per_source AS (
