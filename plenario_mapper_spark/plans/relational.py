@@ -2252,7 +2252,10 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
            CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-           CAST(SUM(CAST(GREATEST(LEAST(e.value, c.hi), c.lo) AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CASE WHEN e.value >= c.lo AND e.value <= c.hi
+                          THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+            + SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) * MIN(c.lo)
+            + SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) * MIN(c.hi))
              / COUNT(*) AS winsorized_mean
     FROM events e JOIN cuts c ON c.event_type = e.event_type
     GROUP BY e.event_type
@@ -2266,31 +2269,45 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_percentiles parity); cutoffs are a per-series one-row relation
     broadcast back onto the events scan, so the clamp pass is map-side —
     two passes total over events (one sort-based percentile, one clamp+agg),
-    no per-row Python. The clamped sum goes through DECIMAL(18,2) (the
-    established double->decimal cast parity) so the mean is
-    order-independent; boundary classification is engine-stable because an
-    integral (n-1)*q rank makes the cutoff an exact data value in both
-    engines, and a fractional rank interpolates strictly between two data
-    points no raw value can equal."""
+    no per-row Python. Numeric discipline: the winsorized sum DECOMPOSES as
+    (exact DECIMAL sum of in-band raw values) + n_lo*lo + n_hi*hi — the
+    in-band sum reuses the established raw-value double->decimal cast
+    parity, and each tail contributes its count TIMES the cutoff in one
+    double multiplication of engine-identical inputs. Clamping each tail
+    row and casting it would instead round the CUTOFF once per clipped row,
+    amplifying any cross-engine last-digit rounding difference by the tail
+    size (caught at sf0.001: a cutoff whose 2nd decimal rounded apart moved
+    the mean by tail_count * 0.01 / n). Boundary classification is
+    engine-stable because an integral (n-1)*q rank makes the cutoff an
+    exact data value in both engines, and a fractional rank interpolates
+    strictly between two data points no raw value can equal."""
     e = _events(spark, sf_dir)
     cuts = e.groupBy(F.col("event_type").alias("c_type")).agg(
         F.percentile("value", F.lit(0.05)).alias("lo"),
         F.percentile("value", F.lit(0.95)).alias("hi"),
     )
-    clamped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    n_lo = F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+    n_hi = F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+    in_band = F.sum(
+        F.when(
+            (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")),
+            F.col("value").cast("decimal(18,2)"),
+        )
+    )
     return (
         e.join(F.broadcast(cuts), e.event_type == F.col("c_type"))
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_clipped_lo"),
-            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_clipped_hi"),
+            n_lo.cast("long").alias("n_clipped_lo"),
+            n_hi.cast("long").alias("n_clipped_hi"),
             (
-                F.sum(clamped.cast("decimal(18,2)")).cast("double") / F.count("*")
+                (
+                    in_band.cast("double")
+                    + n_lo * F.min("lo")
+                    + n_hi * F.min("hi")
+                )
+                / F.count("*")
             ).alias("winsorized_mean"),
         )
     )

@@ -343,7 +343,12 @@ def test_tpch_completion_set_has_no_sf_scaling_broadcast_hints(spark):
             "q16_supplier_count",
             "q20_promotion_suppliers",
         ):
-            plan = _plan(QUERIES[q](spark, SF))
+            # bypass the registry's per-session plan cache: another test may
+            # have built this query under NORMAL thresholds, and a cached
+            # DataFrame's physical plan keeps the conf it was planned with —
+            # the estimate-driven broadcasts it legitimately had would read
+            # as hint violations here
+            plan = _plan(QUERIES[q].__wrapped__(spark, SF))
             for sub in _broadcast_subtrees(plan):
                 if "HashAggregate(keys=[]" in sub:
                     continue  # one-row scalar reduction (q11's grand total):
