@@ -74,8 +74,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Added later in round 4 (mid-positioned, i.e. OUTSIDE this round's 50-slot
 # window by construction — the window was already committed to the 21 stale
 # rows + 3 red-fixes + this round's earlier additions): the TPC-H completion
-# nine (q2/q4/q9/q11/q12/q16/q19/q20/q21) and q_doc_span_dedup. All are
-# local-t2 MATCH at sf0.01; they are the round-5 rotation's first claimants.
+# nine (q2/q4/q9/q11/q12/q16/q19/q20/q21), q_doc_span_dedup,
+# q_events_gap_fill, q_quality_constraints, q_agg_hll_rollup (rows-only),
+# q_doc_mixture_weights, q_events_funnel, q_events_cohort_retention,
+# q_events_winsorized, and q_doc_unigram_logprob — 108 registered / 100
+# oracle-backed total. All oracle-backed late additions are local-t2 MATCH
+# at sf0.01 (the full-registry gate ran twice clean this round: 95/95 then
+# 100/100); they are the round-5 rotation's first claimants.
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     # (the three stale rows-only entries — two sketches + minhash — yield
