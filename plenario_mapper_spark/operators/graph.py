@@ -1,0 +1,114 @@
+"""PageRank — the second iterative-graph family next to connected components
+(`dedup.connected_components`): CC propagates an idempotent min-label (star
+contraction, O(log n) rounds); PageRank propagates a CONSERVED quantity (rank
+mass) under damping, so every round must account for every unit of mass —
+including dangling nodes — and convergence is a numeric tolerance, not a
+fixpoint of sets. Training pipelines use it for importance-weighted sampling
+over citation/link/co-occurrence graphs.
+
+DataFrame formulation, all shuffles keyed on node id:
+- static per-round state: the out-degree relation (computed once) and the
+  node set (computed once); both persist across rounds
+- per round: ranks ⋈ out-degrees ⋈ edges → contributions grouped by dst;
+  dangling mass = total rank on zero-out-degree nodes, one scalar action,
+  redistributed uniformly (the standard stochastic-matrix completion, so
+  ranks sum to 1 every round and the L1 convergence test is meaningful)
+- lineage: each round localCheckpoints its rank relation, so round k's plan
+  never references round k-1's — without this the plan grows exponentially
+  in rounds (the CC lesson). Rank relations are node-sized (tiny next to
+  the edge set), so the ~max_iterations cached copies are cheap here; at
+  real scale, spill the normalized EDGE relation to parquet up front
+  (truncating whatever join produced it) and switch the per-round rank
+  checkpoint to reliable parquet exactly as CC's adaptive strategy does
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float | None = 1e-6,
+    check_every: int = 5,
+) -> DataFrame:
+    """Power iteration over a directed edge list; returns (node, rank) with
+    ranks summing to 1. Parallel edges are collapsed (a link counts once,
+    the Brin-Page convention); self-loops participate like any edge.
+
+    Driver-action economy (the per-round fixed cost dominates wall time for
+    all but huge graphs): the dangling-mass scalar is a one-row aggregate
+    crossJoined into the rank update — part of the SAME job as the round's
+    checkpoint, never a separate collect — so a round costs exactly ONE
+    action, and the L1 convergence test (a second action) runs only every
+    `check_every` rounds. CC pays one isEmpty per round for the same
+    reason; here even that is amortized because tolerance tests, unlike
+    fixpoint tests, tolerate overshooting by a few rounds. `tol=None` runs
+    exactly `max_iterations` rounds with NO convergence jobs at all — the
+    deterministic-budget mode a scheduled production rank refresh uses
+    (rank deltas decay geometrically; a fixed round count is a fixed
+    accuracy)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for i in range(max_iterations):
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
+        # mass on dangling nodes (no outgoing edges) redistributes uniformly;
+        # computed as a one-row broadcast INSIDE the round's job, not a
+        # separate driver collect
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
+        contribs = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling") / n
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        last_round = i == max_iterations - 1
+        if tol is not None and ((i + 1) % check_every == 0 or last_round):
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    return ranks

@@ -610,6 +610,36 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_graph_pagerank")  # rows-only: iterative to tolerance (pytest
+# pins numeric parity with a dense NumPy power iteration incl. dangling mass)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance ranking over the derived supply graph: directed bipartite
+    edges supplier->part and part->supplier from distinct lineitem pairs,
+    PageRank'd (operators/graph.pagerank) for a FIXED 12 rounds (tol=None: the deterministic-budget mode — deltas decay geometrically, the top-20 ordering is stable well before round 12, and skipping convergence jobs halves the driver round-trips); returns the top-20
+    suppliers by rank (suppliers with broad, popular part portfolios rank
+    highest — the importance-weighted sampling signal). Deterministic: the
+    edge set is exact, damping/tolerance fixed, ties broken by node id.
+    Scale: edges shuffle on node id each round; ranks are node-sized;
+    lineage truncated per round (see operators/graph docstring)."""
+    from plenario_mapper_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+    ).distinct()
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank(edges, tol=None, max_iterations=12)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", F.round("rank", 9).alias("rank"))
+    )
+
+
 @register(
     "q_doc_mixture_weights",
     oracle=f"""
