@@ -236,3 +236,117 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _decode_batches, schema=DECODE_SCHEMA
     )
+
+
+SPECTRUM_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, "
+    "dominant_bin int, dominant_freq_hz double, spectral_centroid_hz double"
+)
+
+
+def audio_spectrum(binary_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode PCM16 WAV (pure-numpy codec) and
+    compute magnitude-spectrum features via rFFT — dominant bin (DC excluded),
+    its frequency, and the spectral centroid. Multi-channel audio is
+    mixed down (channel mean) first. Non-WAV / corrupt payloads yield a NULL
+    feature row rather than failing the batch (the decode_features
+    degradation contract). Arrow-batched mapInPandas; embarrassingly
+    parallel — no shuffle, scales with input splits."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from plenario_mapper_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode_wav(bytes(payload))
+                    x = d.data.astype(np.float64)
+                    if x.ndim == 2:
+                        x = x.mean(axis=1)
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / d.sample_rate)
+                    k = int(np.argmax(mag[1:])) + 1  # DC excluded
+                    total = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / total) if total else None
+                    rows.append(
+                        (
+                            int(doc_id), int(d.sample_rate), len(x),
+                            k, float(freqs[k]), centroid,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "dominant_bin", "dominant_freq_hz", "spectral_centroid_hz",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        batches, schema=SPECTRUM_SCHEMA
+    )
+
+
+def phash64(pixels) -> int:
+    """64-bit perceptual hash of a grayscale image (pure numpy, no scipy):
+    bilinear-resample to 32x32, 2-D DCT-II (orthonormal basis matmul), keep
+    the top-left 8x8 low-frequency block minus DC, threshold each
+    coefficient at the block median. Structure-preserving: small noise /
+    re-encoding perturbs few bits, different images differ in ~32."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    a = np.asarray(pixels, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    a = codecs.bilinear_resize(a.astype(np.uint8), 32, 32).astype(np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0, :] = np.sqrt(1.0 / n)
+    dct = basis @ a @ basis.T
+    block = dct[:8, :8].flatten()[1:]  # drop DC
+    bits = block > np.median(block)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def image_phash(binary_df: DataFrame) -> DataFrame:
+    """Perceptual-hash extraction over image payloads (PNM/BMP via the real
+    codecs): (doc_id, phash) with phash a signed 64-bit. Non-image/corrupt
+    payloads yield NULL. The hash column then feeds the SAME banded
+    Hamming near-dup machinery SimHash uses (dedup.hamming64 + pigeonhole
+    bands) — multimodal near-dup rides the text-dedup infrastructure."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from plenario_mapper_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = codecs.decode(bytes(payload))
+                    if d is None or d.modality != "image":
+                        raise ValueError("not an image")
+                    h = phash64(d.data)
+                    rows.append((int(doc_id), np.int64(np.uint64(h)).item()))
+                except Exception:
+                    rows.append((int(doc_id), None))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )

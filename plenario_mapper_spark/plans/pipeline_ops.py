@@ -495,6 +495,101 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_binary_audio_spectrum",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(2 + doc_id % 8 AS INT) AS dominant_bin,
+           CAST((2 + doc_id % 8) * 31.25 AS DOUBLE) AS dominant_freq_hz
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def q_binary_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio spectral analysis, oracle-checked end to end: per doc, a
+    pure sine is synthesized at an EXACT rFFT bin (m = 2 + doc_id % 8, so
+    f = m * 8000/256 = m * 31.25 Hz), encoded to genuine PCM16 WAV bytes,
+    then decoded and FFT'd by operators/multimodal.audio_spectrum — the
+    dominant bin and its frequency must come back as the closed forms (a
+    sine at a bin center leaks no energy into neighbors; int16 quantization
+    noise cannot displace the argmax). The spectral centroid is computed
+    too but oracle-excluded (quantization-noise-dependent; pytest bounds it
+    within 1%% of the tone). Same Arrow-batched, shuffle-free scale shape
+    as decode_features."""
+    import numpy as np
+    import pandas as pd
+
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    def synth(it):
+        from plenario_mapper_spark.functions import codecs
+
+        sr, n = 8000, 256
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = 2 + i % 8
+                t = np.arange(n) / sr
+                s = np.round(
+                    0.5 * 32767 * np.sin(2 * np.pi * (m * sr / n) * t)
+                ).astype(np.int16)
+                rows.append((i, codecs.encode_wav(s, sr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return MM.audio_spectrum(payloads).select(
+        "doc_id", "sample_rate", "n_samples", "dominant_bin", "dominant_freq_hz"
+    )
+
+
+@register(
+    "q_binary_phash_dedup",
+    oracle="""
+    SELECT doc_id, CAST(6 AS BIGINT) AS dup_count
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q_binary_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup, oracle-checked: 30 docs carry synthesized
+    grayscale images in 5 structural groups (deterministic per-group pattern,
+    bilinear-upsampled so low-frequency structure dominates), encoded to real
+    PNM bytes, decoded + DCT-phashed (operators/multimodal.image_phash), then
+    grouped by hash — every doc must find exactly its 6 group members
+    (identical structure -> identical 64-bit hash) and never a cross-group
+    collision (different structure -> far Hamming; a collision would inflate
+    dup_count and hash-mismatch the oracle). This is H1 exact-dedup riding
+    H4 multimodal features; the near-dup variant (banded Hamming on the same
+    column, the SimHash machinery) is pytest-verified under noise."""
+    import numpy as np
+    import pandas as pd
+
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    def synth(it):
+        from plenario_mapper_spark.functions import codecs
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g = i % 5
+                base8 = ((g * 37 + np.arange(64) * 13) % 256).astype(
+                    np.uint8
+                ).reshape(8, 8)
+                img = codecs.bilinear_resize(base8, 64, 64)
+                rows.append((i, codecs.encode_pnm(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select("doc_id")
+    payloads = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    ph = MM.image_phash(payloads)
+    counts = ph.groupBy("phash").agg(F.count("*").alias("dup_count"))
+    return ph.join(counts, "phash").select("doc_id", "dup_count")
+
+
+@register(
     "q_quality_constraints",
     oracle="""
     SELECT 'orderkey_not_null' AS check_name,

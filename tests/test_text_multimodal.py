@@ -370,3 +370,99 @@ def test_mixture_weights_invariants(spark):
     by_size = sorted(rows, key=lambda r: r["n_tokens"])
     weights = [r["sample_weight"] for r in by_size]
     assert weights == sorted(weights, reverse=True)
+
+
+def test_audio_spectrum_recovers_known_tone(spark):
+    """Physics check: a pure sine synthesized at an exact FFT bin must come
+    back as that bin's frequency, and the spectral centroid must sit within
+    1% of the tone (int16 quantization is the only noise)."""
+    import numpy as np
+    import pandas as pd
+
+    from plenario_mapper_spark.functions import codecs
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    sr, n = 8000, 256
+    rows = []
+    tones = {}
+    for doc_id in range(6):
+        m = 2 + doc_id  # bin index -> f = m * sr/n
+        f = m * sr / n
+        tones[doc_id] = (m, f)
+        t = np.arange(n) / sr
+        s = np.round(0.5 * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        rows.append((doc_id, bytearray(codecs.encode_wav(s, sr))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in MM.audio_spectrum(df).collect()}
+    for doc_id, (m, f) in tones.items():
+        r = out[doc_id]
+        assert r["dominant_bin"] == m
+        assert r["dominant_freq_hz"] == f
+        assert abs(r["spectral_centroid_hz"] - f) / f < 0.01
+    # corrupt payload degrades to NULL features, keeps the row
+    bad = spark.createDataFrame(
+        pd.DataFrame([(99, bytearray(b"not a wav"))], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    r = MM.audio_spectrum(bad).collect()[0]
+    assert r["doc_id"] == 99 and r["dominant_bin"] is None
+
+
+def test_phash_structure_sensitivity(spark):
+    """Identical images hash identically; a lightly-noised copy stays within
+    a small Hamming radius; structurally different images land far apart.
+    The phash column composes with dedup.hamming64 (the SimHash machinery)."""
+    import numpy as np
+    import pandas as pd
+
+    from plenario_mapper_spark.functions import codecs
+    from plenario_mapper_spark.operators import dedup as DD
+    from plenario_mapper_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (64, 64)).astype(np.uint8)
+    # smooth it so structure dominates (pure noise has no low-freq signature)
+    base = codecs.bilinear_resize(
+        codecs.bilinear_resize(base, 8, 8), 64, 64
+    )
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-8, 9, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = codecs.bilinear_resize(
+        codecs.bilinear_resize(rng.randint(0, 256, (8, 8)).astype(np.uint8), 8, 8),
+        64, 64,
+    )
+    rows = [
+        (0, bytearray(codecs.encode_pnm(base))),
+        (1, bytearray(codecs.encode_pnm(base))),
+        (2, bytearray(codecs.encode_pnm(noisy))),
+        (3, bytearray(codecs.encode_pnm(other))),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    ph = MM.image_phash(df)
+    h = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    assert h[0] == h[1]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[0], h[2]) <= 10          # noised copy stays close
+    assert ham(h[0], h[3]) >= 16          # different structure lands far
+    # composes with the Spark-side Hamming used by SimHash near-dup
+    pairs = (
+        ph.alias("a").join(ph.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+            DD.hamming64(F.col("a.phash"), F.col("b.phash")).alias("d"),
+        )
+    )
+    got = {(r["ia"], r["ib"]): r["d"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == ham(h[0], h[2])
