@@ -558,3 +558,62 @@ def test_streaming_incremental_rollup_maintenance(spark, tmp_path):
     }
     assert got == want
     assert got[("2024-01-01", "click")] == (2, 2.0)  # late row merged into day 1
+
+
+def test_streaming_quality_gate_quarantines_bad_batches(spark, tmp_path):
+    """Batch-level circuit breaker (H15 wired into ingest): a micro-batch
+    violating the constraint battery diverts WHOLE to quarantine with its
+    failure report; clean batches reach the sink; the stream keeps running
+    through both."""
+    import os
+
+    from plenario_mapper_spark.operators.quality import Check
+    from plenario_mapper_spark.streaming.gate import gated_foreach_batch
+
+    src = tmp_path / "gate_in"
+    src.mkdir()
+    sink_dir = str(tmp_path / "sink")
+    qdir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "gate_ckpt")
+
+    checks = [
+        Check("k_not_null", "not_null", cols=("k",)),
+        Check("k_unique", "unique", cols=("k",)),
+    ]
+    sunk = []
+
+    def on_pass(batch, batch_id):
+        sunk.append(batch_id)
+        batch.write.mode("append").parquet(sink_dir)
+
+    def run_once():
+        stream = spark.readStream.schema("k long, v string").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                gated_foreach_batch(checks, on_pass, qdir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "good.json", "w") as f:
+        f.write(json.dumps({"k": 1, "v": "a"}) + "\n")
+        f.write(json.dumps({"k": 2, "v": "b"}) + "\n")
+    run_once()
+    with open(src / "bad.json", "w") as f:
+        f.write(json.dumps({"k": 3, "v": "c"}) + "\n")
+        f.write(json.dumps({"k": 3, "v": "dup"}) + "\n")  # uniqueness breach
+    run_once()
+
+    assert spark.read.parquet(sink_dir).count() == 2  # only the clean batch
+    qbatches = [d for d in os.listdir(qdir)] if os.path.isdir(qdir) else []
+    assert len(qbatches) == 1
+    qdata = spark.read.parquet(os.path.join(qdir, qbatches[0], "data"))
+    assert qdata.count() == 2
+    with open(os.path.join(qdir, qbatches[0], "report.json")) as f:
+        report = {r["check_name"]: r for r in json.load(f)}
+    assert report["k_unique"]["passed"] is False
+    assert report["k_unique"]["violations"] == 1
+    assert report["k_not_null"]["passed"] is True
