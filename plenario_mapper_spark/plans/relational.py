@@ -2311,3 +2311,73 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(stddev_samp(value), 6) AS DOUBLE) AS sd_value,
+           CAST(ROUND(var_samp(value), 6) AS DOUBLE) AS var_value,
+           CAST(ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+             AS corr_value_hour,
+           CAST(ROUND(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+             AS covar_value_hour,
+           CAST(ROUND(regr_slope(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+             AS slope_value_on_hour
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per series: sample stddev/
+    variance, Pearson correlation, sample covariance, and OLS slope of value
+    on hour-of-day — the drift-monitoring battery. All are single-pass
+    partial+final aggregates (Spark's merge formulas are the numerically
+    stable pairwise updates). Double sums of ~1e4 products differ across
+    engines only at the ~1e-12 relative level, far below the 6-decimal
+    ROUND both sides apply; values sit nowhere near .5e-6 rounding
+    boundaries (cf. verify gotchas)."""
+    e = _events(spark, sf_dir)
+    hr = F.hour("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), hr), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp(F.col("value"), hr), 6).alias("covar_value_hour"),
+        F.round(F.regr_slope(F.col("value"), hr), 6).alias("slope_value_on_hour"),
+    )
+
+
+@register(
+    "q_scalar_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow_sunday0,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since_epoch_start
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: quarter truncation, month end, calendar
+    month addition (add_months clamps day-of-month identically in both
+    engines), day-of-week (normalized to Sunday=0: Spark's dayofweek is
+    1-based Sunday-first, DuckDB's DOW is 0-based Sunday-first), day-of-year,
+    and day differences. All integer-exact on midnight-aligned stamps —
+    no rounding discipline needed."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sunday0"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("int").alias("days_since_epoch_start"),
+    )
