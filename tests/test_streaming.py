@@ -617,3 +617,47 @@ def test_streaming_quality_gate_quarantines_bad_batches(spark, tmp_path):
     assert report["k_unique"]["passed"] is False
     assert report["k_unique"]["violations"] == 1
     assert report["k_not_null"]["passed"] is True
+
+
+def test_streaming_progress_recorder_captures_batches(spark, tmp_path):
+    """Observability: the listener materializes per-batch progress as rows a
+    SQL rollup can consume — batch ids, input row counts, durations."""
+    import time
+
+    from plenario_mapper_spark.streaming.observability import (
+        ProgressRecorder,
+        throughput_summary,
+    )
+
+    src = tmp_path / "obs_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"k": i}) + "\n")
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema("k long").json(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async; give the event bus a moment
+        for _ in range(40):
+            if rec.rows:
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(rec)
+    assert rec.rows, "no progress events captured"
+    df = rec.to_df(spark)
+    got = df.collect()
+    assert sum(r["num_input_rows"] for r in got) == 10
+    assert all(r["query_id"] is not None for r in got)
+    summary = throughput_summary(df).collect()
+    assert summary[0]["total_rows"] == 10
+    assert summary[0]["n_batches"] >= 1
