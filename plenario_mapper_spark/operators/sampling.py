@@ -109,3 +109,32 @@ def deterministic_split(
     for name, bound in bounds[1:-1]:
         expr = expr.when(h < F.lit(bound), F.lit(name))
     return df.withColumn("split", expr.otherwise(F.lit(bounds[-1][0])))
+
+
+def weighted_resample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = "w0"
+) -> DataFrame:
+    """Deterministic weighted UP/DOWN-sampling: each row emits
+    floor(w) + (u < frac(w)) copies, where w is the row's weight (>= 0,
+    may exceed 1 — upsampling repeats rows) and u is the md5 hash gate.
+    In expectation every row contributes exactly w copies; realized counts
+    are a pure function of (salt, key), so the resampled corpus is stable
+    under repartitioning and appends and reproducible by any engine (the
+    fractional gate threshold is floor(frac(w) * 2^32) — explicit FLOOR,
+    because a bare double->int CAST truncates in Spark but rounds in
+    DuckDB). Output adds copy_idx (1..n_copies): downstream shuffles spread
+    repeated keys, and the pair (key, copy_idx) stays unique. This is the
+    APPLY step for mixture weighting (q_doc_mixture_weights produces w;
+    this executes the resample)."""
+    w = F.col(weight_col)
+    frac = w - F.floor(w)
+    gate = _hash_u32(F.col(key_col), salt) < F.floor(
+        frac * F.lit(float(1 << _DOMAIN_BITS))
+    ).cast("long")
+    n_copies = (F.floor(w).cast("long") + F.when(gate, 1).otherwise(0)).alias(
+        "n_copies"
+    )
+    out = df.withColumn("n_copies", n_copies).filter(F.col("n_copies") > 0)
+    return out.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+    ).drop("n_copies")

@@ -658,6 +658,68 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_mixture_resample",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(n_tokens) AS tok_total,
+             SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS sqrt_total
+      FROM per_source),
+    weighted AS (
+      SELECT p.source,
+             (SQRT(CAST(p.n_tokens AS DOUBLE)) / t.sqrt_total)
+               / (CAST(p.n_tokens AS DOUBLE) / t.tok_total) AS w
+      FROM per_source p, tot t),
+    sized AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR(wt.w) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5('mix0|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           < CAST(FLOOR((wt.w - FLOOR(wt.w)) * 4294967296) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN weighted wt ON wt.source = d.source)
+    SELECT doc_id, source, CAST(g.c AS BIGINT) AS copy_idx
+    FROM sized, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS c) g
+    WHERE n_copies > 0
+    """,
+)
+def q_doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of source-mixture weighting: q_doc_mixture_weights
+    computes per-source sampling weights; this EXECUTES the resample with
+    the deterministic weighted gate (operators/sampling.weighted_resample) —
+    floor(w) whole copies per doc plus one more iff the doc's md5 gate
+    clears the fractional threshold. In expectation the resampled corpus
+    hits the temperature-flattened target mixture exactly; realized copies
+    are a pure function of (salt, doc_id), so the oracle reproduces the
+    exact (doc, copy) multiset — upsampling (w > 1) and downsampling
+    (w < 1) both verified in one query. Scale shape: weights are a
+    per-source relation broadcast onto the corpus scan; the gate+explode is
+    narrow (no shuffle); copy_idx keeps repeated docs distinct downstream."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("sqrt_total"),
+    )
+    weighted = per_source.join(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.sqrt(F.col("n_tokens").cast("double")) / F.col("sqrt_total"))
+            / (F.col("n_tokens").cast("double") / F.col("tok_total"))
+        ).alias("w"),
+    )
+    docs = d.select("doc_id", "source").join(F.broadcast(weighted), "source")
+    return SP.weighted_resample(docs, "doc_id", "w", salt="mix0").select(
+        "doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+@register(
     "q_doc_unigram_logprob",
     oracle=f"""
     WITH toks AS (

@@ -215,3 +215,43 @@ def test_hll_rollup_merge_is_lossless_and_bounded(spark):
     assert rollup == direct  # lossless merge, bit-identical estimates
     for et, est in rollup.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+def test_weighted_resample_updown_semantics(spark):
+    """floor(w) copies always; the fractional copy by hash gate; w=0 drops;
+    determinism under repartitioning; expectation tracks w."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.operators.sampling import weighted_resample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 0.0)
+        .when(F.col("id") < 1000, 0.5)
+        .when(F.col("id") < 1500, 1.0)
+        .otherwise(2.5)
+        .alias("w"),
+    )
+    out = weighted_resample(df, "k", "w", salt="t")
+    counts = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    # w=0: dropped entirely
+    assert all(k >= 500 for k in counts)
+    # w=1: exactly one copy each
+    assert all(counts[k] == 1 for k in range(1000, 1500))
+    # w=2.5: two or three copies, mean near 2.5
+    c25 = [counts[k] for k in range(1500, 2000)]
+    assert set(c25) <= {2, 3}
+    assert 2.3 < sum(c25) / len(c25) < 2.7
+    # w=0.5: 0 or 1, keep-rate near half
+    kept_half = sum(1 for k in range(500, 1000) if k in counts)
+    assert 200 < kept_half < 300
+    # copy_idx makes repeats distinct
+    assert out.select("k", "copy_idx").distinct().count() == out.count()
+    # pure function of (salt, key): same multiset after a repartition
+    out2 = weighted_resample(df.repartition(13), "k", "w", salt="t")
+    a = sorted(map(tuple, out.select("k", "copy_idx").collect()))
+    b = sorted(map(tuple, out2.select("k", "copy_idx").collect()))
+    assert a == b
