@@ -2381,3 +2381,68 @@ def q_scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
         ).cast("int").alias("days_since_epoch_start"),
     )
+
+
+@register(
+    "q_events_forecast_trend",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    fit AS (
+      SELECT event_type,
+             MAX(bucket) AS last_bucket,
+             regr_slope(y, date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', bucket)) AS slope,
+             regr_intercept(y, date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', bucket)) AS icept
+      FROM hourly GROUP BY event_type)
+    SELECT f.event_type,
+           CAST(h.h AS INT) AS horizon_h,
+           CAST(f.last_bucket + h.h * INTERVAL 1 HOUR AS TIMESTAMP) AS bucket,
+           ROUND(f.icept + f.slope *
+                 (date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', f.last_bucket) + h.h), 6)
+             AS yhat
+    FROM fit f CROSS JOIN (SELECT unnest(range(1, 25)) AS h) h
+    """,
+)
+def q_events_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped trend forecasting: per series, OLS-fit the hourly aggregate
+    against hours-since-epoch-start and project the next 24 hours — the
+    capacity-planning baseline every metrics store bolts on (Holt-Winters'
+    level+trend component without the seasonal term; the seasonal naive is
+    a join away via q_events_gap_fill's grid machinery). One pass builds the
+    hourly series (DECIMAL sums — the regression INPUTS are engine-exact),
+    one grouped regr_slope/intercept aggregate fits every series in
+    parallel, and the horizon explodes from the per-series fit row — the
+    forecast relation never touches the fact table. regr_* over ~720 exact
+    doubles differs across engines at ~1e-12 relative; ROUND(...,6) on both
+    sides sits far above it."""
+    e = _events(spark, sf_dir)
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(_dec("value")).cast("double").alias("y"))
+    x = (F.unix_timestamp("bucket") - F.unix_timestamp(epoch)) / 3600
+    fit = hourly.groupBy("event_type").agg(
+        F.max("bucket").alias("last_bucket"),
+        F.regr_slope(F.col("y"), x).alias("slope"),
+        F.regr_intercept(F.col("y"), x).alias("icept"),
+    )
+    x_last = (F.unix_timestamp("last_bucket") - F.unix_timestamp(epoch)) / 3600
+    return (
+        fit.select(
+            "event_type", "last_bucket", "slope", "icept",
+            F.explode(F.sequence(F.lit(1), F.lit(24))).alias("horizon_h"),
+        )
+        .select(
+            "event_type",
+            F.col("horizon_h").cast("int").alias("horizon_h"),
+            (
+                F.col("last_bucket")
+                + F.make_interval(hours=F.col("horizon_h"))
+            ).alias("bucket"),
+            F.round(
+                F.col("icept") + F.col("slope") * (x_last + F.col("horizon_h")), 6
+            ).alias("yhat"),
+        )
+    )
