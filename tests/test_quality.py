@@ -90,3 +90,55 @@ def test_unique_supports_composite_keys_and_guards_single_col_kinds(spark):
         QC.check_constraints(df, [QC.Check("bad", "in_range", cols=("k", "sub"), lo=0, hi=1)]).collect()
     with _pytest.raises(ValueError, match="at least one column"):
         QC.check_constraints(df, [QC.Check("bad2", "unique")]).collect()
+
+
+def test_property_battery_matches_pandas_reference(spark):
+    """Property (hypothesis): on random dirty frames, every check kind's
+    violation count equals an independently-written pandas model. One Spark
+    pass per generated frame keeps the property fast; the frames sample
+    nulls, duplicates, domain escapes, and range escapes jointly."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        st.one_of(st.none(), st.sampled_from(["A", "B", "C", "Z"])),
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=150, allow_nan=False)),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=25))
+    def check(rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["k", "status", "price"])
+        df = spark.createDataFrame(
+            rows, "k long, status string, price double"
+        )
+        rep = _report(
+            df,
+            [
+                QC.Check("k_not_null", "not_null", cols=("k",)),
+                QC.Check("k_unique", "unique", cols=("k",)),
+                QC.Check("composite_unique", "unique", cols=("k", "status")),
+                QC.Check("status_domain", "accepted_values", cols=("status",), values=("A", "B", "C")),
+                QC.Check("price_range", "in_range", cols=("price",), lo=0, hi=100),
+                QC.Check("price_nonneg", "non_negative", cols=("price",)),
+                QC.Check("min_rows", "row_count_min", min_rows=10),
+            ],
+        )
+        k = pdf["k"]
+        assert rep["k_not_null"][0] == int(k.isna().sum())
+        nn = k.dropna()
+        assert rep["k_unique"][0] == len(nn) - nn.nunique()
+        both = pdf.dropna(subset=["k", "status"])
+        assert rep["composite_unique"][0] == len(both) - len(
+            both[["k", "status"]].drop_duplicates()
+        )
+        s = pdf["status"].dropna()
+        assert rep["status_domain"][0] == int((~s.isin(["A", "B", "C"])).sum())
+        p = pdf["price"].dropna()
+        assert rep["price_range"][0] == int(((p < 0) | (p > 100)).sum())
+        assert rep["price_nonneg"][0] == int((p < 0).sum())
+        assert rep["min_rows"][0] == max(0, 10 - len(pdf))
+
+    check()
