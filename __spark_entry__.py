@@ -77,10 +77,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # nine (q2/q4/q9/q11/q12/q16/q19/q20/q21), q_doc_span_dedup,
 # q_events_gap_fill, q_quality_constraints, q_agg_hll_rollup (rows-only),
 # q_doc_mixture_weights, q_events_funnel, q_events_cohort_retention,
-# q_events_winsorized, and q_doc_unigram_logprob — 108 registered / 100
-# oracle-backed total. All oracle-backed late additions are local-t2 MATCH
-# at sf0.01 (the full-registry gate ran twice clean this round: 95/95 then
-# 100/100); they are the round-5 rotation's first claimants.
+# q_events_winsorized, q_doc_unigram_logprob, q_agg_stats,
+# q_scalar_calendar, q_events_forecast_trend, q_doc_mixture_resample,
+# q_events_rolling_window (RANGE-interval frames), q_graph_triangles
+# (degree-oriented wedge join), and q_scd2_versions (SCD2 merge-path
+# chains) — 118 registered / 109 oracle-backed total. All oracle-backed
+# late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
+# clean repeatedly this round, most recently 100/100 before the last three
+# additions, each individually MATCH); they are the round-5 rotation's
+# first claimants.
 _FRONT = [
     # (1) demoted in r3 under a shared-loader change — rows stale since r02
     # (the three stale rows-only entries — two sketches + minhash — yield

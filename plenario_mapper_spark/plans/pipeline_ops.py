@@ -2183,3 +2183,96 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_against_index(spark, index_dir, batch).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    tri AS (
+      SELECT e1.a AS p, e1.b AS q, e2.b AS r
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([p, q, r]) AS node FROM tri)
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 20
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts appearing in
+    the same order are linked — the market-basket graph): top-20 parts by
+    triangle participation, the local-cohesion signal (a node in many
+    triangles sits inside a dense community, not a hub-and-spoke).
+
+    Spark side runs operators/graph.triangle_counts — the degree-oriented
+    wedge join whose quadratic step is bounded O(m^1.5) regardless of skew
+    (see its docstring); the oracle counts the same triangles with the
+    id-oriented 3-way self-join, which is correct on sf0.01's ~116k edges
+    but NOT the 100 TB shape (id orientation leaves celebrity nodes with
+    huge wedge fan-out; degree orientation is the fix). Both enumerate each
+    unordered triangle exactly once, so the per-node counts agree exactly.
+    Edge derivation is itself scale-shaped: the lineitem self-join is keyed
+    on l_orderkey (co-partitioned, orders are small groups), pairs are
+    deduplicated before any quadratic work."""
+    from plenario_mapper_spark.operators.graph import triangle_counts
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = l.alias("x"), l.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return (
+        triangle_counts(pairs)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+@register(
+    "q_scd2_versions",
+    oracle="""
+    WITH upd AS (SELECT user_id, event_type AS plan, ts FROM events),
+    marked AS (
+      SELECT user_id, plan, ts,
+             (LAG(plan) OVER w IS DISTINCT FROM plan)
+               OR (LAG(ts) OVER w IS NULL) AS opens
+      FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts, plan)),
+    vers AS (SELECT user_id, plan, ts FROM marked WHERE opens)
+    SELECT user_id, plan, ts AS effective_from,
+           LEAD(ts) OVER w2 AS effective_to,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM vers WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, plan)
+    """,
+)
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension versioning, driver-visible (the write side of
+    point-in-time correctness; operators/scd docstring has the model):
+    treat each user's event_type stream as attribute updates and fold them
+    into half-open version chains — and do it THROUGH THE MERGE PATH, not
+    just the bootstrap: the stream splits at a mid-range cutoff,
+    scd2_init builds the dimension from the first half, scd2_merge folds
+    the second half in. The oracle is the single-pass chain over the FULL
+    stream — so the driver row certifies the merge invariant
+    merge(init(first), second) == init(all) (current rows close correctly,
+    no-op updates collapse, untouched keys stream through), which the
+    pytest suite checks only on toy rows. Scale: one windowed pass over
+    the update batch + one key join against current rows; history never
+    rewrites."""
+    from plenario_mapper_spark.operators.scd import scd2_init, scd2_merge
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("event_type").alias("plan"), "ts"
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dim = scd2_init(e.filter(F.col("ts") < cutoff), "user_id", ["plan"], "ts")
+    return scd2_merge(
+        dim, e.filter(F.col("ts") >= cutoff), "user_id", ["plan"], "ts"
+    ).select("user_id", "plan", "effective_from", "effective_to", "is_current")

@@ -2446,3 +2446,43 @@ def q_events_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yhat"),
         )
     )
+
+
+@register(
+    "q_events_rolling_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval rolling aggregates: per user, the trailing-1-hour sum
+    and count at every event — the RANGE-frame (value-based) window the row
+    frames in q_window_frames_ntile cannot express (events are irregularly
+    spaced; "last N rows" is not "last hour"). The frame is keyed on
+    MICROSECOND epoch on both engines (unix_timestamp is second-granular
+    and would disagree with DuckDB's microsecond interval arithmetic at the
+    frame boundary); sums are DECIMAL inside the frame, presented as
+    DOUBLE. Rows sharing (user, ts) are RANGE-frame peers in both engines,
+    so their rolling values are identical and the output is deterministic
+    without a total order. Scale: one hash shuffle on user_id, then a
+    single sorted streaming pass per partition with a sliding frame — state
+    is the in-frame window, never the series; skewed users are bounded by
+    their own event rate times one hour."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(_dec("value")).over(w).cast("double").alias("roll_sum_1h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n_1h"),
+    )

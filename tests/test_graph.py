@@ -48,3 +48,45 @@ def test_pagerank_parallel_edges_collapse_and_empty_graph(spark):
         assert abs(g1[k] - g2[k]) < 1e-12
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).count() == 0
+
+
+def _brute_triangles(edge_list):
+    """Per-node triangle counts by enumerating all node triples."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    counts = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for n in (a, b, c):
+                counts[n] += 1
+    return {n: c for n, c in counts.items() if c}
+
+
+def test_triangle_counts_match_brute_force(spark):
+    import random
+
+    from plenario_mapper_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(12), rng.randrange(12)) for _ in range(40)}
+    edges = [e for e in edges if e[0] != e[1]]
+    # directed duplicates + a self-loop must not change counts
+    noisy = edges + [(b, a) for a, b in edges[:5]] + [(3, 3)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_skewed_hub(spark):
+    """A celebrity hub node: star edges alone close no triangles; adding one
+    rim edge closes exactly one triangle crediting hub + both rim nodes."""
+    from plenario_mapper_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_counts(df).count() == 0
+    df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
