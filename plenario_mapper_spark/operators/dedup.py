@@ -761,3 +761,50 @@ def exact_span_dedup(
             F.md5(F.concat_ws(" ", F.col("_kept")).cast("binary")).alias("kept_md5"),
         )
     )
+
+
+def fuzzy_block_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int,
+) -> DataFrame:
+    """Blocked edit-distance self-join — the entity-resolution/record-linkage
+    near-dup family (typo'd names, OCR'd titles, address variants) that the
+    token-set measures (Jaccard/MinHash/SimHash) miss: those see "smal ring"
+    vs "small ring" as disjoint tokens, edit distance sees one insertion.
+
+    Returns (id_a, id_b, <text_col>_a, <text_col>_b, distance) with
+    id_a < id_b, distance <= max_distance.
+
+    The all-pairs edit-distance join is O(n^2) and never viable; this is the
+    standard blocked form: candidates are generated ONLY within equal
+    `block_cols` groups (the blocking key — cheap, high-recall attributes;
+    callers wanting typo-robust blocks pass phonetic/prefix derivations),
+    so the quadratic step is bounded by the largest block, which the caller
+    controls by key choice — same contract as LSH banding, with the block
+    key playing the band role. Within a block, Spark's threshold-bounded
+    levenshtein short-circuits at max_distance+1 (banded DP: O(k*len) per
+    pair, and most non-matching pairs exit on the length gap alone).
+    Shuffle shape: one hash shuffle of the (id, block, text) projection on
+    the block key — corpus text columns beyond text_col never move."""
+    sides = {}
+    for side in ("a", "b"):
+        sides[side] = df.select(
+            *[F.col(c).alias(f"_blk_{i}") for i, c in enumerate(block_cols)],
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(text_col).alias(f"{text_col}_{side}"),
+        )
+    blk = [f"_blk_{i}" for i in range(len(block_cols))]
+    d = F.levenshtein(
+        F.col(f"{text_col}_a"), F.col(f"{text_col}_b"), max_distance
+    )
+    return (
+        sides["a"]
+        .join(sides["b"], blk)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", d)
+        .filter(F.col("distance") >= 0)  # threshold form returns -1 above k
+        .drop(*blk)
+    )

@@ -2276,3 +2276,48 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         dim, e.filter(F.col("ts") >= cutoff), "user_id", ["plan"], "ts"
     ).select("user_id", "plan", "effective_from", "effective_to", "is_current")
+
+
+@register(
+    "q_dedup_fuzzy_names",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_name,
+             split_part(p_name, ' ', 1) AS tok1
+      FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS p_name_a, b.p_name AS p_name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+       AND a.p_partkey < b.p_partkey)
+    SELECT id_a, id_b, p_name_a, p_name_b, distance
+    FROM pairs WHERE distance <= 2
+    """,
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance: part-name pairs within the
+    same (brand, first-token) block at levenshtein <= 2 — catches the typo'd
+    and truncated name variants that token-set similarity (Jaccard/MinHash)
+    scores as disjoint. Runs operators/dedup.fuzzy_block_join (see its
+    docstring for the blocking contract that keeps this off the O(n^2)
+    cliff); Spark evaluates the THRESHOLD-bounded levenshtein (banded DP,
+    short-circuits above k) while the oracle computes the exact distance
+    and filters — equal inside the threshold by definition. Output is the
+    deterministic pair list (id_a < id_b) with both names and the
+    distance."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("tok1"),
+    )
+    out = DD.fuzzy_block_join(
+        p, id_col="p_partkey", text_col="p_name",
+        block_cols=["p_brand", "tok1"], max_distance=2,
+    )
+    return out.select(
+        "id_a", "id_b", "p_name_a", "p_name_b",
+        F.col("distance").cast("int").alias("distance"),
+    )

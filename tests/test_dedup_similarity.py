@@ -590,3 +590,26 @@ def test_exact_span_dedup_overlapping_spans_union_coverage(spark):
     out = {r["doc_id"]: r for r in DD.exact_span_dedup(docs, k=3).collect()}
     assert (out[13]["kept_tokens"], out[13]["removed_tokens"]) == (2, 4)
     assert (out[10]["removed_tokens"], out[12]["removed_tokens"]) == (0, 0)
+
+
+def test_fuzzy_block_join_finds_typos_within_blocks_only(spark):
+    """Edit-distance pairs emerge only inside equal blocking keys; the
+    threshold form agrees with exact Levenshtein inside the threshold."""
+    from plenario_mapper_spark.operators.dedup import fuzzy_block_join
+
+    rows = [
+        (1, "b1", "small ring"),
+        (2, "b1", "smal ring"),    # d=1 from id 1
+        (3, "b1", "small rinse"),  # d=2 from id 1; d=3 from id 2 -> above k
+        (4, "b2", "small ring"),   # identical text, different block -> no pair
+        (5, "b1", "large gear"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, blk string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_block_join(
+            df, id_col="pid", text_col="name",
+            block_cols=["blk"], max_distance=2,
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2}
