@@ -358,3 +358,28 @@ def test_tpch_completion_set_has_no_sf_scaling_broadcast_hints(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_triangles_all_joins_are_equi_no_cartesian(spark):
+    """The degree-oriented wedge join must compile to hash/sort-merge
+    equi-joins throughout: a CartesianProduct or BroadcastNestedLoopJoin in
+    this plan means the orientation/blocking collapsed to all-pairs, the
+    exact O(n^2) cliff the operator exists to avoid. (The wedge join's
+    e1.dst < e2.dst leaf ordering rides the src equi-key as a post-join
+    filter, not a join strategy.)"""
+    plan = _plan(QUERIES["q_graph_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rolling_window_single_user_shuffle_with_range_frame(spark):
+    """The trailing-1h window must be one hash shuffle on user_id feeding a
+    RANGE-frame Window — a second non-AQE exchange or a missing running
+    frame means the sliding pass degraded to something that rescans."""
+    plan = _plan(QUERIES["q_events_rolling_window"](spark, SF))
+    user_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+    assert re.search(r"specifiedwindowframe\(RangeFrame", plan, re.I), plan
