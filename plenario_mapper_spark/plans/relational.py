@@ -2486,3 +2486,59 @@ def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value")).over(w).cast("double").alias("roll_sum_1h"),
         F.count(F.lit(1)).over(w).cast("long").alias("roll_n_1h"),
     )
+
+
+@register(
+    "q_events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(d.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           ROUND((e.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM events e JOIN med d USING (event_type) JOIN mad m USING (event_type)
+    WHERE abs(e.value - d.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per series: flag events whose value sits more
+    than 3 robust standard deviations (1.4826 * MAD — the Gaussian
+    consistency constant) from the series median. Median/MAD are the
+    outlier-immune location/scale pair — the winsorized battery's
+    monitoring twin, but as a per-ROW flag stream (the alerting shape)
+    rather than per-series aggregates. Two aggregation passes over the
+    fact (median, then median of absolute deviations) with the per-series
+    cutoffs joined back — series counts are tiny, so AQE broadcasts both
+    join sides' small relations un-hinted. Exact medians are sort-based
+    per group; at 100 TB swap to approx_percentile(0.5) (mergeable sketch,
+    no per-group sort) — exact kept here because interpolated medians over
+    identical double multisets are IEEE-identical on both engines, making
+    the strict > threshold deterministic."""
+    e = _events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(med, "event_type")
+        .join(mad, "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(
+                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+            ).alias("robust_z"),
+        )
+    )
