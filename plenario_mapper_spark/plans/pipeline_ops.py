@@ -2321,3 +2321,69 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "p_name_a", "p_name_b",
         F.col("distance").cast("int").alias("distance"),
     )
+
+
+@register(
+    "q_doc_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    withc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5('lk1|' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < 3865470566 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('lk1|' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < 4080218931 THEN 'val'
+                ELSE 'test' END AS split
+    FROM withc
+    """,
+)
+def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate documents must
+    land in the SAME split (a near-dup of a training doc inside the eval
+    split silently inflates every benchmark number — the contamination the
+    decontaminate sweep hunts, created by your own splitter). Composition
+    of three already-verified stages: exact trigram-Jaccard pairs (the
+    cluster_cc edge set) -> connected components (large-star/small-star) ->
+    the 90/5/5 md5 hash-gate banding keyed on the COMPONENT id, not the
+    doc id — so whole near-dup families move together, singletons key on
+    themselves, and the assignment stays a pure function of content
+    relations (stable under repartitioning and appends, reproduced
+    bit-for-bit by the oracle's recursive-CTE closure + the same integer
+    gate). At engine scale the edge source swaps to minhash_near_dup_pairs
+    (linear) exactly as q_dedup_cluster_cc documents."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05, shingle_n=3)
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    withc = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    return SP.deterministic_split(
+        withc, "component", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="lk1"
+    ).select("doc_id", "component", "split")
