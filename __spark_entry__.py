@@ -83,8 +83,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (degree-oriented wedge join), q_scd2_versions (SCD2 merge-path
 # chains), q_dedup_fuzzy_names (blocked edit-distance entity
 # resolution), q_events_anomaly_mad (median/MAD robust outlier
-# flags), and q_doc_leakage_safe_split (near-dup components assigned
-# whole to train/val/test) — 121 registered / 112 oracle-backed total. All oracle-backed
+# flags), q_doc_leakage_safe_split (near-dup components assigned
+# whole to train/val/test), and q_layout_zorder_key (Morton key
+# bit-pinned) — 122 registered / 113 oracle-backed total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

@@ -2387,3 +2387,44 @@ def q_doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.deterministic_split(
         withc, "component", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="lk1"
     ).select("doc_id", "component", "split")
+
+
+# DuckDB mirror of interleave_bits([x, y], 8): bit b of lane j lands at 2b+j.
+_ZORDER_TERMS = " | ".join(
+    f"(((({src}) >> {b}) & 1) << {2 * b + j})"
+    for b in range(8)
+    for j, src in enumerate(("x", "y"))
+)
+
+
+@register(
+    "q_layout_zorder_key",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             dayofyear(o_orderdate) % 256 AS y
+      FROM orders)
+    SELECT o_orderkey, CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+    FROM s
+    """,
+)
+def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton (Z-order) key itself, oracle-pinned bit-for-bit: interleave
+    8 bits of customer and order-day-of-year lanes per order — the key
+    operators/layout.zorder_write range-sorts by so parquet min/max stats
+    prune box predicates on EITHER column (skipping is MEASURED from real
+    footer stats in tests/test_layout.py; this query makes the key's bit
+    arithmetic itself driver-verifiable: bit b of lane j lands at
+    position b*k + j, pure shift/mask/or expressions inside whole-stage
+    codegen, no UDF). Narrow projection — at 100 TB this is scan-speed;
+    the expensive part of a Z-order rewrite is the range shuffle, not the
+    key."""
+    from plenario_mapper_spark.operators.layout import interleave_bits
+
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (F.dayofyear("o_orderdate") % 256).cast("long")
+    return o.select(
+        "o_orderkey", interleave_bits([x, y], 8).cast("long").alias("zkey")
+    )
