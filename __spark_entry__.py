@@ -84,8 +84,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # chains), q_dedup_fuzzy_names (blocked edit-distance entity
 # resolution), q_events_anomaly_mad (median/MAD robust outlier
 # flags), q_doc_leakage_safe_split (near-dup components assigned
-# whole to train/val/test), and q_layout_zorder_key (Morton key
-# bit-pinned) — 122 registered / 113 oracle-backed total. All oracle-backed
+# whole to train/val/test), q_layout_zorder_key (Morton key
+# bit-pinned), and the write-side ops made driver-visible end to end:
+# q_merge_upsert_delete (bucketed keyed MERGE: displacement, last-wins
+# seq, inserts vs a declarative final-state oracle) and
+# q_rollup_incremental_maintain (three out-of-order batches folded into
+# the persisted rollup == one-shot recompute) — 124 registered /
+# 115 oracle-backed total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

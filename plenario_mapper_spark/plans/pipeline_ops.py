@@ -2428,3 +2428,112 @@ def q_layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", interleave_bits([x, y], 8).cast("long").alias("zkey")
     )
+
+
+@register(
+    "q_merge_upsert_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000
+                ELSE o_totalprice END AS o_totalprice
+    FROM base WHERE o_orderkey % 20 <> 4
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, CAST(1.0 AS DOUBLE)
+    FROM base WHERE o_orderkey % 20 = 8
+    """,
+)
+def q_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE driver-visibly END TO END (operators/merge — previously
+    unit-tested only): load a base table into a hash-bucket-partitioned
+    parquet table, then apply one changeset carrying all three verbs —
+    updates with a WITHIN-BATCH seq conflict (seq 1 zeroes the price, seq 2
+    adds 1000; last-wins must pick seq 2), deletes, and inserts of new
+    keys — and return the final table state. The oracle recomputes that
+    state declaratively, so the driver row certifies displacement
+    (deleted keys gone), last-wins ordering, insert visibility, AND the
+    byte-stability of untouched keys. Buckets rewritten scale with the
+    changeset (merge.py docstring); the tmp table is per-run
+    (mkdtemp) so concurrent gate sessions never share state."""
+    import tempfile
+
+    from plenario_mapper_spark.operators import merge as MG
+
+    k, price = F.col("o_orderkey"), F.col("o_totalprice")
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(k % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    upd = base.filter(k % 20 == 0)
+    changes = (
+        upd.select("o_orderkey", "o_custkey", (price * 0).alias("o_totalprice"))
+        .withColumn("seq", F.lit(1)).withColumn("_deleted", F.lit(False))
+        .unionByName(
+            upd.select(
+                "o_orderkey", "o_custkey", (price + 1000).alias("o_totalprice")
+            ).withColumn("seq", F.lit(2)).withColumn("_deleted", F.lit(False))
+        )
+        .unionByName(
+            base.filter(k % 20 == 4)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .withColumn("seq", F.lit(1)).withColumn("_deleted", F.lit(True))
+        )
+        .unionByName(
+            base.filter(k % 20 == 8)
+            .select(
+                (k + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit(1.0).alias("o_totalprice"),
+            )
+            .withColumn("seq", F.lit(1)).withColumn("_deleted", F.lit(False))
+        )
+    )
+    path = tempfile.mkdtemp(prefix="merge_gate_")
+    MG.merge_into(spark, path, base, "o_orderkey", n_buckets=16)
+    MG.merge_into(spark, path, changes, "o_orderkey", n_buckets=16, seq_col="seq")
+    return MG.read_table(spark, path).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_rollup_incremental_maintain",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance driver-visibly END TO END
+    (operators/incremental — previously unit/stream-tested only): the
+    event stream arrives as three batches OUT OF ORDER (early days, then
+    late days, then the middle span last — the late-data case), each
+    folded into the persisted day-partitioned rollup by update_rollup
+    (batch partials merged into touched-day partitions only; untouched
+    days' files never rewritten). The returned rollup must equal the
+    oracle's one-shot full recompute — the merge-equals-recompute
+    contract, now hash-certified by the driver. DECIMAL sums make the
+    merge order-independent; the tmp rollup is per-run (mkdtemp)."""
+    import tempfile
+
+    from plenario_mapper_spark.operators import incremental as INC
+
+    e = _events(spark, sf_dir)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="rollup_gate_") + "/rollup"
+    INC.update_rollup(spark, path, e.filter(F.col("ts") < lo))
+    INC.update_rollup(spark, path, e.filter(F.col("ts") >= hi))
+    INC.update_rollup(
+        spark, path, e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    )
+    return spark.read.parquet(path).select(
+        "day", "event_type", F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
