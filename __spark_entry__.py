@@ -89,8 +89,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_merge_upsert_delete (bucketed keyed MERGE: displacement, last-wins
 # seq, inserts vs a declarative final-state oracle) and
 # q_rollup_incremental_maintain (three out-of-order batches folded into
-# the persisted rollup == one-shot recompute) — 124 registered /
-# 115 oracle-backed total. All oracle-backed
+# the persisted rollup == one-shot recompute), plus
+# q_events_sliding_window (hopping windows, the watermark-ready batch
+# twin) and q_join_nullsafe (<=> keys that still hash-partition) —
+# 126 registered / 117 oracle-backed total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

@@ -2542,3 +2542,75 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "q_events_sliding_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) - to_hours(h) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, (VALUES (0), (1)) AS offs(h)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 2-hour windows every hour per
+    event type — the overlapping-window shape the tumbling query cannot
+    express (each event lands in windowSize/slide = 2 windows; Spark's
+    F.window materializes the membership explode natively, and the SAME
+    expression runs under a watermark in streaming — this batch shape is
+    the oracle-checkable twin). The oracle derives each event's two
+    aligned window starts arithmetically (floor-hour and floor-hour minus
+    one) — by construction identical to Spark's slide alignment for
+    epoch-aligned slides. DECIMAL sums; one shuffle on (window, type)
+    after a 2x explode — at 100 TB the multiplier is the window/slide
+    ratio, the reason long windows with tiny slides are served from the
+    H17 rollup instead."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(lang, 'en') AS lang_key, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2),
+    w AS (
+      SELECT NULLIF(lang, 'en') AS lang_key,
+             CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+      FROM documents GROUP BY 1)
+    SELECT a.lang_key, a.source, a.n_docs, w.lang_chars
+    FROM a JOIN w ON a.lang_key IS NOT DISTINCT FROM w.lang_key
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join-surface
+    row a plain equi-join cannot express: NULL keys must MATCH each other
+    instead of silently dropping (here the majority 'en' class is NULLIF'd
+    to NULL on both sides, so the null-safe join must carry it through
+    while ordinary equality would lose every 'en' row). eqNullSafe keys
+    still compile to a hash-partitionable equi-join (NULLs co-locate like
+    any other key value — no fallback to nested-loop), so the shape scales
+    exactly like q_join_left."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.nullif(F.col("lang"), F.lit("en")).alias("lang_key")
+    a = d.groupBy(key, "source").agg(F.count("*").cast("long").alias("n_docs"))
+    w = d.groupBy(key).agg(F.sum("n_chars").cast("long").alias("lang_chars"))
+    return a.join(w, a.lang_key.eqNullSafe(w.lang_key)).select(
+        a.lang_key, "source", "n_docs", "lang_chars"
+    )
