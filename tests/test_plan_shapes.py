@@ -383,3 +383,13 @@ def test_rolling_window_single_user_shuffle_with_range_frame(spark):
     ]
     assert len(user_exchanges) == 1, plan
     assert re.search(r"specifiedwindowframe\(RangeFrame", plan, re.I), plan
+
+
+def test_nullsafe_join_hash_partitions_not_nested_loop(spark):
+    """eqNullSafe keys must stay a hash-partitionable equi-join (NULLs
+    co-locate like any key value); BroadcastNestedLoopJoin here would mean
+    the null-safe predicate fell off the equi-key path and the join went
+    quadratic."""
+    plan = _plan(QUERIES["q_join_nullsafe"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -661,3 +661,50 @@ def test_streaming_progress_recorder_captures_batches(spark, tmp_path):
     summary = throughput_summary(df).collect()
     assert summary[0]["total_rows"] == 10
     assert summary[0]["n_batches"] >= 1
+
+
+def test_streaming_sliding_window_watermark(spark, tmp_path):
+    """Hopping windows (2h size / 1h slide) as a true stream: each event must
+    appear in exactly two overlapping windows under a watermark — the
+    streaming twin of the batch q_events_sliding_window."""
+    src = tmp_path / "sliding_in"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01T00:15:00", "v": 1.0},
+        {"k": "a", "ts": "2024-01-01T01:45:00", "v": 2.0},
+        {"k": "b", "ts": "2024-01-01T00:30:00", "v": 4.0},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("k string, ts string, v double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], str(r["start"])): (r["n"], r["sum_v"])
+        for r in spark.sql(
+            "SELECT k, w.start AS start, n, sum_v FROM sliding_out"
+        ).collect()
+    }
+    assert got == {
+        # a@00:15 -> windows starting 23:00 and 00:00; a@01:45 -> 00:00 and 01:00
+        ("a", "2023-12-31 23:00:00"): (1, 1.0),
+        ("a", "2024-01-01 00:00:00"): (2, 3.0),
+        ("a", "2024-01-01 01:00:00"): (1, 2.0),
+        ("b", "2023-12-31 23:00:00"): (1, 4.0),
+        ("b", "2024-01-01 00:00:00"): (1, 4.0),
+    }
