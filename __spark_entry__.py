@@ -91,8 +91,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_rollup_incremental_maintain (three out-of-order batches folded into
 # the persisted rollup == one-shot recompute), plus
 # q_events_sliding_window (hopping windows, the watermark-ready batch
-# twin) and q_join_nullsafe (<=> keys that still hash-partition) —
-# 126 registered / 117 oracle-backed total. All oracle-backed
+# twin), q_join_nullsafe (<=> keys that still hash-partition), and
+# q_doc_chi2_source_lang (chi-squared drift cells) — 127 registered /
+# 118 oracle-backed total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

@@ -2537,3 +2537,56 @@ def q_rollup_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame
         "day", "event_type", F.col("n").cast("long").alias("n"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q_doc_chi2_source_lang",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    rowm AS (SELECT source, SUM(n) AS n_src FROM cell GROUP BY source),
+    colm AS (SELECT lang, SUM(n) AS n_lang FROM cell GROUP BY lang),
+    tot AS (SELECT SUM(n) AS n_tot FROM cell)
+    SELECT c.source, c.lang, c.n,
+           ROUND(CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot, 6) AS expected,
+           ROUND(POW(c.n - CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot, 2)
+                 / (CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot), 6) AS chi2_contrib
+    FROM cell c
+    JOIN rowm r USING (source) JOIN colm c2 USING (lang) CROSS JOIN tot t
+    """,
+)
+def q_doc_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence cells between source and language — the
+    statistical drift test a curation pipeline runs when a crawl source's
+    language mix shifts (large per-cell contributions localize WHICH
+    (source, lang) cell drifted; the summed statistic against the chi2
+    quantile is one agg away). Observed cells, marginals, and the grand
+    total are three partial aggregations off ONE cell relation (computed
+    once from one scan); expected counts and contributions are pure
+    arithmetic on BIGINT-derived doubles (IEEE-identical on both engines;
+    ROUND(6) guards nothing but sits on the comparison grid). Marginal
+    relations are category-sized — AQE broadcasts them un-hinted."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(F.count("*").cast("long").alias("n"))
+    cell = cell.persist()
+    rowm = cell.groupBy("source").agg(F.sum("n").alias("n_src"))
+    colm = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = cell.agg(F.sum("n").alias("n_tot"))
+    expected = (
+        F.col("n_src").cast("double") * F.col("n_lang") / F.col("n_tot")
+    )
+    return (
+        cell.join(rowm, "source")
+        .join(colm, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - expected, F.lit(2)) / expected, 6
+            ).alias("chi2_contrib"),
+        )
+    )
