@@ -92,8 +92,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the persisted rollup == one-shot recompute), plus
 # q_events_sliding_window (hopping windows, the watermark-ready batch
 # twin), q_join_nullsafe (<=> keys that still hash-partition), and
-# q_doc_chi2_source_lang (chi-squared drift cells) — 127 registered /
-# 118 oracle-backed total. All oracle-backed
+# q_doc_chi2_source_lang (chi-squared drift cells), and
+# q_events_metrics_pipeline (the composed rollup->gap-fill->MAD capstone,
+# stage composition hash-certified) — 128 registered / 119 oracle-backed
+# total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

@@ -2614,3 +2614,98 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(w, a.lang_key.eqNullSafe(w.lang_key)).select(
         a.lang_key, "source", "n_docs", "lang_chars"
     )
+
+
+@register(
+    "q_events_metrics_pipeline",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, MIN(bucket) AS h0, MAX(bucket) AS h1
+              FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+             FROM spans),
+    filled AS (
+      SELECT g.event_type, g.bucket,
+             CAST(last_value(hy.v IGNORE NULLS) OVER (
+                    PARTITION BY g.event_type ORDER BY g.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS filled_value,
+             hy.v IS NULL AS is_gap
+      FROM grid g LEFT JOIN hourly hy
+        ON hy.event_type = g.event_type AND hy.bucket = g.bucket),
+    med AS (SELECT event_type, median(filled_value) AS med FROM filled GROUP BY 1),
+    mad AS (SELECT f.event_type, median(abs(f.filled_value - m.med)) AS mad
+            FROM filled f JOIN med m USING (event_type) GROUP BY 1)
+    SELECT f.event_type, CAST(f.bucket AS TIMESTAMP) AS bucket,
+           f.filled_value, f.is_gap,
+           ROUND((f.filled_value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM filled f JOIN med d USING (event_type) JOIN mad m USING (event_type)
+    WHERE abs(f.filled_value - d.med) > 3 * 1.4826 * m.mad
+    """,
+)
+def q_events_metrics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed metrics-store capstone (the events-side twin of
+    q_doc_curation_pipeline): hourly DECIMAL rollup -> per-series gap fill
+    with forward-fill carry -> median/MAD robust anomaly flags over the
+    FILLED series — the full raw-stream-to-alert path a monitoring
+    pipeline runs, verified as a COMPOSITION (the oracle recomputes all
+    three stages chained, so stage boundaries — the carried fill feeding
+    the detector, gaps eligible to alert — are hash-certified, not just
+    each stage alone). Flagging the filled series matters: a gap bucket
+    carrying a stale high value KEEPS alerting until the series recovers
+    (9 of the 94 sf0.01 flags are on synthesized buckets — exactly the
+    stuck-metric signal). Scale shape inherits from the stages: one
+    fact-table pass, span-bounded grids, series-keyed joins, category-
+    sized median relations AQE-broadcast back."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(_dec("value")).alias("v"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("h0"), F.max("bucket").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+        .persist()
+    )
+    med = filled.groupBy("event_type").agg(F.median("filled_value").alias("med"))
+    mad = (
+        filled.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("filled_value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        filled.join(med, "event_type")
+        .join(mad, "event_type")
+        .filter(
+            F.abs(F.col("filled_value") - F.col("med"))
+            > 3 * 1.4826 * F.col("mad")
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "filled_value",
+            "is_gap",
+            F.round(
+                (F.col("filled_value") - F.col("med")) / (1.4826 * F.col("mad")), 6
+            ).alias("robust_z"),
+        )
+    )
