@@ -2590,3 +2590,83 @@ def q_doc_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+@register(
+    "q_doc_ks_length_drift",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars AS v,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 'a' ELSE 'b' END AS grp
+      FROM documents),
+    tot AS (SELECT COUNT(*) FILTER (WHERE grp = 'a') AS na,
+                   COUNT(*) FILTER (WHERE grp = 'b') AS nb FROM s),
+    per_v AS (SELECT v, COUNT(*) FILTER (WHERE grp = 'a') AS ca,
+                     COUNT(*) FILTER (WHERE grp = 'b') AS cb
+              FROM s GROUP BY v),
+    ecdf AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM per_v)
+    SELECT CAST(v AS BIGINT) AS at_value,
+           CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(abs(CAST(cum_a AS DOUBLE) / t.na
+                     - CAST(cum_b AS DOUBLE) / t.nb), 6) AS ks_stat
+    FROM ecdf, tot t
+    ORDER BY abs(CAST(cum_a AS DOUBLE) / t.na - CAST(cum_b AS DOUBLE) / t.nb) DESC, v
+    LIMIT 1
+    """,
+)
+def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two source cohorts'
+    document-length distributions — the CONTINUOUS-distribution drift test
+    beside q_doc_chi2_source_lang's categorical one (a crawl source whose
+    page-length distribution shifts flags here before any category mix
+    moves). D = max over observed values of |ECDF_a - ECDF_b|, computed
+    exactly: per-distinct-value counts (one shuffle on the value), one
+    running-sum window over the merged value axis, and the max row via
+    TakeOrderedAndProject with a value tie-break (ECDF steps are rationals
+    over identical BIGINTs — IEEE-identical doubles on both engines, so
+    ties are exact and the tie-break total). The single-partition window
+    over DISTINCT values is the scale note: the value axis after
+    aggregation is |distinct lengths|, thousands at most — not corpus-
+    sized; for truly continuous axes, bucket first (the histogram
+    coarsening every production KS does)."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("n_chars").alias("v"),
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "a"
+        ).otherwise("b").alias("grp"),
+    )
+    per_v = s.groupBy("v").agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
+    )
+    tot = s.agg(
+        F.count(F.when(F.col("grp") == "a", 1)).alias("na"),
+        F.count(F.when(F.col("grp") == "b", 1)).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    dstat = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .orderBy(dstat.desc(), "v")
+        .limit(1)
+        .select(
+            F.col("v").cast("long").alias("at_value"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(dstat, 6).alias("ks_stat"),
+        )
+    )
