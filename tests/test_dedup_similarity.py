@@ -613,3 +613,45 @@ def test_fuzzy_block_join_finds_typos_within_blocks_only(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 2}
+
+
+def test_fuzzy_block_join_randomized_parity_with_dp_reference(spark):
+    """Threshold-bounded levenshtein must agree with an independent full DP
+    on every within-block pair of random short strings (including empties,
+    repeats, and near-misses around the threshold)."""
+    import random
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    alpha = "abc "
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9))))
+        for i in range(40)
+    ]
+    from plenario_mapper_spark.operators.dedup import fuzzy_block_join
+
+    df = spark.createDataFrame(
+        [(i, "blk", s) for i, s in rows], "pid long, blk string, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_block_join(
+            df, id_col="pid", text_col="name",
+            block_cols=["blk"], max_distance=2,
+        ).collect()
+    }
+    want = {}
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = lev(sa, sb)
+            if d <= 2:
+                want[(ia, ib)] = d
+    assert got == want
