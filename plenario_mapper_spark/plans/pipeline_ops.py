@@ -2670,3 +2670,59 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dstat, 6).alias("ks_stat"),
         )
     )
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle="""
+    WITH upd AS (
+      SELECT user_id, event_type AS plan, ts FROM events
+      WHERE event_type IN ('signup', 'purchase')),
+    marked AS (
+      SELECT user_id, plan, ts,
+             (LAG(plan) OVER w IS DISTINCT FROM plan)
+               OR (LAG(ts) OVER w IS NULL) AS opens
+      FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts, plan)),
+    vers AS (SELECT user_id, plan, ts AS effective_from FROM marked WHERE opens),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id, v.ts, d.plan, d.effective_from
+    FROM views v ASOF LEFT JOIN vers d
+      ON v.user_id = d.user_id AND v.ts >= d.effective_from
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 READ side, driver-visible: every 'view' event enriched with
+    the dimension version active AT ITS EVENT TIME (the plan chain built by
+    scd2_init from the signup/purchase update stream), via the as-of join —
+    the point-in-time correctness pair whose write side q_scd2_versions
+    certifies (operators/scd docstring: 'the as-of join is the read side of
+    this contract'; previously pytest-only on toy rows). A plain equi-join
+    to the CURRENT version would backdate late corrections onto historical
+    facts — the classic leaky-feature bug in training-data assembly. The
+    oracle uses DuckDB's native ASOF LEFT JOIN against the same version
+    chain; Spark runs operators/asof.asof_join (union-tag + last-value
+    carry, ONE shuffle on user_id — no range explosion). Inclusive at
+    equal timestamps on both engines (a version taking effect exactly at
+    the view's ts is visible to it)."""
+    from plenario_mapper_spark.operators.asof import asof_join
+    from plenario_mapper_spark.operators.scd import scd2_init
+
+    e = _events(spark, sf_dir)
+    upd = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", F.col("event_type").alias("plan"), "ts"
+    )
+    vers = scd2_init(upd, "user_id", ["plan"], "ts").select(
+        "user_id", "plan", "effective_from"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        views,
+        vers,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="effective_from",
+        right_cols=["plan", "effective_from"],
+    ).select("event_id", "user_id", "ts", "plan", "effective_from")
