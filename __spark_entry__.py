@@ -95,9 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_doc_chi2_source_lang (chi-squared drift cells), and
 # q_events_metrics_pipeline (the composed rollup->gap-fill->MAD capstone,
 # stage composition hash-certified), and q_doc_ks_length_drift
-# (two-sample KS, exact ECDF max-gap), and q_scd2_point_in_time (the
-# SCD2 READ side: as-of enrichment vs DuckDB's native ASOF JOIN) —
-# 130 registered / 121 oracle-backed total. All oracle-backed
+# (two-sample KS, exact ECDF max-gap), q_scd2_point_in_time (the
+# SCD2 READ side: as-of enrichment vs DuckDB's native ASOF JOIN), and
+# q_doc_sparse_cosine_topk (inverted-index TF-IDF cosine neighbors,
+# decimal-exact dots) — 131 registered / 122 oracle-backed total. All oracle-backed
 # late additions are local-t2 MATCH at sf0.01 (the full-registry gate ran
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's

@@ -2726,3 +2726,92 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="effective_from",
         right_cols=["plan", "effective_from"],
     ).select("event_id", "user_id", "ts", "plan", "effective_from")
+
+
+@register(
+    "q_doc_sparse_cosine_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+      FROM documents WHERE doc_id < 100),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (SELECT t.doc_id, t.tok,
+                 CAST(t.tf * CAST(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                  AS DECIMAL(9,3)) AS DECIMAL(28,3)) AS w
+          FROM tf t JOIN df USING (tok) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS nrm
+            FROM w GROUP BY doc_id),
+    dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+            FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2),
+    scored AS (
+      SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.id_a
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
+      FROM dot d JOIN nrm na ON na.doc_id = d.id_a
+                 JOIN nrm nb ON nb.doc_id = d.id_b)
+    SELECT id_a, id_b, CAST(rn AS INT) AS rank, ROUND(cosine, 6) AS cosine
+    FROM scored WHERE rn <= 3
+    """,
+)
+def q_doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-k neighbors via an INVERTED INDEX — the
+    search-engine similarity shape, complementary to the dense-embedding
+    family (H2): documents meet ONLY through shared tokens (the token-keyed
+    self-join IS the inverted index; rare tokens carry high idf and tiny
+    postings, and the ubiquitous-token blowup is bounded by df weighting —
+    at real scale, drop df/N > 0.5 stopword postings, the standard
+    impact-ordered pruning). Determinism engineering: tf*idf weights are
+    DECIMAL (idf quantized to 3 decimals once per token — coarse enough
+    that a last-ulp difference between Java's Math.log and libm ln can
+    never flip the cast), so per-pair dot products
+    and per-doc norm sums are EXACT under any aggregation order; the only
+    doubles are one sqrt and one division over identical inputs —
+    IEEE-identical on both engines — making the rank total (desc cosine,
+    id tie-break) and the top-3 cut exact. Bounded slice (doc_id < 100)
+    keeps the oracle's quadratic honest; the operator shape itself scales
+    by postings, not pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.persist()
+    n_docs = tf.select("doc_id").distinct().count()
+    df_rel = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = tf.join(df_rel, "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df")).cast("decimal(9,3)")
+        ).cast("decimal(28,3)").alias("w"),
+    ).persist()
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("w").alias("wb"))
+    dot = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    rw = Window.partitionBy("id_a").orderBy(cos.desc(), "id_b")
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "id_a", "id_b", F.col("rank").cast("int").alias("rank"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
