@@ -708,3 +708,70 @@ def test_streaming_sliding_window_watermark(spark, tmp_path):
         ("b", "2023-12-31 23:00:00"): (1, 4.0),
         ("b", "2024-01-01 00:00:00"): (1, 4.0),
     }
+
+
+def test_streaming_throttle_per_key_budget(spark, tmp_path):
+    """throttle_stream: per-key budget of 2 per 60s event-time window across
+    TWO micro-batches — state carries the window count over the batch
+    boundary (b's third event in batch 2 must still be suppressed), and a
+    new window resets the budget."""
+    from plenario_mapper_spark.streaming.state import throttle_stream
+
+    src = tmp_path / "throttle_in"
+    src.mkdir()
+    batch1 = [
+        {"key": "a", "seq": 1, "event_sec": 10},
+        {"key": "a", "seq": 2, "event_sec": 20},
+        {"key": "a", "seq": 3, "event_sec": 30},   # 3rd in window 0 -> blocked
+        {"key": "b", "seq": 4, "event_sec": 15},
+        {"key": "b", "seq": 5, "event_sec": 40},
+    ]
+    batch2 = [
+        {"key": "b", "seq": 6, "event_sec": 50},   # 3rd in window 0 -> blocked
+        {"key": "a", "seq": 7, "event_sec": 70},   # window 60 -> budget reset
+        {"key": "a", "seq": 8, "event_sec": 80},
+        {"key": "a", "seq": 9, "event_sec": 85},   # 3rd in window 60 -> blocked
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in batch1:
+            f.write(json.dumps(r) + "\n")
+
+    stream = throttle_stream(
+        spark.readStream.schema("key string, seq long, event_sec long").json(
+            str(src)
+        ),
+        limit=2,
+        window_seconds=60,
+    )
+    ckpt = str(tmp_path / "throttle_ckpt")
+    out_dir = str(tmp_path / "throttle_out")
+
+    def run_once():
+        # parquet (not memory) sink: memory sinks cannot recover from a
+        # checkpoint, and the restart IS what this test exercises
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    with open(src / "b2.json", "w") as f:
+        for r in batch2:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+
+    got = {
+        r["seq"]: (r["passed"], r["n_in_window"], r["window_start"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        1: (True, 1, 0), 2: (True, 2, 0), 3: (False, 3, 0),
+        4: (True, 1, 0), 5: (True, 2, 0),
+        6: (False, 3, 0),                     # state crossed the batch boundary
+        7: (True, 1, 60), 8: (True, 2, 60), 9: (False, 3, 60),
+    }
