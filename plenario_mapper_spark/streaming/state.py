@@ -120,3 +120,73 @@ def throttle_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+SESSION_STATE_SCHEMA = "session_start long, session_end long, n_events long"
+
+
+def _close_sessions(gap_seconds: int):
+    """Per-key fold for session_finalizer: extend the open session with each
+    event; emit it CLOSED when the event-time watermark passes its gap
+    horizon (the timeout callback — an empty batch iterator with
+    state.hasTimedOut) or when a new event arrives beyond the gap."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        out = []
+        if state.hasTimedOut:
+            s0, s1, n = state.get
+            out.append((user, s0, s1, n))
+            state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            return
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            for row in pdf.sort_values("event_sec").itertuples():
+                t = int(row.event_sec)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_seconds:
+                    out.append((user, *cur))  # gap exceeded: close, open anew
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        state.update(cur)
+        # the session closes when the EVENT-TIME watermark passes last_seen +
+        # gap: late events inside the gap can still extend it, and the
+        # watermark delay is the lateness bound the caller already chose
+        state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return fold
+
+
+def session_finalizer(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """Sessionization that emits ONLY closed sessions, via event-time TIMERS —
+    the push-based complement to F.session_window's pull-based aggregation
+    (which re-emits a session's row every time it grows; downstream
+    consumers that act once per session — billing, session-summary writes,
+    the reference's resolve-style notifications — need the closed-session
+    stream, not upserts). State = the open session triple per key; a
+    session closes either inline (a new event beyond the gap) or by the
+    state store's event-time timeout once the watermark passes
+    last_seen + gap — so emission needs NO new event for the key, which is
+    exactly what a timer gives and a groupBy cannot. Input rows:
+    (user_id, event_sec, ts) with a watermark already applied to ts."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _close_sessions(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

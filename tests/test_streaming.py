@@ -775,3 +775,72 @@ def test_streaming_throttle_per_key_budget(spark, tmp_path):
         6: (False, 3, 0),                     # state crossed the batch boundary
         7: (True, 1, 60), 8: (True, 2, 60), 9: (False, 3, 60),
     }
+
+
+def test_streaming_session_finalizer_emits_only_closed_sessions(spark, tmp_path):
+    """Timer-based session close: batch 1 opens sessions; nothing is emitted
+    for a session still inside its gap. Batch 2 advances the event-time
+    watermark far past user 1's horizon — the TIMEOUT (no new user-1
+    event; user 2's events drive the watermark) must flush user 1's
+    session; user 2's own over-gap event closes its first session inline.
+    Timestamps sit on a nonzero base: a row at exactly epoch 0 equals the
+    stream's initial watermark and is dropped as late."""
+    from plenario_mapper_spark.streaming.state import session_finalizer
+
+    B = 100000
+    src = tmp_path / "sessfin_in"
+    src.mkdir()
+    b1 = [
+        {"user_id": 1, "event_sec": B + 0},
+        {"user_id": 1, "event_sec": B + 100},   # same session (gap 300)
+        {"user_id": 2, "event_sec": B + 50},
+    ]
+    b2 = [
+        {"user_id": 2, "event_sec": B + 5000},  # inline-closes user 2's first
+        {"user_id": 2, "event_sec": B + 9000},  # advances watermark way past u1
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+
+    stream = session_finalizer(
+        spark.readStream.schema("user_id long, event_sec long")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds("event_sec"))
+        .withWatermark("ts", "10 seconds"),
+        gap_seconds=300,
+    )
+    ckpt = str(tmp_path / "sessfin_ckpt")
+    out_dir = str(tmp_path / "sessfin_out")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out_dir).collect()
+    assert first == []  # all sessions still open inside their gap
+    with open(src / "b2.json", "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+    # a further batch with fresh data: availableNow runs no batch on an empty
+    # source, and timers only fire inside a batch — an unrelated user's event
+    # provides the tick for any timer the second run left pending
+    with open(src / "b3.json", "w") as f:
+        f.write(json.dumps({"user_id": 3, "event_sec": B + 20000}) + "\n")
+    run_once()
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[(1, B + 0)] == (B + 100, 2)   # closed by TIMER, no new u1 event
+    assert got[(2, B + 50)] == (B + 50, 1)   # closed inline by the +5000s event
