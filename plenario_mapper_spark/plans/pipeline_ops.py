@@ -2815,3 +2815,90 @@ def q_doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------------
+# Geospatial: cell-blocked radius join + grid/time rollup (the Plenario shapes)
+# --------------------------------------------------------------------------------
+
+_SQL_GEO_X = (
+    "((CAST(('0x' || substr(md5('geo|x|' || CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " * 360000000) >> 32)"
+)
+_SQL_GEO_Y = (
+    "((CAST(('0x' || substr(md5('geo|y|' || CAST({k} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " * 180000000) >> 32)"
+)
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             {_SQL_GEO_X.format(k='event_id')} AS x_u,
+             {_SQL_GEO_Y.format(k='event_id')} AS y_u
+      FROM events),
+    ctr AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS center_id,
+             {_SQL_GEO_X.format(k='n_nationkey')} AS cx_u,
+             {_SQL_GEO_Y.format(k='n_nationkey')} AS cy_u
+      FROM nation)
+    SELECT center_id, event_id, dist_sq FROM (
+      SELECT c.center_id, p.event_id,
+             CAST((p.x_u - c.cx_u) * (p.x_u - c.cx_u)
+                + (p.y_u - c.cy_u) * (p.y_u - c.cy_u) AS BIGINT) AS dist_sq
+      FROM pts p CROSS JOIN ctr c) d
+    WHERE dist_sq <= 25000000000000
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (operators/geo.grid_radius_join): every event within
+    5 degrees (5e6 micro-degrees) of a sensor-center, via 3x3 grid-cell
+    blocking with the small center side exploded and BROADCAST — the points
+    side never shuffles. Coordinates are integer micro-degrees derived
+    deterministically from row keys (md5 idiom, engine-independent), distance
+    is exact integer squared-euclidean, so the oracle — which checks via the
+    brute-force CROSS JOIN the operator must NEVER run at scale — matches
+    bit-for-bit. Plenario's core query shape ('observations near node X'),
+    reference-adjacent: plenario-mapper feeds the spatially-indexed
+    observation store this join serves."""
+    from plenario_mapper_spark.operators import geo as GEO
+
+    r = 5_000_000
+    pts = GEO.derive_coords_udeg(
+        _events(spark, sf_dir).select("event_id"), "event_id"
+    )
+    ctr = GEO.derive_coords_udeg(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("center_id")
+        ),
+        "center_id",
+    ).withColumnsRenamed({"x_u": "cx_u", "y_u": "cy_u"})
+    return GEO.grid_radius_join(pts, ctr, r).select("center_id", "event_id", "dist_sq")
+
+
+@register(
+    "q_geo_grid_timeseries",
+    oracle=f"""
+    SELECT x_u // 10000000 AS cell_x,
+           y_u // 10000000 AS cell_y,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n_obs,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM (SELECT ts, value,
+                 {_SQL_GEO_X.format(k='event_id')} AS x_u,
+                 {_SQL_GEO_Y.format(k='event_id')} AS y_u
+          FROM events) p
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_geo_grid_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal heatmap rollup (operators/geo.grid_timeseries): counts
+    and value sums per (10-degree grid cell, day) — the Plenario explorer's
+    map aggregation. Single hash aggregate with map-side partials; the shuffle
+    carries only the (cell x day) key space regardless of input size."""
+    from plenario_mapper_spark.operators import geo as GEO
+
+    pts = GEO.derive_coords_udeg(_events(spark, sf_dir), "event_id")
+    return GEO.grid_timeseries(pts, 10_000_000, ts_col="ts", value_col="value")
