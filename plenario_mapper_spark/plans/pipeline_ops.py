@@ -2902,3 +2902,58 @@ def q_geo_grid_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = GEO.derive_coords_udeg(_events(spark, sf_dir), "event_id")
     return GEO.grid_timeseries(pts, 10_000_000, ts_col="ts", value_col="value")
+
+
+@register(
+    "q_join_dpp_partitioned",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_obs,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(('0x' || substr(md5('dpp|' || strftime(CAST(ts AS DATE), '%Y-%m-%d')), 1, 8))
+               AS BIGINT) < 1717986918
+    GROUP BY 1
+    """,
+)
+def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end to end (sources/partitioned): events laid
+    out as event_date=YYYY-MM-DD directories, joined to a hash-gate-filtered
+    day dimension (~40% of days survive the md5 gate) on the PARTITION column.
+    Spark plants a `dynamicpruning` subquery in the fact scan's
+    PartitionFilters (pinned by tests/test_partitioned.py), so only surviving
+    date directories are listed and read — at 100 TB this is the difference
+    between scanning the lake and scanning 12 days. The dim scan reads ONLY
+    the partition column (directory listing, zero parquet bytes). The oracle
+    replays the same gate on the raw table; equality also proves the
+    partitioned copy lost no rows (dates round-trip the directory encoding)."""
+    from plenario_mapper_spark.operators.sampling import threshold_for
+    from plenario_mapper_spark.sources import partitioned as PT
+
+    root = PT.ensure_date_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(root)
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("dpp"), F.col("event_date").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    dim = (
+        spark.read.parquet(root)
+        .select("event_date")
+        .distinct()
+        .filter(gate < F.lit(threshold_for(0.4)))
+    )
+    return (
+        PT.dpp_join(fact, dim, "event_date")
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
