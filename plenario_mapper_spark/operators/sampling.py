@@ -138,3 +138,30 @@ def weighted_resample(
     return out.withColumn(
         "copy_idx", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
     ).drop("n_copies")
+
+
+def deterministic_group_sample(
+    df: DataFrame, key_col: str, group_col: str, k: int, salt: str = "g0"
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically — the
+    fixed-budget variant of stratified sampling (hash-gate fractions cannot
+    promise exact counts). Selection order is the md5 hash of the row key
+    (uniform, key-pure), tie-broken by the key itself, so the chosen SET is a
+    pure function of (salt, group membership): stable under repartitioning,
+    and append-monotone in the reservoir sense (a new row displaces the
+    current max-hash pick iff it hashes lower — exactly classic reservoir
+    sampling with hash(key) as the priority, made deterministic).
+
+    One shuffle on the group key feeding a rank-truncate window; at 100 TB
+    group skew is the hazard — for pathological groups, pre-filter with a
+    coarse hash gate (keep fraction >> k/|group|) so the window sees a
+    bounded slice, same final set."""
+    from pyspark.sql import Window
+
+    h = _hash_u32(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )

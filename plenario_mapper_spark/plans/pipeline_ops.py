@@ -2957,3 +2957,69 @@ def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_sample_group_reservoir",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('g0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) ASC, doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 7
+    """,
+)
+def q_sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k reservoir per group (operators/sampling
+    .deterministic_group_sample): exactly 7 documents per source, selected by
+    md5(key) priority — the exact-count companion to the fractional hash gate,
+    reproduced row-for-row by the oracle's ROW_NUMBER over the same integer
+    hash. One shuffle on the group key; membership survives repartitioning
+    and is reservoir-stable under appends."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return SP.deterministic_group_sample(d, "doc_id", "source", k=7, salt="g0")
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE user_id < 30 GROUP BY 1, 2)
+    SELECT d AS day, COUNT(*) AS n_pairs, CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+    FROM (
+      SELECT a.d AS d,
+             epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)) AS ov
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e) t
+    GROUP BY 1
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/intervals): daily activity spans
+    [first event, last event] per (user, day), all cross-user overlapping
+    pairs, rolled up per day. The operator blocks on hour buckets (explode
+    covered hours -> equi-join on bucket -> exact predicate), emitting each
+    pair exactly once via max-start-bucket ownership — the oracle is the
+    brute-force quadratic self-join the operator must never run at scale,
+    with NO same-day shortcut: equality proves the bucket blocking is
+    lossless and duplicate-free. Overlap durations are exact integer
+    microseconds end to end."""
+    from plenario_mapper_spark.operators import intervals as IV
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    iv = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pairs = IV.interval_overlap_self_join(
+        iv.drop("d"), "user_id", "s", "e", bucket_us=3_600_000_000
+    )
+    return pairs.groupBy(F.to_date("s_a").alias("day")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
