@@ -3023,3 +3023,48 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("overlap_us").alias("total_overlap_us"),
     )
+
+
+@register(
+    "q_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (operators/profile.profile_columns) in ONE
+    scan: row count, null count, exact cardinality, numeric min/max for every
+    column of orders. The multi-distinct compiles through a single Expand —
+    one pass, no per-column jobs; the oracle is the 6-scan UNION ALL the
+    operator replaces. approx (HLL) cardinality is the documented wide-schema
+    switch, recall-tested in tests/test_profile.py."""
+    from plenario_mapper_spark.operators import profile as PR
+
+    return PR.profile_columns(_t(spark, sf_dir, "orders"))
