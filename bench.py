@@ -41,6 +41,11 @@ HEADLINE = [
     "q_doc_lang_signal",
     "q_doc_pack_sequences",
     "q_doc_redact_pii",
+    # round-4 second-wave scale-critical additions: spatial blocking join and
+    # epoch-bucket interval overlap — both families whose naive form is a
+    # quadratic cross join; wall-time accountability keeps them honest
+    "q_geo_radius_join",
+    "q_join_interval_overlap",
 ]
 
 

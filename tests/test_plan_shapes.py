@@ -393,3 +393,35 @@ def test_nullsafe_join_hash_partitions_not_nested_loop(spark):
     plan = _plan(QUERIES["q_join_nullsafe"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At 100 TB the fact side of a selective shuffle join should be pre-filtered
+    by a runtime bloom filter built from the dim side (Spark injects it when the
+    application side scan exceeds ~10 GB — far above local testdata, so this
+    pins the mechanism with the threshold floored; the 100 TB conf keeps the
+    default). Both the bloom_filter_agg build and the might_contain probe must
+    appear in the physical plan."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        p = spark.read.parquet(f"{SF}/part.parquet").filter(F.col("p_size") < 3)
+        j = l.join(p, l.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
