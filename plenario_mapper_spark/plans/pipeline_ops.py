@@ -3068,3 +3068,34 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plenario_mapper_spark.operators import profile as PR
 
     return PR.profile_columns(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "q_profile_histogram",
+    oracle="""
+    SELECT bin,
+           bin * 5000.0 + 0.0 AS bin_lo,
+           (bin + 1) * 5000.0 + 0.0 AS bin_hi,
+           n
+    FROM (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0)
+                                 AS BIGINT), 0), 21) AS bin,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND CAST(l_extendedprice AS DOUBLE) >= 0.0
+        AND CAST(l_extendedprice AS DOUBLE) <= 110000.0
+      GROUP BY 1) t
+    """,
+)
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (operators/profile.numeric_histogram): 22
+    x 5000-wide bins over lineitem extended price in one aggregate — the
+    shuffle carries at most 22 keys whatever the input size. Bin membership
+    is the identical IEEE floor((x-lo)/w) on both engines, so counts match
+    exactly (profiling's distribution companion to q_profile_orders)."""
+    from plenario_mapper_spark.operators import profile as PR
+
+    return PR.numeric_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", 22, 0.0, 110000.0
+    )

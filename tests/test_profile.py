@@ -44,3 +44,34 @@ def test_profile_approx_mode_no_expand(spark):
     for c in e:
         # rsd=0.02 -> 3-sigma band of 6%
         assert abs(a[c] - e[c]) <= max(3, 0.06 * e[c]), (c, e[c], a[c])
+
+
+def test_histogram_bins_and_clamping(spark):
+    from plenario_mapper_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (4.9,), (5.0,), (9.99,), (10.0,), (-0.1,), (10.1,), (None,)],
+        "v double",
+    )
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.n) for r in
+           numeric_histogram(df, "v", 2, 0.0, 10.0).collect()}
+    # [-0.1, 10.1, None] dropped; 10.0 (== hi) clamps into the last bin
+    assert got == {0: (0.0, 5.0, 2), 1: (5.0, 10.0, 3)}
+
+
+def test_histogram_single_scan_single_exchange(spark):
+    plan = _plan(QUERIES["q_profile_histogram"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_histogram_rejects_bad_bounds(spark):
+    import pytest as _pytest
+
+    from plenario_mapper_spark.operators.profile import numeric_histogram
+
+    df = spark.range(1).select(F.col("id").cast("double").alias("v"))
+    with _pytest.raises(ValueError):
+        numeric_histogram(df, "v", 0, 0.0, 1.0)
+    with _pytest.raises(ValueError):
+        numeric_histogram(df, "v", 4, 2.0, 2.0)
