@@ -2709,3 +2709,62 @@ def q_events_metrics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_id,
+             last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+             last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ty
+      FROM events)
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN ok THEN t_id END AS touch_event_id,
+           CASE WHEN ok THEN t_ty END AS touch_type,
+           CASE WHEN ok THEN g END AS gap_us
+    FROM (SELECT *, epoch_us(ts) - epoch_us(t_ts) AS g,
+                 (epoch_us(ts) - epoch_us(t_ts)) <= 86400000000 AS ok
+          FROM w WHERE event_type = 'purchase') x
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 24 h lookback: every purchase is credited
+    to the user's most recent preceding click/view, or left organic (NULLs)
+    when none exists within the window. One carry-forward window pass
+    (last+ignoreNulls over ROWS UNBOUNDED PRECEDING..1 PRECEDING) — a single
+    shuffle on user_id, no self-join against the touch stream (the join
+    formulation re-shuffles purchases AND touches, then needs a rank-1 cut;
+    the carry-forward is strictly narrower). Total (ts, event_id) ordering
+    makes the credited touch engine-deterministic; the gap is exact integer
+    microseconds."""
+    e = _events(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = e.withColumns(
+        {
+            "t_id": F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w),
+            "t_ts": F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w),
+            "t_ty": F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+        }
+    ).filter(F.col("event_type") == "purchase")
+    gap = F.expr("unix_micros(ts)") - F.expr("unix_micros(t_ts)")
+    ok = gap <= F.lit(86_400_000_000)
+    return carried.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(ok, F.col("t_id")).alias("touch_event_id"),
+        F.when(ok, F.col("t_ty")).alias("touch_type"),
+        F.when(ok, gap).alias("gap_us"),
+    )

@@ -425,3 +425,16 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_attribution_single_user_shuffle_no_self_join(spark):
+    """Last-touch attribution must stay the carry-forward window form: one
+    hash exchange on user_id and zero joins — a SortMergeJoin or second
+    exchange means it degraded to the purchases-vs-touches self-join."""
+    plan = _plan(QUERIES["q_events_attribution"](spark, SF))
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
