@@ -2768,3 +2768,36 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("t_ty")).alias("touch_type"),
         F.when(ok, gap).alias("gap_us"),
     )
+
+
+@register(
+    "q_events_throttle_batch",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CASE WHEN rn <= 5 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 3600000000
+               ORDER BY ts, event_id) AS rn
+      FROM events) t
+    """,
+)
+def q_events_throttle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/state.throttle_stream (H25): per (user, event-
+    time hour) budget of 5 — events beyond the budget, in (ts, event_id)
+    arrival order, are marked suppressed. Same verdicts as the stateful
+    streaming fold on the same input (the stream folds in (event_sec, seq)
+    order; the batch form is the window-rank formulation of that fold), so a
+    backfill and the live stream agree row for row. passed is INT 0/1, never
+    boolean (driver-hash stringification contract). One shuffle on
+    (user, hour) — strictly narrower keys than the stream's per-key state."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.expr("unix_micros(ts) div 3600000000")
+    ).orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.row_number().over(w) <= 5).cast("int").alias("passed"),
+    )

@@ -844,3 +844,59 @@ def test_streaming_session_finalizer_emits_only_closed_sessions(spark, tmp_path)
     }
     assert got[(1, B + 0)] == (B + 100, 2)   # closed by TIMER, no new u1 event
     assert got[(2, B + 50)] == (B + 50, 1)   # closed inline by the +5000s event
+
+
+def test_throttle_stream_matches_batch_window_rank(spark, tmp_path):
+    """Backfill/live agreement (the q_events_throttle_batch contract): the
+    stateful streaming fold and the batch ROW_NUMBER formulation must yield
+    identical per-event verdicts on the same input."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.streaming.state import throttle_stream
+
+    rng = random.Random(11)
+    rows = [
+        {"key": f"k{rng.randrange(5)}", "seq": i, "event_sec": rng.randrange(0, 300)}
+        for i in range(200)
+    ]
+    src = tmp_path / "thr_parity_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = throttle_stream(
+        spark.readStream.schema("key string, seq long, event_sec long").json(str(src)),
+        limit=3,
+        window_seconds=60,
+    )
+    out_dir = str(tmp_path / "thr_parity_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "thr_parity_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_verdicts = {
+        r["seq"]: r["passed"] for r in spark.read.parquet(out_dir).collect()
+    }
+
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("key", F.expr("event_sec div 60")).orderBy(
+        "event_sec", "seq"
+    )
+    batch_verdicts = {
+        r["seq"]: r["passed"]
+        for r in df.select(
+            "seq", (F.row_number().over(w) <= 3).alias("passed")
+        ).collect()
+    }
+    assert stream_verdicts == batch_verdicts
+    assert len(stream_verdicts) == 200
+    assert not all(stream_verdicts.values())  # budget actually binds somewhere
