@@ -3099,3 +3099,44 @@ def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.numeric_histogram(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", 22, 0.0, 110000.0
     )
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    SELECT event_id, status FROM (
+      SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+             CASE WHEN l.event_id IS NULL THEN 'added'
+                  WHEN r.event_id IS NULL THEN 'removed'
+                  WHEN l.event_type IS DISTINCT FROM r.event_type
+                    OR l.value IS DISTINCT FROM r.value THEN 'changed' END AS status
+      FROM (SELECT event_id, event_type, value FROM events WHERE event_id % 7 <> 0) l
+      FULL OUTER JOIN
+           (SELECT event_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END AS value
+            FROM events WHERE event_id % 5 <> 0) r
+        ON l.event_id = r.event_id) t
+    WHERE status IS NOT NULL
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.table_diff): two derived
+    versions of events (v1 drops id%7==0; v2 drops id%5==0 and bumps value
+    on id%3==0) diffed on event_id -> added/removed/changed per key. The
+    operator reduces each side to (key, xxhash64 fingerprint) in the scan
+    stage — the full-outer shuffle carries two longs per row, never the
+    payload; the oracle recomputes statuses by DIRECT column comparison, so
+    a hash-collision or null-canonicalization bug would surface as a
+    mismatch. The drift-summary fold (diff_summary) is the same plan + one
+    map-side count."""
+    from plenario_mapper_spark.operators import diff as DF_
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    v1 = e.filter(F.col("event_id") % 7 != 0)
+    v2 = e.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return DF_.table_diff(v1, v2, ["event_id"])
