@@ -3140,3 +3140,71 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return DF_.table_diff(v1, v2, ["event_id"])
+
+
+@register(
+    "q_doc_bigram_logprob",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM docs WHERE len(toks) >= 2)),
+    cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+    cp AS (SELECT w1, SUM(nb) AS np FROM cb GROUP BY 1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(CAST(cb.nb AS DOUBLE) / cp.np)), 6) AS mean_logprob
+    FROM bg b
+      JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+      JOIN cp ON cp.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: per-doc mean log P(w2|w1) under the corpus's
+    own empirical bigram model (numerator: corpus bigram count; denominator:
+    count of bigrams starting with w1 — i.e. w1's non-final occurrences, the
+    correct conditional mass; every probe hits by construction, so no
+    smoothing). The sequel to q_doc_unigram_logprob: repeated-boilerplate
+    docs score HIGH (predictable transitions), garbled docs LOW — the pair
+    brackets LM-perplexity filtering from both sides.
+
+    Scale shape: the bigram explode happens ONCE and is persisted feeding
+    all three consumers (bigram counts, prefix counts via re-aggregation of
+    the counted relation — never a second pass over the corpus — and the
+    per-doc probe); bigram pairs are built from two shifted slices of the
+    materialized token-array attribute (arrays_zip), never per-index lambda
+    element_at (PERF_NOTES: 31s -> 1.4s lesson). Count joins stay un-hinted:
+    corpus-scale bigram vocabularies exceed any broadcast budget; AQE
+    converts when measured small. AVG-of-double ordering sits in the 16th
+    digit, far below the 6-decimal grid (same contract as unigram)."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    zipped = toked.select(
+        "doc_id",
+        F.arrays_zip(
+            F.slice("toks", 1, n - 1).alias("w1"),
+            F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+        ).alias("z"),
+    )
+    bg = zipped.select(
+        "doc_id", F.explode("z").alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).persist()
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("nb"))
+    cp = cb.groupBy("w1").agg(F.sum("nb").alias("np"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("nb").cast("double") / F.col("np"))), 6
+            ).alias("mean_logprob"),
+        )
+    )
