@@ -20,7 +20,10 @@ Crash safety: dynamic partition overwrite stages each partition's replacement
 files before committing, and a re-run of the same batch after a crash is NOT
 idempotent (it would double-merge) — the caller pairs this with its ingest
 ledger (e.g. the streaming checkpoint's batch id) exactly as the reference
-pairs Redshift INSERTs with Kinesis checkpoints.
+pairs Redshift INSERTs with Kinesis checkpoints. The packaged form of that
+pairing is streaming/exactly_once.idempotent_foreach_batch (a committed-
+batch-id ledger consulted before the apply; redelivery pinned harmless in
+tests/test_exactly_once.py).
 """
 
 from __future__ import annotations
