@@ -3208,3 +3208,50 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             (list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+              - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255 AS scale
+      FROM embeddings),
+    qd AS (
+      SELECT vec_id, v, lo, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+               ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) / scale + 0.5) AS INT), 0), 255)
+               END) AS q
+      FROM b)
+    SELECT vec_id,
+           CAST(len(q) AS INT) AS n_dims,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           md5(array_to_string(q, ',')) AS q_md5,
+           ROUND(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(lo + q[i] * scale - v[i]))), 6) AS max_abs_err
+    FROM qd
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization of every embedding (operators/quantize):
+    codes pinned byte-exact across engines via md5 of the joined code array
+    (round-half-up spelled floor(+0.5) — a bare double->int CAST truncates
+    in Spark but rounds in DuckDB), code mass as an order-independent
+    integer sum, and the exact worst-dim reconstruction error. Narrow HOF
+    projection, zero shuffle."""
+    from plenario_mapper_spark.operators import quantize as QZ
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = QZ.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.md5(
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
+        ).alias("q_md5"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
