@@ -85,6 +85,14 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Bound cached-block lifetime: a few queries persist shared intermediates
+    # (tf-idf counts, bigram relation, geo cells) with no per-query owner to
+    # unpersist them; release before the streaming phase so its state-store
+    # memory isn't competing with stale query caches.
+    from plenario_mapper_spark.plans.registry import release_query_caches
+
+    release_query_caches(spark)
+
     extra: dict[str, float] = {}
     try:
         rows, secs = _stream_throughput(spark, sf_dir)

@@ -37,9 +37,7 @@ def profile_columns(
     DOUBLE and NULL for non-numeric columns (string/timestamp extrema are
     type-dependent renderings, deliberately out of the uniform schema)."""
     names = cols or df.columns
-    types = dict(df.dtypes)  # unused for numeric check; need real types
     schema = {f.name: f.dataType for f in df.schema.fields}
-    del types
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in names:

@@ -41,3 +41,16 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def release_query_caches(spark: SparkSession) -> None:
+    """Drop built plans and executor-cached blocks for `spark`.
+
+    A handful of registry queries persist a shared intermediate (tf-idf token
+    counts, bigram relation, geo cells): correct for a single run, but a
+    long-lived driver session that invokes many queries accumulates cached
+    blocks with no owner to unpersist them. Harness loops (bench.py does this
+    between queries) call this to bound cache lifetime to one query; the
+    per-batch streaming pipeline manages its own snapshots explicitly."""
+    _PLAN_CACHE.pop(spark, None)
+    spark.catalog.clearCache()

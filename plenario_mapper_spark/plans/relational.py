@@ -2791,10 +2791,17 @@ def q_events_throttle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; the batch form is the window-rank formulation of that fold), so a
     backfill and the live stream agree row for row. passed is INT 0/1, never
     boolean (driver-hash stringification contract). One shuffle on
-    (user, hour) — strictly narrower keys than the stream's per-key state."""
+    (user, hour) — strictly narrower keys than the stream's per-key state.
+
+    Hour bucketing is FLOOR division ((x - pmod(x, b)) div b, exact integer
+    arithmetic), matching DuckDB's `//` for negative epochs too — Spark's
+    bare `div` truncates toward zero and would diverge on pre-1970 data."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy(
-        "user_id", F.expr("unix_micros(ts) div 3600000000")
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000"
+        ),
     ).orderBy("ts", "event_id")
     return e.select(
         "event_id",

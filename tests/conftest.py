@@ -119,3 +119,15 @@ def obs_df(spark):
         "seq int, node_id string, meta_id double, datetime string, sensor string, "
         "network string, data string",
     )
+
+
+def final_plan(df) -> str:
+    """Executed-plan string with only the AQE Final Plan section.
+
+    Once AQE marks ``isFinalPlan=true`` the executedPlan string contains BOTH
+    ``== Final Plan ==`` and ``== Initial Plan ==`` sections, so substring
+    counts (``plan.count('FileScan parquet')``) double depending on whether
+    the plan materialized earlier in the session. Slice before counting.
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("== Initial Plan ==")[0]

@@ -35,7 +35,9 @@ def test_colocated_join_is_shuffle_free(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         j = B.colocated_join(spark, lt, rt, ["l_orderkey"])
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        from tests.conftest import final_plan
+
+        plan = final_plan(j)
         assert "Exchange" not in plan, plan
         assert "Bucketed: true" in plan, plan
     finally:

@@ -309,7 +309,9 @@ def test_ivf_index_build_search_matches_oneshot(spark, embeddings, tmp_path):
     assert any(p.startswith("cid=") for p in os.listdir(os.path.join(idx, "cells")))
     # and dynamic partition pruning must reach the cells scan: unprobed cells
     # are skipped at the file level, which is the whole point of the layout
-    plan = served._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    plan = final_plan(served)
     assert "dynamicpruning" in plan.lower()
 
 

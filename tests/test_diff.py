@@ -10,7 +10,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    return final_plan(df)
 
 
 def test_statuses_and_null_handling(spark):

@@ -13,7 +13,9 @@ T0 = dt.datetime(2024, 1, 1)
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    return final_plan(df)
 
 
 def _mk(spark, rows):
@@ -103,3 +105,52 @@ def test_group_reservoir_exact_k_and_deterministic(spark):
     # repartitioning must not change the selected set
     s2 = SP.deterministic_group_sample(d.repartition(13), "doc_id", "source", k=3)
     assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+
+
+def test_max_buckets_routes_overflow_losslessly(spark):
+    """One corrupted far-future end (span ~ 10 years of hourly buckets) must
+    not explode; with max_buckets the result still equals brute force and the
+    sequence fan-out is capped. Mixed long-long / long-normal / normal-normal
+    pairs exercise every exactly-once branch."""
+    h = dt.timedelta(hours=1)
+    rows = [
+        (0, T0, T0 + 2 * h),
+        (1, T0 + 1 * h, T0 + 3 * h),
+        (2, T0 + 30 * h, T0 + 31 * h),
+        (3, T0, T0 + dt.timedelta(days=3650)),   # corrupted far-future end
+        (4, T0 + 5 * h, T0 + dt.timedelta(days=3000)),  # second long row
+        (5, T0 + dt.timedelta(days=4000), T0 + dt.timedelta(days=4001)),  # disjoint
+    ]
+    got = _got(
+        IV.interval_overlap_self_join(
+            _mk(spark, rows), "iid", "s", "e", max_buckets=48
+        )
+    )
+    assert got == _brute(rows)
+
+
+def test_max_buckets_equivalent_on_normal_data(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        start = T0 + dt.timedelta(seconds=rng.randrange(0, 2 * 86400))
+        dur = dt.timedelta(seconds=rng.randrange(0, 30 * 3600))
+        rows.append((i, start, start + dur))
+    base = _got(IV.interval_overlap_self_join(_mk(spark, rows), "iid", "s", "e"))
+    capped = _got(
+        IV.interval_overlap_self_join(_mk(spark, rows), "iid", "s", "e", max_buckets=12)
+    )
+    assert capped == base == _brute(rows)
+
+
+def test_bucket_bounds_floor_for_negative_epochs(spark):
+    """Pre-1970 timestamps have negative epoch micros; bucketing must FLOOR
+    (DuckDB `//` semantics), not truncate toward zero, or two intervals in
+    the same pre-1970 hour land in different buckets."""
+    df = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 23, 30),), (dt.datetime(1970, 1, 1, 0, 30),)],
+        "t timestamp",
+    )
+    b = IV._with_bucket_bounds(df, "t", "t", 3_600_000_000)
+    got = sorted(r._b_start for r in b.collect())
+    assert got == [-1, 0], got

@@ -137,6 +137,8 @@ def test_pipeline_is_shuffle_free(result):
     """The hot path must stay narrow: broadcast join only, no exchange. At 1000
     executors a shuffle here would dominate; the reference's per-record hash lookup
     maps to a broadcast hash join precisely so the pipeline scales linearly."""
-    plan = result.annotated._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    plan = final_plan(result.annotated)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan

@@ -13,7 +13,9 @@ SF = "/root/testdata/sf0.1"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    return final_plan(df)
 
 
 def _broadcast_subtrees(plan: str):

@@ -9,7 +9,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    return final_plan(df)
 
 
 def test_profile_single_scan(spark):

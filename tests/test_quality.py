@@ -70,7 +70,9 @@ def test_battery_is_one_scan(spark, tmp_path):
             QC.Check("v_domain", "accepted_values", cols=("v",), values=tuple(range(7))),
         ],
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    plan = final_plan(out)
     scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln)
     assert scans == 1, plan
     assert {r["passed"] for r in out.collect()} == {True}

@@ -36,5 +36,7 @@ def test_constant_vector_is_exact(spark):
 
 
 def test_quantize_plan_is_narrow(spark):
-    plan = QUERIES["q_embed_quantize"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    from tests.conftest import final_plan
+
+    plan = final_plan(QUERIES["q_embed_quantize"](spark, SF))
     assert "Exchange" not in plan, plan
