@@ -767,8 +767,51 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_graph_pagerank")  # rows-only: iterative to tolerance (pytest
-# pins numeric parity with a dense NumPy power iteration incl. dangling mass)
+def _pagerank_oracle(iters: int = 12, damping: float = 0.85) -> str:
+    """Unrolled power iteration as one chained-CTE DuckDB query.
+
+    DuckDB needs no recursion here: a FIXED iteration budget (the engine
+    query's tol=None mode) unrolls to `iters` copies of the same
+    aggregate-join block, each reading the previous rank relation. The
+    arithmetic mirrors operators/graph.pagerank term for term — same IEEE
+    expression tree ((1-d)/n + d*COALESCE(in_mass, 0); the dangling term is
+    exactly 0.0 on this bipartite graph, and x + 0.0 == x in IEEE, so it is
+    omitted), so ranks agree to ~1e-15 and the 1e-9 rounding grid decides
+    identically. Ordering is on the ROUNDED rank (both engines sort the same
+    grid) with node-id tiebreak."""
+    sql = [f"""
+    WITH pairs AS (
+      SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT s AS src, p AS dst FROM pairs UNION ALL SELECT p, s FROM pairs),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / c.n AS rank FROM nodes, cnt c)"""]
+    # bare numeric literals are DECIMAL in DuckDB — cast every constant to
+    # DOUBLE so both engines run the identical IEEE expression tree
+    for i in range(iters):
+        sql.append(f""",
+    r{i + 1} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / c.n
+               + CAST({damping} AS DOUBLE) * COALESCE(m.in_mass, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n CROSS JOIN cnt c
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.deg) AS in_mass
+        FROM r{i} r JOIN deg d ON r.node = d.src JOIN edges e ON e.src = d.src
+        GROUP BY e.dst) m ON m.node = n.node)""")
+    sql.append(f"""
+    SELECT node, ROUND(rank, 9) AS rank
+    FROM r{iters} WHERE node LIKE 's%'
+    ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
+    """)
+    return "".join(sql)
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance ranking over the derived supply graph: directed bipartite
     edges supplier->part and part->supplier from distinct lineitem pairs,
@@ -791,9 +834,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, tol=None, max_iterations=12)
     return (
         ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 9).alias("rank"))
+        # order on the ROUNDED rank: raw doubles differ across engines (and
+        # across runs — double-sum order is partition-dependent) in the 16th
+        # digit; the 1e-9 grid plus node-id tiebreak is deterministic
         .orderBy(F.desc("rank"), "node")
         .limit(20)
-        .select("node", F.round("rank", 9).alias("rank"))
     )
 
 
@@ -926,10 +972,39 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05, shingle_n=2)
 
 
-@register("q_dedup_minhash")  # rows-only: LSH not SQL-expressible; verified in tests
+@register(
+    "q_dedup_minhash",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16x4) near-dup pairs over ALL documents, exact-Jaccard
-    verified on candidates — the linear-scale dedup path."""
+    verified on candidates — the linear-scale dedup path.
+
+    Oracle-backed as of r5: the oracle is the EXACT trigram-Jaccard truth
+    (quadratic, viable only at oracle scale). The LSH path must equal it
+    because (a) the verify stage computes exact Jaccard on candidates, so
+    precision is exact by construction, and (b) every true pair on this
+    corpus sits at J >= 0.9 (measured: min reported J = 0.9 at sf0.01),
+    far past the 16x4 banding's s-curve knee, so recall is 1.0 — verified
+    empirically at sf0.001 and sf0.01 (pair sets identical) and pinned
+    probabilistically by the pytest recall contract. A recall dip on future
+    data would surface as a driver hash mismatch — a stronger check than
+    rows-only, which is the point."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
 
@@ -1055,7 +1130,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_embed_near_dup")  # rows-only
+@register("q_embed_near_dup")  # rows-only: LSH recall <1 by design at this
+# threshold (~40%); the exact twin q_embed_near_dup_exact carries the oracle
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane buckets. Threshold
     0.4 because the synthetic corpus holds no true near-dups (max pairwise
@@ -1600,7 +1676,36 @@ def q_mapper_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("q_dedup_survivors")  # rows-only: LSH recall <1 makes the cluster set approximate
+@register(
+    "q_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    ),
+    removed AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> LEAST(u, MIN(v))
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """,
+)
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup dedup pipeline — the training-data deliverable:
     MinHash+LSH pairs (linear in corpus) -> connected components (O(log n)
@@ -1608,9 +1713,16 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage shuffles candidates/edges only, never the corpus text; the
     final projection is an anti-join of doc ids (broadcast at any realistic
     dup rate). Partition invariants (survivors + removed = corpus, one
-    survivor per cluster) are asserted in tests. No final sort: the rows-only
-    check is order-insensitive, and a global orderBy would range-shuffle the
-    entire surviving corpus at 100 TB for nothing."""
+    survivor per cluster) are asserted in tests. No final sort: a global
+    orderBy would range-shuffle the entire surviving corpus at 100 TB for
+    nothing.
+
+    Oracle-backed as of r5 (was rows-only): the survivor SET is exactly the
+    exact-Jaccard clusters' min-id members plus singletons, because LSH
+    recall is 1.0 on this corpus (see q_dedup_minhash — every true pair has
+    J >= 0.9) and precision is exact by the verify stage. The oracle
+    recomputes pairs exactly, closes them with a recursive CTE, and keeps
+    non-removed docs."""
     d = _t(spark, sf_dir, "documents")
     pairs = DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
     comp = DD.connected_components(pairs, "id_a", "id_b")

