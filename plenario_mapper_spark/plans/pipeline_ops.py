@@ -1452,6 +1452,51 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_events_sessions_closed",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                  OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+             THEN 1 ELSE 0 END AS ns
+      FROM e),
+    sess AS (
+      SELECT user_id, us,
+             CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    mx AS (SELECT MAX(us) AS gmax FROM e),
+    lastsid AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id,
+           make_timestamp(a.s_us) AS session_start,
+           make_timestamp(a.e_us) AS session_end,
+           a.n_events
+    FROM agg a JOIN lastsid l ON a.user_id = l.user_id, mx
+    WHERE a.sid < l.max_sid OR a.e_us + 1800000000 < mx.gmax
+    """,
+)
+def q_events_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED sessions only (30-min gap) — the driver-visible batch twin of
+    streaming/state.session_finalizer (H26): what a full replay of the events
+    table emits under a zero-delay end-of-input watermark. Inline closes
+    (a later session exists for the user) plus timer closes (gap horizon
+    strictly before the global max event time); each user's still-open tail
+    session is withheld, exactly as the timer would withhold it. Stream==batch
+    parity is pinned in tests/test_streaming.py; this registry entry gives the
+    closed-set SEMANTICS an oracle row (VERDICT r4 item 5)."""
+    from plenario_mapper_spark.streaming.state import closed_sessions_batch
+
+    e = _events(spark, sf_dir)
+    return closed_sessions_batch(e, gap_seconds=1800)
+
+
 # --------------------------------------------------------------------------------
 # Dedup clustering, deterministic sampling, pivot/unpivot
 # --------------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "seq long, name string, kind string, value string"
@@ -189,4 +189,62 @@ def session_finalizer(events: DataFrame, gap_seconds: int) -> DataFrame:
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def closed_sessions_batch(
+    events: DataFrame, gap_seconds: int, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Batch twin of session_finalizer: the CLOSED-session set a full replay
+    of `events` emits under a zero-delay watermark at end-of-input.
+
+    A session is closed iff (a) a later session exists for the same key —
+    the finalizer closed it INLINE when the first over-gap event arrived —
+    or (b) its gap horizon lies strictly before the final watermark
+    (session_end + gap < max event time over the whole input): the
+    event-time TIMER fired. Same strict-> gap test and (ts, arrival) fold
+    order as the stateful stream, so backfill == live row for row (parity
+    pinned in tests/test_streaming.py).
+
+    Arithmetic runs on unix MICROSECONDS (exact integers in both engines —
+    no truncate-vs-round seam at fractional seconds). One shuffle on the
+    key for sessionize + per-key max; the global max is a one-row broadcast
+    (the q11 scalar-aggregate shape), so nothing corpus-sized recomputes."""
+    from pyspark.sql import Window
+
+    us = F.expr(f"unix_micros({ts_col})")
+    gap_us = int(gap_seconds) * 1_000_000
+    e = events.select(F.col(user_col).alias("user_id"), us.alias("_us"))
+    wo = Window.partitionBy("user_id").orderBy("_us")
+    flagged = e.withColumn(
+        "_ns",
+        F.when(
+            F.lag("_us").over(wo).isNull()
+            | ((F.col("_us") - F.lag("_us").over(wo)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "_sid", F.sum("_ns").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "_sid").agg(
+        F.min("_us").alias("_start_us"),
+        F.max("_us").alias("_end_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    per_key_last = Window.partitionBy("user_id")
+    gmax = events.agg(F.max(us).alias("_gmax_us"))
+    return (
+        agg.withColumn("_max_sid", F.max("_sid").over(per_key_last))
+        .crossJoin(F.broadcast(gmax))
+        .filter(
+            (F.col("_sid") < F.col("_max_sid"))
+            | (F.col("_end_us") + gap_us < F.col("_gmax_us"))
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("_start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("_end_us")).alias("session_end"),
+            "n_events",
+        )
     )

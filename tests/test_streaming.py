@@ -900,3 +900,83 @@ def test_throttle_stream_matches_batch_window_rank(spark, tmp_path):
     assert stream_verdicts == batch_verdicts
     assert len(stream_verdicts) == 200
     assert not all(stream_verdicts.values())  # budget actually binds somewhere
+
+
+def test_session_finalizer_matches_batch_closed_sessions(spark, tmp_path):
+    """Backfill/live agreement for the closed-session set (the
+    q_events_sessions_closed contract): a full replay through the stateful
+    timer-based finalizer must emit exactly the sessions the batch twin
+    computes — inline closes and timer closes alike, every open tail
+    withheld. Even-second events with an odd gap keep end+gap strictly off
+    the watermark so neither engine sits on the fires-at-equality edge."""
+    import random
+
+    from plenario_mapper_spark.streaming.state import (
+        closed_sessions_batch,
+        session_finalizer,
+    )
+
+    B = 200000
+    rng = random.Random(23)
+    rows = [
+        {"user_id": u, "event_sec": B + 2 * rng.randrange(0, 2000)}
+        for u in range(1, 7)
+        for _ in range(20)
+    ]
+    tick1 = {"user_id": 9001, "event_sec": B + 50000}
+    tick2 = {"user_id": 9001, "event_sec": B + 60000}
+
+    src = tmp_path / "sessparity_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = session_finalizer(
+        spark.readStream.schema("user_id long, event_sec long")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds("event_sec"))
+        .withWatermark("ts", "0 seconds"),
+        gap_seconds=301,
+    )
+    ckpt = str(tmp_path / "sessparity_ckpt")
+    out_dir = str(tmp_path / "sessparity_out")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # ticks arrive in later batches: the first advances the watermark past
+    # every horizon, the second provides the in-batch tick for pending timers
+    for i, tick in ((2, tick1), (3, tick2)):
+        with open(src / f"b{i}.json", "w") as f:
+            f.write(json.dumps(tick) + "\n")
+        run_once()
+
+    stream_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_events = spark.createDataFrame(
+        [(r["user_id"], r["event_sec"]) for r in rows + [tick1, tick2]],
+        "user_id long, event_sec long",
+    ).withColumn("ts", F.timestamp_seconds("event_sec"))
+    batch_sessions = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()),
+            r["n_events"],
+        )
+        for r in closed_sessions_batch(all_events, gap_seconds=301).collect()
+    }
+    assert stream_sessions == batch_sessions
+    assert len(stream_sessions) > 10  # non-vacuous: real session structure
