@@ -103,79 +103,100 @@ def entry(spark: SparkSession) -> DataFrame:
 # clean repeatedly this round, most recently 100/100 before the last three
 # additions, each individually MATCH); they are the round-5 rotation's
 # first claimants.
+# Round-5 rotation (VERDICT r4 item 1: retire the driver-row debt): the 53
+# queries that had NEVER had a driver row — the TPC-H completion nine, the
+# round-4 H-family, and everything added mid-round-4 outside the committed
+# window — take the front. 47 of them fit; the other 3 slots go to this
+# round's changed-shared-code canaries per the ADVICE discipline:
+# q_dedup_minhash + q_dedup_survivors (both newly ORACLE-BACKED via the
+# exact-Jaccard truth — recall measured 1.0 on this corpus — ending their
+# rows-only status) and q_events_sessions_closed (new: the session
+# finalizer's closed-set batch twin). Six never-checked entries defer to
+# round 6, each chosen because a near relative IS in-window or already
+# driver-green: q_scalar_calendar (5 scalar rows green r4), q_agg_stats
+# (agg family green r≤3), q_doc_unigram_logprob (bigram twin in-window),
+# q_doc_mixture_resample (mixture_weights in-window), q_binary_audio_spectrum
+# (phash in-window; resize green r4), q_sample_group_reservoir (split_assign
+# green r4). Also newly oracle-backed this round and in-window:
+# q_graph_pagerank (unrolled power-iteration oracle) and q_agg_hll_rollup
+# (tolerance-band certification form). All 50 are local-t2 MATCH at sf0.01
+# at the time of writing. Demoted: the entire r4 window — all 48 of its
+# checkable rows are green in CORRECTNESS_r04.json and untouched since
+# (the r4 greens' loaders/shared code changed only via final_plan test
+# plumbing, not query code); tools/t2.py keeps mirroring them per-commit.
 _FRONT = [
-    # (1) demoted in r3 under a shared-loader change — rows stale since r02
-    # (the three stale rows-only entries — two sketches + minhash — yield
-    # their slots to q_doc_chunk_windows, q_doc_curation_pipeline and
-    # q_dedup_incremental: a stale rows-only row is the weakest marginal
-    # signal in the window; minhash keeps bench-wall accountability and its
-    # pytest recall contract)
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_join_range",
-    "q_join_theta_nl",
-    "q_window_running",
-    "q_window_lag_lead",
-    "q_window_frames_ntile",
-    "q_topk",
-    "q_topk_per_group",
-    "q_scalar_datetime",
-    "q_scalar_string",
-    "q_scalar_case_math",
-    "q_scalar_json",
-    # (2) oracle CAST fixes this round — red rows to clear
-    "q_scalar_array_hof",
-    "q_events_sessionize",
-    "q_dedup_simhash",
-    # (3) new / rewritten this round
-    "q_events_session_window",
-    "q_binary_resize",
-    "q_doc_decontaminate",
-    "q_doc_gopher_repetition",
-    "q_doc_langid_confusion",
-    "q_embed_kmeans_assign",
-    "q_embed_near_dup_exact",  # threshold retuned 0.9 -> 0.4 (was vacuously empty)
-    "q_embed_near_dup",
-    "q_doc_redact_pii",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q_doc_split_assign",
-    "q_embed_kmeans_iterate",
-    "q_ngram_jaccard_pairs",  # bigram/0.05 retune (trigram/0.1 was vacuously empty)
-    "q_doc_chunk_windows",
-    "q_doc_curation_pipeline",
-    "q_dedup_incremental",
-    "q15_top_supplier",
-    "q22_idle_balances",
-    # (4) mapper family: normalize() case-collision semantics changed
-    "q_mapper_split_events",
-    "q_mapper_route_events",
-    "q_mapper_dead_letter_events",
-    "q_mapper_emit_events",
-    "q_mapper_alerts_events",
-    "q_mapper_alerts_invalid_key",
-    # (5) canaries for this round's CC checkpoint-dir + survivors plan changes
+    # (1) TPC-H completion nine — the widest join trees in the registry
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_ship_latency",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    # (2) events analytics family (incl. the floor-division fix canary
+    # q_events_throttle_batch and the composed capstone)
+    "q_events_gap_fill",
+    "q_events_funnel",
+    "q_events_cohort_retention",
+    "q_events_winsorized",
+    "q_events_forecast_trend",
+    "q_events_rolling_window",
+    "q_events_anomaly_mad",
+    "q_events_sliding_window",
+    "q_events_metrics_pipeline",
+    "q_events_attribution",
+    "q_events_throttle_batch",
+    # (3) join completions (dpp + interval_overlap double as canaries for the
+    # partitioned-source and intervals floor-div/max_buckets changes)
+    "q_join_nullsafe",
+    "q_join_dpp_partitioned",
+    "q_join_interval_overlap",
+    # (4) geo, SCD2, write-side ops
+    "q_geo_radius_join",
+    "q_geo_grid_timeseries",
+    "q_scd2_versions",
+    "q_scd2_point_in_time",
+    "q_merge_upsert_delete",
+    "q_rollup_incremental_maintain",
+    # (5) graph (pagerank newly oracle-backed)
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    # (6) document/H-family round-4 additions
+    "q_doc_span_dedup",
+    "q_doc_mixture_weights",
+    "q_doc_leakage_safe_split",
+    "q_doc_chi2_source_lang",
+    "q_doc_ks_length_drift",
+    "q_doc_sparse_cosine_topk",
+    "q_doc_bigram_logprob",
+    "q_dedup_fuzzy_names",
+    # (7) layout/diff/quantize/profile/quality/binary
+    "q_layout_zorder_key",
+    "q_table_diff",
+    "q_embed_quantize",
+    "q_profile_orders",
+    "q_profile_histogram",
+    "q_quality_constraints",
+    "q_agg_hll_rollup",
+    "q_binary_phash_dedup",
+    # (8) changed-code canaries: newly oracle-backed dedup pair/survivor set
+    # + the new closed-session twin
+    "q_dedup_minhash",
     "q_dedup_survivors",
-    "q_dedup_cluster_cc",
+    "q_events_sessions_closed",
 ]
-# Demoted past the 50-slot window: green rows+schema+hash (or rows-only for the
-# 3 no-oracle ANN entries) in CORRECTNESS_r03.json, untouched this round.
+# Demoted past the 50-slot window: every r4-window row is green in
+# CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are
+# unchanged; the 6 deferred never-checked entries (see rotation note) lead
+# the mid section implicitly by registration order. tools/t2.py mirrors the
+# full oracle-backed registry locally per-commit.
 _BACK = [
-    # stale-since-r02 but double-green + timestamp-free: yielded slots to the
-    # round's Q15/Q22 first-time checks
     "q_explode_tokens",
     "q_setops",
     "q_agg_approx_distinct",
     "q_agg_approx_percentile",
-    "q_dedup_minhash",
-    # r03-green relational core demoted to fund the four new H-family slots
     "q10_returned_items",
     "q18_large_orders",
     "q_subquery_scalar",
@@ -211,6 +232,56 @@ _BACK = [
     "q_dedup_exact_docs",
     "q_dedup_fingerprint",
     "q_skew_salted_collect",
+    # r4-window greens demoted wholesale
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_range",
+    "q_join_theta_nl",
+    "q_window_running",
+    "q_window_lag_lead",
+    "q_window_frames_ntile",
+    "q_topk",
+    "q_topk_per_group",
+    "q_scalar_datetime",
+    "q_scalar_string",
+    "q_scalar_case_math",
+    "q_scalar_json",
+    "q_scalar_array_hof",
+    "q_events_sessionize",
+    "q_dedup_simhash",
+    "q_events_session_window",
+    "q_binary_resize",
+    "q_doc_decontaminate",
+    "q_doc_gopher_repetition",
+    "q_doc_langid_confusion",
+    "q_embed_kmeans_assign",
+    "q_embed_near_dup_exact",
+    "q_embed_near_dup",
+    "q_doc_redact_pii",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q_doc_split_assign",
+    "q_embed_kmeans_iterate",
+    "q_ngram_jaccard_pairs",
+    "q_doc_chunk_windows",
+    "q_doc_curation_pipeline",
+    "q_dedup_incremental",
+    "q15_top_supplier",
+    "q22_idle_balances",
+    "q_mapper_split_events",
+    "q_mapper_route_events",
+    "q_mapper_dead_letter_events",
+    "q_mapper_emit_events",
+    "q_mapper_alerts_events",
+    "q_mapper_alerts_invalid_key",
+    "q_dedup_cluster_cc",
 ]
 
 

@@ -1,9 +1,13 @@
 """Pure-numpy codecs for the multimodal decode path (no PIL/librosa/ffmpeg in
-this container — these three uncompressed formats are fully decodable from
-their public byte layouts, which is enough to make operators/multimodal's
-feature extraction REAL instead of a byte-histogram stub).
+this container — three uncompressed formats plus PNG via stdlib zlib are
+fully decodable from their public byte layouts, which is enough to make
+operators/multimodal's feature extraction REAL instead of a byte-histogram
+stub).
 
 Formats (all public specs):
+- PNG: 8-byte magic + chunked container (IHDR/IDAT/IEND, big-endian lengths,
+  CRC32), DEFLATE-compressed scanlines, per-line filters 0-4 reconstructed
+  per spec (gray / RGB / gray+alpha / RGBA at bit depth 8, non-interlaced).
 - PNM (P5 grayscale / P6 RGB, binary variants): ASCII header
   "P5|P6 <width> <height> <maxval>" with #-comments, then raw samples.
 - BMP: BITMAPFILEHEADER ('BM', pixel-array offset at byte 10) +
@@ -206,6 +210,130 @@ def decode_wav(b: bytes) -> Decoded:
 
 
 # ---------------------------------------------------------------------------
+# PNG (stdlib zlib — the one COMPRESSED image format fully decodable without
+# PIL: the container layout, DEFLATE stream, and scanline filters are all
+# public spec; closes the r4 "compressed codecs degrade to byte stats" gap)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w) -> grayscale PNG (color type 0); (h, w, 3) -> RGB (type 2).
+    Bit depth 8, non-interlaced, every scanline filter 0 (None) — the minimal
+    spec-conformant encoding any PNG reader accepts."""
+    import zlib
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, ch, (h, w) = 0, 1, a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, ch, (h, w, _) = 2, 3, a.shape
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_defilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo per-scanline filtering (types 0-4: None/Sub/Up/Average/Paeth).
+    bpp = ch bytes at bit depth 8; `a` is the byte bpp to the left, `b` the
+    byte above, `c` above-left — the spec's reconstruction functions."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[r] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[r, i - ch] if i >= ch else 0
+                out[r, i] = (int(line[i]) + int(left)) & 0xFF
+        elif ftype == 2:  # Up
+            out[r] = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[r, i - ch] if i >= ch else 0
+                out[r, i] = (int(line[i]) + (int(left) + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = int(out[r, i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                ul = int(prev[i - ch]) if i >= ch else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out[r, i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+def decode_png(b: bytes) -> Decoded:
+    import zlib
+
+    if b[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    i, n = len(_PNG_MAGIC), len(b)
+    w = h = None
+    ch = 1
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", b, i)
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+            # 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA; palette (3) needs PLTE
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if ch is None:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # length + tag + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * ch):
+        raise ValueError("PNG pixel data length mismatch")
+    return Decoded(
+        modality="image",
+        mime="image/png",
+        width=w,
+        height=h,
+        channels=ch,
+        data=_png_defilter(raw, h, w, ch),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resampling (pure numpy — the container has no PIL)
 # ---------------------------------------------------------------------------
 
@@ -257,10 +385,17 @@ def sniff(b: bytes) -> str | None:
         return "bmp"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return "png"
     return None
 
 
-_DECODERS = {"pnm": decode_pnm, "bmp": decode_bmp, "wav": decode_wav}
+_DECODERS = {
+    "pnm": decode_pnm,
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "png": decode_png,
+}
 
 
 def decode(b: bytes) -> Decoded | None:

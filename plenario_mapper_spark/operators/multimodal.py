@@ -131,6 +131,7 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
             "image/x-portable-graymap": codecs.encode_pnm,
             "image/x-portable-pixmap": codecs.encode_pnm,
             "image/bmp": codecs.encode_bmp,
+            "image/png": codecs.encode_png,
         }
         for pdf in it:
             out = []

@@ -1295,22 +1295,26 @@ def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_binary_decode_stats",
     oracle="""
     SELECT doc_id,
-      CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-graymap'
+      CASE doc_id % 4 WHEN 0 THEN 'image/x-portable-graymap'
                       WHEN 1 THEN 'image/bmp'
-                      ELSE 'audio/wav' END AS mime,
-      CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 4 END AS width,
-      CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 4 END AS height,
-      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 1 END AS channels,
-      CASE doc_id % 3 WHEN 2 THEN 8000 END AS sample_rate,
-      CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 48 ELSE 64 END AS BIGINT)
-        AS n_units,
-      CASE doc_id % 3
+                      WHEN 2 THEN 'audio/wav'
+                      ELSE 'image/png' END AS mime,
+      CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 3 THEN 4 END AS width,
+      CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 3 THEN 4 END AS height,
+      CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 3 END
+        AS channels,
+      CASE doc_id % 4 WHEN 2 THEN 8000 END AS sample_rate,
+      CAST(CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 48
+                           WHEN 2 THEN 64 ELSE 48 END AS BIGINT) AS n_units,
+      CASE doc_id % 4
         WHEN 0 THEN (SELECT AVG(CAST((doc_id + g) % 256 AS DOUBLE))
                      FROM generate_series(0, 127) t(g))
         WHEN 1 THEN (SELECT AVG(CAST((doc_id * 3 + g) % 256 AS DOUBLE))
                      FROM generate_series(0, 47) t(g))
-        ELSE (SELECT AVG(CAST(((doc_id * 31 + g * 17) % 65536) - 32768 AS DOUBLE))
+        WHEN 2 THEN (SELECT AVG(CAST(((doc_id * 31 + g * 17) % 65536) - 32768 AS DOUBLE))
               FROM generate_series(0, 63) t(g))
+        ELSE (SELECT AVG(CAST((doc_id * 7 + g) % 256 AS DOUBLE))
+              FROM generate_series(0, 47) t(g))
       END AS val_mean
     FROM documents WHERE doc_id < 60
     """,
@@ -1318,12 +1322,14 @@ def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (H4), oracle-checked end to end: payloads are
     synthesized per doc_id with analytically known content (P5 graymap 16x8,
-    24-bit BMP 4x4, PCM16 WAV 8 kHz by doc_id % 3), encoded to genuine format
-    bytes, then decoded back by the pure-numpy codecs inside Arrow-batched
-    mapInPandas (operators/multimodal.decode_features) — header geometry,
-    modality routing, and pixel/sample means all verified against the closed
-    forms. Means are exact: integer sums divided once, identical IEEE rounding
-    in numpy and DuckDB."""
+    24-bit BMP 4x4, PCM16 WAV 8 kHz, RGB PNG 4x4 by doc_id % 4), encoded to
+    genuine format bytes — the PNG branch through a real DEFLATE container
+    (stdlib zlib, functions/codecs.encode_png) — then decoded back by the
+    pure-numpy codecs inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_features): header geometry, modality
+    routing, zlib inflate + scanline defilter, and pixel/sample means all
+    verified against the closed forms. Means are exact: integer sums divided
+    once, identical IEEE rounding in numpy and DuckDB."""
     import numpy as np
     import pandas as pd
     from plenario_mapper_spark.operators import multimodal as MM
@@ -1335,18 +1341,21 @@ def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                m = i % 3
+                m = i % 4
                 if m == 0:
                     px = ((i + np.arange(128)) % 256).astype(np.uint8).reshape(8, 16)
                     p = codecs.encode_pnm(px)
                 elif m == 1:
                     px = ((i * 3 + np.arange(48)) % 256).astype(np.uint8)
                     p = codecs.encode_bmp(px.reshape(4, 4, 3))
-                else:
+                elif m == 2:
                     s = (((i * 31 + np.arange(64) * 17) % 65536) - 32768).astype(
                         np.int16
                     )
                     p = codecs.encode_wav(s, 8000)
+                else:
+                    px = ((i * 7 + np.arange(48)) % 256).astype(np.uint8)
+                    p = codecs.encode_png(px.reshape(4, 4, 3))
                 rows.append((i, p))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -466,3 +466,98 @@ def test_phash_structure_sensitivity(spark):
     got = {(r["ia"], r["ib"]): r["d"] for r in pairs.collect()}
     assert got[(0, 1)] == 0
     assert got[(0, 2)] == ham(h[0], h[2])
+
+
+def test_png_roundtrip_and_filters():
+    """encode_png -> decode_png is identity for gray and RGB; the defilter
+    path reconstructs Sub/Up/Average/Paeth scanlines (synthesized directly
+    against the spec's filter functions, since our encoder emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(gray)).data == gray).all()
+    rgb = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    d = codecs.decode_png(codecs.encode_png(rgb))
+    assert d.mime == "image/png" and d.channels == 3 and (d.data == rgb).all()
+    assert codecs.sniff(codecs.encode_png(gray)) == "png"
+
+    # hand-filter an RGB image with every filter type, rebuild the IDAT, and
+    # require exact reconstruction
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    raw = bytearray()
+    for r in range(h):
+        f = r % 5
+        line = img[r].reshape(-1).astype(np.int32)
+        prev = img[r - 1].reshape(-1).astype(np.int32) if r else np.zeros(w * ch, np.int32)
+        enc = np.zeros(w * ch, np.int32)
+        for i in range(w * ch):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            enc[i] = (line[i] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        codecs._PNG_MAGIC
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    got = codecs.decode_png(png)
+    assert (got.data == img).all()
+
+
+def test_png_corrupt_degrades_not_dies():
+    from plenario_mapper_spark.functions import codecs
+
+    good = codecs.encode_png(
+        __import__("numpy").arange(16, dtype="uint8").reshape(4, 4)
+    )
+    assert codecs.decode(good[:20]) is None          # truncated
+    assert codecs.decode(good[:8] + b"junk") is None  # magic only
+    # interlaced flag set -> unsupported, total decode returns None
+    bad = bytearray(good)
+    bad[8 + 4 + 4 + 12] = 1  # IHDR interlace byte
+    assert codecs.decode(bytes(bad)) is None
+
+
+def test_png_resize_roundtrip(spark):
+    """resize_images re-encodes PNG sources as PNG and the 2x downsample obeys
+    the (a+b+c+d+2)//4 closed form, same as the PNM path."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+    from plenario_mapper_spark.operators import multimodal as MM
+
+    px = ((7 * np.arange(128)) % 256).astype(np.uint8).reshape(8, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_png(px)))], "doc_id long, payload binary"
+    )
+    out = MM.resize_images(df, 8, 4).collect()[0]
+    assert out["resize_version"] == "bilinear-v1"
+    dec = codecs.decode_png(bytes(out["payload"]))
+    expect = (
+        px.reshape(4, 2, 8, 2).transpose(0, 2, 1, 3).reshape(4, 8, 4).astype(int)
+    )
+    expect = (expect.sum(axis=2) + 2) // 4
+    assert (dec.data == expect).all()
