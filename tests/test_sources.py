@@ -51,10 +51,10 @@ def test_kinesis_source_unavailable_raises_clear_error(spark):
 
 
 def test_jdbc_metadata_provider_contract(spark):
-    """No Postgres in this container, so the JDBC provider is contract-tested:
-    it must issue exactly the reference's two full-table reads
-    (app/mapper.js:133,161) with the caller's url/properties, in (sensor,
-    feature) order, and surface a clear failure when no driver exists."""
+    """The JDBC provider must issue exactly the reference's two full-table
+    reads (app/mapper.js:133,161) with the caller's url/properties, in
+    (sensor, feature) order, pass already-typed frames through unchanged,
+    and surface a clear failure when no driver exists."""
     from unittest.mock import patch
 
     from plenario_mapper_spark.sources.metadata_store import jdbc_metadata_provider
@@ -64,7 +64,13 @@ def test_jdbc_metadata_provider_contract(spark):
         properties={"user": "u", "driver": "org.postgresql.Driver"},
     )
     calls = []
-    sentinel_a, sentinel_b = object(), object()
+    sentinel_a = spark.createDataFrame(
+        [("HTU21D", {"Temp": "temperature.temperature"})], SENSOR_METADATA_SCHEMA
+    )
+    sentinel_b = spark.createDataFrame(
+        [("temperature", [{"name": "temperature", "type": "FLOAT"}])],
+        FEATURE_METADATA_SCHEMA,
+    )
 
     def fake_jdbc(self, url, table, properties=None, **kw):
         calls.append((url, table, dict(properties or {})))
@@ -72,7 +78,10 @@ def test_jdbc_metadata_provider_contract(spark):
 
     with patch("pyspark.sql.readwriter.DataFrameReader.jdbc", new=fake_jdbc):
         sensor, feature = provider(spark)
-    assert sensor is sentinel_a and feature is sentinel_b
+    # typed frames pass through normalize with schema and content intact
+    assert sensor.schema == sentinel_a.schema and feature.schema == sentinel_b.schema
+    assert sensor.collect() == sentinel_a.collect()
+    assert feature.collect() == sentinel_b.collect()
     assert calls == [
         ("jdbc:postgresql://db:5432/meta", "sensor__sensor_metadata",
          {"user": "u", "driver": "org.postgresql.Driver"}),
@@ -86,3 +95,78 @@ def test_jdbc_metadata_provider_contract(spark):
     with _pytest.raises(Exception) as exc:
         jdbc_metadata_provider("jdbc:postgresql://nope:1/x")(spark)
     assert "driver" in str(exc.value).lower() or "jdbc" in str(exc.value).lower()
+
+
+def test_jdbc_metadata_provider_derby_end_to_end(spark):
+    """REAL JDBC round-trip without a live Postgres: Spark bundles embedded
+    Derby (the Hive-metastore dependency), a genuine JDBC driver + database
+    in this very JVM. Create the reference's two metadata tables with
+    observed_properties as JSON TEXT (how Postgres json/jsonb columns render
+    through a driver), read them back through jdbc_metadata_provider, and
+    require build_mapping to produce the exact rows the typed-fixture path
+    produces — the provider's from_json normalization and the downstream
+    lowering both under test."""
+    import json
+
+    from plenario_mapper_spark.sources.metadata_store import jdbc_metadata_provider
+
+    url = "jdbc:derby:memory:metaContract;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for ddl in (
+            "CREATE TABLE sensor__sensor_metadata "
+            "(name VARCHAR(64), observed_properties VARCHAR(2048))",
+            "CREATE TABLE sensor__feature_metadata "
+            "(name VARCHAR(64), observed_properties VARCHAR(2048))",
+        ):
+            st.executeUpdate(ddl)
+        sensor_rows = [
+            ("HTU21D", {"Temp": "temperature.temperature",
+                        "Humidity": "relative_humidity.humidity"}),
+            ("HMC5883L", {"X": "magnetic_field.x"}),
+        ]
+        feature_rows = [
+            ("Temperature", [{"name": "Temperature", "type": "FLOAT"}]),
+            ("relative_humidity", [{"name": "humidity", "type": "FLOAT"}]),
+            ("magnetic_field", [{"name": "x", "type": "FLOAT"}]),
+        ]
+        ins = conn.prepareStatement(
+            "INSERT INTO sensor__sensor_metadata VALUES (?, ?)"
+        )
+        for name, props in sensor_rows:
+            ins.setString(1, name)
+            ins.setString(2, json.dumps(props))
+            ins.executeUpdate()
+        ins = conn.prepareStatement(
+            "INSERT INTO sensor__feature_metadata VALUES (?, ?)"
+        )
+        for name, props in feature_rows:
+            ins.setString(1, name)
+            ins.setString(2, json.dumps(props))
+            ins.executeUpdate()
+    finally:
+        conn.close()
+
+    provider = jdbc_metadata_provider(
+        "jdbc:derby:memory:metaContract",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    sensor, feature = provider(spark)
+    assert dict(sensor.dtypes)["observed_properties"] == "map<string,string>"
+    got = {
+        (r["sensor"], r["raw_key"]): (r["feature"], r["property"], r["type"])
+        for r in metadata.build_mapping(sensor, feature).collect()
+    }
+    typed_sensor = spark.createDataFrame(sensor_rows, SENSOR_METADATA_SCHEMA)
+    typed_feature = spark.createDataFrame(
+        [(n, [(p["name"], p["type"]) for p in ps]) for n, ps in feature_rows],
+        FEATURE_METADATA_SCHEMA,
+    )
+    want = {
+        (r["sensor"], r["raw_key"]): (r["feature"], r["property"], r["type"])
+        for r in metadata.build_mapping(typed_sensor, typed_feature).collect()
+    }
+    assert got == want
+    assert got[("htu21d", "temp")] == ("temperature", "temperature", "float")
+    assert len(got) == 3
