@@ -2839,6 +2839,200 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 30) v)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(ROUND(COUNT(*) FILTER (WHERE v.tok IS NULL)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: per-doc out-of-vocabulary token-instance rate
+    against the corpus's own top-30 token vocabulary (ties broken by token —
+    the boundary is deterministic on both engines). The tokenizer-fit signal
+    a training pipeline checks before committing a vocab: docs with high OOV
+    mass under the candidate vocabulary fragment into long byte-level token
+    sequences. Shape: ONE token explode persisted feeding both consumers
+    (vocab induction and the per-doc probe — the tf-idf/bigram persist
+    pattern); the vocab is LIMIT-30 tiny and broadcast into the probe join,
+    so the per-instance pass never shuffles on the token. In production the
+    vocab is usually an input artifact (probe-only, single pass); inducing
+    it inline costs the one extra aggregate over the cached explode."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).persist()
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(30)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id < 150 THEN NULL ELSE lang END AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CASE WHEN doc_id < 150 THEN NULL ELSE lang END
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table across three schema VERSIONS (sources/evolved.py):
+    batch v1 predates the `lang` column and wrote int32 ids/lengths, v2 is
+    the current schema, v3 added a `quality` column later retired. The
+    documents table is split by doc_id and written as three real parquet
+    batches under a content-addressed /tmp dir (driver regeneration
+    invalidates it; _SUCCESS-gated like the IVF index), then read back
+    through read_evolved onto the target schema — missing lang comes back
+    NULL (v1 rows), int32 widens to int64, quality drops — and aggregated
+    per lang. The oracle recomputes from the source table with the same
+    doc_id split, so the normalization is value-checked end to end, not
+    just schema-checked. mergeSchema could not run this read at all: the
+    int32/int64 drift hard-errors it (module docstring)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from plenario_mapper_spark.sources.evolved import read_evolved
+
+    d = _t(spark, sf_dir, "documents")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+        ident = f"{src}|{st.st_size}|{st.st_mtime_ns}|v1"
+    except OSError:
+        ident = src
+    root = _os.path.join(
+        tempfile.gettempdir(),
+        f"evolved_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    batches = [_os.path.join(root, f"v{i}") for i in (1, 2, 3)]
+    if not all(_os.path.isfile(_os.path.join(b, "_SUCCESS")) for b in batches):
+        d.filter(F.col("doc_id") < 150).select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            F.col("n_chars").cast("int").alias("n_chars"),
+        ).write.mode("overwrite").parquet(batches[0])
+        d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(batches[1])
+        d.filter(F.col("doc_id") >= 300).select(
+            "doc_id", "lang", "n_chars", F.lit(1.0).alias("quality")
+        ).write.mode("overwrite").parquet(batches[2])
+    target = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    ev = read_evolved(spark, batches, target)
+    return ev.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "q_doc_psi_length_drift",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id % 2 = 0 AS is_a, n_chars // 100 AS bucket FROM documents),
+    agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM agg)
+    SELECT bucket, n_a, n_b,
+           CAST(ROUND(n_a / CAST(ta AS DOUBLE), 6) AS DOUBLE) AS p_a,
+           CAST(ROUND(n_b / CAST(tb AS DOUBLE), 6) AS DOUBLE) AS p_b,
+           CAST(ROUND((n_a / CAST(ta AS DOUBLE) - n_b / CAST(tb AS DOUBLE))
+                 * ln((n_a / CAST(ta AS DOUBLE)) / (n_b / CAST(tb AS DOUBLE))), 6)
+            AS DOUBLE) AS psi_contrib
+    FROM agg, tot WHERE n_a > 0 AND n_b > 0
+    """,
+)
+def q_doc_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots' length
+    distributions — the third drift metric beside KS (continuous) and chi²
+    (categorical): PSI is the banded form production monitoring actually
+    ships (fixed buckets survive streaming aggregation and partial merges,
+    unlike exact ECDFs), with per-bucket contributions that NAME the drifted
+    band. Snapshots are the even/odd doc_id halves (two interleaved batch
+    cohorts); buckets are fixed-width 100-char bands (integer floor div —
+    engine-exact); buckets empty on either side are excluded, the standard
+    finite-sample guard (a one-sided bucket sends ln(p/q) infinite; epsilon
+    smoothing would make the value bucket-count-dependent). Scale: one scan,
+    one |buckets|-key shuffle, totals as a one-row broadcast; contributions
+    are reported per bucket (sum client-side for the scalar) so the check
+    pins the whole vector, not one number."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.expr("n_chars div 100").alias("bucket"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("n_b"),
+    )
+    tot = agg.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = F.col("n_a") / F.col("ta").cast("double")
+    q = F.col("n_b") / F.col("tb").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(p, 6).alias("p_a"),
+            F.round(q, 6).alias("p_b"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+    )
+
+
+@register(
     "q_scd2_point_in_time",
     oracle="""
     WITH upd AS (

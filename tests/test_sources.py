@@ -170,3 +170,36 @@ def test_jdbc_metadata_provider_derby_end_to_end(spark):
     assert got == want
     assert got[("htu21d", "temp")] == ("temperature", "temperature", "float")
     assert len(got) == 3
+
+
+def test_read_evolved_normalizes_and_guards(spark, tmp_path):
+    """Missing columns -> typed NULLs; int widening casts; extra columns
+    drop; narrowing refuses unless explicitly allowed."""
+    from pyspark.sql import functions as F, types as T
+
+    from plenario_mapper_spark.sources.evolved import read_evolved
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, 10)], "id int, n int").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, 20, "en", 0.5)], "id bigint, n bigint, lang string, extra double"
+    ).write.parquet(v2)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    out = read_evolved(spark, [v1, v2], target)
+    assert out.schema == target
+    got = {r["id"]: (r["n"], r["lang"]) for r in out.collect()}
+    assert got == {1: (10, None), 2: (20, "en")}
+
+    narrow_target = T.StructType([T.StructField("id", T.IntegerType())])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="narrowing"):
+        read_evolved(spark, [v2], narrow_target)
+    # explicit opt-in narrows anyway
+    assert read_evolved(spark, [v2], narrow_target, allow_narrowing=True).collect()[0]["id"] == 2
