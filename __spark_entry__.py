@@ -187,6 +187,14 @@ _FRONT = [
     "q_dedup_survivors",
     "q_events_sessions_closed",
 ]
+# Added later in round 5, mid-positioned (outside this round's committed
+# window by construction; round-6 rotation claimants alongside the six
+# deferred entries): q_doc_psi_length_drift (banded PSI drift),
+# q_scan_schema_evolution (explicit per-batch schema normalization over
+# three real parquet versions), q_doc_oov_rate (vocab coverage) — all
+# local-t2 MATCH at sf0.01 (full registry 139/139 re-ran clean just before
+# they landed; each individually MATCH after).
+#
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are
 # unchanged; the 6 deferred never-checked entries (see rotation note) lead

@@ -10,8 +10,10 @@ from plenario_mapper_spark.sources.observations import (
     kinesis_source,
     parquet_obs_source,
 )
+from plenario_mapper_spark.sources.evolved import read_evolved
 from plenario_mapper_spark.sources.metadata_store import (
     jdbc_metadata_provider,
+    normalize_metadata_frames,
     parquet_metadata_provider,
 )
 
@@ -21,5 +23,7 @@ __all__ = [
     "kinesis_source",
     "parquet_obs_source",
     "jdbc_metadata_provider",
+    "normalize_metadata_frames",
     "parquet_metadata_provider",
+    "read_evolved",
 ]
