@@ -2797,6 +2797,93 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS touch_event_id, user_id, event_type AS touch_type,
+             epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('click','view')),
+    j AS (
+      SELECT p.purchase_id, p.user_id, t.touch_event_id, t.touch_type,
+             p.p_us - t.t_us AS gap_us
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE (t.t_us < p.p_us
+             OR (t.t_us = p.p_us AND t.touch_event_id < p.purchase_id))
+        AND p.p_us - t.t_us <= 86400000000),
+    n AS (SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+          FROM j GROUP BY purchase_id)
+    SELECT j.purchase_id, j.user_id, j.touch_event_id, j.touch_type, j.gap_us,
+           n.n_touches,
+           CAST(ROUND(CAST(1.0 AS DOUBLE) / n.n_touches, 6) AS DOUBLE) AS credit
+    FROM j JOIN n ON j.purchase_id = n.purchase_id
+    UNION ALL
+    SELECT p.purchase_id, p.user_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM p LEFT JOIN n ON p.purchase_id = n.purchase_id
+    WHERE n.purchase_id IS NULL
+    """,
+)
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution, the fractional-credit companion to the
+    last-touch carry-forward above: every click/view in the purchase's 24 h
+    lookback shares the credit equally (1/n per touch), organic purchases
+    (no touch in window) emit one zero-touch row so the purchase population
+    is conserved. Strictly-before is the (ts, event_id) tuple order — same
+    total order as last-touch, so ties are engine-deterministic.
+
+    Shape: purchases ⋈ touches is a USER-keyed equi-join (one shuffle; the
+    time predicate filters inside the join, never a time-axis cross join),
+    the per-purchase fan-in count is a purchase-keyed aggregate joined back
+    (AQE sizes it), organic detection is an anti-join against the counted
+    relation. Per-touch credit is 1/n on exact integer counts — no
+    accumulation-order float risk; gaps are exact integer microseconds."""
+    e = _events(spark, sf_dir)
+    us = F.expr("unix_micros(ts)")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("p_us")
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_event_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        us.alias("t_us"),
+    )
+    before = (F.col("t_us") < F.col("p_us")) | (
+        (F.col("t_us") == F.col("p_us"))
+        & (F.col("touch_event_id") < F.col("purchase_id"))
+    )
+    j = (
+        p.join(t, "user_id")
+        .filter(before & ((F.col("p_us") - F.col("t_us")) <= 86_400_000_000))
+        .select(
+            "purchase_id", "user_id", "touch_event_id", "touch_type",
+            (F.col("p_us") - F.col("t_us")).alias("gap_us"),
+        )
+    )
+    n = j.groupBy("purchase_id").agg(
+        F.count("*").cast("long").alias("n_touches")
+    )
+    credited = j.join(n, "purchase_id").select(
+        "purchase_id", "user_id", "touch_event_id", "touch_type", "gap_us",
+        "n_touches",
+        F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("credit"),
+    )
+    organic = p.join(n, "purchase_id", "left_anti").select(
+        "purchase_id",
+        "user_id",
+        F.lit(None).cast("long").alias("touch_event_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("long").alias("gap_us"),
+        F.lit(0).cast("long").alias("n_touches"),
+        F.lit(None).cast("double").alias("credit"),
+    )
+    return credited.unionByName(organic)
+
+
+@register(
     "q_events_throttle_batch",
     oracle="""
     SELECT event_id, user_id,
