@@ -191,9 +191,13 @@ _FRONT = [
 # window by construction; round-6 rotation claimants alongside the six
 # deferred entries): q_doc_psi_length_drift (banded PSI drift),
 # q_scan_schema_evolution (explicit per-batch schema normalization over
-# three real parquet versions), q_doc_oov_rate (vocab coverage) — all
-# local-t2 MATCH at sf0.01 (full registry 139/139 re-ran clean just before
-# they landed; each individually MATCH after).
+# three real parquet versions), q_doc_oov_rate (vocab coverage),
+# q_events_attribution_linear (multi-touch fractional credit), and the two
+# sketch-certification conversions (q_agg_approx_distinct /
+# q_agg_approx_percentile moved from rows-only to the est-in-band /
+# rank-in-band oracle form — rows-only is now 3, all sub-recall ANN with
+# exact twins) — all local-t2 MATCH at sf0.01 (full registry 139/139 re-ran
+# clean just before they landed; each individually MATCH after).
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

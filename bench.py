@@ -46,6 +46,12 @@ HEADLINE = [
     # quadratic cross join; wall-time accountability keeps them honest
     "q_geo_radius_join",
     "q_join_interval_overlap",
+    # round-5 additions: the closed-session twin (double window pass + one-row
+    # broadcast max), the persisted-explode vocab probe, and linear multi-touch
+    # attribution (user-keyed fan-out join + purchase-keyed fan-in count)
+    "q_events_sessions_closed",
+    "q_doc_oov_rate",
+    "q_events_attribution_linear",
 ]
 
 
