@@ -3000,10 +3000,14 @@ def q_doc_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts); buckets are fixed-width 100-char bands (integer floor div —
     engine-exact); buckets empty on either side are excluded, the standard
     finite-sample guard (a one-sided bucket sends ln(p/q) infinite; epsilon
-    smoothing would make the value bucket-count-dependent). Scale: one scan,
-    one |buckets|-key shuffle, totals as a one-row broadcast; contributions
-    are reported per bucket (sum client-side for the scalar) so the check
-    pins the whole vector, not one number."""
+    smoothing would make the value bucket-count-dependent). Scale: ONE scan
+    (plan-pinned), one |buckets|-key shuffle; totals come from an
+    unpartitioned window over the AGGREGATED relation — |buckets| rows, not
+    the corpus, so the single-partition window is a few-row formality, and
+    a separate scalar aggregate (which would re-scan the table: the lineage
+    forks before the shuffle) is avoided. Contributions are reported per
+    bucket (sum client-side for the scalar) so the check pins the whole
+    vector, not one number."""
     d = _t(spark, sf_dir, "documents")
     b = d.select(
         (F.col("doc_id") % 2 == 0).alias("is_a"),
@@ -3013,14 +3017,14 @@ def q_doc_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_a"), 1)).cast("long").alias("n_a"),
         F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("n_b"),
     )
-    tot = agg.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    w = Window.partitionBy()
+    agg = agg.withColumns(
+        {"ta": F.sum("n_a").over(w), "tb": F.sum("n_b").over(w)}
     )
     p = F.col("n_a") / F.col("ta").cast("double")
     q = F.col("n_b") / F.col("tb").cast("double")
     return (
-        agg.crossJoin(F.broadcast(tot))
-        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        agg.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
             "bucket",
             "n_a",

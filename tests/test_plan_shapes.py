@@ -440,3 +440,37 @@ def test_attribution_single_user_shuffle_no_self_join(spark):
     ]
     assert len(exchanges) == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_sessions_closed_broadcasts_global_max(spark):
+    """The end-of-input watermark is a one-row broadcast folded into the
+    filter, never a cartesian against the session relation; the session
+    windows and the aggregate share the user_id shuffle."""
+    plan = _plan(QUERIES["q_events_sessions_closed"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_oov_rate_vocab_is_broadcast(spark):
+    """The induced top-30 vocabulary must reach the per-instance probe as a
+    broadcast — a token-keyed shuffle of the exploded corpus against a
+    30-row dim would be the classic small-side mistake at scale."""
+    plan = _plan(QUERIES["q_doc_oov_rate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_linear_never_cartesian(spark):
+    """Purchases x touches joins on user_id with the lookback as a join-side
+    filter — a time-axis cross join would be quadratic at 100 TB."""
+    plan = _plan(QUERIES["q_events_attribution_linear"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_psi_single_scan(spark):
+    """The whole PSI vector (buckets, both sides, totals) derives from ONE
+    pass over documents; totals ride a one-row broadcast."""
+    plan = _plan(QUERIES["q_doc_psi_length_drift"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
