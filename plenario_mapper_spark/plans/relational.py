@@ -2154,9 +2154,9 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan of the fact table. Datasketches HLL union is lossless at equal
     lgConfigK: the merged estimate is bit-identical to sketching the raw
     stream whole (asserted in tests), so serving from the rollup sacrifices
-    nothing vs the direct scan. Scale: the daily pre-agg is the only pass
-    over events; the union pass reduces |days| x |series| sketch rows of
-    ~2^lgK bytes each.
+    nothing vs the direct scan. Scale: on the SERVING path the daily
+    pre-agg is the only pass over events; the union pass reduces
+    |days| x |series| sketch rows of ~2^lgK bytes each.
 
     Oracle-backed as of r5 (was rows-only): the sketch ESTIMATE is
     engine-specific, so the driver-checkable output pins it to a tolerance
