@@ -2886,11 +2886,14 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order as last-touch, so ties are engine-deterministic.
 
     Shape: purchases ⋈ touches is a USER-keyed equi-join (one shuffle; the
-    time predicate filters inside the join, never a time-axis cross join),
-    the per-purchase fan-in count is a purchase-keyed aggregate joined back
-    (AQE sizes it), organic detection is an anti-join against the counted
-    relation. Per-touch credit is 1/n on exact integer counts — no
-    accumulation-order float risk; gaps are exact integer microseconds."""
+    time predicate filters inside the join, never a time-axis cross join).
+    The credited-pair relation is consumed THREE times (fan-in count,
+    credit join-back, organic anti-join), so it persists eagerly — without
+    the cache each leg replays the scan+join (measured 7 FileScans in the
+    lazy plan); with it, one join pass + cached reads, and the cached
+    relation is OUTPUT-sized (credit rows), not corpus-sized. Per-touch
+    credit is 1/n on exact integer counts — no accumulation-order float
+    risk; gaps are exact integer microseconds."""
     e = _events(spark, sf_dir)
     us = F.expr("unix_micros(ts)")
     p = e.filter(F.col("event_type") == "purchase").select(
@@ -2913,7 +2916,9 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id", "user_id", "touch_event_id", "touch_type",
             (F.col("p_us") - F.col("t_us")).alias("gap_us"),
         )
+        .persist()
     )
+    j.count()  # eager: three downstream lineages read it (see docstring)
     n = j.groupBy("purchase_id").agg(
         F.count("*").cast("long").alias("n_touches")
     )

@@ -449,6 +449,14 @@ def test_sessions_closed_broadcasts_global_max(spark):
     plan = _plan(QUERIES["q_events_sessions_closed"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the watermark side is a SECOND pass over events but must prune to the
+    # single ts column (folding it into the session agg would need a
+    # single-partition window over the corpus-sized session relation — the
+    # 1-column re-scan is the cheaper honest cost at scale)
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert any(s == "ts:timestamp_ntz" for s in schemas), schemas
 
 
 def test_oov_rate_vocab_is_broadcast(spark):
