@@ -455,8 +455,10 @@ def test_sessions_closed_broadcasts_global_max(spark):
     # 1-column re-scan is the cheaper honest cost at scale)
     import re as _re
 
+    # encoding-agnostic: the driver has shipped ts as NTZ/LTZ/nanos-long in
+    # different rounds; the contract is one-column pruning, not the type
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)", plan)
-    assert any(s == "ts:timestamp_ntz" for s in schemas), schemas
+    assert any(s.split(":")[0] == "ts" and "," not in s for s in schemas), schemas
 
 
 def test_oov_rate_vocab_is_broadcast(spark):
