@@ -20,7 +20,11 @@ effective_to. `scd2_merge` folds a batch of timestamped updates in:
 
 Everything is one windowed pass over the (small) update batch plus one join
 against the dimension keyed on the natural key; history rows for untouched
-keys stream through unchanged. The rewrite is the whole dimension — dims are
+keys stream through unchanged. scd2_merge reads `dim` through three
+projections (anchor, guard, untouched passthrough): free when dim is a
+TABLE (pruned re-reads), but a caller passing DERIVED lineage should
+persist it first or every projection replays the derivation
+(q_scd2_versions does exactly this). The rewrite is the whole dimension — dims are
 KB-to-GB against TB facts, and versioned tables don't admit partition-scoped
 overwrite by key; if the dimension itself is huge, bucket it by key and
 rewrite buckets (`sources/bucketed.py`)."""

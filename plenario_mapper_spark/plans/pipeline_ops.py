@@ -2268,12 +2268,19 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split/accounting tail is scan-stage + one small agg. Corpus text never
     shuffles — only (doc, gram) pairs and per-doc stat rows. The length floor
     is n_words >= 10 (n_words is the full word-token count, so no second
-    tokenizer pass is needed)."""
+    tokenizer pass is needed). The quality relation computes the dedup
+    fingerprint IN the scan-stage projection and drops the text before it
+    is reused — it feeds both the survivor aggregate and the join-back, and
+    persisting a narrow (id, source, fp, n_words) relation is doc-count-
+    sized where caching the text-bearing form would be corpus-sized; the
+    eager persist stops the repetition aggregations replaying per leg."""
     from plenario_mapper_spark.operators import sampling as SP
 
     d = _t(spark, sf_dir, "documents")
     quality = (
-        d.select("doc_id", "source", "text")
+        d.select(
+            "doc_id", "source", TX.fingerprint(F.col("text")).alias("fp"), "text"
+        )
         .join(_doc_repetition_stats(d, min_tokens=10), "doc_id")
         .filter(
             (F.col("max_wc") / F.col("n_words") <= GOPHER_MAX_WORD_FRAC)
@@ -2282,9 +2289,10 @@ def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= GOPHER_MAX_DUP_TRIGRAM_FRAC
             )
         )
-        .select("doc_id", "source", "text", "n_words")
+        .select("doc_id", "source", "fp", "n_words")
+        .persist()
     )
-    survivors = quality.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+    survivors = quality.groupBy("fp").agg(
         F.min("doc_id").alias("doc_id")
     )
     curated = quality.join(survivors.select("doc_id"), "doc_id")
@@ -2431,14 +2439,22 @@ def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op updates collapse, untouched keys stream through), which the
     pytest suite checks only on toy rows. Scale: one windowed pass over
     the update batch + one key join against current rows; history never
-    rewrites."""
+    rewrites. The DERIVED dimension persists before the merge: scd2_merge
+    reads its input three ways (current-row anchor, ordering guard,
+    untouched passthrough), which is free when dim is a real table (pruned
+    re-reads) but replays the whole init chain when it is derived lineage
+    like here (9 event passes measured lazy; cached, one init pass +
+    dimension-sized reads — the same table-vs-lineage distinction the
+    operator docstring documents)."""
     from plenario_mapper_spark.operators.scd import scd2_init, scd2_merge
 
     e = _events(spark, sf_dir).select(
         "user_id", F.col("event_type").alias("plan"), "ts"
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    dim = scd2_init(e.filter(F.col("ts") < cutoff), "user_id", ["plan"], "ts")
+    dim = scd2_init(
+        e.filter(F.col("ts") < cutoff), "user_id", ["plan"], "ts"
+    ).persist()
     return scd2_merge(
         dim, e.filter(F.col("ts") >= cutoff), "user_id", ["plan"], "ts"
     ).select("user_id", "plan", "effective_from", "effective_to", "is_current")

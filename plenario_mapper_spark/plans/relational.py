@@ -2221,12 +2221,17 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage relations shrink monotonically — stage joins get cheaper as
     the funnel narrows). The per-type filters push into each scan pass;
     timestamps compare exactly (no bucketing), so the strict ordering is
-    engine-stable."""
+    engine-stable. Stages s1/s2 persist eagerly: each feeds BOTH the next
+    stage's join and its own count leg, and without the cache the lazy
+    lineage replays the events scan per leg (1+2+3 = 6 passes measured);
+    cached, it is one pruned pass per stage over user-cardinality relations
+    — exactly the right thing to pin at 100 TB."""
     e = _events(spark, sf_dir)
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -2234,6 +2239,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
