@@ -808,3 +808,65 @@ def fuzzy_block_join(
         .filter(F.col("distance") >= 0)  # threshold form returns -1 above k
         .drop(*blk)
     )
+
+
+def consolidate_clusters(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship / golden-record consolidation — the MERGE step that
+    completes entity resolution (pair generation: minhash/fuzzy_block_join;
+    clustering: connected_components; this collapses each cluster to ONE
+    canonical record by per-attribute rules).
+
+    `components` is (node, component) from connected_components; rows of
+    `df` absent from it are singletons owning their own cluster (entity_id
+    = their id). Rules per attribute: 'min' / 'max' / 'sum' (plain
+    aggregates) and 'mode' (most frequent value; ties break to the
+    SMALLEST value so the survivor is engine-deterministic — the
+    lang_id/centroid tie-break discipline). Output: one row per entity
+    with entity_id (min member id), n_members, and each ruled attribute.
+
+    Scale shape: membership is a broadcast-or-hash join on the id (the
+    component relation is dup-cluster-sized, far below the corpus); plain
+    rules fold in ONE hash aggregate on the component key; each 'mode'
+    attribute costs one (component, value) count + a component-keyed
+    row_number cut — shuffles keyed on the component throughout, corpus
+    attributes move once. No collect, no cross join."""
+    from pyspark.sql import Window
+
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("_ent")
+    )
+    m = df.join(comp, id_col, "left").withColumn(
+        "_ent", F.coalesce("_ent", F.col(id_col))
+    )
+    plain_aggs = [
+        F.min(F.col(id_col)).alias("entity_id"),
+        F.count("*").cast("long").alias("n_members"),
+    ]
+    mode_cols = []
+    for col, rule in rules.items():
+        if rule == "min":
+            plain_aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            plain_aggs.append(F.max(col).alias(col))
+        elif rule == "sum":
+            plain_aggs.append(F.sum(col).alias(col))
+        elif rule == "mode":
+            mode_cols.append(col)
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {col}")
+    out = m.groupBy("_ent").agg(*plain_aggs)
+    for col in mode_cols:
+        counts = m.groupBy("_ent", col).agg(F.count("*").alias("_n"))
+        w = Window.partitionBy("_ent").orderBy(F.desc("_n"), F.col(col))
+        winner = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_ent", col)
+        )
+        out = out.join(winner, "_ent")
+    return out.drop("_ent")

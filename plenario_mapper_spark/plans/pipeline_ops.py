@@ -2855,6 +2855,81 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_entity_survivorship",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    ),
+    comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS ent FROM reach GROUP BY u),
+    m AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             COALESCE(c.ent, d.doc_id) AS ent
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    plain AS (
+      SELECT ent, CAST(MIN(doc_id) AS BIGINT) AS entity_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM m GROUP BY ent),
+    lang_mode AS (
+      SELECT ent, lang FROM (
+        SELECT ent, lang,
+               ROW_NUMBER() OVER (PARTITION BY ent
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM m GROUP BY ent, lang) x WHERE rn = 1),
+    src_mode AS (
+      SELECT ent, source FROM (
+        SELECT ent, source,
+               ROW_NUMBER() OVER (PARTITION BY ent
+                                  ORDER BY COUNT(*) DESC, source) AS rn
+        FROM m GROUP BY ent, source) x WHERE rn = 1)
+    SELECT p.entity_id, p.n_members, p.n_chars, p.max_chars, l.lang, s.source
+    FROM plain p JOIN lang_mode l ON p.ent = l.ent
+                 JOIN src_mode s ON p.ent = s.ent
+    """,
+)
+def q_entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the MERGE step completing entity
+    resolution (pairs -> components -> ONE canonical record per entity):
+    near-dup clusters from the exact trigram-Jaccard edge set (the
+    oracle-mirrorable generator, same contract as q_dedup_cluster_cc; the
+    100 TB edge source is the minhash path) collapse to one row per entity
+    with min-id identity, member count, summed and max char mass, and
+    mode-with-smallest-tie-break lang/source (operators/dedup.
+    consolidate_clusters — per-attribute rules min/max/sum/mode).
+    Singletons consolidate to themselves, so the entity count equals the
+    survivor count and record mass is conserved (SUM over entities ==
+    corpus totals). Shuffles key on the component throughout; each mode
+    attribute is one counted pass + a row_number cut."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5, shingle_n=3)
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    return DD.consolidate_clusters(
+        d.select("doc_id", "lang", "source", F.col("n_chars").alias("max_chars"))
+        .withColumn("n_chars", F.col("max_chars")),
+        comp,
+        "doc_id",
+        {"n_chars": "sum", "max_chars": "max", "lang": "mode", "source": "mode"},
+    ).select("entity_id", "n_members", "n_chars", "max_chars", "lang", "source")
+
+
+@register(
     "q_doc_oov_rate",
     oracle="""
     WITH toks AS (

@@ -657,3 +657,38 @@ def test_fuzzy_block_join_randomized_parity_with_dp_reference(spark):
             if d <= 2:
                 want[(ia, ib)] = d
     assert got == want
+
+
+def test_consolidate_clusters_rules_and_singletons(spark):
+    """Survivorship invariants: singletons consolidate to themselves, mass
+    is conserved, mode ties break to the smallest value, unknown rules
+    refuse."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (2, "fr", 20),   # cluster {1,2,3}: lang tie en/fr/fr -> fr wins on count
+            (3, "fr", 30),
+            (7, "zh", 5),    # singleton
+            (8, "de", 7),
+            (9, "aa", 7),    # cluster {8,9}: mode tie de/aa -> 'aa' (smallest value)
+        ],
+        "doc_id long, lang string, n long",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)], "node long, component long"
+    )
+    out = {
+        r["entity_id"]: r
+        for r in DD.consolidate_clusters(
+            docs, comps, "doc_id", {"n": "sum", "lang": "mode"}
+        ).collect()
+    }
+    assert set(out) == {1, 7, 8}
+    assert out[1]["n_members"] == 3 and out[1]["n"] == 60 and out[1]["lang"] == "fr"
+    assert out[7]["n_members"] == 1 and out[7]["lang"] == "zh"
+    assert out[8]["lang"] == "aa"  # tie on count -> smallest value
+    assert sum(r["n"] for r in out.values()) == 79  # mass conserved
+    with _pytest.raises(ValueError, match="unknown survivorship rule"):
+        DD.consolidate_clusters(docs, comps, "doc_id", {"n": "median"})
