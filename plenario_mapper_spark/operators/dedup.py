@@ -870,3 +870,51 @@ def consolidate_clusters(
         )
         out = out.join(winner, "_ent")
     return out.drop("_ent")
+
+
+def update_components(
+    components: DataFrame,
+    new_edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    **cc_kwargs,
+) -> DataFrame:
+    """INCREMENTAL connected components: fold a batch of new pair evidence
+    into an existing (node, component) mapping without recomputing the
+    whole graph — the ingest-time companion to `connected_components`
+    exactly as `dedup_against_index` is to exact dedup (H1 incremental).
+
+    Correctness: old components are stars rooted at their min member (the
+    CC fixpoint), so re-running CC over { star edges of AFFECTED components
+    } ∪ { new edges } reproduces exactly what a full recompute would emit
+    for every touched or new node, including min-id labels (the old root IS
+    the min of its members, so merged clusters relabel to the true global
+    min) — certified end to end by q_dedup_incremental_cc, whose oracle is
+    the ONE-SHOT full-graph closure. Untouched components stream through
+    verbatim.
+
+    Cost at 100 TB: the subgraph is (touched components' members + batch
+    edges) — per-batch cost scales with the batch and what it touches,
+    never the corpus graph. Affected detection is two semi-joins keyed on
+    node/component; nodes absent from the old mapping (previous singletons
+    or brand-new ids) enter through the new edges directly."""
+    new_nodes = (
+        new_edges.select(F.col(src_col).alias("node"))
+        .unionByName(new_edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    affected = (
+        components.join(new_nodes, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    members = components.join(affected, "component", "left_semi")
+    star = members.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(src_col), F.col("component").alias(dst_col)
+    )
+    sub = star.unionByName(
+        new_edges.select(F.col(src_col), F.col(dst_col))
+    )
+    recomputed = connected_components(sub, src_col, dst_col, **cc_kwargs)
+    untouched = components.join(affected, "component", "left_anti")
+    return untouched.unionByName(recomputed)

@@ -2855,6 +2855,55 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental_cc",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def q_dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup clustering certified against the one-shot truth:
+    the corpus splits at doc_id 400 — the 'yesterday' graph's components
+    are built first, then today's batch arrives and only its NEW edges
+    (any pair touching a new doc) fold in through
+    operators/dedup.update_components, which recomputes ONLY the affected
+    components' star subgraph + the batch edges and streams every
+    untouched component through verbatim. The oracle is the FULL-graph
+    recursive closure over all pairs — so the driver row certifies
+    incremental == from-scratch, including min-id relabeling when a new
+    doc bridges two old clusters. (Edge generation here is the exact
+    trigram-Jaccard form for oracle mirrorability, as in
+    q_dedup_cluster_cc; the 100 TB edge source is the minhash banded
+    probe of new docs against the signature index.)"""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.5, shingle_n=3
+    ).persist()
+    init_pairs = pairs.filter(F.col("id_b") < 400)
+    new_pairs = pairs.filter(F.col("id_b") >= 400)
+    comp0 = DD.connected_components(init_pairs, "id_a", "id_b")
+    return DD.update_components(comp0, new_pairs, "id_a", "id_b")
+
+
+@register(
     "q_entity_survivorship",
     oracle="""
     WITH RECURSIVE sh AS (

@@ -692,3 +692,33 @@ def test_consolidate_clusters_rules_and_singletons(spark):
     assert sum(r["n"] for r in out.values()) == 79  # mass conserved
     with _pytest.raises(ValueError, match="unknown survivorship rule"):
         DD.consolidate_clusters(docs, comps, "doc_id", {"n": "median"})
+
+
+def test_update_components_merge_bridge_and_untouched(spark):
+    """Incremental CC invariants: a new edge bridging two old components
+    relabels the union to the global min; untouched components stream
+    through verbatim; brand-new nodes (absent from the old mapping) form
+    or join components; result equals from-scratch CC over all edges."""
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comp0 = DD.connected_components(old_edges, "id_a", "id_b")
+    new_edges = spark.createDataFrame(
+        [(3, 10),    # bridges {1,2,3} and {10,11} -> all relabel to 1
+         (30, 31)],  # brand-new nodes, never seen before
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in DD.update_components(comp0, new_edges, "id_a", "id_b").collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in DD.connected_components(
+            old_edges.unionByName(new_edges), "id_a", "id_b"
+        ).collect()
+    }
+    assert got == want
+    assert got[11] == 1 and got[3] == 1          # merged + relabeled to global min
+    assert got[21] == 20 and got[20] == 20        # untouched component unchanged
+    assert got[30] == 30 and got[31] == 30        # new nodes clustered
