@@ -192,12 +192,16 @@ _FRONT = [
 # deferred entries): q_doc_psi_length_drift (banded PSI drift),
 # q_scan_schema_evolution (explicit per-batch schema normalization over
 # three real parquet versions), q_doc_oov_rate (vocab coverage),
-# q_events_attribution_linear (multi-touch fractional credit), and the two
+# q_events_attribution_linear (multi-touch fractional credit),
+# q_entity_survivorship (golden-record consolidation over near-dup
+# components), q_dedup_incremental_cc (batch edges folded into existing
+# components, certified incremental == one-shot), and the two
 # sketch-certification conversions (q_agg_approx_distinct /
 # q_agg_approx_percentile moved from rows-only to the est-in-band /
 # rank-in-band oracle form — rows-only is now 3, all sub-recall ANN with
-# exact twins) — all local-t2 MATCH at sf0.01 (full registry 139/139 re-ran
-# clean just before they landed; each individually MATCH after).
+# exact twins) — all local-t2 MATCH at sf0.01 (full registry re-ran clean
+# at 139/139 and again at 145/145 mid-round; each addition individually
+# MATCH after landing).
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are
