@@ -918,3 +918,83 @@ def update_components(
     recomputed = connected_components(sub, src_col, dst_col, **cc_kwargs)
     untouched = components.join(affected, "component", "left_anti")
     return untouched.unionByName(recomputed)
+
+
+def minhash_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH near-dup pairs TOUCHING A NEW BATCH — the ingest-time probe that,
+    with `update_components`, completes the incremental near-dup pipeline:
+    only pairs with at least one NEW endpoint are generated (new x old and
+    new x new), so per-batch cost scales with |batch| x bands plus the
+    candidates it touches, never |corpus|^2 — the same contract as
+    dedup_against_index for exact fingerprints. In production the old
+    side's (id, band-key) rows are a PERSISTED index (KB/doc, append-only;
+    the signature recompute here stands in for reading it); the probe is a
+    band-key equi-join, and the exact-Jaccard verify runs on candidates
+    only, shingling exactly the pruned id set. Output (id_a < id_b,
+    jaccard) matches minhash_near_dup_pairs row-for-row on the same pairs,
+    so downstream clustering cannot tell incremental evidence from a full
+    sweep (q_dedup_incremental_near certifies the whole chain against the
+    one-shot full-graph truth)."""
+    rows_per_band = num_hashes // bands
+    sig_udf = minhash_signature(num_hashes, shingle_n)
+
+    def banded(df, tag):
+        base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        sig = base.select("id", sig_udf(F.col("_txt")).alias("sig")).persist()
+        sig.count()  # eager: read by the band explode AND (old) the verify prune
+        return base, sig.select(
+            "id",
+            F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
+        ).withColumn("_new", F.lit(tag))
+
+    base_old, bands_old = banded(old_docs, False)
+    base_new, bands_new = banded(new_docs, True)
+    all_bands = bands_old.unionByName(bands_new)
+    probe = bands_new.alias("l")
+    cand = (
+        probe.join(
+            all_bands.alias("r"),
+            (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+    cand.count()
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh_udf = make_shingles_udf(shingle_n)
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    corpus = base_old.unionByName(base_new)
+    sh_tab = (
+        corpus.join(F.broadcast(cand_ids), "id", "left_semi")
+        .select("id", sh_udf(F.col("_txt")).alias("sh"))
+        .persist()
+    )
+    sh_tab.count()
+    pairs = (
+        cand.join(
+            F.broadcast(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            "id_a",
+        ).join(
+            F.broadcast(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            "id_b",
+        )
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

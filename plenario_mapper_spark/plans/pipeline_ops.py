@@ -2855,6 +2855,56 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental_near",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents) t),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    )
+    SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+    """,
+)
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION incremental near-dup ingest, end to end: yesterday's
+    components come from the full LSH sweep over docs < 400; today's batch
+    probes the banded signature index for pairs touching a NEW doc only
+    (operators/dedup.minhash_incremental_pairs — new x old and new x new,
+    never old x old again), and the evidence folds in through
+    update_components. The oracle is the one-shot EXACT full-graph closure,
+    so the driver row certifies the whole chain — LSH recall (1.0 on this
+    corpus, see q_dedup_minhash), probe completeness, exactly-once pair
+    emission, and the incremental merge — in one hash. This is the LSH twin
+    of q_dedup_incremental_cc (exact edge generator, same merge)."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    comp0 = DD.connected_components(
+        DD.minhash_near_dup_pairs(old, "doc_id", "text", threshold=0.5),
+        "id_a",
+        "id_b",
+    )
+    new_pairs = DD.minhash_incremental_pairs(old, new, "doc_id", "text", threshold=0.5)
+    return DD.update_components(
+        comp0, new_pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+
+
+@register(
     "q_dedup_incremental_cc",
     oracle="""
     WITH RECURSIVE sh AS (

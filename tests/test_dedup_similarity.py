@@ -722,3 +722,24 @@ def test_update_components_merge_bridge_and_untouched(spark):
     assert got[11] == 1 and got[3] == 1          # merged + relabeled to global min
     assert got[21] == 20 and got[20] == 20        # untouched component unchanged
     assert got[30] == 30 and got[31] == 30        # new nodes clustered
+
+
+def test_minhash_incremental_pairs_match_full_sweep(spark, docs):
+    """The batch probe must reproduce exactly the full sweep's pairs that
+    touch a new doc — same ids, same exact-verified jaccard — and emit no
+    old x old pair (that evidence already lives in the index)."""
+    old = docs.filter(F.col("doc_id") < 80)
+    new = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 140))
+    both = docs.filter(F.col("doc_id") < 140)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(both, "doc_id", "text", 0.5).collect()
+    }
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_incremental_pairs(old, new, "doc_id", "text", 0.5).collect()
+    }
+    touching_new = {p: j for p, j in full.items() if p[0] >= 80 or p[1] >= 80}
+    assert inc == touching_new
+    assert all(a >= 80 or b >= 80 for a, b in inc)
+    assert len(inc) > 0  # non-vacuous on this corpus
