@@ -102,3 +102,41 @@ def numeric_histogram(
         )
         .select("bin", "bin_lo", "bin_hi", "n")
     )
+
+
+def profile_drift(
+    a: DataFrame, b: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Column-profile DRIFT between two table snapshots — the data-contract
+    monitor that catches what row-level diffs (operators/diff) don't state:
+    null-rate creep, cardinality collapse, range shift, and SCHEMA drift
+    (a column present in only one snapshot emits a half-null row via the
+    full-outer join, the companion signal to sources/evolved's read-side
+    normalization). Each side is profile_columns' ONE-scan aggregate; the
+    join is |columns|-sized. Deltas are reported as raw per-side values
+    plus min/max shifts so the consumer chooses its own thresholds."""
+    pa = profile_columns(a, cols)
+    pb = profile_columns(b, cols)
+    sa = pa.select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_null").alias("n_null_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_num").alias("_min_a"),
+        F.col("max_num").alias("_max_a"),
+    )
+    sb = pb.select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_null").alias("n_null_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_num").alias("_min_b"),
+        F.col("max_num").alias("_max_b"),
+    )
+    return sa.join(sb, "column", "full").select(
+        "column",
+        "n_rows_a", "n_rows_b", "n_null_a", "n_null_b",
+        "n_distinct_a", "n_distinct_b",
+        F.round(F.col("_min_b") - F.col("_min_a"), 6).alias("min_shift"),
+        F.round(F.col("_max_b") - F.col("_max_a"), 6).alias("max_shift"),
+    )

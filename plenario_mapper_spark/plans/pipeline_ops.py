@@ -2855,6 +2855,73 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_profile_drift",
+    oracle="""
+    WITH s AS (SELECT *, o_orderkey % 2 AS side FROM orders)
+    SELECT 'o_custkey' AS "column",
+           CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT) AS n_rows_a,
+           CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT) AS n_rows_b,
+           CAST(COUNT(*) FILTER (WHERE side = 0)
+                - COUNT(o_custkey) FILTER (WHERE side = 0) AS BIGINT) AS n_null_a,
+           CAST(COUNT(*) FILTER (WHERE side = 1)
+                - COUNT(o_custkey) FILTER (WHERE side = 1) AS BIGINT) AS n_null_b,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE side = 0) AS BIGINT) AS n_distinct_a,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE side = 1) AS BIGINT) AS n_distinct_b,
+           CAST(ROUND(CAST(MIN(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
+                - CAST(MIN(o_custkey) FILTER (WHERE side = 0) AS DOUBLE), 6) AS DOUBLE) AS min_shift,
+           CAST(ROUND(CAST(MAX(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
+                - CAST(MAX(o_custkey) FILTER (WHERE side = 0) AS DOUBLE), 6) AS DOUBLE) AS max_shift
+    FROM s
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 0)
+                - COUNT(o_totalprice) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 1)
+                - COUNT(o_totalprice) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice) FILTER (WHERE side = 1)
+                - MIN(o_totalprice) FILTER (WHERE side = 0), 6) AS DOUBLE),
+           CAST(ROUND(MAX(o_totalprice) FILTER (WHERE side = 1)
+                - MAX(o_totalprice) FILTER (WHERE side = 0), 6) AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 0)
+                - COUNT(o_orderstatus) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE side = 1)
+                - COUNT(o_orderstatus) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) FILTER (WHERE side = 0) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) FILTER (WHERE side = 1) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM s
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between two snapshots (operators/profile.
+    profile_drift): null-rate creep, cardinality shift, and numeric range
+    movement per column, with schema drift surfacing as half-null rows from
+    the full-outer join. Snapshots here are the even/odd o_orderkey halves
+    (the PSI cohort convention); each side profiles in ONE scan and the
+    drift join is |columns|-sized. The oracle recomputes both profiles with
+    FILTER clauses over one relation — value-identical, differently
+    shaped."""
+    from plenario_mapper_spark.operators.profile import profile_drift
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderstatus"]
+    return profile_drift(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        cols,
+    )
+
+
+@register(
     "q_dedup_incremental_near",
     oracle="""
     WITH RECURSIVE sh AS (

@@ -77,3 +77,20 @@ def test_histogram_rejects_bad_bounds(spark):
         numeric_histogram(df, "v", 0, 0.0, 1.0)
     with _pytest.raises(ValueError):
         numeric_histogram(df, "v", 4, 2.0, 2.0)
+
+
+def test_profile_drift_schema_and_values(spark):
+    """Drift rows carry per-side profiles and numeric shifts; a column
+    present on only one side (schema drift) emits a half-null row."""
+    from plenario_mapper_spark.operators.profile import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, None, "y")], "k int, v double, s string"
+    )
+    b = spark.createDataFrame([(3, 99.0)], "k int, v double")  # s retired
+    got = {r["column"]: r for r in profile_drift(a, b).collect()}
+    assert got["k"]["n_rows_a"] == 2 and got["k"]["n_rows_b"] == 1
+    assert got["k"]["min_shift"] == 2.0 and got["k"]["max_shift"] == 1.0
+    assert got["v"]["n_null_a"] == 1 and got["v"]["n_null_b"] == 0
+    assert got["v"]["max_shift"] == 89.0
+    assert got["s"]["n_rows_b"] is None  # retired column -> half-null row
