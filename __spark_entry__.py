@@ -124,68 +124,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # checkable rows are green in CORRECTNESS_r04.json and untouched since
 # (the r4 greens' loaders/shared code changed only via final_plan test
 # plumbing, not query code); tools/t2.py keeps mirroring them per-commit.
+# Round-6 rotation (VERDICT r5 item 1: close the driver-row debt to ZERO):
+# the 14 never-driver-checked queries lead (every one judge-verified MATCH in
+# r5; after this window every oracle-backed query in the registry has had a
+# driver row). Next: the 4 queries whose last driver row is r2 (two of which —
+# the approx sketch pair — were CONVERTED to certification oracles in r5 and
+# have never had a driver row in that form), then this round's changed-code
+# canaries: the three former rows-only ANN queries (q_ann_lsh_topk,
+# q_ann_ivf_topk, q_embed_near_dup) newly converted to recall-band
+# certification oracles per VERDICT r5 item 6 — rows-only is now ZERO;
+# 152/152 oracle-backed. The remaining 29 slots go to the oldest greens
+# (last driver row r3, two loader generations ago), including
+# q_binary_decode_stats (its decoder gained a JPEG branch this round, making
+# it double as a changed-code canary). Four r3 rows defer to r7, each with an
+# in-window near relative: q_unpivot (q_pivot in), q_group_geomean
+# (q_group_zscore in), q_binary_frame_sample (q_binary_meta in),
+# q18_large_orders (q10_returned_items in, TPC-H family green r5). Demoted:
+# the whole r5 window (50/50 green in CORRECTNESS_r05.json) and the r4 greens;
+# tools/t2.py keeps mirroring them per-commit.
 _FRONT = [
-    # (1) TPC-H completion nine — the widest join trees in the registry
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q9_product_type_profit",
-    "q11_important_parts",
-    "q12_ship_latency",
-    "q16_supplier_count",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # (2) events analytics family (incl. the floor-division fix canary
-    # q_events_throttle_batch and the composed capstone)
-    "q_events_gap_fill",
-    "q_events_funnel",
-    "q_events_cohort_retention",
-    "q_events_winsorized",
-    "q_events_forecast_trend",
-    "q_events_rolling_window",
-    "q_events_anomaly_mad",
-    "q_events_sliding_window",
-    "q_events_metrics_pipeline",
-    "q_events_attribution",
-    "q_events_throttle_batch",
-    # (3) join completions (dpp + interval_overlap double as canaries for the
-    # partitioned-source and intervals floor-div/max_buckets changes)
-    "q_join_nullsafe",
-    "q_join_dpp_partitioned",
-    "q_join_interval_overlap",
-    # (4) geo, SCD2, write-side ops
-    "q_geo_radius_join",
-    "q_geo_grid_timeseries",
-    "q_scd2_versions",
-    "q_scd2_point_in_time",
-    "q_merge_upsert_delete",
-    "q_rollup_incremental_maintain",
-    # (5) graph (pagerank newly oracle-backed)
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    # (6) document/H-family round-4 additions
-    "q_doc_span_dedup",
-    "q_doc_mixture_weights",
-    "q_doc_leakage_safe_split",
-    "q_doc_chi2_source_lang",
-    "q_doc_ks_length_drift",
-    "q_doc_sparse_cosine_topk",
-    "q_doc_bigram_logprob",
-    "q_dedup_fuzzy_names",
-    # (7) layout/diff/quantize/profile/quality/binary
-    "q_layout_zorder_key",
-    "q_table_diff",
-    "q_embed_quantize",
-    "q_profile_orders",
-    "q_profile_histogram",
-    "q_quality_constraints",
-    "q_agg_hll_rollup",
-    "q_binary_phash_dedup",
-    # (8) changed-code canaries: newly oracle-backed dedup pair/survivor set
-    # + the new closed-session twin
-    "q_dedup_minhash",
-    "q_dedup_survivors",
-    "q_events_sessions_closed",
+    "q_profile_drift",
+    "q_dedup_incremental_cc",
+    "q_dedup_incremental_near",
+    "q_entity_survivorship",
+    "q_scan_schema_evolution",
+    "q_doc_psi_length_drift",
+    "q_doc_oov_rate",
+    "q_events_attribution_linear",
+    "q_agg_stats",
+    "q_scalar_calendar",
+    "q_doc_unigram_logprob",
+    "q_doc_mixture_resample",
+    "q_binary_audio_spectrum",
+    "q_sample_group_reservoir",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_explode_tokens",
+    "q_setops",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embed_near_dup",
+    "q1_pricing_summary",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_asof_join",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_subquery_correlated",
+    "q_subquery_scalar",
+    "q_window_rank",
+    "q_events_tumbling_window",
+    "q_time_rollup",
+    "q10_returned_items",
+    "q_doc_token_stats",
+    "q_doc_quality",
+    "q_doc_lang_signal",
+    "q_doc_tfidf_top_terms",
+    "q_dedup_exact_docs",
+    "q_skew_salted_collect",
+    "q_dedup_fingerprint",
+    "q_embed_cosine_topk",
+    "q_binary_meta",
+    "q_sample_stratified",
+    "q_pivot",
+    "q_group_zscore",
+    "q_binary_decode_stats",
+    "q_doc_pack_sequences",
 ]
 # Added later in round 5, mid-positioned (outside this round's committed
 # window by construction; round-6 rotation claimants alongside the six
@@ -209,95 +216,108 @@ _FRONT = [
 # the mid section implicitly by registration order. tools/t2.py mirrors the
 # full oracle-backed registry locally per-commit.
 _BACK = [
-    "q_explode_tokens",
-    "q_setops",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q_subquery_scalar",
-    "q_subquery_correlated",
-    "q_time_rollup",
-    "q_events_tumbling_window",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_asof_join",
-    "q_window_rank",
-    "q5_local_supplier",
-    "q3_shipping_priority",
-    "q1_pricing_summary",
-    "q_embed_cosine_topk",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_binary_meta",
-    "q_binary_frame_sample",
-    "q_binary_decode_stats",
-    "q_sample_stratified",
-    "q_pivot",
-    "q_unpivot",
-    "q_group_zscore",
-    "q_group_geomean",
-    "q_doc_pack_sequences",
-    "q_doc_token_stats",
-    "q_doc_quality",
-    "q_doc_lang_signal",
-    "q_doc_tfidf_top_terms",
-    "q_dedup_exact_docs",
-    "q_dedup_fingerprint",
-    "q_skew_salted_collect",
-    # r4-window greens demoted wholesale
     "q_join_left",
-    "q_join_right",
     "q_join_semi",
     "q_join_anti",
     "q_join_full_outer",
     "q_join_range",
-    "q_join_theta_nl",
     "q_window_running",
     "q_window_lag_lead",
-    "q_window_frames_ntile",
     "q_topk",
-    "q_topk_per_group",
     "q_scalar_datetime",
     "q_scalar_string",
     "q_scalar_case_math",
     "q_scalar_json",
     "q_scalar_array_hof",
-    "q_events_sessionize",
-    "q_dedup_simhash",
-    "q_events_session_window",
-    "q_binary_resize",
-    "q_doc_decontaminate",
-    "q_doc_gopher_repetition",
-    "q_doc_langid_confusion",
-    "q_embed_kmeans_assign",
-    "q_embed_near_dup_exact",
-    "q_embed_near_dup",
-    "q_doc_redact_pii",
+    "q18_large_orders",
+    "q_window_frames_ntile",
+    "q_join_right",
+    "q_join_theta_nl",
+    "q_topk_per_group",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
-    "q_doc_split_assign",
-    "q_embed_kmeans_iterate",
-    "q_ngram_jaccard_pairs",
-    "q_doc_chunk_windows",
-    "q_doc_curation_pipeline",
-    "q_dedup_incremental",
     "q15_top_supplier",
     "q22_idle_balances",
-    "q_mapper_split_events",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_ship_latency",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q_events_gap_fill",
+    "q_agg_hll_rollup",
+    "q_events_funnel",
+    "q_events_cohort_retention",
+    "q_events_winsorized",
+    "q_events_forecast_trend",
+    "q_events_rolling_window",
+    "q_events_anomaly_mad",
+    "q_events_sliding_window",
+    "q_join_nullsafe",
+    "q_events_metrics_pipeline",
+    "q_events_attribution",
+    "q_events_throttle_batch",
     "q_mapper_route_events",
     "q_mapper_dead_letter_events",
     "q_mapper_emit_events",
     "q_mapper_alerts_events",
     "q_mapper_alerts_invalid_key",
+    "q_binary_phash_dedup",
+    "q_quality_constraints",
+    "q_graph_pagerank",
+    "q_doc_mixture_weights",
+    "q_doc_span_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_embed_near_dup_exact",
+    "q_binary_frame_sample",
+    "q_binary_resize",
+    "q_events_sessionize",
+    "q_events_session_window",
+    "q_events_sessions_closed",
     "q_dedup_cluster_cc",
+    "q_unpivot",
+    "q_mapper_split_events",
+    "q_dedup_survivors",
+    "q_group_geomean",
+    "q_doc_decontaminate",
+    "q_doc_gopher_repetition",
+    "q_doc_langid_confusion",
+    "q_embed_kmeans_assign",
+    "q_doc_redact_pii",
+    "q_doc_split_assign",
+    "q_embed_kmeans_iterate",
+    "q_doc_chunk_windows",
+    "q_doc_curation_pipeline",
+    "q_dedup_incremental",
+    "q_graph_triangles",
+    "q_scd2_versions",
+    "q_dedup_fuzzy_names",
+    "q_doc_leakage_safe_split",
+    "q_layout_zorder_key",
+    "q_merge_upsert_delete",
+    "q_rollup_incremental_maintain",
+    "q_doc_chi2_source_lang",
+    "q_doc_ks_length_drift",
+    "q_scd2_point_in_time",
+    "q_doc_sparse_cosine_topk",
+    "q_geo_radius_join",
+    "q_geo_grid_timeseries",
+    "q_join_dpp_partitioned",
+    "q_join_interval_overlap",
+    "q_profile_orders",
+    "q_profile_histogram",
+    "q_table_diff",
+    "q_doc_bigram_logprob",
+    "q_embed_quantize",
 ]
 
 

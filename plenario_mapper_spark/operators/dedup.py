@@ -862,7 +862,11 @@ def consolidate_clusters(
     out = m.groupBy("_ent").agg(*plain_aggs)
     for col in mode_cols:
         counts = m.groupBy("_ent", col).agg(F.count("*").alias("_n"))
-        w = Window.partitionBy("_ent").orderBy(F.desc("_n"), F.col(col))
+        # asc_nulls_last, not asc: Spark sorts NULL first ascending but
+        # DuckDB's ORDER BY (the survivorship oracle) sorts NULL last, so a
+        # mode-count tie between NULL and a value must break the same way
+        # in both engines — nulls lose ties deterministically.
+        w = Window.partitionBy("_ent").orderBy(F.desc("_n"), F.asc_nulls_last(col))
         winner = (
             counts.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -943,21 +947,32 @@ def minhash_incremental_pairs(
     jaccard) matches minhash_near_dup_pairs row-for-row on the same pairs,
     so downstream clustering cannot tell incremental evidence from a full
     sweep (q_dedup_incremental_near certifies the whole chain against the
-    one-shot full-graph truth)."""
+    one-shot full-graph truth).
+
+    Ids appearing in BOTH inputs (an updated document) are resolved
+    new-wins: old rows whose id recurs in the batch are anti-joined away
+    before the corpus union, so each id contributes exactly one signature
+    and one shingle row — without this, a duplicated id double-joins its
+    shingle rows and emits duplicate candidate pairs."""
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature(num_hashes, shingle_n)
 
-    def banded(df, tag):
+    # new-wins on id collision: the batch supersedes prior versions
+    old_docs = old_docs.join(
+        new_docs.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    )
+
+    def banded(df):
         base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         sig = base.select("id", sig_udf(F.col("_txt")).alias("sig")).persist()
         sig.count()  # eager: read by the band explode AND (old) the verify prune
         return base, sig.select(
             "id",
             F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
-        ).withColumn("_new", F.lit(tag))
+        )
 
-    base_old, bands_old = banded(old_docs, False)
-    base_new, bands_new = banded(new_docs, True)
+    base_old, bands_old = banded(old_docs)
+    base_new, bands_new = banded(new_docs)
     all_bands = bands_old.unionByName(bands_new)
     probe = bands_new.alias("l")
     cand = (
@@ -984,12 +999,18 @@ def minhash_incremental_pairs(
         .persist()
     )
     sh_tab.count()
+    # NO static broadcast here: sh_tab carries full shingle arrays (KBs per
+    # doc) for every candidate id, and candidates scale with batch size x
+    # dup density — a forced broadcast is an unbounded driver/executor OOM
+    # on a dup-heavy ingest. Plain equi-joins let AQE pick broadcast from
+    # the ACTUAL runtime size when the candidate set happens to be small
+    # (the cand_ids broadcast above stays — that relation is ids only).
     pairs = (
         cand.join(
-            F.broadcast(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         ).join(
-            F.broadcast(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
     )

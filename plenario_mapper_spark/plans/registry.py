@@ -51,6 +51,14 @@ def release_query_caches(spark: SparkSession) -> None:
     long-lived driver session that invokes many queries accumulates cached
     blocks with no owner to unpersist them. Harness loops (bench.py does this
     between queries) call this to bound cache lifetime to one query; the
-    per-batch streaming pipeline manages its own snapshots explicitly."""
+    per-batch streaming pipeline manages its own snapshots explicitly.
+
+    SCOPE WARNING: this calls `spark.catalog.clearCache()`, which unpersists
+    EVERY cached relation in the session — including caches the caller
+    created and still depends on, not just registry-query intermediates
+    (registry persists are anonymous `DataFrame.persist()` handles, so there
+    is no narrower handle to release them by). Treat this as a session-level
+    reset between independent workloads; do not call it mid-pipeline while
+    your own persisted DataFrames are still live."""
     _PLAN_CACHE.pop(spark, None)
     spark.catalog.clearCache()

@@ -24,15 +24,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-# widening-safe numeric order; casting leftward (narrowing) is refused
-_WIDENING = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+# A cast is widening-safe iff EVERY src value is exactly representable in
+# dst. Integer->integer widening and float->double qualify; integer->float
+# only when the integer's value bits fit the 24-bit float mantissa, and
+# integer->double only when they fit the 53-bit double mantissa. int->float,
+# bigint->float and bigint->double do NOT: ids above 2^24 / 2^53 round
+# silently — exactly the migrated-id-column drift this module exists to
+# catch — so those require allow_narrowing=True like any other lossy cast.
+_INT_BITS = {"tinyint": 7, "smallint": 15, "int": 31, "bigint": 63}
+_FP_MANTISSA = {"float": 24, "double": 53}
 
 
 def _cast_ok(src: str, dst: str) -> bool:
     if src == dst:
         return True
-    if src in _WIDENING and dst in _WIDENING:
-        return _WIDENING.index(src) <= _WIDENING.index(dst)
+    if src in _INT_BITS and dst in _INT_BITS:
+        return _INT_BITS[src] <= _INT_BITS[dst]
+    if src in _INT_BITS and dst in _FP_MANTISSA:
+        return _INT_BITS[src] <= _FP_MANTISSA[dst]
+    if src == "float" and dst == "double":
+        return True
     # timestamp_ntz <-> timestamp and string widenings are caller decisions;
     # everything else is narrowing/lossy and must be explicit
     return False

@@ -743,3 +743,138 @@ def test_minhash_incremental_pairs_match_full_sweep(spark, docs):
     assert inc == touching_new
     assert all(a >= 80 or b >= 80 for a, b in inc)
     assert len(inc) > 0  # non-vacuous on this corpus
+
+
+def test_minhash_incremental_updated_doc_new_wins(spark, docs):
+    """An id present in BOTH old and new (an updated document) must not
+    double-join shingle rows or emit duplicate candidate pairs: the batch
+    version supersedes the old row (new-wins anti-join), so the result
+    equals the full sweep over (old minus updated ids) union new."""
+    old = docs.filter(F.col("doc_id") < 100)
+    # batch re-ships doc 50 (with its current text) plus genuinely new docs
+    new = docs.filter(
+        (F.col("doc_id") == 50) | ((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    )
+    inc = DD.minhash_incremental_pairs(old, new, "doc_id", "text", 0.5)
+    rows = inc.collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicated candidate pairs
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # truth: full sweep restricted to pairs touching the batch's id set
+    both = docs.filter(F.col("doc_id") < 140)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(both, "doc_id", "text", 0.5).collect()
+    }
+    new_ids = {50} | set(range(100, 140))
+    want = {p: j for p, j in full.items() if p[0] in new_ids or p[1] in new_ids}
+    assert got == want
+    # doc 50's known near-dups (0, 82) are in the old side -> pair emitted once
+    assert (0, 50) in got and (50, 82) in got
+
+
+def test_minhash_incremental_verify_join_not_static_broadcast(spark, docs):
+    """The exact-Jaccard verify join must NOT statically broadcast the
+    shingle table: sh_tab carries full shingle arrays for every candidate
+    id and candidates scale with batch x dup density, so a forced
+    broadcast is an unbounded OOM at scale. Only the ids-only cand_ids
+    prune may carry a static hint; whether the verify join broadcasts is
+    AQE's runtime-size decision, not a plan-time constant."""
+    old = docs.filter(F.col("doc_id") < 80)
+    new = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 140))
+    out = DD.minhash_incremental_pairs(old, new, "doc_id", "text", 0.5)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # broadcast HINTS surviving to the optimized plan: exactly the ids-only
+    # semi-join prune, never the shingle-payload verify joins
+    hints = optimized.count("strategy=broadcast")
+    assert hints <= 1, f"static broadcast hints leaked into verify join:\n{optimized}"
+
+
+def test_incremental_near_dup_three_batch_soak(spark, docs):
+    """Production is a LOOP: three ingest batches chained through
+    minhash_incremental_pairs -> update_components must equal the one-shot
+    full-sweep closure after EVERY step. Batch 2 re-touches components
+    merged in step 1 (doc 82 joins {0,50}; doc 120 joins {8,12}), the
+    exact previously-merged-component case; batch 3 adds both
+    bridge-to-old (26-176) and entirely-new (144-161) components."""
+    bounds = [(0, 60), (60, 130), (130, 200)]
+    comps = None
+    for lo, hi in bounds:
+        old = docs.filter(F.col("doc_id") < lo)
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        pairs = DD.minhash_incremental_pairs(old, batch, "doc_id", "text", 0.5)
+        edges = pairs.select("id_a", "id_b")
+        comps = (
+            DD.connected_components(edges, "id_a", "id_b")
+            if comps is None
+            else DD.update_components(comps, edges, "id_a", "id_b")
+        )
+        got = {r["node"]: r["component"] for r in comps.collect()}
+        corpus = docs.filter(F.col("doc_id") < hi)
+        oneshot = DD.connected_components(
+            DD.minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5).select(
+                "id_a", "id_b"
+            ),
+            "id_a",
+            "id_b",
+        )
+        want = {r["node"]: r["component"] for r in oneshot.collect()}
+        assert got == want, f"incremental != one-shot after batch [{lo},{hi})"
+        comps = spark.createDataFrame(
+            sorted(got.items()), "node long, component long"
+        )  # re-materialize: the next fold reads state, not a lazy lineage
+    # step-2 re-touch actually happened: 82 joined the {0,50} component
+    assert got[82] == 0 and got[120] == 8
+    # step-3 new component formed entirely inside the batch
+    assert got[144] == 144 and got[161] == 144
+
+
+def test_embed_near_dup_recall_floor(spark, embeddings):
+    """Pins the 0.25 pooled-recall floor the q_embed_near_dup certification
+    oracle asserts (measured 0.44/0.46 at sf0.001/sf0.01 with 6 planes x 8
+    tables at threshold 0.4): if a corpus regeneration or plane-seed change
+    drops recall below the floor, THIS fails locally before the driver window
+    goes red. Precision must stay exact (reported subset of true pairs)."""
+    sl = embeddings.filter(F.col("vec_id") < 500)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.exact_near_dup_pairs(sl, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(
+            sl, threshold=0.4, n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact  # precision exact by construction
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.25
+
+
+def test_minhash_oracle_corpus_property_pin(spark, docs):
+    """Pins the DATA-PROPERTY assumption the q_dedup_minhash /
+    q_dedup_survivors / q_dedup_incremental_near oracles rest on (their
+    oracles are exact-Jaccard truth, so driver MATCH requires LSH recall
+    1.0): every true pair at the query threshold (J >= 0.5) must sit at
+    J >= 0.8 — far past the 16x4 banding's s-curve knee (per-pair pass
+    probability 1-(1-J^4)^16 is ~0.9998 at J=0.8 and ~0.9999998 at the
+    corpus's measured minimum, 0.889 at sf0.001 / 0.9 at sf0.01) — and the
+    banded engine path must actually recover the full exact pair set. A
+    corpus regeneration or a hash-seed/shingle-param change that breaks
+    either property fails HERE before it flips a driver window red
+    (ADVICE r5)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert len(exact) > 0
+    assert min(exact.values()) >= 0.8, (
+        "corpus now holds true pairs in the LSH s-curve's probabilistic zone; "
+        "the exact-Jaccard oracles for the minhash family are no longer "
+        "recall-1.0-safe — retune bands or the oracle form"
+    )
+    banded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert banded == exact  # recall 1.0 AND identical exact-verified values

@@ -203,3 +203,54 @@ def test_read_evolved_normalizes_and_guards(spark, tmp_path):
         read_evolved(spark, [v2], narrow_target)
     # explicit opt-in narrows anyway
     assert read_evolved(spark, [v2], narrow_target, allow_narrowing=True).collect()[0]["id"] == 2
+
+
+def test_read_evolved_int_to_fp_is_lossy_not_widening(spark, tmp_path):
+    """bigint->double silently rounds ids above 2^53 — the exact id-drift
+    corruption the module guards against — so it must be classed narrowing.
+
+    First demonstrate the corruption the pre-r6 rule would have allowed:
+    two DISTINCT int64 ids collapse to the SAME double, so a downstream
+    join keyed on the normalized column conflates two entities. Then assert
+    read_evolved refuses the cast by default and only performs it under
+    allow_narrowing=True."""
+    from pyspark.sql import types as T
+
+    from plenario_mapper_spark.sources.evolved import read_evolved
+
+    big = 2**53  # 2^53+1 is the first int64 a double cannot represent
+    v = str(tmp_path / "v")
+    # both ids round to 9007199254740992.0 as doubles
+    spark.createDataFrame([(big,), (big + 1,)], "id bigint").write.parquet(v)
+
+    # the corruption: cast-to-double conflates the two join keys
+    collapsed = (
+        spark.read.parquet(v)
+        .selectExpr("CAST(id AS DOUBLE) AS id")
+        .distinct()
+        .count()
+    )
+    assert collapsed == 1  # two ids, one double — a corrupted join key
+
+    import pytest as _pytest
+
+    dbl_target = T.StructType([T.StructField("id", T.DoubleType())])
+    with _pytest.raises(ValueError, match="narrowing"):
+        read_evolved(spark, [v], dbl_target)
+    flt_target = T.StructType([T.StructField("id", T.FloatType())])
+    with _pytest.raises(ValueError, match="narrowing"):
+        read_evolved(spark, [v], flt_target)
+    # int(32)->float is lossy above 2^24 too
+    v32 = str(tmp_path / "v32")
+    spark.createDataFrame([(2**24 + 1,)], "id int").write.parquet(v32)
+    with _pytest.raises(ValueError, match="narrowing"):
+        read_evolved(spark, [v32], flt_target)
+    # but exactly-representable widenings remain safe: int->double,
+    # smallint->float, float->double
+    assert read_evolved(spark, [v32], dbl_target).collect()[0]["id"] == float(2**24 + 1)
+    vs = str(tmp_path / "vs")
+    spark.createDataFrame([(123,)], "id smallint").write.parquet(vs)
+    assert read_evolved(spark, [vs], flt_target).collect()[0]["id"] == 123.0
+    # explicit opt-in performs the lossy cast anyway (caller's choice)
+    forced = read_evolved(spark, [v], dbl_target, allow_narrowing=True)
+    assert forced.distinct().count() == 1
