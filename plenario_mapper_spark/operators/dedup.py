@@ -163,10 +163,7 @@ def minhash_near_dup_pairs(
     cand.count()  # eager: both downstream lineages read it concurrently
     # Verify stage: exact shingle sets for CANDIDATE docs only — a semi-join
     # prunes the text scan to the (tiny) candidate id set before the shingle
-    # UDF runs, so verify cost scales with candidates, not corpus size. Both
-    # enrichment joins then broadcast the small shingle table — persisted
-    # eagerly, else each BroadcastExchange recomputes it (text scan + Python
-    # UDF, twice per execution).
+    # UDF runs, so verify cost scales with candidates, not corpus size.
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
     sh_udf = make_shingles_udf(shingle_n)
@@ -179,14 +176,23 @@ def minhash_near_dup_pairs(
         .persist()
     )
     sh_tab.count()
+    # NO static broadcast of sh_tab: it carries full shingle arrays (KBs per
+    # doc) for every candidate id, and full-sweep candidates scale with
+    # corpus size x dup density — a forced broadcast is an unbounded
+    # driver/executor OOM on a dup-heavy corpus. Plain equi-joins let AQE
+    # pick broadcast from the ACTUAL runtime size when the candidate set
+    # happens to be small (the cand_ids broadcast above stays — ids only).
+    # Persisting sh_tab eagerly still matters: both verify joins read it
+    # concurrently, and a lazy lineage would re-run the text scan + shingle
+    # UDF once per join side.
     pairs = (
         cand
         .join(
-            F.broadcast(sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))),
+            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))),
+            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
             "id_b",
         )
     )
@@ -962,17 +968,25 @@ def minhash_incremental_pairs(
         new_docs.select(F.col(id_col)).distinct(), id_col, "left_anti"
     )
 
-    def banded(df):
+    def banded(df, shared: bool):
         base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        sig = base.select("id", sig_udf(F.col("_txt")).alias("sig")).persist()
-        sig.count()  # eager: read by the band explode AND (old) the verify prune
+        sig = base.select("id", sig_udf(F.col("_txt")).alias("sig"))
+        if shared:
+            # The NEW side's band rows feed TWO concurrent consumers (the
+            # probe and the unioned all_bands index side), so its signature
+            # lineage must be materialized once or each leg replays the
+            # Python UDF. The OLD side's bands have a single consumer — a
+            # persist there is pure overhead (verify shingles come from
+            # `base`, not `sig`).
+            sig = sig.persist()
+            sig.count()
         return base, sig.select(
             "id",
             F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
         )
 
-    base_old, bands_old = banded(old_docs)
-    base_new, bands_new = banded(new_docs)
+    base_old, bands_old = banded(old_docs, shared=False)
+    base_new, bands_new = banded(new_docs, shared=True)
     all_bands = bands_old.unionByName(bands_new)
     probe = bands_new.alias("l")
     cand = (

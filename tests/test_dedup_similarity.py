@@ -783,11 +783,34 @@ def test_minhash_incremental_verify_join_not_static_broadcast(spark, docs):
     old = docs.filter(F.col("doc_id") < 80)
     new = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 140))
     out = DD.minhash_incremental_pairs(old, new, "doc_id", "text", 0.5)
+    _assert_only_semi_prune_hinted(out)
+
+
+def test_minhash_full_sweep_verify_join_not_static_broadcast(spark, docs):
+    """Full-sweep twin of the incremental guard: minhash_near_dup_pairs'
+    verify joins must not statically broadcast sh_tab either — full-sweep
+    candidates scale with corpus x dup density, strictly WORSE than the
+    incremental batch case. Only the ids-only cand_ids semi-join prune may
+    carry a static hint."""
+    out = DD.minhash_near_dup_pairs(
+        docs.filter(F.col("doc_id") < 140), "doc_id", "text", 0.5
+    )
+    _assert_only_semi_prune_hinted(out)
+
+
+def _assert_only_semi_prune_hinted(out):
+    """Every broadcast hint surviving to the optimized plan must sit on the
+    ids-only LeftSemi candidate prune; a hint on any Inner (shingle-payload
+    verify) join is the unbounded-OOM pattern. Line-level check so a hint
+    migrating from the semi-join to a verify join cannot hide behind the
+    count staying <= 1."""
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
-    # broadcast HINTS surviving to the optimized plan: exactly the ids-only
-    # semi-join prune, never the shingle-payload verify joins
-    hints = optimized.count("strategy=broadcast")
-    assert hints <= 1, f"static broadcast hints leaked into verify join:\n{optimized}"
+    hint_lines = [l for l in optimized.splitlines() if "strategy=broadcast" in l]
+    assert len(hint_lines) <= 1, f"extra static broadcast hints:\n{optimized}"
+    for l in hint_lines:
+        assert "LeftSemi" in l, (
+            f"broadcast hint on a non-semi (payload) join: {l}\n{optimized}"
+        )
 
 
 def test_incremental_near_dup_three_batch_soak(spark, docs):
