@@ -9,14 +9,15 @@ Pattern for image/audio/video at 100 TB:
   mapInPandas — one Python worker per partition, whole Arrow batches in flight,
   never row-at-a-time.
 
-Decode is REAL for uncompressed formats: functions/codecs.py implements
-pure-numpy PNM (P5/P6), 24-bit BMP, and PCM16 WAV decoders from their public
-byte layouts, and `decode_features` runs them inside Arrow-batched mapInPandas
-(header parse + pixel/sample statistics). Compressed formats (JPEG/MP3/H.264)
-would need PIL/librosa/ffmpeg, absent in this container — those payloads fall
-back to the byte-histogram path with modality 'unknown', same schema, so the
-pipeline is total over arbitrary blobs. `extract_features` (pure byte stats)
-remains as the codec-free fast path.
+Decode is REAL: functions/codecs.py implements pure-numpy PNM (P5/P6), 24-bit
+BMP, PCM16 WAV, PNG (stdlib zlib + scanline defilter), and baseline-sequential
+JPEG (ITU T.81 Huffman + IDCT) decoders from their public byte layouts, and
+`decode_features` runs them inside Arrow-batched mapInPandas (header parse +
+pixel/sample statistics). Unsupported compressed formats (progressive JPEG,
+MP3, H.264) would need PIL/librosa/ffmpeg, absent in this container — those
+payloads fall back to the byte-histogram path with modality 'unknown', same
+schema, so the pipeline is total over arbitrary blobs. `extract_features`
+(pure byte stats) remains as the codec-free fast path.
 """
 
 from __future__ import annotations
@@ -132,6 +133,7 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
             "image/x-portable-pixmap": codecs.encode_pnm,
             "image/bmp": codecs.encode_bmp,
             "image/png": codecs.encode_png,
+            "image/jpeg": codecs.encode_jpeg,
         }
         for pdf in it:
             out = []

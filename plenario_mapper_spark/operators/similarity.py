@@ -73,13 +73,20 @@ def brute_force_topk(
     scored = it.join(F.broadcast(q), F.col("query_id") != F.col("item_id")).select(
         "query_id",
         "item_id",
-        V.dot(F.col("qu"), F.col("iu")).alias("cos"),
+        # Rank on the ROUNDED cosine (item_id tie-break): raw doubles computed
+        # with different float operation orders (pre-normalized dot here,
+        # dot/norms in the DuckDB oracle) can disagree within ~1 ulp at the
+        # rank-k boundary and flip top-k MEMBERSHIP even though both paths are
+        # correct; deciding membership on the same 6-rounded value both
+        # engines compare keeps the round-then-compare parity discipline
+        # (ADVICE r6).
+        F.round(V.dot(F.col("qu"), F.col("iu")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "item_id", "rank", "cosine")
     )
 
 
@@ -148,13 +155,16 @@ def lsh_topk(
         .dropDuplicates(["query_id", "item_id"])
     )
     scored = cand.select(
-        "query_id", "item_id", V.cosine(F.col("qv"), F.col("iv")).alias("cos")
+        "query_id",
+        "item_id",
+        # round-then-rank, matching brute_force_topk (see comment there)
+        F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "item_id", "rank", "cosine")
     )
 
 
@@ -209,13 +219,16 @@ def ivf_topk(
     scored = assigned.join(
         F.broadcast(probes), ["cid"]
     ).filter(F.col("item_id") != F.col("query_id")).select(
-        "query_id", "item_id", V.cosine(F.col("qv"), F.col("iv")).alias("cos")
+        "query_id",
+        "item_id",
+        # round-then-rank, matching brute_force_topk (see comment there)
+        F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "item_id", "rank", "cosine")
     )
 
 
@@ -359,13 +372,18 @@ def ivf_search_index(
     scored = (
         cells.join(F.broadcast(probes), ["cid"])
         .filter(F.col("item_id") != F.col("query_id"))
-        .select("query_id", "item_id", V.cosine(F.col("qv"), F.col("iv")).alias("cos"))
+        .select(
+            "query_id",
+            "item_id",
+            # round-then-rank, matching brute_force_topk (see comment there)
+            F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "item_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "rank", F.round("cos", 6).alias("cosine"))
+        .select("query_id", "item_id", "rank", "cosine")
     )
 
 

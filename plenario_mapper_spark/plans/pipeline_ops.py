@@ -1071,9 +1071,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               * sqrt(list_sum([i.v[j] * i.v[j] FOR j IN generate_series(1, len(i.v))]))) AS cos
       FROM e q JOIN e i ON i.vec_id <> q.vec_id
       WHERE q.vec_id < 10)
-    SELECT query_id, item_id, rank, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine FROM (
-      SELECT query_id, item_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+    SELECT query_id, item_id, rank, CAST(cosr AS DOUBLE) AS cosine FROM (
+      SELECT query_id, item_id, ROUND(cos, 6) AS cosr,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, item_id) AS rank
       FROM scored) t
     WHERE rank <= 5
     """,
@@ -1098,9 +1099,10 @@ _ANN_EXACT_TOPK_CTE = """
       FROM e q JOIN e i ON i.vec_id <> q.vec_id
       WHERE q.vec_id < 10),
     topk AS (
-      SELECT query_id, ROUND(cos, 6) AS cos FROM (
-        SELECT query_id, cos,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+      SELECT query_id, cos FROM (
+        SELECT query_id, ROUND(cos, 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(cos, 6) DESC, item_id) AS rank
         FROM scored) t
       WHERE rank <= 5)
     SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
@@ -1117,13 +1119,17 @@ def _ann_certify(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame
     the approximate result against the exact brute-force twin and emit ONLY
     driver-decidable columns — exact-side values both engines compute
     (n_queries, n_exact, sum of exact top-k cosines) plus two bits: recall_ok
-    (macro overlap@k >= the pytest-pinned floor) and scores_exact_ok (every
+    (pooled overlap@k >= the pytest-pinned floor) and scores_exact_ok (every
     pair BOTH paths report carries the identical exact cosine, certifying the
     candidates-scored-exactly contract). The oracle recomputes the exact side
     by SQL brute force and expects both bits = 1, so a recall dip or a scoring
     bug on future data is a driver hash mismatch, not an invisible rows-only
-    drift. One aggregate row; recall is macro (pooled over all queries) — the
-    per-query rate is high-variance by design at these bucket geometries."""
+    drift. One aggregate row; recall is MICRO-averaged (hits pooled over all
+    queries' exact rows; macro would average per-query rates) — the per-query
+    rate is high-variance by design at these bucket geometries. Top-k
+    membership on both sides is decided on the 6-ROUNDED cosine (item_id
+    tie-break) so a pair within ~1 ulp of the rank-k boundary cannot land in
+    one engine's top-k and not the other's (ADVICE r6)."""
     hit = F.col("a.item_id").isNotNull()
     return (
         exact.alias("x")
@@ -1153,16 +1159,17 @@ def _ann_certify(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 — the 100 TB path — in the recall-band
     CERTIFICATION form (rows-only retired in r6): the engine runs BOTH the
-    LSH path and its exact brute-force twin and certifies macro recall@5 >=
-    0.2 (the pytest floor, test_lsh_ann_recall; measured 0.28 at sf0.001,
-    0.34 at sf0.01 — 6x8 hyperplane tables on random 64-dim data, where true
+    LSH path and its exact brute-force twin and certifies pooled (micro)
+    recall@5 >= 0.25 (the pytest floor, test_lsh_ann_recall, raised from the
+    collapse-only 0.2 per VERDICT r6 item 6; measured 0.28 at sf0.001, 0.34
+    at sf0.01 — 6x8 hyperplane tables on random 64-dim data, where true
     neighbors sit near cos~0.35) plus exact candidate scoring. Production
     serves lsh_topk alone; the twin exists here so the driver can decide the
     contract."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return _ann_certify(
-        SIM.brute_force_topk(e, q, k=5), SIM.lsh_topk(e, q, k=5), floor=0.2
+        SIM.brute_force_topk(e, q, k=5), SIM.lsh_topk(e, q, k=5), floor=0.25
     )
 
 
@@ -1176,9 +1183,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk (same deterministic centroids; pinned by
     test_ivf_index_build_search_matches_oneshot). In the recall-band
     CERTIFICATION form as of r6 (rows-only retired): served result joined
-    against the exact brute-force twin, macro recall@5 >= 0.2 (the pytest
-    floor, test_ivf_ann_recall; measured 0.58/0.56 at sf0.001/sf0.01 with 16
-    cells, 4 probed) plus exact candidate scoring — see _ann_certify."""
+    against the exact brute-force twin, pooled (micro) recall@5 >= 0.45 (the
+    pytest floor, test_ivf_ann_recall, raised from the collapse-only 0.2 per
+    VERDICT r6 item 6; measured 0.58/0.56 at sf0.001/sf0.01 with 16 cells,
+    4 probed) plus exact candidate scoring — see _ann_certify."""
     import hashlib
     import os as _os
     import tempfile
@@ -1205,7 +1213,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_certify(
         SIM.brute_force_topk(e, q, k=5),
         SIM.ivf_search_index(spark, index_dir, q, k=5),
-        floor=0.2,
+        floor=0.45,
     )
 
 
@@ -1242,7 +1250,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin on a bounded slice (vec_id < 500 keeps the oracle's brute force
     viable; at these SFs the slice IS the whole table), emitting the exact
     pair count + cosine mass both engines compute, recall_ok (pooled recall
-    >= 0.25; measured 0.44/0.46 at sf0.001/sf0.01, pinned by
+    >= 0.35, raised from 0.25 per VERDICT r6 item 6; measured 0.44/0.46 at
+    sf0.001/sf0.01, pinned by
     test_embed_near_dup_recall_floor), and subset_ok (every reported pair is
     a true >=threshold pair — precision is exact by construction because the
     verify stage computes true cosines on candidates)."""
@@ -1261,7 +1270,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("x.cosine")), 6).alias("sum_exact_cosine"),
         (
             (F.sum((in_exact & in_approx).cast("int")) / F.sum(in_exact.cast("int")))
-            >= 0.25
+            >= 0.35
         ).cast("int").alias("recall_ok"),
         (F.sum((in_approx & ~in_exact).cast("int")) == 0).cast("int").alias("subset_ok"),
     )
@@ -1416,26 +1425,32 @@ def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_binary_decode_stats",
     oracle="""
     SELECT doc_id,
-      CASE doc_id % 4 WHEN 0 THEN 'image/x-portable-graymap'
+      CASE doc_id % 5 WHEN 0 THEN 'image/x-portable-graymap'
                       WHEN 1 THEN 'image/bmp'
                       WHEN 2 THEN 'audio/wav'
-                      ELSE 'image/png' END AS mime,
-      CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 3 THEN 4 END AS width,
-      CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 3 THEN 4 END AS height,
-      CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 3 END
+                      WHEN 3 THEN 'image/png'
+                      ELSE 'image/jpeg' END AS mime,
+      CASE doc_id % 5 WHEN 0 THEN 16 WHEN 1 THEN 4 WHEN 3 THEN 4
+                      WHEN 4 THEN 16 END AS width,
+      CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 3 THEN 4
+                      WHEN 4 THEN 16 END AS height,
+      CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 3 END
         AS channels,
-      CASE doc_id % 4 WHEN 2 THEN 8000 END AS sample_rate,
-      CAST(CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 48
-                           WHEN 2 THEN 64 ELSE 48 END AS BIGINT) AS n_units,
-      CASE doc_id % 4
+      CASE doc_id % 5 WHEN 2 THEN 8000 END AS sample_rate,
+      CAST(CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 48
+                           WHEN 2 THEN 64 WHEN 3 THEN 48
+                           ELSE 768 END AS BIGINT) AS n_units,
+      CASE doc_id % 5
         WHEN 0 THEN (SELECT AVG(CAST((doc_id + g) % 256 AS DOUBLE))
                      FROM generate_series(0, 127) t(g))
         WHEN 1 THEN (SELECT AVG(CAST((doc_id * 3 + g) % 256 AS DOUBLE))
                      FROM generate_series(0, 47) t(g))
         WHEN 2 THEN (SELECT AVG(CAST(((doc_id * 31 + g * 17) % 65536) - 32768 AS DOUBLE))
               FROM generate_series(0, 63) t(g))
-        ELSE (SELECT AVG(CAST((doc_id * 7 + g) % 256 AS DOUBLE))
+        WHEN 3 THEN (SELECT AVG(CAST((doc_id * 7 + g) % 256 AS DOUBLE))
               FROM generate_series(0, 47) t(g))
+        ELSE (SELECT AVG(CAST(2 * ((doc_id * 11 + g * 13) % 128) AS DOUBLE))
+              FROM generate_series(0, 3) t(g))
       END AS val_mean
     FROM documents WHERE doc_id < 60
     """,
@@ -1443,14 +1458,20 @@ def q_binary_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (H4), oracle-checked end to end: payloads are
     synthesized per doc_id with analytically known content (P5 graymap 16x8,
-    24-bit BMP 4x4, PCM16 WAV 8 kHz, RGB PNG 4x4 by doc_id % 4), encoded to
-    genuine format bytes — the PNG branch through a real DEFLATE container
-    (stdlib zlib, functions/codecs.encode_png) — then decoded back by the
+    24-bit BMP 4x4, PCM16 WAV 8 kHz, RGB PNG 4x4, RGB JPEG 16x16 by
+    doc_id % 5), encoded to genuine format bytes — PNG through a real
+    DEFLATE container (stdlib zlib) and JPEG through real baseline Huffman
+    coding + DCT (functions/codecs.encode_jpeg) — then decoded back by the
     pure-numpy codecs inside Arrow-batched mapInPandas
     (operators/multimodal.decode_features): header geometry, modality
-    routing, zlib inflate + scanline defilter, and pixel/sample means all
-    verified against the closed forms. Means are exact: integer sums divided
-    once, identical IEEE rounding in numpy and DuckDB."""
+    routing, zlib inflate + scanline defilter, Huffman entropy decode +
+    dequantize + IDCT + YCbCr->RGB, and pixel/sample means all verified
+    against the closed forms. Means are exact — for JPEG because the image
+    is 8x8-block-constant with EVEN gray values: the only nonzero
+    coefficient per block is the DC term 8*(v-128), which the Annex-K
+    luminance q00=16 divides at quality 50, and gray RGB pins both chroma
+    planes to exactly 128, so the lossy codec is exactly invertible on this
+    content while the bytes still traverse the full entropy-coded path."""
     import numpy as np
     import pandas as pd
     from plenario_mapper_spark.operators import multimodal as MM
@@ -1462,7 +1483,7 @@ def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                m = i % 4
+                m = i % 5
                 if m == 0:
                     px = ((i + np.arange(128)) % 256).astype(np.uint8).reshape(8, 16)
                     p = codecs.encode_pnm(px)
@@ -1474,9 +1495,19 @@ def q_binary_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.int16
                     )
                     p = codecs.encode_wav(s, 8000)
-                else:
+                elif m == 3:
                     px = ((i * 7 + np.arange(48)) % 256).astype(np.uint8)
                     p = codecs.encode_png(px.reshape(4, 4, 3))
+                else:
+                    # 16x16 RGB, four 8x8 blocks of even gray constants
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for j in range(4):
+                        v = 2 * ((i * 11 + j * 13) % 128)
+                        by, bx = divmod(j, 2)
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                    p = codecs.encode_jpeg(
+                        np.stack([img] * 3, axis=-1), quality=50
+                    )
                 rows.append((i, p))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -561,3 +561,114 @@ def test_png_resize_roundtrip(spark):
     )
     expect = (expect.sum(axis=2) + 2) // 4
     assert (dec.data == expect).all()
+
+
+def test_jpeg_block_constant_exact():
+    """Baseline JPEG round-trips 8x8-block-constant images EXACTLY when
+    sample values are even: the only nonzero coefficient per block is the DC
+    term 8*(v-128), divisible by the Annex-K luminance q00=16 at quality 50,
+    and gray RGB pins both chroma planes to exactly 128. Distinct block
+    values exercise DC differential prediction across blocks."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for i, v in enumerate([20, 84, 150, 254]):
+        by, bx = divmod(i, 2)
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    d = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=50))
+    assert (d.width, d.height, d.channels, d.mime) == (16, 16, 1, "image/jpeg")
+    assert np.array_equal(d.data, img)
+    rgb = np.stack([img] * 3, axis=-1)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=50))
+    assert d.channels == 3 and np.array_equal(d.data, rgb)
+
+
+def test_jpeg_subsampling_restart_and_odd_dims():
+    """4:2:2 / 4:2:0 chroma subsampling and DRI/RSTn restart intervals decode
+    exactly on block-constant gray-RGB content (chroma is constant 128, so
+    box-downsample + replication-upsample are identity); non-multiple-of-8
+    dimensions crop the padded MCU grid back correctly."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for i, v in enumerate([20, 84, 150, 254]):
+        by, bx = divmod(i, 2)
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    rgb = np.stack([img] * 3, axis=-1)
+    for ss in [(2, 1), (1, 2), (2, 2)]:
+        d = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=50, subsampling=ss))
+        assert np.array_equal(d.data, rgb), f"subsampling {ss}"
+    d = codecs.decode_jpeg(codecs.encode_jpeg(rgb, quality=50, restart_interval=1))
+    assert np.array_equal(d.data, rgb)
+    # odd dims: 19x13 gradient survives with bounded error (edge-replicated pad)
+    y, x = np.mgrid[0:19, 0:13]
+    grad = (y * 3 + x * 2 + 90).astype(np.uint8)  # smooth, no wrap edges
+    d = codecs.decode_jpeg(codecs.encode_jpeg(grad, quality=95))
+    assert (d.height, d.width) == (19, 13)
+    assert np.abs(d.data.astype(int) - grad.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_error_shrinks_with_quality():
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    y, x = np.mgrid[0:24, 0:40]
+    grad = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    errs = []
+    for q in (30, 60, 95):
+        d = codecs.decode_jpeg(codecs.encode_jpeg(grad, quality=q))
+        errs.append(np.abs(d.data.astype(int) - grad.astype(int)).max())
+    assert errs[0] >= errs[1] >= errs[2]
+    assert errs[2] <= 1  # near-lossless at q95 on smooth content
+
+
+def test_jpeg_corrupt_degrades_not_dies():
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    good = codecs.encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    assert codecs.sniff(good) == "jpeg"
+    assert codecs.decode(good[:2]) is None            # SOI only
+    assert codecs.decode(good[:40]) is None           # truncated mid-marker
+    # progressive SOF2 -> unsupported, total decode returns None
+    bad = bytearray(good)
+    idx = bytes(good).find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    assert codecs.decode(bytes(bad)) is None
+
+
+def test_jpeg_decode_features_and_resize(spark):
+    """JPEG payloads flow through the Arrow-batched decode_features path with
+    exact stats on block-constant content, and resize_images re-encodes
+    JPEG sources as JPEG."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    for i, v in enumerate([20, 84, 150, 254]):
+        by, bx = divmod(i, 2)
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    rgb = np.stack([img] * 3, axis=-1)
+    df = spark.createDataFrame(
+        [(0, bytearray(codecs.encode_jpeg(rgb, quality=50))), (1, b"\xff\xd8junk")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in MM.decode_features(df).collect()}
+    assert rows[0]["mime"] == "image/jpeg"
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["channels"]) == (16, 16, 3)
+    assert rows[0]["n_units"] == 16 * 16 * 3
+    assert rows[0]["val_mean"] == (20 + 84 + 150 + 254) / 4
+    assert rows[1]["modality"] == "unknown"  # corrupt degrades, stage survives
+    out = MM.resize_images(df, 8, 8).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["resize_version"] == "bilinear-v1"
+    dec = codecs.decode(bytes(by_id[0]["payload"]))
+    assert dec.mime == "image/jpeg" and (dec.height, dec.width) == (8, 8)
+    assert by_id[1]["resize_version"] == "unsupported"
