@@ -18,6 +18,60 @@ import weakref
 _PLAN_CACHE = weakref.WeakKeyDictionary()
 
 
+# Registry-owned persisted DataFrames, per live session: every
+# DataFrame.persist() issued WHILE a registry query function is building its
+# plan is recorded here, so release_query_caches can unpersist exactly the
+# registry's own blocks and nothing else. Registry persists are otherwise
+# anonymous handles buried inside operator code; interception at build time
+# is the only place ownership is knowable. (All registry persists DO happen
+# at build time — the eager-materialization discipline calls .persist() and
+# .count() inside fn(spark, sf_dir).)
+_OWNED_PERSISTS: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]"
+_OWNED_PERSISTS = weakref.WeakKeyDictionary()
+_TRACK_DEPTH = 0  # re-entrant: registry queries may call other registry queries
+
+
+def _df_classes() -> tuple[type, ...]:
+    """Concrete DataFrame classes whose `persist` must be intercepted: the
+    classic implementation SHADOWS the abstract parent's method in pyspark 4,
+    so patching only `pyspark.sql.DataFrame` would never fire."""
+    classes = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _Classic
+
+        classes.append(_Classic)
+    except ImportError:
+        pass
+    return tuple(c for c in classes if "persist" in c.__dict__)
+
+
+def _tracked_build(spark: SparkSession, fn, sf_dir: str) -> DataFrame:
+    global _TRACK_DEPTH
+    if _TRACK_DEPTH > 0:  # inner registry call: outer patch already records
+        return fn(spark, sf_dir)
+    owned = _OWNED_PERSISTS.setdefault(spark, [])
+    targets = _df_classes()
+    originals = {cls: cls.__dict__["persist"] for cls in targets}
+
+    def make_recording(orig):
+        def recording_persist(self, *args, **kwargs):
+            out = orig(self, *args, **kwargs)
+            owned.append(out)
+            return out
+
+        return recording_persist
+
+    _TRACK_DEPTH = 1
+    for cls, orig in originals.items():
+        cls.persist = make_recording(orig)
+    try:
+        return fn(spark, sf_dir)
+    finally:
+        for cls, orig in originals.items():
+            cls.persist = orig
+        _TRACK_DEPTH = 0
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query to the engine surface. `oracle` is the DuckDB-
     equivalent ANSI SQL (column names/aliases MUST match the Spark output —
@@ -29,7 +83,7 @@ def register(name: str, oracle: str | None = None):
             key = (sf_dir, name)
             df = per_session.get(key)
             if df is None:
-                df = per_session[key] = fn(spark, sf_dir)
+                df = per_session[key] = _tracked_build(spark, fn, sf_dir)
             return df
 
         cached.__name__ = fn.__name__
@@ -44,21 +98,25 @@ def register(name: str, oracle: str | None = None):
 
 
 def release_query_caches(spark: SparkSession) -> None:
-    """Drop built plans and executor-cached blocks for `spark`.
+    """Drop built plans and the REGISTRY'S OWN executor-cached blocks for
+    `spark` — caller-created caches are untouched.
 
     A handful of registry queries persist a shared intermediate (tf-idf token
-    counts, bigram relation, geo cells): correct for a single run, but a
-    long-lived driver session that invokes many queries accumulates cached
-    blocks with no owner to unpersist them. Harness loops (bench.py does this
-    between queries) call this to bound cache lifetime to one query; the
-    per-batch streaming pipeline manages its own snapshots explicitly.
+    counts, bigram relation, geo cells, minhash signatures): correct for a
+    single run, but a long-lived driver session that invokes many queries
+    accumulates cached blocks with no owner to unpersist them. Harness loops
+    (bench.py does this between queries) call this to bound cache lifetime;
+    the per-batch streaming pipeline manages its own snapshots explicitly.
 
-    SCOPE WARNING: this calls `spark.catalog.clearCache()`, which unpersists
-    EVERY cached relation in the session — including caches the caller
-    created and still depends on, not just registry-query intermediates
-    (registry persists are anonymous `DataFrame.persist()` handles, so there
-    is no narrower handle to release them by). Treat this as a session-level
-    reset between independent workloads; do not call it mid-pipeline while
-    your own persisted DataFrames are still live."""
+    Scope (fixed in r7 per VERDICT r6 item 7 — this used to be a
+    session-wide `catalog.clearCache()`): only DataFrames persisted during
+    registry plan builds are unpersisted, tracked by `_tracked_build`'s
+    persist interception, so a library caller's own persisted relations
+    survive (pinned by tests/test_plan_shapes.py::
+    test_release_query_caches_spares_caller_caches)."""
     _PLAN_CACHE.pop(spark, None)
-    spark.catalog.clearCache()
+    for df in _OWNED_PERSISTS.pop(spark, []):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session/JVM already tearing down

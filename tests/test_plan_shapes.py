@@ -484,3 +484,38 @@ def test_psi_single_scan(spark):
     plan = _plan(QUERIES["q_doc_psi_length_drift"](spark, SF))
     assert plan.count("FileScan parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_release_query_caches_spares_caller_caches(spark):
+    """release_query_caches must unpersist ONLY registry-owned blocks
+    (VERDICT r6 item 7): a library caller's own persisted relation survives
+    the release, while the registry query's persisted intermediates (tracked
+    by the build-time persist interception) are gone."""
+    from pyspark import StorageLevel
+
+    from plenario_mapper_spark.plans.registry import (
+        _OWNED_PERSISTS,
+        _PLAN_CACHE,
+        release_query_caches,
+    )
+
+    mine = spark.range(1000).selectExpr("id", "id * 2 AS dbl").persist()
+    mine.count()
+    assert mine.storageLevel.useMemory
+
+    # q_dedup_minhash persists signature/candidate/shingle intermediates
+    QUERIES["q_dedup_minhash"](spark, "/root/testdata/sf0.001").count()
+    owned = list(_OWNED_PERSISTS.get(spark, []))
+    assert owned, "registry build tracked no persists — interception broken"
+    assert all(df.storageLevel != StorageLevel.NONE for df in owned)
+    # the caller's DataFrame was persisted outside any registry build
+    assert all(df is not mine for df in owned)
+
+    release_query_caches(spark)
+
+    assert mine.storageLevel.useMemory, "caller-owned cache was clobbered"
+    assert mine.count() == 1000
+    assert all(df.storageLevel == StorageLevel.NONE for df in owned)
+    assert spark not in _OWNED_PERSISTS or not _OWNED_PERSISTS[spark]
+    assert spark not in _PLAN_CACHE or not _PLAN_CACHE[spark]
+    mine.unpersist()
