@@ -129,7 +129,9 @@ def main() -> None:
     spark.stop()
 
 
-def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
+def _stream_throughput(
+    spark, sf_dir: str, n_batches: int = 3, runs: int = 3
+) -> tuple[int, float]:
     """End-to-end Structured Streaming throughput of the FULL mapper pipeline
     (normalize -> registry join -> validate/coerce -> split -> per-feature lake
     + dead-letter + emit + alert state, all parquet/json sinks) over the events
@@ -177,7 +179,6 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
         # steady state — the sustained-throughput shape of a real deployment.
         in_dir = os.path.join(work, "in")
         os.makedirs(in_dir)
-        n_batches = 3
         for i in range(n_batches):
             shutil.copy(
                 os.path.join(sf_dir, "events.parquet"),
@@ -211,7 +212,7 @@ def _stream_throughput(spark, sf_dir: str) -> tuple[int, float]:
         # on a shared machine — observed 8.4k vs 12.3k rows/s across
         # standalone best-of-2 runs of the same commit.
         secs = float("inf")
-        for i in range(3):
+        for i in range(runs):
             stream = MapperStream(spark, metadata_provider, sinks)
             t0 = time.perf_counter()
             q = stream.start(obs, os.path.join(work, f"chk{i}"), trigger_once=True)
