@@ -148,6 +148,19 @@ class MapperStream:
         registry = metadata.feature_registry(feature_meta)
 
         obs = batch_df.withColumn("seq", F.monotonically_increasing_id())
+        # Spread the batch to cluster parallelism BEFORE the CPU-bound
+        # annotate pass: a file-source micro-batch (one file per trigger,
+        # often a single row group) arrives as ONE partition, which would pin
+        # the pipeline's dominant cost to a single core. seq is assigned
+        # FIRST — on the arrival-ordered input — so per-record order
+        # semantics (last-wins alert transitions, dedup-by-first) survive
+        # the round-robin redistribution. On a well-split production source
+        # (many files / Kinesis shards) this is a metadata-only no-op.
+        from plenario_mapper_spark.operators.partitioning import (
+            spread_to_parallelism,
+        )
+
+        obs = spread_to_parallelism(obs)
         norm = M.normalize(obs)
         # Persist the annotation(s) for the life of the batch: every sink below
         # (per-feature routes, dead-letter, emits, alert derivation) consumes
