@@ -672,3 +672,51 @@ def test_jpeg_decode_features_and_resize(spark):
     dec = codecs.decode(bytes(by_id[0]["payload"]))
     assert dec.mime == "image/jpeg" and (dec.height, dec.width) == (8, 8)
     assert by_id[1]["resize_version"] == "unsupported"
+
+
+def test_jpeg_property_roundtrip_and_total_decode():
+    """Property sweep (no Spark): (a) random images of arbitrary small
+    geometry round-trip through every subsampling mode with error bounded by
+    the quantization step of the content's frequency band — worst-case bound
+    here is loose (uniform noise at q95) but must hold for EVERY geometry
+    including 1x1 and non-multiples of 8; (b) decode() is TOTAL over
+    arbitrary prefixes/corruptions of valid JPEG bytes (returns Decoded or
+    None, never raises)."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    rng = np.random.default_rng(13)
+    for trial in range(12):
+        h = int(rng.integers(1, 25))
+        w = int(rng.integers(1, 25))
+        gray = trial % 2 == 0
+        shape = (h, w) if gray else (h, w, 3)
+        # low-frequency content: constant base + mild noise, so the q95
+        # round-trip error bound (<=12) is meaningful, not vacuous
+        img = (rng.integers(60, 200) + rng.integers(-8, 9, shape)).astype(np.uint8)
+        ss = [(1, 1), (2, 1), (1, 2), (2, 2)][trial % 4]
+        ri = int(rng.integers(0, 3))
+        b = codecs.encode_jpeg(
+            img, quality=95, subsampling=(1, 1) if gray else ss,
+            restart_interval=ri,
+        )
+        d = codecs.decode_jpeg(b)
+        assert (d.height, d.width) == (h, w)
+        assert d.channels == (1 if gray else 3)
+        err = np.abs(d.data.astype(int) - img.astype(int)).max()
+        # 4:4:4/gray: bounded by luma quantization of the noise band; the
+        # subsampled modes additionally pay chroma decimation (box-avg of
+        # ±8-noise chroma, re-expanded through the ~1.8x YCbCr->RGB gains)
+        bound = 12 if (gray or ss == (1, 1)) else 40
+        assert err <= bound, f"trial {trial} shape {shape} ss {ss} err {err}"
+        # corruption totality: truncations and byte flips never raise
+        for cut in (3, 10, len(b) // 2, len(b) - 1):
+            assert codecs.decode(b[:cut]) is None or hasattr(
+                codecs.decode(b[:cut]), "data"
+            )
+        flipped = bytearray(b)
+        pos = int(rng.integers(2, len(b)))
+        flipped[pos] ^= 0xFF
+        out = codecs.decode(bytes(flipped))
+        assert out is None or hasattr(out, "data")
