@@ -746,9 +746,20 @@ class _BitReader:
         """Byte-align, consume the expected RSTn marker, resume."""
         self._acc, self._n = 0, 0
         if self.marker is None:
-            # align forward to the marker (we stopped mid-byte on pad bits)
-            while self.pos < len(self.data) and self.data[self.pos] != 0xFF:
-                self.pos += 1
+            # align forward to the marker (we stopped mid-byte on pad bits).
+            # A pad byte that happens to be 0xFF was byte-STUFFED by the
+            # encoder (FF 00) — that pair is data padding, not the marker;
+            # skip it rather than misreading 0x00 as the restart marker.
+            while self.pos < len(self.data):
+                if self.data[self.pos] != 0xFF:
+                    self.pos += 1
+                elif (
+                    self.pos + 1 < len(self.data)
+                    and self.data[self.pos + 1] == 0x00
+                ):
+                    self.pos += 2  # stuffed pad byte
+                else:
+                    break
             if self.pos + 1 >= len(self.data):
                 raise ValueError("missing restart marker")
             self.marker = self.data[self.pos + 1]

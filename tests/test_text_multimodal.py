@@ -720,3 +720,26 @@ def test_jpeg_property_roundtrip_and_total_decode():
         flipped[pos] ^= 0xFF
         out = codecs.decode(bytes(flipped))
         assert out is None or hasattr(out, "data")
+
+
+def test_jpeg_stuffed_pad_byte_before_restart_marker():
+    """A pad byte that fills to 0xFF is byte-STUFFED by the encoder (FF 00);
+    the decoder's restart alignment must skip that pair rather than misread
+    the 0x00 as the marker (seed 9 is the first of ~30/400 random images
+    whose entropy stream hits this; before the fix they all failed decode
+    and degraded to byte stats)."""
+    import numpy as np
+
+    from plenario_mapper_spark.functions import codecs
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    b = codecs.encode_jpeg(img, quality=30, restart_interval=1)
+    seg = b[b.find(b"\xff\xda"):]
+    assert any(
+        seg[i] == 0xFF and seg[i + 1] == 0x00 and seg[i + 2] == 0xFF
+        and 0xD0 <= seg[i + 3] <= 0xD7
+        for i in range(len(seg) - 3)
+    ), "fixture no longer triggers the stuffed-pad-before-RST layout"
+    d = codecs.decode_jpeg(b)
+    assert d.data.shape == (16, 16)
