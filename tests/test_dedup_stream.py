@@ -1,0 +1,90 @@
+"""Stream-time near-dup maintenance (streaming/dedup_stream.NearDupStream):
+the incremental probe + component fold driven by a REAL Structured Streaming
+file source, certified against the one-shot full-sweep truth, plus the
+replayed-micro-batch idempotency the at-least-once foreachBatch contract
+requires."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from plenario_mapper_spark.operators import dedup as DD
+from plenario_mapper_spark.streaming.dedup_stream import NearDupStream
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_neardup_stream_matches_oneshot_and_replays_idempotently(
+    spark, docs, tmp_path
+):
+    corpus = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    # three batch files, staged sequentially so the file source delivers them
+    # as three micro-batches in order
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    bounds = [(0, 60), (60, 130), (130, 200)]
+    for i, (lo, hi) in enumerate(bounds):
+        # the file source lists plain FILES, not parquet output dirs: stage
+        # each batch's single part-file under a flat name
+        stage = str(tmp_path / f"stage{i}")
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), os.path.join(in_dir, f"b{i}.parquet"))
+
+    stream = NearDupStream(
+        spark, str(tmp_path / "state"), threshold=0.5
+    )
+    src = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream.start(src, str(tmp_path / "chk"))
+    q.awaitTermination()
+
+    got = _comp_map(stream.components())
+    oneshot = DD.connected_components(
+        DD.minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5).select(
+            "id_a", "id_b"
+        ),
+        "id_a",
+        "id_b",
+    )
+    want = _comp_map(oneshot)
+    assert got == want and len(got) > 0
+
+    # pair evidence log equals the full sweep's pair set (incremental probe
+    # emits each cross/new pair exactly once across the three batches)
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in stream.pairs().collect()
+    }
+    want_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+    assert got_pairs == want_pairs
+
+    # at-least-once replay: re-deliver the LAST micro-batch with its original
+    # batch_id — partition overwrite + idempotent component fold must leave
+    # every piece of state byte-identical in content
+    last = corpus.filter((F.col("doc_id") >= 130) & (F.col("doc_id") < 200))
+    stream.process_batch(last, 2)
+    assert _comp_map(stream.components()) == want
+    assert {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in stream.pairs().collect()
+    } == want_pairs
+    n_corpus = spark.read.parquet(str(tmp_path / "state" / "corpus")).count()
+    assert n_corpus == corpus.count()  # no duplicate corpus rows after replay
