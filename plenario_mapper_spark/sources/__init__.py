@@ -7,6 +7,7 @@ SURVEY §2.A rows A1-A5. Sinks (A6-A9) live with the micro-batch driver in
 from plenario_mapper_spark.sources.observations import (
     decode_kinesis_records,
     file_obs_source,
+    kinesis_replay_source,
     kinesis_source,
     parquet_obs_source,
 )
@@ -20,6 +21,7 @@ from plenario_mapper_spark.sources.metadata_store import (
 __all__ = [
     "decode_kinesis_records",
     "file_obs_source",
+    "kinesis_replay_source",
     "kinesis_source",
     "parquet_obs_source",
     "jdbc_metadata_provider",

@@ -55,6 +55,19 @@ def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFra
     )
 
 
+def kinesis_replay_source(spark: SparkSession, input_dir: str) -> DataFrame:
+    """WIRE-FORMAT replay: text files of base64-encoded JSON records — byte
+    format identical to what the Kinesis connector delivers in its `data`
+    column (and what the reference's KCL daemon hands to processRecords,
+    kcl_app.js:38,44) — replayed as a file stream. `kinesis_source` and this
+    are interchangeable inputs to `decode_kinesis_records`, so the full
+    A1→A3 chain (connector frame -> base64 -> JSON parse -> malformed-record
+    guard) is end-to-end exercisable without the connector on the classpath,
+    and an archived Kinesis stream dump replays through the identical code
+    path production runs."""
+    return spark.readStream.text(input_dir).select(F.col("value").alias("data"))
+
+
 def file_obs_source(spark: SparkSession, input_dir: str) -> DataFrame:
     """JSON-lines observation source (schema-locked) — the test stand-in for
     Kinesis; also the shape of a replay-from-archive backfill."""
