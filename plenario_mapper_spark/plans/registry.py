@@ -28,7 +28,10 @@ _PLAN_CACHE = weakref.WeakKeyDictionary()
 # .count() inside fn(spark, sf_dir).)
 _OWNED_PERSISTS: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]"
 _OWNED_PERSISTS = weakref.WeakKeyDictionary()
-_TRACK_DEPTH = 0  # re-entrant: registry queries may call other registry queries
+# Re-entrancy guard only — NOT thread-safe by design: plan builds are
+# driver-side and the driver/bench/test harnesses are single-threaded. A
+# concurrent-build deployment would need a lock around _tracked_build.
+_TRACK_DEPTH = 0
 
 
 def _df_classes() -> tuple[type, ...]:

@@ -54,15 +54,6 @@ class NearDupStream:
         self.minhash_kwargs = minhash_kwargs
 
     # -- state ----------------------------------------------------------------
-    def _corpus(self) -> DataFrame:
-        path = os.path.join(self.state_dir, "corpus")
-        try:
-            return self.spark.read.parquet(path).select(self.id_col, self.text_col)
-        except Exception:
-            return self.spark.createDataFrame([], CORPUS_SCHEMA).toDF(
-                self.id_col, self.text_col
-            )
-
     def components(self) -> DataFrame:
         path = os.path.join(self.state_dir, "components")
         try:
@@ -71,10 +62,15 @@ class NearDupStream:
             return self.spark.createDataFrame([], COMPONENT_SCHEMA)
 
     def pairs(self) -> DataFrame:
-        """The accumulated near-dup evidence log."""
-        return self.spark.read.parquet(os.path.join(self.state_dir, "pairs")).select(
-            "id_a", "id_b", "jaccard"
-        )
+        """The accumulated near-dup evidence log (empty before any batch)."""
+        try:
+            return self.spark.read.parquet(
+                os.path.join(self.state_dir, "pairs")
+            ).select("id_a", "id_b", "jaccard")
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
+            )
 
     # -- the micro-batch body -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
