@@ -237,6 +237,12 @@ _FRONT = [
 # at 139/139 and again at 145/145 mid-round; each addition individually
 # MATCH after landing).
 #
+# Added later in round 7, mid-positioned (outside this round's committed
+# window by construction; round-8 rotation claimants): q_doc_heavy_hitters
+# (Misra–Gries frequency sketch, theorem-backed certification bits) and
+# q_pareto_frontier (distributed skyline vs the NOT EXISTS oracle) — both
+# local-t2 MATCH at sf0.01 on landing.
+#
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are
 # unchanged; the 6 deferred never-checked entries (see rotation note) lead

@@ -4028,3 +4028,62 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_md5"),
         F.round("max_abs_err", 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "q_doc_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(exact_cnt) AS BIGINT) AS n_total FROM c)
+    SELECT c.tok, c.exact_cnt, tot.n_total,
+           CAST(1 AS INT) AS captured,
+           CAST(1 AS INT) AS est_le_exact,
+           CAST(1 AS INT) AS est_in_band
+    FROM c, tot WHERE c.exact_cnt * 200 > tot.n_total
+    """,
+)
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over corpus tokens
+    (operators/frequency), certification form (the q_agg_approx_distinct /
+    q_agg_hll_rollup pattern): the output rows are the EXACT phi-heavy tokens
+    (phi = 1/200, both engines compute them exactly), and the Spark side
+    additionally proves the sketch contract as bits the oracle asserts as
+    literals. Unlike the ANN recall floors, these bits are data-INDEPENDENT
+    theorems (PODS'12 mergeable summaries): with k = 256 counters,
+    total deductions <= N/257 < N/200, so every phi-heavy token is guaranteed
+    captured (est > 0), never overcounted (est <= exact), and undercounted by
+    at most the tracked deduction total. At the test SFs the 31-token vocab is
+    under k, so the sketch runs in its exact regime (est == exact, zero
+    deductions); the decrement/merge machinery under vocab >> k pressure is
+    pinned by tests/test_frequency.py on a synthetic Zipfian corpus. The exact
+    twin exists only for driver decidability — production serves the sketch's
+    one-pass candidates alone (no exact-distinct shuffle over the domain)."""
+    from plenario_mapper_spark.operators import frequency as FQ
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).persist()
+    toks.count()  # eager: three legs (sketch, exact twin, scalar total)
+    summary = FQ.misra_gries(toks, "tok", k=256)
+    cands, decs = FQ.merge_summaries(summary)
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact_cnt"))
+    tot = exact.agg(F.sum("exact_cnt").cast("long").alias("n_total"))
+    # cands is <= k * num_partitions rows of (item, est) — ids + longs, bounded
+    # by construction (never payload-sized); decs/tot are one-row scalars.
+    est = F.coalesce(F.col("est"), F.lit(0).cast("long"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_cnt") * 200 > F.col("n_total"))
+        .join(F.broadcast(cands.withColumnRenamed("item", "tok")), "tok", "left")
+        .crossJoin(F.broadcast(decs))
+        .select(
+            "tok",
+            "exact_cnt",
+            "n_total",
+            (est > 0).cast("int").alias("captured"),
+            (est <= F.col("exact_cnt")).cast("int").alias("est_le_exact"),
+            (F.col("exact_cnt") - est <= F.col("total_dec"))
+            .cast("int")
+            .alias("est_in_band"),
+        )
+    )

@@ -2983,3 +2983,48 @@ def q_events_throttle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.row_number().over(w) <= 5).cast("int").alias("passed"),
     )
+
+
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH s AS (SELECT p_partkey, p_size,
+                      CAST(length(p_name) AS INT) AS name_len, p_retailprice
+               FROM part)
+    SELECT p.p_partkey, p.p_size, p.name_len,
+           ROUND(p.p_retailprice, 6) AS retail_price
+    FROM s p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size AND q.name_len >= p.name_len
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size OR q.name_len > p.name_len))
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: cheapest price vs largest size vs
+    longest name — the multi-objective analog of top-k (SURVEY §2.E [absent]
+    extension; no reference counterpart). operators/skyline: per-partition
+    sort-filter prune inside mapInPandas (dominated rows never leave their
+    partition), then a dominance anti-join over the surviving candidates only.
+    Cross-engine parity is comparison-only (no arithmetic on the double
+    dimension), so the frontier membership is exactly decidable; the price is
+    ROUNDed to the repo's 6-decimal grid for the value hash."""
+    from plenario_mapper_spark.operators.skyline import pareto_frontier
+
+    s = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.length("p_name").cast("int").alias("name_len"),
+        "p_retailprice",
+    )
+    fr = pareto_frontier(
+        s, minimize=["p_retailprice"], maximize=["p_size", "name_len"]
+    )
+    return fr.select(
+        "p_partkey",
+        "p_size",
+        "name_len",
+        F.round("p_retailprice", 6).alias("retail_price"),
+    )
