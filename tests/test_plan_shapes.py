@@ -519,3 +519,47 @@ def test_release_query_caches_spares_caller_caches(spark):
     assert spark not in _OWNED_PERSISTS or not _OWNED_PERSISTS[spark]
     assert spark not in _PLAN_CACHE or not _PLAN_CACHE[spark]
     mine.unpersist()
+
+
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop InMemoryRelation child plans (tools/plan_audit.executed_view's
+    rule): a cached relation PRINTS its full build plan, but those scans ran
+    once at persist time — counting them misreads what executes per run."""
+    out, skip_depth = [], None
+    for ln in plan.splitlines():
+        m = re.search(r"[A-Za-z=*]", ln)
+        depth = m.start() if m else 0
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        out.append(ln)
+        if "InMemoryRelation" in ln:
+            skip_depth = depth
+    return "\n".join(out)
+
+
+def test_heavy_hitters_corpus_scanned_once_and_candidates_broadcast(spark):
+    """q_doc_heavy_hitters: the token explode is persisted and every leg
+    (sketch, exact twin, scalar total) reads the cache — no parquet scan of
+    documents executes per run (only the one-time persist build); the
+    candidate/deduction/total relations join back by broadcast (ids + longs,
+    bounded at k*partitions rows), never a shuffle of the corpus-side
+    aggregate."""
+    plan = _strip_cached_subtrees(_plan(QUERIES["q_doc_heavy_hitters"](spark, SF)))
+    assert "InMemoryRelation" in plan, plan
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 0, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_pareto_frontier_anti_join_over_candidates_only(spark):
+    """q_pareto_frontier: the full-table side feeds ONLY the mapInPandas local
+    prune; the dominance anti-join is a BroadcastNestedLoopJoin whose BOTH
+    inputs descend from pruned candidates — quadratic in candidates, never in
+    input rows (the property that survives 100x)."""
+    plan = _plan(QUERIES["q_pareto_frontier"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan, plan
+    # two candidate legs -> two local-prune python boundaries, no more
+    assert plan.count("MapInPandas") == 2, plan
+    # no shuffle anywhere: prune is partition-local, the join broadcasts
+    assert "Exchange hashpartitioning" not in plan, plan
