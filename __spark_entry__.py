@@ -239,9 +239,10 @@ _FRONT = [
 #
 # Added later in round 7, mid-positioned (outside this round's committed
 # window by construction; round-8 rotation claimants): q_doc_heavy_hitters
-# (Misra–Gries frequency sketch, theorem-backed certification bits) and
-# q_pareto_frontier (distributed skyline vs the NOT EXISTS oracle) — both
-# local-t2 MATCH at sf0.01 on landing.
+# (Misra–Gries frequency sketch, theorem-backed certification bits),
+# q_pareto_frontier (distributed skyline vs the NOT EXISTS oracle), and
+# q_sample_weighted (A-ES weighted without-replacement selection,
+# round-then-rank membership) — each local-t2 MATCH at sf0.01 on landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

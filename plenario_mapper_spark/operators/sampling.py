@@ -165,3 +165,55 @@ def deterministic_group_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("sample_rank")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes0",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, fixed budget k —
+    Efraimidis–Spirakis A-ES with the hash gate as the randomness source:
+    each row gets u = (hash_u32 + 0.5) / 2^32 (exact in a double: 33
+    significant bits) and priority -ln(u)/w; the k SMALLEST priorities win,
+    which selects each row with probability proportional to its weight. The
+    missing member of the family: `deterministic_sample` keeps a fraction,
+    `deterministic_group_sample` keeps k uniformly — this keeps k
+    weight-proportionally (e.g. a quality-weighted corpus subset for
+    training), still as a pure function of (salt, membership, weights):
+    repartition-stable and engine-reproducible.
+
+    Cross-engine parity: u is bit-identical by construction; ln is the one
+    libm call that may differ in the last ulp, so ranking happens on the
+    6-ROUNDED priority with the key as tie-break — the round-then-rank
+    discipline (cf. the ANN top-k certification) that makes membership
+    exactly decidable on both engines. The priority column `aes_priority`
+    stays in the output as the audit trail.
+
+    Rows with NULL or non-positive weight are excluded (they have no defined
+    inclusion probability). Global form is sort+limit — TakeOrdered, i.e.
+    per-partition top-k then a k-row merge, no single-reducer window; the
+    grouped form is the usual group-keyed rank-truncate (one shuffle)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_hash_u32(F.col(key_col), salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << _DOMAIN_BITS)
+    )
+    w = F.col(weight_col).cast("double")
+    pri = F.round(-F.log(u) / w, 6)
+    out = df.filter(w.isNotNull() & (w > 0)).withColumn("aes_priority", pri)
+    if group_col is None:
+        return out.orderBy(F.col("aes_priority").asc(), F.col(key_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("aes_priority").asc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("sample_rank")
+    )

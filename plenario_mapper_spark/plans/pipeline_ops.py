@@ -4087,3 +4087,34 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_in_band"),
         )
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+             (CAST(('0x' || substr(md5('aes0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, weight, ROUND(-ln(u) / weight, 6) AS aes_priority
+    FROM s ORDER BY aes_priority, doc_id LIMIT 25
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample_k, Efraimidis-Spirakis A-ES on the md5 hash
+    gate): the 25 docs selected with probability ~ proportional to text
+    length — the quality-weighted corpus subset shape. u is bit-identical
+    across engines by construction ((h + 0.5)/2^32, 33 significant bits);
+    ranking is on the 6-ROUNDED priority with doc_id tie-break on BOTH
+    engines (round-then-rank, cf. the ANN certification), so membership is
+    exactly decidable despite ln being the one libm call in the chain.
+    Global form plans as TakeOrdered (per-partition top-k + k-row merge),
+    no single-reducer sort."""
+    from plenario_mapper_spark.operators.sampling import weighted_sample_k
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("weight")
+    )
+    return weighted_sample_k(d, "doc_id", "weight", k=25, salt="aes0")
