@@ -242,7 +242,9 @@ _FRONT = [
 # (Misra–Gries frequency sketch, theorem-backed certification bits),
 # q_pareto_frontier (distributed skyline vs the NOT EXISTS oracle), and
 # q_sample_weighted (A-ES weighted without-replacement selection,
-# round-then-rank membership) — each local-t2 MATCH at sf0.01 on landing.
+# round-then-rank membership), and q_ngram_containment_pairs (asymmetric
+# subsumption containment, gram-keyed equi-join) — each local-t2 MATCH at
+# sf0.01 on landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

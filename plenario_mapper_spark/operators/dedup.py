@@ -232,6 +232,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs: C(a in b) = |S(a) n S(b)| / |S(a)|
+    — the subsumption detector symmetric Jaccard misses (an excerpt quoted
+    inside a much larger doc has near-zero Jaccard but containment ~1).
+    Emits ORDERED pairs (id_a, id_b, containment): id_a's shingles covered by
+    id_b; both directions appear when both clear the threshold.
+
+    Scalable shape (not the all-pairs baseline `ngram_jaccard_pairs` uses):
+    docs reduce to distinct (id, gram) at the scan, intersections come from
+    the gram-keyed EQUI-join — only docs SHARING a gram ever pair, never an
+    all-pairs comparison — and one (id_a, id_b) aggregation. The 100 TB
+    hazard is gram frequency skew (a gram in d docs contributes d^2 join
+    rows): pass `max_doc_freq` to drop grams above a document-frequency
+    cutoff before pairing (the standard stop-gram guard, cf. the
+    decontamination probe H8); containment is then measured on the
+    informative grams only — an explicit, documented approximation, exact
+    when every gram's df <= the cutoff."""
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh_udf = make_shingles_udf(shingle_n)
+    grams = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(sh_udf(F.col(text_col))).alias("gram")
+    )
+    if max_doc_freq is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df_g"))
+            .filter(F.col("df_g") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram", "left_semi")
+    # two consumers (per-doc sizes + both sides of the pair join)
+    grams = grams.persist()
+    grams.count()
+    sizes = grams.groupBy("id").agg(F.count("*").cast("long").alias("sz_a"))
+    inter = (
+        grams.join(grams.withColumnRenamed("id", "id_b"), "gram")
+        .filter(F.col("id") != F.col("id_b"))
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    c = F.col("n_inter") / F.col("sz_a")
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .filter(c >= threshold)
+        .select("id_a", "id_b", F.round(c, 6).alias("containment"))
+    )
+
+
 def _md5_token_bits(t: Column, bits: int) -> Column:
     """Per-token bit vector from md5 — the ORACLE-MIRRORABLE hash (DuckDB md5 +
     '0x' hex-cast reproduce the identical integers; xxhash64 has no DuckDB

@@ -4118,3 +4118,35 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("double").alias("weight")
     )
     return weighted_sample_k(d, "doc_id", "weight", k=25, salt="aes0")
+
+
+@register(
+    "q_ngram_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 2
+               THEN [array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks) - 1)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 60) t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+                AS DOUBLE) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.2
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric bigram CONTAINMENT pairs on the bounded slice (doc_id<60) —
+    C(a in b) = |S(a) n S(b)| / |S(a)|, the subsumption signal Jaccard misses
+    (an excerpt inside a larger doc: Jaccard ~ 0, containment ~ 1). Ordered
+    pairs, both directions when both clear 0.2. The operator
+    (dedup.ngram_containment_pairs) uses the SCALABLE gram-keyed equi-join
+    (docs pair only through shared grams), unlike the all-pairs oracle; the
+    arithmetic is integer division into a double — no libm, exactly
+    engine-decidable. The stop-gram guard (max_doc_freq) that bounds gram
+    skew at corpus scale is exercised in tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return DD.ngram_containment_pairs(d, "doc_id", "text", threshold=0.2, shingle_n=2)

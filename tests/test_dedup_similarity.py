@@ -906,3 +906,68 @@ def test_minhash_oracle_corpus_property_pin(spark, docs):
         for r in DD.minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).collect()
     }
     assert banded == exact  # recall 1.0 AND identical exact-verified values
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs (asymmetric subsumption)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    excerpt = "gamma delta epsilon zeta"  # contiguous slice of big
+    other = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in DD.ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.5, shingle_n=2
+        ).collect()
+    }
+    # every bigram of the excerpt occurs in big -> full containment one way
+    assert pairs == {(2, 1): 1.0}
+    # and symmetric Jaccard never sees it at the same bar
+    j = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.5, shingle_n=2
+    ).collect()
+    assert j == []
+
+
+def test_containment_emits_both_directions_for_twins(spark):
+    t = "red green blue yellow purple"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in DD.ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.9, shingle_n=2
+        ).collect()
+    )
+    assert got == [(1, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_containment_max_doc_freq_guard(spark):
+    # the shared gram "common word" appears in every doc; with the stop-gram
+    # cutoff below n_docs it stops contributing evidence
+    df = spark.createDataFrame(
+        [
+            (1, "common word alpha beta"),
+            (2, "common word gamma delta"),
+            (3, "common word epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    loose = DD.ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.1, shingle_n=2
+    ).collect()
+    assert len(loose) == 6  # every ordered pair shares 'common word'
+    guarded = DD.ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.1, shingle_n=2, max_doc_freq=2
+    ).collect()
+    assert guarded == []
+    # cutoff >= every gram's df: identical to the exact form
+    same = DD.ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.1, shingle_n=2, max_doc_freq=3
+    ).collect()
+    assert sorted(map(tuple, same)) == sorted(map(tuple, loose))
