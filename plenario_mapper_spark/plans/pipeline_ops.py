@@ -4060,8 +4060,11 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin exists only for driver decidability — production serves the sketch's
     one-pass candidates alone (no exact-distinct shuffle over the domain)."""
     from plenario_mapper_spark.operators import frequency as FQ
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    # spread first: the sf0.1 single-row-group layout would otherwise pin the
+    # explode + sketch pass to one core (same guard as _events_as_obs/_spread)
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
     toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok")).persist()
     toks.count()  # eager: three legs (sketch, exact twin, scalar total)
     summary = FQ.misra_gries(toks, "tok", k=256)

@@ -521,10 +521,13 @@ def test_release_query_caches_spares_caller_caches(spark):
     mine.unpersist()
 
 
-def _strip_cached_subtrees(plan: str) -> str:
-    """Drop InMemoryRelation child plans (tools/plan_audit.executed_view's
-    rule): a cached relation PRINTS its full build plan, but those scans ran
-    once at persist time — counting them misreads what executes per run."""
+def _executed_view(df) -> str:
+    """tools/plan_audit.executed_view's canonicalization, from the RAW plan
+    string: drop InMemoryRelation child plans FIRST (those scans ran once at
+    persist time; a cached child built under AQE even embeds its own
+    '== Initial Plan ==' marker, which would amputate the outer plan if
+    sliced first), THEN cut the outer Initial section."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
     out, skip_depth = [], None
     for ln in plan.splitlines():
         m = re.search(r"[A-Za-z=*]", ln)
@@ -536,7 +539,7 @@ def _strip_cached_subtrees(plan: str) -> str:
         out.append(ln)
         if "InMemoryRelation" in ln:
             skip_depth = depth
-    return "\n".join(out)
+    return "\n".join(out).split("== Initial Plan ==")[0]
 
 
 def test_heavy_hitters_corpus_scanned_once_and_candidates_broadcast(spark):
@@ -546,7 +549,7 @@ def test_heavy_hitters_corpus_scanned_once_and_candidates_broadcast(spark):
     candidate/deduction/total relations join back by broadcast (ids + longs,
     bounded at k*partitions rows), never a shuffle of the corpus-side
     aggregate."""
-    plan = _strip_cached_subtrees(_plan(QUERIES["q_doc_heavy_hitters"](spark, SF)))
+    plan = _executed_view(QUERIES["q_doc_heavy_hitters"](spark, SF))
     assert "InMemoryRelation" in plan, plan
     assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 0, plan
     assert plan.count("BroadcastExchange") >= 2, plan
