@@ -188,10 +188,14 @@ def weighted_sample_k(
 
     Cross-engine parity: u is bit-identical by construction; ln is the one
     libm call that may differ in the last ulp, so ranking happens on the
-    6-ROUNDED priority with the key as tie-break — the round-then-rank
+    12-ROUNDED priority with the key as tie-break — the round-then-rank
     discipline (cf. the ANN top-k certification) that makes membership
-    exactly decidable on both engines. The priority column `aes_priority`
-    stays in the output as the audit trail.
+    exactly decidable on both engines (a 1-ulp ln divergence is ~1e-21 at
+    these magnitudes, ten orders under the 0.5e-12 grid; 6 digits would put
+    the grid at the same order as the priorities themselves and quantize the
+    weighting away). The priority column `aes_priority` stays in the output
+    as the audit trail — consumers feeding a 6-rounding comparator should
+    re-round it.
 
     Rows with NULL or non-positive weight are excluded (they have no defined
     inclusion probability). Global form is sort+limit — TakeOrdered, i.e.
@@ -203,7 +207,7 @@ def weighted_sample_k(
         float(1 << _DOMAIN_BITS)
     )
     w = F.col(weight_col).cast("double")
-    pri = F.round(-F.log(u) / w, 6)
+    pri = F.round(-F.log(u) / w, 12)
     out = df.filter(w.isNotNull() & (w > 0)).withColumn("aes_priority", pri)
     if group_col is None:
         return out.orderBy(F.col("aes_priority").asc(), F.col(key_col).asc()).limit(k)

@@ -4100,8 +4100,8 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(('0x' || substr(md5('aes0|' || CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM documents)
-    SELECT doc_id, weight, ROUND(-ln(u) / weight, 6) AS aes_priority
-    FROM s ORDER BY aes_priority, doc_id LIMIT 25
+    SELECT doc_id, weight, ROUND(ROUND(-ln(u) / weight, 12), 6) AS aes_priority
+    FROM s ORDER BY ROUND(-ln(u) / weight, 12), doc_id LIMIT 25
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4110,9 +4110,11 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate): the 25 docs selected with probability ~ proportional to text
     length — the quality-weighted corpus subset shape. u is bit-identical
     across engines by construction ((h + 0.5)/2^32, 33 significant bits);
-    ranking is on the 6-ROUNDED priority with doc_id tie-break on BOTH
-    engines (round-then-rank, cf. the ANN certification), so membership is
-    exactly decidable despite ln being the one libm call in the chain.
+    ranking is on the 12-ROUNDED priority with doc_id tie-break on BOTH
+    engines (round-then-rank, cf. the ANN certification; the grid sits ten
+    orders above a 1-ulp ln divergence and six under the priorities), so
+    membership is exactly decidable despite ln being the one libm call in
+    the chain. Output re-rounds to the driver's 6-digit hash grid.
     Global form plans as TakeOrdered (per-partition top-k + k-row merge),
     no single-reducer sort."""
     from plenario_mapper_spark.operators.sampling import weighted_sample_k
@@ -4120,7 +4122,8 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("double").alias("weight")
     )
-    return weighted_sample_k(d, "doc_id", "weight", k=25, salt="aes0")
+    sel = weighted_sample_k(d, "doc_id", "weight", k=25, salt="aes0")
+    return sel.withColumn("aes_priority", F.round("aes_priority", 6))
 
 
 @register(

@@ -17,7 +17,7 @@ from plenario_mapper_spark.operators.sampling import weighted_sample_k
 def _py_priority(key, weight, salt="aes0"):
     h = int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:8], 16)
     u = (h + 0.5) / 2**32
-    return round(-math.log(u) / weight, 6)
+    return round(-math.log(u) / weight, 12)
 
 
 def _rows(n, w_of):
