@@ -4156,3 +4156,70 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew at corpus scale is exercised in tests/test_dedup_similarity.py."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return DD.ngram_containment_pairs(d, "doc_id", "text", threshold=0.2, shingle_n=2)
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle="""
+    WITH keys AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys,
+           CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_match,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE k.o_orderkey IS NOT NULL) AS DOUBLE) AS match_revenue,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_ok
+    FROM lineitem l LEFT JOIN keys k ON l.l_orderkey = k.o_orderkey
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter (operators/bloom), certification form
+    (the sketch-certification pattern, cf. q_agg_approx_distinct): a selective
+    dim key set (urgent orders) is compiled into a bloom filter probed inside
+    the fact scan as pure Column expressions — no shuffle, no join, the rows
+    that match nothing die in the scan stage. That is the 100 TB shape: what
+    Spark's runtime row-level bloom filter injects when statistics cooperate,
+    made explicit. The oracle hash-checks the exact-side values (key count,
+    match count, matched revenue) and asserts the two contract bits the Spark
+    side PROVES against its exact twin: no_false_negatives (a theorem — every
+    true match passes the probe) and fp_rate_ok (measured false-positive rate
+    among true non-matches <= 0.01; expected ~1.4e-3 at the 16-bits/key
+    sizing, margin pinned in tests/test_bloom.py). Production runs the probe
+    alone (scan-stage filter + the now-cheap residual exact join); the exact
+    twin here exists for driver decidability."""
+    from plenario_mapper_spark.operators import bloom as BL
+
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .persist()
+    )
+    n_keys = keys.count()  # eager: sizes the filter; two legs (build + twin)
+    m = BL.sized_bits(n_keys)
+    words = BL.build_bloom(keys, "key", m)
+    probed = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        BL.might_contain(F.col("l_orderkey"), words, m).alias("bloom_pass"),
+    )
+    # Exact twin: keys is KBs of ids (bounded by the dim filter, never the
+    # fact side) — AQE converts the left join to broadcast from runtime size.
+    cert = probed.join(keys, probed["l_orderkey"] == keys["key"], "left")
+    matched = F.col("key").isNotNull()
+    return cert.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.count(F.when(matched, 1)).cast("long").alias("n_match"),
+        # money sums through DECIMAL (exact, order-independent), presented as
+        # DOUBLE — the repo-wide hash-parity discipline (plans/relational.py:6)
+        F.sum(F.when(matched, F.col("l_extendedprice").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("match_revenue"),
+        (F.count(F.when(matched & ~F.col("bloom_pass"), 1)) == 0).alias(
+            "no_false_negatives"
+        ),
+        (
+            F.count(F.when(~matched & F.col("bloom_pass"), 1)).cast("double")
+            / F.greatest(F.count(F.when(~matched, 1)), F.lit(1)).cast("double")
+            <= F.lit(0.01)
+        ).alias("fp_rate_ok"),
+    )
