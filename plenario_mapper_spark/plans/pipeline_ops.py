@@ -4223,3 +4223,66 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.01)
         ).alias("fp_rate_ok"),
     )
+
+
+@register(
+    "q_vocab_topn_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt),
+    top AS (SELECT tok, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+            FROM cnt ORDER BY n DESC, tok LIMIT 25)
+    SELECT top.rank, top.tok, top.n AS n_occurrences,
+           CAST(SUM(top.n) OVER (ORDER BY top.rank) AS BIGINT) AS cum_occurrences,
+           CAST(ROUND(CAST(SUM(top.n) OVER (ORDER BY top.rank) AS DOUBLE)
+                      / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS cum_coverage
+    FROM top, tot
+    """,
+)
+def q_vocab_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction with cumulative corpus coverage: the top-25 tokens
+    by global frequency, each with its running share of ALL token instances —
+    the curve a tokenizer-vocabulary decision reads (how small a vocab still
+    covers X% of the corpus). Complements q_doc_oov_rate (which scores docs
+    against a fixed vocab) by producing the vocab itself. Parity is
+    integer-ranked (counts, token tie-break) so the top-k boundary is exactly
+    engine-decidable; the one division is rounded to the driver's 6-digit
+    grid. Shape: one token explode -> groupBy counts (persisted eagerly: the
+    grand total and the top-k both consume it); the top-k is orderBy+limit —
+    Spark plans TakeOrdered (per-partition partial top-k + k-row merge), NOT
+    a global sort — and the rank/cumsum windows run over the 25 survivors
+    (bounded by the constant k, not the vocabulary). The grand total joins in
+    as a one-row broadcast."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .persist()
+    )
+    cnt.count()  # eager: two legs (grand total + top-k)
+    tot = cnt.agg(F.sum("n").cast("long").alias("n_total"))
+    top = cnt.orderBy(F.desc("n"), "tok").limit(25)
+    w_rank = Window.orderBy(F.desc("n"), F.asc("tok"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "tok",
+            F.col("n").alias("n_occurrences"),
+            F.sum("n").over(w_cum).cast("long").alias("cum_occurrences"),
+            F.round(
+                F.sum("n").over(w_cum).cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -566,3 +566,35 @@ def test_pareto_frontier_anti_join_over_candidates_only(spark):
     assert plan.count("MapInPandas") == 2, plan
     # no shuffle anywhere: prune is partition-local, the join broadcasts
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_vocab_topn_is_take_ordered_not_global_sort(spark):
+    """q_vocab_topn_coverage: the top-25 must plan as TakeOrdered
+    (per-partition partial top-k + k-row merge) — a global Sort of the whole
+    vocabulary would single-reduce billions of distinct tokens at corpus
+    scale. The rank/cumsum windows may single-partition only AFTER the limit
+    (bounded by the constant k)."""
+    df = QUERIES["q_vocab_topn_coverage"](spark, SF)
+    df.count()
+    plan = _executed_view(df)
+    assert "TakeOrdered" in plan, plan
+    # no Sort inside the take's subtree: the only Sort allowed is the 25-row
+    # window sort, which sits above TakeOrdered in the plan text
+    below = plan.split("TakeOrdered", 1)[1]
+    assert "Sort " not in below, below
+
+
+def test_bloom_prefilter_query_single_fact_scan(spark):
+    """q_join_bloom_prefilter: the fact table scans ONCE (probe + exact twin
+    share it), the bloom probe adds no Exchange of its own, and the dim key
+    relation joins back small (broadcast under AQE) — never a shuffle of the
+    fact side keyed on the join column before the aggregate's own exchange."""
+    df = QUERIES["q_join_bloom_prefilter"](spark, SF)
+    df.count()
+    plan = _executed_view(df)
+    fact_scans = len(
+        [ln for ln in plan.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
+    )
+    assert fact_scans == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
