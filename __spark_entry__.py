@@ -244,7 +244,12 @@ _FRONT = [
 # q_sample_weighted (A-ES weighted without-replacement selection,
 # round-then-rank membership), and q_ngram_containment_pairs (asymmetric
 # subsumption containment, gram-keyed equi-join) — each local-t2 MATCH at
-# sf0.01 on landing.
+# sf0.01 on landing. Later still in round 7 (same mid-positioned, r8-claimant
+# status): q_join_bloom_prefilter (scan-stage bloom semi-join pre-filter,
+# certification bits proven against the exact twin), q_vocab_topn_coverage
+# (top-25 vocabulary with cumulative corpus coverage, integer-ranked), and
+# q_doc_curriculum_shards (integer-banded difficulty staging + md5-gate
+# shards) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

@@ -4286,3 +4286,82 @@ def q_vocab_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+@register(
+    "q_doc_curriculum_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST((100 * list_sum(list_transform(toks, x -> length(x))))
+                    // greatest(len(toks), 1)
+                  + 2 * (100 - (100 * len(list_distinct(toks)))
+                    // greatest(len(toks), 1)) AS BIGINT) AS diff_i
+      FROM t),
+    b AS (
+      SELECT CASE WHEN diff_i < 535 THEN 1 WHEN diff_i < 560 THEN 2
+                  WHEN diff_i < 580 THEN 3 ELSE 4 END AS stage,
+             CAST(('0x' || substr(md5('cur0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4 AS shard,
+             diff_i
+      FROM s)
+    SELECT CAST(stage AS INT) AS stage, CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(diff_i) AS BIGINT) AS min_difficulty,
+           CAST(MAX(diff_i) AS BIGINT) AS max_difficulty,
+           CAST(ROUND(AVG(diff_i), 6) AS DOUBLE) AS avg_difficulty
+    FROM b GROUP BY stage, shard
+    """,
+)
+def q_doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning shard manifest: every doc scored for difficulty
+    (mean token length + type-token-ratio penalty), banded into 4 fixed
+    curriculum stages, and deterministically sharded within each stage by the
+    md5 integer gate (operators/sampling) — the manifest a staged training
+    run reads to feed easy-to-hard batches. Difficulty is INTEGER arithmetic
+    end to end (centi-units via floor division of exact integer sums; both
+    operands positive, so Spark's truncating div == DuckDB's flooring //),
+    and the stage bands are fixed literals in the PSI fixed-band discipline —
+    no float ever decides a band or shard boundary, so membership is exactly
+    engine-decidable. Scale shape: scoring is pure scan-stage HOF expressions
+    (no explode — the token array never leaves its row), staging/sharding are
+    scan-stage CASE/hash, and the only shuffle is the final 16-group
+    aggregate. A quantile-cut curriculum would need a global sort; fixed
+    bands keep the whole operator embarrassingly parallel, the same trade
+    q_doc_psi_length_drift documents."""
+    from plenario_mapper_spark.operators.sampling import _hash_u32
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    diff_i = (
+        F.floor((F.lit(100) * sum_len) / n_tok)
+        + F.lit(2) * (F.lit(100) - F.floor((F.lit(100) * n_dist) / n_tok))
+    ).cast("long")
+    scored = d.select(
+        F.when(diff_i < 535, 1)
+        .when(diff_i < 560, 2)
+        .when(diff_i < 580, 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("stage"),
+        F.pmod(_hash_u32(F.col("doc_id"), "cur0"), F.lit(4))
+        .cast("int")
+        .alias("shard"),
+        diff_i.alias("diff_i"),
+    )
+    return scored.groupBy("stage", "shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("diff_i").alias("min_difficulty"),
+        F.max("diff_i").alias("max_difficulty"),
+        F.round(F.avg("diff_i"), 6).alias("avg_difficulty"),
+    )

@@ -598,3 +598,16 @@ def test_bloom_prefilter_query_single_fact_scan(spark):
     assert fact_scans == 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_curriculum_scoring_is_scan_stage_no_explode(spark):
+    """q_doc_curriculum_shards: difficulty scoring, staging, and shard
+    assignment are all scan-stage expressions — no Generate (explode) of the
+    token array, and the ONLY shuffle is the final 16-group aggregate's own
+    exchange. At corpus scale the operator is embarrassingly parallel up to
+    the last stage."""
+    df = QUERIES["q_doc_curriculum_shards"](spark, SF)
+    df.count()
+    plan = _executed_view(df)
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
