@@ -249,7 +249,9 @@ _FRONT = [
 # certification bits proven against the exact twin), q_vocab_topn_coverage
 # (top-25 vocabulary with cumulative corpus coverage, integer-ranked), and
 # q_doc_curriculum_shards (integer-banded difficulty staging + md5-gate
-# shards) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing.
+# shards), and q_sets_kmv_overlap (KMV set-operation sketches, estimates
+# themselves hash-checked cross-engine) — each local-t2 MATCH at sf0.01 AND
+# sf0.001 on landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

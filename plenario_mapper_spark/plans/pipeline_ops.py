@@ -4365,3 +4365,106 @@ def q_doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("diff_i").alias("max_difficulty"),
         F.round(F.avg("diff_i"), 6).alias("avg_difficulty"),
     )
+
+
+@register(
+    "q_sets_kmv_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey AS key FROM orders
+          WHERE o_orderpriority = '5-LOW'),
+    ska AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv0|' || CAST(key AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+            FROM a ORDER BY h LIMIT 64),
+    skb AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv0|' || CAST(key AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+            FROM b ORDER BY h LIMIT 64),
+    un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+           ORDER BY h LIMIT 64),
+    st AS (SELECT MAX(h) AS tau, CAST(COUNT(*) AS BIGINT) AS m,
+                  CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM ska)
+                                          AND h IN (SELECT h FROM skb)) AS BIGINT) AS rho
+           FROM un),
+    ex AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                  (SELECT COUNT(*) FROM b) AS n_b,
+                  (SELECT COUNT(*) FROM a JOIN b USING (key)) AS n_inter)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_intersect,
+           CAST(ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
+                AS DOUBLE) AS exact_jaccard,
+           CAST(ROUND(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                           ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END, 6)
+                AS DOUBLE) AS est_union,
+           CAST(ROUND(CAST(rho AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DOUBLE) AS est_jaccard,
+           CAST(ROUND((CAST(rho AS DOUBLE) / CAST(m AS DOUBLE))
+                      * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                              ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END), 6)
+                AS DOUBLE) AS est_intersect
+    FROM ex, st
+    """,
+)
+def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience/corpus overlap from KMV sketches (operators/sketches): the
+    customer sets behind two order-priority classes compared via k=64
+    k-minimum-values sketches — estimated union size, Jaccard, and
+    intersection size alongside the exact twin values. Because the hash is
+    md5-deterministic, the ESTIMATES themselves are engine-reproducible (all
+    ratios of exact integers; 17732923532771328 = (k-1)*2^48, exactly
+    representable), so every output column hash-checks — stronger than the
+    certification-bit form the sub-reproducible sketches (HLL, ANN) need.
+    Estimator-regime accuracy (error ~ 1/sqrt(k)) and the exact small-set
+    regime (m < k) are pinned in tests/test_sketches.py. Scale shape: each
+    sketch is a per-partition bounded fold + TakeOrdered over <= k*partitions
+    hashes (the raw key stream never shuffles — the point vs an exact
+    distinct-intersection); all sketch joins are <= 64-row broadcasts. The
+    exact twin (distinct + join over the full key sets) exists for driver
+    decidability; production serves the sketches alone."""
+    from plenario_mapper_spark.operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def side(pri: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == pri)
+            .select(F.col("o_custkey").alias("key"))
+            .distinct()
+            .persist()
+        )
+
+    a, b = side("1-URGENT"), side("5-LOW")
+    n_a, n_b = a.count(), b.count()  # eager: each side feeds twin + sketch
+    n_inter = a.join(b, "key").count()
+    k = 64
+    ska = SK.kmv_sketch(a, "key", k).persist()
+    skb = SK.kmv_sketch(b, "key", k).persist()
+    ska.count(), skb.count()  # eager: each feeds union + membership legs
+    st = (
+        SK.kmv_union(ska, skb, k)
+        .join(ska.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(skb.withColumn("in_b", F.lit(1)), "h", "left")
+        .agg(
+            F.max("h").alias("tau"),
+            F.count("*").cast("long").alias("m"),
+            F.count(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            )
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    est_union = SK.kmv_estimate(F.col("tau"), F.col("m"), k)
+    est_j = F.col("rho").cast("double") / F.col("m").cast("double")
+    return st.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.lit(n_inter).cast("long").alias("n_intersect"),
+        F.round(
+            F.lit(n_inter).cast("double")
+            / F.lit(n_a + n_b - n_inter).cast("double"),
+            6,
+        ).alias("exact_jaccard"),
+        F.round(est_union, 6).alias("est_union"),
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(est_j * est_union, 6).alias("est_intersect"),
+    )
