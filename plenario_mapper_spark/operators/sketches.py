@@ -92,3 +92,37 @@ def kmv_estimate(tau: Column, m: Column, k: int) -> Column:
     return F.when(m < k, m.cast("double")).otherwise(
         F.lit(float((k - 1) * KMV_DOMAIN)) / tau.cast("double")
     )
+
+
+def kmv_overlap_stats(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int
+) -> DataFrame:
+    """One-row overlap estimates from two composable sketches: (tau, m, rho,
+    est_union, est_jaccard, est_intersect). rho/m estimates Jaccard (the
+    fraction of the union sketch present in both sides — exact when m < k);
+    est_intersect = est_jaccard * est_union. All sketch joins are <= k-row
+    broadcasts; the raw sets are never touched."""
+    st = (
+        kmv_union(sketch_a, sketch_b, k)
+        .join(sketch_a.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(sketch_b.withColumn("in_b", F.lit(1)), "h", "left")
+        .agg(
+            F.max("h").alias("tau"),
+            F.count("*").cast("long").alias("m"),
+            F.count(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            )
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    est_union = kmv_estimate(F.col("tau"), F.col("m"), k)
+    est_j = F.col("rho").cast("double") / F.col("m").cast("double")
+    return st.select(
+        "tau",
+        "m",
+        "rho",
+        est_union.alias("est_union"),
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersect"),
+    )

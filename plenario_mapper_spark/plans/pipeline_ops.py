@@ -4439,23 +4439,7 @@ def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ska = SK.kmv_sketch(a, "key", k).persist()
     skb = SK.kmv_sketch(b, "key", k).persist()
     ska.count(), skb.count()  # eager: each feeds union + membership legs
-    st = (
-        SK.kmv_union(ska, skb, k)
-        .join(ska.withColumn("in_a", F.lit(1)), "h", "left")
-        .join(skb.withColumn("in_b", F.lit(1)), "h", "left")
-        .agg(
-            F.max("h").alias("tau"),
-            F.count("*").cast("long").alias("m"),
-            F.count(
-                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
-            )
-            .cast("long")
-            .alias("rho"),
-        )
-    )
-    est_union = SK.kmv_estimate(F.col("tau"), F.col("m"), k)
-    est_j = F.col("rho").cast("double") / F.col("m").cast("double")
-    return st.select(
+    return SK.kmv_overlap_stats(ska, skb, k).select(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.lit(n_inter).cast("long").alias("n_intersect"),
@@ -4464,7 +4448,7 @@ def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(n_a + n_b - n_inter).cast("double"),
             6,
         ).alias("exact_jaccard"),
-        F.round(est_union, 6).alias("est_union"),
-        F.round(est_j, 6).alias("est_jaccard"),
-        F.round(est_j * est_union, 6).alias("est_intersect"),
+        F.round("est_union", 6).alias("est_union"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("est_intersect", 6).alias("est_intersect"),
     )
