@@ -250,8 +250,10 @@ _FRONT = [
 # (top-25 vocabulary with cumulative corpus coverage, integer-ranked), and
 # q_doc_curriculum_shards (integer-banded difficulty staging + md5-gate
 # shards), and q_sets_kmv_overlap (KMV set-operation sketches, estimates
-# themselves hash-checked cross-engine) — each local-t2 MATCH at sf0.01 AND
-# sf0.001 on landing.
+# themselves hash-checked cross-engine), and q_dedup_prefix_jaccard (EXACT
+# prefix-filter similarity join, deterministic-recall counterpart to the LSH
+# path) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing; a full
+# 160-query registry sweep re-ran 160/160 MATCH after the KMV landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

@@ -1089,3 +1089,77 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering (the
+    PPJoin/AllPairs principle — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    unlike the MinHash-LSH path (probabilistic recall) this finds EVERY pair
+    with J >= threshold, but still never compares all pairs.
+
+    Why it works: order every doc's token set by one GLOBAL order (ascending
+    document frequency, ties by token). If J(A,B) >= t then |A∩B| >= t·|A|,
+    so the common tokens cannot all hide in A's last ceil(t·|A|)-1 positions —
+    the first |A| - ceil(t·|A|) + 1 tokens (the PREFIX) must contain one; the
+    minimum common token is likewise in B's prefix. Joining prefix-to-prefix
+    is therefore COMPLETE; an exact array_intersect verify over the candidate
+    ids removes the false positives.
+
+    Scale shape: rarest-first ordering puts only low-document-frequency tokens
+    in prefixes, so the candidate equi-join keys on RARE tokens — small
+    groups, naturally bounded skew (the d² gram-skew hazard
+    ngram_containment_pairs guards with a stop-gram cutoff is designed away
+    here; degrades only as threshold -> 0, where prefixes approach whole
+    sets). Verify joins the <= |candidates| id pairs back to the cached set
+    table; the corpus text never re-shuffles."""
+    from pyspark.sql import Window
+
+    sets_ = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(TX.tokens(F.col(text_col))).alias("s"),
+        )
+        .withColumn("n", F.size("s").cast("long"))
+        .filter(F.col("n") > 0)
+        .persist()
+    )
+    sets_.count()  # eager: three legs (token explode + both verify sides)
+    toks = sets_.select("id", "n", F.explode("s").alias("tok")).persist()
+    toks.count()  # eager: two legs (frequency induction + prefix cut)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df_t"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_t"), F.asc("tok"))
+    p_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= p_len)
+        .select("id", "tok")
+    )
+    cand = (
+        prefix.join(prefix.withColumnRenamed("id", "id_b"), "tok")
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    a = sets_.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    b = sets_.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    joined = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_i", F.size(F.array_intersect("s_a", "s_b")).cast("long"))
+    )
+    j = F.col("n_i").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_i")
+    ).cast("double")
+    return (
+        joined.withColumn("jaccard_raw", j)
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )

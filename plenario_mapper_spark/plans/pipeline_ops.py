@@ -4452,3 +4452,38 @@ def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_jaccard", 6).alias("est_jaccard"),
         F.round("est_intersect", 6).alias("est_intersect"),
     )
+
+
+@register(
+    "q_dedup_prefix_jaccard",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                       x -> x <> '')) AS toks
+      FROM documents WHERE doc_id < 80),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+                      AS DOUBLE) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(ROUND(j, 6) AS DOUBLE) AS jaccard
+    FROM p WHERE j >= 0.75
+    """,
+)
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering
+    (dedup.prefix_filter_jaccard_pairs) on the bounded slice (doc_id < 80) —
+    the deterministic-recall counterpart to the MinHash-LSH near-dup path:
+    every pair with token-set Jaccard >= 0.75 is found (completeness is a
+    theorem of the global rarest-first ordering, not a probability), yet only
+    docs sharing a rare PREFIX token are ever compared. The oracle is the
+    brute-force all-pairs twin (quadratic, viable only on the slice); the
+    engine's candidate join keys on rare tokens so group sizes stay bounded
+    at corpus scale. 0.75 is exactly representable and J is a ratio of exact
+    integers, so the threshold boundary is engine-decidable; pruning
+    effectiveness and prefix completeness on a diverse-vocabulary corpus are
+    pinned in tests/test_prefix_join.py."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return DD.prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold=0.75)
