@@ -252,10 +252,12 @@ _FRONT = [
 # shards), and q_sets_kmv_overlap (KMV set-operation sketches, estimates
 # themselves hash-checked cross-engine), and q_dedup_prefix_jaccard (EXACT
 # prefix-filter similarity join, deterministic-recall counterpart to the LSH
-# path), and q_embed_jl_distortion (JL random-sign embedding compression,
-# all distortion columns full-value hash-checked) — each local-t2 MATCH at
-# sf0.01 AND sf0.001 on landing; a full 160-query registry sweep re-ran
-# 160/160 MATCH after the KMV landing.
+# path), q_embed_jl_distortion (JL random-sign embedding compression,
+# all distortion columns full-value hash-checked), q_events_path_ngrams
+# (top-20 user-journey trigrams, one window pass), and
+# q_events_cusum_changepoint (CUSUM drift statistic in prefix-sum closed
+# form) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing; a full
+# 160-query registry sweep re-ran 160/160 MATCH after the KMV landing.
 #
 # Demoted past the 50-slot window: every r4-window row is green in
 # CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are

@@ -4561,3 +4561,122 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("distortion"),
         )
     )
+
+
+@register(
+    "q_events_path_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT event_type || '>' || lead(event_type) OVER w
+               || '>' || lead(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+          FROM s WHERE path IS NOT NULL GROUP BY path),
+    top AS (SELECT path, n_paths FROM c ORDER BY n_paths DESC, path LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, path) AS INT) AS rank,
+           path, n_paths
+    FROM top
+    """,
+)
+def q_events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top-20 most common 3-step event-type
+    sequences across user journeys — the "what do users actually do"
+    companion to the funnel (fixed hypothesis) and sessionize (boundary)
+    operators. Each user's events order by (ts, event_id) — the deterministic
+    total order both engines share — and consecutive types concatenate via
+    two lead() calls in ONE window pass (no self-joins: a 3-way equi-join on
+    adjacent rows would shuffle the fact table three times; lead is one
+    user-keyed shuffle). Counts are integers and ties break on the path
+    string, so the top-k boundary is engine-decidable; the top-20 plans as
+    TakeOrdered over the 125-at-most distinct paths. At 100 TB the window
+    shuffle keys on user_id (high cardinality, naturally balanced) and the
+    aggregate is map-side partial over a tiny domain."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    s = (
+        _events(spark, sf_dir)
+        .select(
+            F.when(
+                F.lead("event_type", 2).over(w).isNotNull(), path
+            ).alias("path")
+        )
+        .filter(F.col("path").isNotNull())
+    )
+    top = (
+        s.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_paths"), F.asc("path")))
+        .cast("int"),
+    ).select("rank", "path", "n_paths")
+
+
+@register(
+    "q_events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, day, n,
+             CAST(n AS DOUBLE)
+               - AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type)
+                 * CAST(1.05 AS DOUBLE) AS dev
+      FROM d),
+    r AS (
+      SELECT event_type, day, n,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY day) AS srun
+      FROM s)
+    SELECT event_type, day, n,
+           CAST(ROUND(srun - LEAST(CAST(0 AS DOUBLE),
+                 MIN(srun) OVER (PARTITION BY event_type ORDER BY day)), 6)
+                AS DOUBLE) AS cusum
+    FROM r
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM change-point statistic over daily event rates —
+    the TEMPORAL member of the drift family (PSI compares two snapshots, KS
+    two distributions, MAD flags point outliers; CUSUM accumulates small
+    sustained shifts until they cross a decision band). Uses the prefix-sum
+    closed form: c_t = max(0, c_{t-1} + dev_t) == S_t - min(0, min_{j<=t} S_j)
+    with S the running deviation sum — so the whole statistic is THREE window
+    passes over one tiny daily aggregate (running sum, running min,
+    subtract), no recursion, no fold, no Python; at 100 TB the only fact-
+    table work is the day-grain pre-aggregate (map-side partial), and the
+    windows run over series x days rows. Deviations subtract 1.05x the series
+    mean (a 5% slack band, the standard drift allowance); daily counts are
+    integers so the mean is exact and the running sums round to the 6-digit
+    grid both engines share."""
+    d = _events(spark, sf_dir).groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    s = d.withColumn(
+        "dev",
+        F.col("n").cast("double")
+        - F.avg(F.col("n").cast("double")).over(wp) * F.lit(1.05),
+    )
+    r = s.withColumn("srun", F.sum("dev").over(wo))
+    return r.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.col("srun")
+            - F.least(F.lit(0.0), F.min("srun").over(wo)),
+            6,
+        ).alias("cusum"),
+    )

@@ -1,0 +1,60 @@
+"""CUSUM change-point statistic (q_events_cusum_changepoint's closed form).
+
+Pins: the windowed prefix-sum closed form equals the textbook recursion
+c_t = max(0, c_{t-1} + dev_t), and the statistic actually detects an injected
+sustained shift (accumulates after the change, stays near zero before).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window, functions as F
+
+
+def _cusum_df(spark, counts):
+    rows = [
+        ("s", datetime.date(2024, 1, 1) + datetime.timedelta(days=i), int(c))
+        for i, c in enumerate(counts)
+    ]
+    d = spark.createDataFrame(rows, "event_type string, day date, n long")
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    s = d.withColumn(
+        "dev",
+        F.col("n").cast("double")
+        - F.avg(F.col("n").cast("double")).over(wp) * F.lit(1.05),
+    )
+    r = s.withColumn("srun", F.sum("dev").over(wo))
+    return r.select(
+        "day",
+        F.round(
+            F.col("srun") - F.least(F.lit(0.0), F.min("srun").over(wo)), 6
+        ).alias("cusum"),
+    ).orderBy("day")
+
+
+def _recursion(counts):
+    mean = sum(counts) / len(counts)
+    c, out = 0.0, []
+    for x in counts:
+        c = max(0.0, c + (x - mean * 1.05))
+        out.append(round(c, 6))
+    return out
+
+
+def test_closed_form_equals_recursion(spark):
+    counts = [100, 98, 103, 97, 101, 99, 140, 138, 145, 142, 139, 144]
+    got = [r["cusum"] for r in _cusum_df(spark, counts).collect()]
+    assert got == _recursion(counts)
+
+
+def test_detects_injected_shift_and_flat_before(spark):
+    counts = [100] * 10 + [130] * 10  # sustained +30% shift at day 10
+    got = [r["cusum"] for r in _cusum_df(spark, counts).collect()]
+    # before the shift the stat stays pinned at/near zero...
+    assert all(c == 0.0 for c in got[:10])
+    # ...after it, it accumulates monotonically
+    post = got[10:]
+    assert all(b > a for a, b in zip(post, post[1:]))
+    assert post[-1] > 50
