@@ -4680,3 +4680,85 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cusum"),
     )
+
+
+@register(
+    "q_doc_impute_missing",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(('0x' || substr(md5('imp0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 0
+                  THEN NULL ELSE lang END AS lang,
+             CASE WHEN CAST(('0x' || substr(md5('imp1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 0
+                  THEN NULL ELSE CAST(n_chars AS DOUBLE) END AS n_chars
+      FROM documents),
+    lm AS (
+      SELECT source, lang AS lfill FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM base WHERE lang IS NOT NULL GROUP BY source, lang) t
+      WHERE rn = 1),
+    nm AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS nfill
+      FROM base WHERE n_chars IS NOT NULL GROUP BY source)
+    SELECT b.doc_id, b.source,
+           COALESCE(b.lang, lm.lfill) AS lang_filled,
+           CAST(ROUND(COALESCE(b.n_chars, nm.nfill), 6) AS DOUBLE) AS n_chars_filled,
+           CAST(b.lang IS NULL AS INT) AS was_lang_null,
+           CAST(b.n_chars IS NULL AS INT) AS was_nchars_null
+    FROM base b LEFT JOIN lm USING (source) LEFT JOIN nm USING (source)
+    """,
+)
+def q_doc_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic missing-value imputation (operators/impute): ~10% of
+    lang and n_chars values are nulled by the md5 integer gate (the synthetic
+    damage is itself engine-reproducible), then filled from each source's
+    consensus — MODE for the categorical (counted pass + row_number cut, the
+    survivorship tie-break; never the engine-unspecified mode() aggregate)
+    and exact interpolated MEDIAN for the numeric (percentile(0.5) ==
+    DuckDB's quantile_cont, verified identical interpolation). Every filled
+    row hash-checks cross-engine. Scale shape: two grouped aggregates
+    (map-side partial) produce groups-sized fill tables joined back
+    BROADCAST; the damage gate, null flags, and coalesce fills are all
+    scan-stage — the corpus never shuffles."""
+    from plenario_mapper_spark.operators import impute as IM
+    from plenario_mapper_spark.operators.sampling import _hash_u32
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.pmod(_hash_u32(F.col("doc_id"), "imp0"), F.lit(10)) == 0,
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(
+            F.pmod(_hash_u32(F.col("doc_id"), "imp1"), F.lit(10)) == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("n_chars").cast("double"))
+        .alias("n_chars"),
+    ).persist()
+    base.count()  # eager: three legs (mode agg, median agg, fill join)
+    flagged = base.withColumn(
+        "was_lang_null", F.col("lang").isNull().cast("int")
+    ).withColumn("was_nchars_null", F.col("n_chars").isNull().cast("int"))
+    out = IM.impute(
+        flagged, "lang", "source", IM.group_mode(base, "source", "lang")
+    )
+    out = IM.impute(
+        out, "n_chars", "source", IM.group_median(base, "source", "n_chars")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("lang").alias("lang_filled"),
+        F.round("n_chars", 6).alias("n_chars_filled"),
+        "was_lang_null",
+        "was_nchars_null",
+    )
