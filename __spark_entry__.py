@@ -256,8 +256,10 @@ _FRONT = [
 # all distortion columns full-value hash-checked), q_events_path_ngrams
 # (top-20 user-journey trigrams, one window pass), and
 # q_events_cusum_changepoint (CUSUM drift statistic in prefix-sum closed
-# form), and q_doc_impute_missing (per-group mode/median fill over md5-gate
-# synthetic damage) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
+# form), q_doc_impute_missing (per-group mode/median fill over md5-gate
+# synthetic damage), and q_events_ewma_smooth (EWMA at the dyadic alpha —
+# bit-identical cross-engine) — each local-t2 MATCH at sf0.01 AND sf0.001
+# on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

@@ -4762,3 +4762,68 @@ def q_doc_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_lang_null",
         "was_nchars_null",
     )
+
+
+@register(
+    "q_events_ewma_smooth",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, n,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    s AS (
+      SELECT event_type, day, n, i,
+             CASE WHEN i = 1
+                  THEN CAST(n AS DOUBLE) / CAST(0.5 AS DOUBLE)
+                  ELSE CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE)
+                       / pow(CAST(0.5 AS DOUBLE), i) END AS w
+      FROM r)
+    SELECT event_type, day, n,
+           CAST(ROUND(pow(CAST(0.5 AS DOUBLE), i)
+                      * SUM(w) OVER (PARTITION BY event_type ORDER BY day), 6)
+                AS DOUBLE) AS ewma
+    FROM s
+    """,
+)
+def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over daily event rates (alpha =
+    0.5, the DYADIC alpha) — the smoothing companion to CUSUM (H51: detect the shift; EWMA:
+    the denoised level a dashboard plots and an anomaly band centers on).
+    The recursion s_t = a*x_t + (1-a)*s_{t-1} is rewritten in prefix-scaled
+    closed form — w_i = a*x_i/(1-a)^i (seed term x_1/(1-a)), s_t = (1-a)^t *
+    running_sum(w) — so the whole statistic is one row_number + one running
+    sum + scan-stage arithmetic: no recursion, no fold, no Python, and only
+    the day-grain pre-aggregate touches the fact table. Numerics: alpha = 0.5
+    makes EVERY intermediate exact — weights are x_i * 2^(i-1) (integers in
+    a double to i ~ 40), the running sum is exact, and pow(0.5, i) is an
+    exact power of two — so both engines produce BIT-IDENTICAL values and
+    the 6-digit round never sits on a cross-engine boundary (the alpha=0.3
+    form lost one row to a rounding-tie straddle; exactness, not a finer
+    grid, is the fix). Valid to ~2^53 basis, i.e. series length ~50 days at
+    count magnitudes ~1e4; segment-rescale beyond — documented, not silently
+    wrong. Closed form == textbook recursion and pow-exactness pinned in
+    tests/test_changepoint.py."""
+    d = _events(spark, sf_dir).groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = d.withColumn("i", F.row_number().over(wo).cast("long"))
+    s = r.withColumn(
+        "w",
+        F.when(F.col("i") == 1, F.col("n").cast("double") / F.lit(0.5)).otherwise(
+            F.lit(0.5)
+            * F.col("n").cast("double")
+            / F.pow(F.lit(0.5), F.col("i"))
+        ),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(wo), 6
+        ).alias("ewma"),
+    )

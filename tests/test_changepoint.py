@@ -58,3 +58,54 @@ def test_detects_injected_shift_and_flat_before(spark):
     post = got[10:]
     assert all(b > a for a, b in zip(post, post[1:]))
     assert post[-1] > 50
+
+
+def test_ewma_closed_form_equals_recursion(spark):
+    """q_events_ewma_smooth's prefix-scaled closed form (alpha=0.5, the
+    dyadic alpha: every intermediate exact) == the textbook recursion."""
+    counts = [100, 98, 103, 97, 140, 138, 145, 90, 200, 50]
+    rows = [
+        ("s", datetime.date(2024, 2, 1) + datetime.timedelta(days=i), int(c))
+        for i, c in enumerate(counts)
+    ]
+    d = spark.createDataFrame(rows, "event_type string, day date, n long")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    r = d.withColumn("i", F.row_number().over(wo).cast("long"))
+    s = r.withColumn(
+        "w",
+        F.when(F.col("i") == 1, F.col("n").cast("double") / F.lit(0.5)).otherwise(
+            F.lit(0.5) * F.col("n").cast("double") / F.pow(F.lit(0.5), F.col("i"))
+        ),
+    )
+    got = [
+        row["ewma"]
+        for row in s.select(
+            "day",
+            (F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(wo)).alias("ewma"),
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    want, acc = [], None
+    for x in counts:
+        acc = float(x) if acc is None else 0.5 * x + 0.5 * acc
+        want.append(acc)
+    assert got == want  # EXACT equality — dyadic arithmetic, no tolerance
+
+
+def test_pow_half_is_exact_power_of_two(spark):
+    """The EWMA parity argument rests on pow(0.5, i) being the exact power of
+    two in both engines; pin it across the operating range."""
+    import duckdb
+
+    got = (
+        spark.range(1, 51)
+        .select(F.pow(F.lit(0.5), F.col("id")).alias("p"))
+        .collect()
+    )
+    assert [r["p"] for r in got] == [2.0**-i for i in range(1, 51)]
+    duck = duckdb.connect().execute(
+        "SELECT list(pow(CAST(0.5 AS DOUBLE), i) ORDER BY i) "
+        "FROM generate_series(1, 50) t(i)"
+    ).fetchone()[0]
+    assert duck == [2.0**-i for i in range(1, 51)]
