@@ -4827,3 +4827,43 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(wo), 6
         ).alias("ewma"),
     )
+
+
+@register(
+    "q_sample_weighted_group",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS weight,
+             (CAST(('0x' || substr(md5('aesg|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, weight, ROUND(-ln(u) / weight, 12) AS pri,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ROUND(-ln(u) / weight, 12), doc_id) AS rn
+      FROM s)
+    SELECT doc_id, source, weight, ROUND(pri, 6) AS aes_priority
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP deterministic weighted sampling without replacement
+    (sampling.weighted_sample_k's grouped branch): 3 docs per source,
+    selected with probability ~ proportional to text length — the last cell
+    of the sampling matrix (fraction-gate / uniform-k / weighted-k, each
+    global and grouped). Same A-ES + round-then-rank parity discipline as
+    q_sample_weighted (12-digit priority grid, doc_id tie-break); the
+    grouped form is one group-keyed rank-truncate shuffle — per-source
+    quotas are what a mixture-balanced corpus subset actually needs (a
+    global budget starves small sources)."""
+    from plenario_mapper_spark.operators.sampling import weighted_sample_k
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("double").alias("weight")
+    )
+    sel = weighted_sample_k(
+        d, "doc_id", "weight", k=3, salt="aesg", group_col="source"
+    )
+    return sel.select(
+        "doc_id", "source", "weight", F.round("aes_priority", 6).alias("aes_priority")
+    )
