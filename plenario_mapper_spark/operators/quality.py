@@ -108,3 +108,42 @@ def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
         "r.violations",
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def fk_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """Cross-table referential-integrity audit: one row per foreign-key edge
+    (name, child_df, fk_col, parent_df, pk_col) with child volume, orphan
+    count (non-NULL FK with no parent — NULL FKs are not orphans, the SQL
+    join semantics), orphan rate, and a passed bit. The companion to
+    check_constraints (single-table rules): schema-wide consistency is what
+    breaks silently when tables ingest on independent schedules.
+
+    Scale shape: each edge reduces the parent to its DISTINCT keys first
+    (map-side partial; dims broadcast under AQE from runtime size) and
+    left-joins the child's key column only — the child's payload never
+    shuffles; per-edge one-row aggregates union at the end."""
+    from functools import reduce as _reduce
+
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        pkeys = parent.select(F.col(pk).alias("_pk")).distinct()
+        joined = child.select(F.col(fk).alias("_fk")).join(
+            pkeys, F.col("_fk") == F.col("_pk"), "left"
+        )
+        orphan = F.col("_fk").isNotNull() & F.col("_pk").isNull()
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("edge"),
+                F.count("*").cast("long").alias("n_child"),
+                F.count(F.when(orphan, 1)).cast("long").alias("n_orphans"),
+                F.round(
+                    F.count(F.when(orphan, 1)).cast("double")
+                    / F.greatest(F.count("*"), F.lit(1)).cast("double"),
+                    6,
+                ).alias("orphan_rate"),
+                (F.count(F.when(orphan, 1)) == 0).alias("passed"),
+            )
+        )
+    return _reduce(DataFrame.unionByName, outs)

@@ -4867,3 +4867,81 @@ def q_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "doc_id", "source", "weight", F.round("aes_priority", 6).alias("aes_priority")
     )
+
+
+@register(
+    "q_quality_fk_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) = 0 AS passed
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON c.l_orderkey = p.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey->part' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) = 0 AS passed
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON c.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) = 0 AS passed
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p ON c.l_suppkey = p.s_suppkey
+    UNION ALL
+    SELECT 'orders.custkey->customer' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) = 0 AS passed
+    FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON c.o_custkey = p.c_custkey
+    UNION ALL
+    SELECT 'customer.nationkey->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) = 0 AS passed
+    FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.c_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'supplier.nationkey->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) = 0 AS passed
+    FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.s_nationkey = p.n_nationkey
+    UNION ALL
+    SELECT 'nation.regionkey->region' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+           CAST(ROUND(CAST(COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) = 0 AS passed
+    FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) p ON c.n_regionkey = p.r_regionkey
+    """,
+)
+def q_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (quality.fk_audit) over the
+    full star schema: all seven FK edges checked in one pass each — child
+    volume, orphan count (non-NULL FK with no parent), orphan rate, passed
+    bit. The schema-wide companion to q_quality_constraints' single-table
+    battery: FK consistency is what breaks silently when tables ingest on
+    independent schedules. Each edge reduces the parent to DISTINCT keys
+    (dims broadcast under AQE) and left-joins the child's KEY COLUMN only —
+    the child payload never shuffles. The driver corpus is consistent, so
+    every edge passes with exact zero counts (hash-checked); orphan and
+    NULL-FK semantics are pinned on synthetic damage in
+    tests/test_quality.py."""
+    from plenario_mapper_spark.operators.quality import fk_audit
+
+    return fk_audit([
+        ("lineitem.orderkey->orders", _t(spark, sf_dir, "lineitem"), "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey"),
+        ("lineitem.partkey->part", _t(spark, sf_dir, "lineitem"), "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.suppkey->supplier", _t(spark, sf_dir, "lineitem"), "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders.custkey->customer", _t(spark, sf_dir, "orders"), "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("customer.nationkey->nation", _t(spark, sf_dir, "customer"), "c_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ("supplier.nationkey->nation", _t(spark, sf_dir, "supplier"), "s_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ("nation.regionkey->region", _t(spark, sf_dir, "nation"), "n_regionkey", _t(spark, sf_dir, "region"), "r_regionkey"),
+    ])

@@ -144,3 +144,30 @@ def test_property_battery_matches_pandas_reference(spark):
         assert rep["min_rows"][0] == max(0, 10 - len(pdf))
 
     check()
+
+
+def test_fk_audit_counts_orphans_and_ignores_null_fks(spark):
+    """fk_audit: non-NULL FK without a parent is an orphan; NULL FKs are not
+    (SQL join semantics); duplicate parent keys don't double-count children."""
+    from plenario_mapper_spark.operators.quality import fk_audit
+
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk long")  # dup parent
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    rows = fk_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_child"] == 5
+    assert r["n_orphans"] == 1  # only the 99; the NULL is not an orphan
+    assert r["orphan_rate"] == 0.2
+    assert r["passed"] is False
+
+
+def test_fk_audit_passes_on_consistent_edge(spark):
+    from plenario_mapper_spark.operators.quality import fk_audit
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,), (2,), (2,)], "fk long")
+    r = fk_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert r["passed"] is True and r["n_orphans"] == 0
