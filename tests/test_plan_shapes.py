@@ -611,3 +611,56 @@ def test_curriculum_scoring_is_scan_stage_no_explode(spark):
     plan = _executed_view(df)
     assert "Generate" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def _outer_nodes(df) -> list[str]:
+    """Physical-plan node class names of the OUTER plan only — a JVM tree
+    walk that does not descend into cached (InMemoryTableScan) subtrees.
+    The textual _executed_view strip cannot handle a DEEPLY-NESTED cached
+    child: InMemoryRelation's toString embeds its child plan at a reset
+    indentation (often SHALLOWER than the relation's own tree depth), so
+    depth-based stripping leaks embedded FileScan lines into substring
+    assertions. Walking the tree sidesteps the text format entirely."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        out.append(name)
+        if "InMemoryTableScan" in name:
+            return  # cached subtree: its build plan already ran at persist time
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_prefix_jaccard_no_cartesian_and_cached_sets(spark):
+    """q_dedup_prefix_jaccard: candidates come from the token equi-join and
+    the verify from cached set relations — never a cartesian/broadcast-NL
+    pairing of docs, and no re-scan of documents per leg (the persisted set
+    table feeds prefix induction and both verify sides)."""
+    df = QUERIES["q_dedup_prefix_jaccard"](spark, SF)
+    df.count()
+    nodes = _outer_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoop" in n for n in nodes), nodes
+    # every leaf reads a cache; no parquet scan survives in the outer plan
+    assert not any("FileSourceScan" in n or "BatchScan" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+
+
+def test_kmv_overlap_joins_stay_broadcast(spark):
+    """q_sets_kmv_overlap: every sketch join is <= 64 rows — a SortMergeJoin
+    anywhere means a constant-size relation shuffled, defeating the sketch."""
+    df = QUERIES["q_sets_kmv_overlap"](spark, SF)
+    df.count()
+    plan = _executed_view(df)
+    assert "SortMergeJoin" not in plan, plan
