@@ -259,8 +259,10 @@ _FRONT = [
 # form), q_doc_impute_missing (per-group mode/median fill over md5-gate
 # synthetic damage), q_events_ewma_smooth (EWMA at the dyadic alpha —
 # bit-identical cross-engine), q_sample_weighted_group (per-group A-ES
-# quotas), and q_quality_fk_audit (7-edge referential-integrity audit) —
-# each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
+# quotas), q_quality_fk_audit (7-edge referential-integrity audit), and
+# q_dedup_exact_pipeline (prefix-join -> CC -> survivorship composition,
+# certified end to end) — each local-t2 MATCH at sf0.01 AND sf0.001 on
+# landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

@@ -4945,3 +4945,73 @@ def q_quality_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier.nationkey->nation", _t(spark, sf_dir, "supplier"), "s_nationkey", _t(spark, sf_dir, "nation"), "n_nationkey"),
         ("nation.regionkey->region", _t(spark, sf_dir, "nation"), "n_regionkey", _t(spark, sf_dir, "region"), "r_regionkey"),
     ])
+
+
+@register(
+    "q_dedup_exact_pipeline",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                       x -> x <> '')) AS toks
+      FROM documents WHERE doc_id < 80),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+                   AS DOUBLE) >= 0.9),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    asg AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 80) d
+      LEFT JOIN comp c ON d.doc_id = c.node),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM asg GROUP BY cluster_id)
+    SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+           CAST(a.doc_id = a.cluster_id AS INT) AS is_survivor
+    FROM asg a JOIN sz USING (cluster_id)
+    """,
+)
+def q_dedup_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed EXACT near-dup pipeline on the bounded slice, certified
+    end to end (the q_doc_curation_pipeline discipline: composition verified,
+    not just stages): prefix-filter similarity join (H48 — deterministic
+    recall, every J >= 0.9 pair found) -> large-star/small-star connected
+    components (H5) -> keep-first survivorship with per-doc cluster
+    assignment, size, and survivor bit; singleton docs self-cluster. This is
+    the LSH pipeline's exact twin at the composition level: where
+    q_dedup_survivors certifies the probabilistic path against the exact
+    TRUTH, this certifies the all-exact path a compliance-grade dedup run
+    (no recall caveats allowed) would actually ship. The oracle recomputes
+    everything: brute-force all-pairs Jaccard + recursive-CTE transitive
+    closure — quadratic, viable only at oracle scale, which is why the
+    engine path exists."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = DD.prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold=0.9)
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    asg = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .persist()
+    )
+    asg.count()  # eager: two legs (size aggregate + final join)
+    sz = asg.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return asg.join(F.broadcast(sz), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_survivor"),
+    )
