@@ -522,11 +522,14 @@ def test_release_query_caches_spares_caller_caches(spark):
 
 
 def _executed_view(df) -> str:
-    """tools/plan_audit.executed_view's canonicalization, from the RAW plan
-    string: drop InMemoryRelation child plans FIRST (those scans ran once at
-    persist time; a cached child built under AQE even embeds its own
-    '== Initial Plan ==' marker, which would amputate the outer plan if
-    sliced first), THEN cut the outer Initial section."""
+    """Text-form executed view: drop InMemoryRelation child plans FIRST
+    (those scans ran once at persist time; a cached child built under AQE
+    even embeds its own '== Initial Plan ==' marker, which would amputate
+    the outer plan if sliced first), THEN cut the outer Initial section.
+    KNOWN LIMIT: a DEEPLY-nested InMemoryRelation embeds its child at a
+    RESET indentation that defeats the depth-based skip — use _outer_nodes
+    (the JVM tree walk, same approach as tools/plan_audit.outer_nodes) for
+    assertions on cache-heavy plans."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     out, skip_depth = [], None
     for ln in plan.splitlines():
