@@ -5015,3 +5015,68 @@ def q_dedup_exact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_survivor"),
     )
+
+
+@register(
+    "q_vocab_bpe_merge_step",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks WHERE length(w) >= 2 GROUP BY w),
+    p AS (SELECT unnest([substring(w, i, 2)
+                         FOR i IN generate_series(1, length(w) - 1)]) AS pair, c
+          FROM wc),
+    pc AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n_pair FROM p GROUP BY pair),
+    top AS (SELECT pair, n_pair FROM pc ORDER BY n_pair DESC, pair LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_pair DESC, pair) AS INT) AS rank,
+           pair, n_pair
+    FROM top
+    """,
+)
+def q_vocab_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration's statistics — tokenizer TRAINING at
+    corpus scale (the companion to q_doc_token_stats' BPE-ish COUNTING and
+    q_vocab_topn_coverage's word-vocab induction): the top-20 adjacent
+    character pairs by corpus frequency, each word's pair multiset weighted
+    by the word's occurrence count. This is exactly what one Sennrich
+    merge step computes before fusing the argmax pair (all adjacent
+    positions counted, overlaps included — the textbook count); the
+    iterated form re-tokenizes with the merged symbol per step (a driver
+    loop, cf. q_embed_kmeans_iterate). Shape: the pair explode runs over
+    the DISTINCT-WORD table, not the corpus — a 100 TB corpus with a
+    10M-word vocabulary explodes 10M rows, not 10B; counts are integers
+    with pair-string tie-break (engine-decidable top-k), and the top-20
+    plans as TakeOrdered over the pair domain."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(20)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_pair"), F.asc("pair")))
+        .cast("int"),
+    ).select("rank", "pair", "n_pair")
