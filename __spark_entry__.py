@@ -261,9 +261,10 @@ _FRONT = [
 # bit-identical cross-engine), q_sample_weighted_group (per-group A-ES
 # quotas), q_quality_fk_audit (7-edge referential-integrity audit), and
 # q_dedup_exact_pipeline (prefix-join -> CC -> survivorship composition,
-# certified end to end), and q_vocab_bpe_merge_step (one Sennrich merge
-# step's pair statistics over the distinct-word table) — each local-t2
-# MATCH at sf0.01 AND sf0.001 on landing;
+# certified end to end), q_vocab_bpe_merge_step (one Sennrich merge
+# step's pair statistics over the distinct-word table), and
+# q_doc_pmi_cooccurrence (windowed PMI collocations via shifted equi-join)
+# — each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

@@ -5080,3 +5080,112 @@ def q_vocab_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("n_pair"), F.asc("pair")))
         .cast("int"),
     ).select("rank", "pair", "n_pair")
+
+
+@register(
+    "q_doc_pmi_cooccurrence",
+    oracle="""
+    WITH pt AS (
+      SELECT doc_id,
+             unnest([{'tok': tk[i], 'pos': i} FOR i IN generate_series(1, len(tk))],
+                    recursive := true)
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                               x -> x <> '') AS tk
+            FROM documents) d),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM pt GROUP BY tok),
+    pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM pt a JOIN pt b
+             ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+           GROUP BY a.tok, b.tok),
+    tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS n_tok,
+                   (SELECT CAST(SUM(n_ab) AS BIGINT) FROM pr) AS n_pair),
+    sc AS (SELECT tok_a, tok_b, n_ab,
+                  ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                            * CAST(n_tok AS DOUBLE))
+                           / (CAST(n_pair AS DOUBLE) * CAST(ua.n AS DOUBLE)
+                              * CAST(ub.n AS DOUBLE))), 6) AS pmi
+           FROM pr JOIN uni ua ON pr.tok_a = ua.tok
+                   JOIN uni ub ON pr.tok_b = ub.tok, tot
+           WHERE n_ab >= 5),
+    top AS (SELECT * FROM sc ORDER BY pmi DESC, tok_a, tok_b LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS INT) AS rank,
+           tok_a, tok_b, n_ab, CAST(pmi AS DOUBLE) AS pmi
+    FROM top
+    """,
+)
+def q_doc_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence: the top-20 forward token
+    pairs within a 3-position window, scored PMI = ln(p(a,b)/(p(a)p(b))) —
+    the word2vec-era corpus statistic behind collocation mining and
+    embedding-quality sanity checks. Scale shape: the window join is NOT a
+    per-doc quadratic range join — each position explodes to 3 (pos+k)
+    probes and pairs via a pure (doc_id, pos) EQUI-join; unigram marginals
+    join back from the vocab-sized count table and the two grand totals are
+    one-row broadcasts. Parity: counts are integers, PMI's one ln runs on an
+    identically-associated double expression, and ranking is
+    round-then-rank on the 6-digit PMI with (tok_a, tok_b) tie-break; the
+    n_ab >= 5 floor excludes rare-pair PMI noise (documented, fixed)."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    pt = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    ).persist()
+    pt.count()  # eager: three legs (unigrams + both sides of the pair join)
+    uni = pt.groupBy("tok").agg(F.count("*").cast("long").alias("n")).persist()
+    uni.count()  # eager: three legs (two marginal joins + grand total)
+    probes = pt.select(
+        "doc_id",
+        F.col("tok").alias("tok_a"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        F.col("pos"),
+    ).select("doc_id", "tok_a", (F.col("pos") + F.col("k")).alias("pos_b"))
+    pr = (
+        probes.join(
+            pt.select(
+                "doc_id", F.col("pos").alias("pos_b"), F.col("tok").alias("tok_b")
+            ),
+            ["doc_id", "pos_b"],
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .persist()
+    )
+    pr.count()  # eager: two legs (grand total + scoring)
+    n_tok = uni.agg(F.sum("n").cast("long").alias("n_tok"))
+    n_pair = pr.agg(F.sum("n_ab").cast("long").alias("n_pair"))
+    sc = (
+        pr.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))), "tok_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_ab").cast("double")
+                        * F.col("n_tok").cast("double")
+                        * F.col("n_tok").cast("double")
+                    )
+                    / (
+                        F.col("n_pair").cast("double")
+                        * F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = sc.orderBy(F.desc("pmi"), "tok_a", "tok_b").limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")))
+        .cast("int"),
+    ).select("rank", "tok_a", "tok_b", "n_ab", "pmi")
