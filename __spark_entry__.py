@@ -263,8 +263,10 @@ _FRONT = [
 # q_dedup_exact_pipeline (prefix-join -> CC -> survivorship composition,
 # certified end to end), q_vocab_bpe_merge_step (one Sennrich merge
 # step's pair statistics over the distinct-word table), and
-# q_doc_pmi_cooccurrence (windowed PMI collocations via shifted equi-join)
-# — each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
+# q_doc_pmi_cooccurrence (windowed PMI collocations via shifted equi-join),
+# q_doc_lexicon_stats (hapax/TTR lexicon health), and q_eval_auc_ranksum
+# (exact-midrank Mann-Whitney AUC) — each local-t2 MATCH at sf0.01 AND
+# sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

@@ -5189,3 +5189,137 @@ def q_doc_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")))
         .cast("int"),
     ).select("rank", "tok_a", "tok_b", "n_ab", "pmi")
+
+
+@register(
+    "q_doc_lexicon_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax_count,
+           CAST(COUNT(*) FILTER (WHERE n = 2) AS BIGINT) AS dis_count,
+           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS hapax_rate,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+                AS DOUBLE) AS type_token_ratio,
+           CAST(MAX(n) AS BIGINT) AS top_token_count
+    FROM cnt
+    """,
+)
+def q_doc_lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexicon diagnostics in one row: token mass, vocabulary size,
+    hapax/dis legomena counts (frequency-1/-2 types — the Good-Turing mass
+    that predicts unseen-vocabulary growth), hapax rate, corpus type-token
+    ratio, and the head token's count. The pre-tokenizer health check a
+    corpus build reads: a hapax rate drifting up means noisier text (or a
+    tokenizer splitting too aggressively); TTR collapsing means boilerplate
+    flooding. Shape: one explode -> one vocab-sized aggregate -> one row;
+    all integers plus two exact-integer divisions."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return cnt.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).cast("long").alias("hapax_count"),
+        F.count(F.when(F.col("n") == 2, 1)).cast("long").alias("dis_count"),
+        F.round(
+            F.count(F.when(F.col("n") == 1, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("hapax_rate"),
+        F.round(
+            F.count("*").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.max("n").alias("top_token_count"),
+    )
+
+
+@register(
+    "q_eval_auc_ranksum",
+    oracle="""
+    WITH s AS (SELECT n_chars AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+               FROM documents),
+    g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+          FROM s GROUP BY score),
+    r AS (SELECT n, p,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+          FROM g),
+    t AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                 CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg,
+                 SUM(CAST(p AS DOUBLE)
+                     * (CAST(cum_before AS DOUBLE)
+                        + (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+                          / CAST(2 AS DOUBLE))) AS u
+          FROM r)
+    SELECT n_pos, n_neg,
+           CAST(ROUND((u - CAST(n_pos AS DOUBLE)
+                           * (CAST(n_pos AS DOUBLE) + CAST(1 AS DOUBLE))
+                           / CAST(2 AS DOUBLE))
+                      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def q_eval_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum AUC (Mann-Whitney with midranks) — the model-eval metric a
+    data pipeline computes at corpus scale without per-row sorting tricks:
+    here, how well document length separates lang='en' from the rest
+    (AUC ~ 0.5 on this synthetic corpus: length carries no language signal —
+    the null-result value is itself the regression pin). Tie handling is
+    EXACT: scores group to the value domain, each group's midrank is
+    cum_before + (n+1)/2 — a dyadic rational — so the U statistic sums
+    exactly in a double regardless of aggregation order and both engines
+    produce identical AUC before the final 6-round. Shape: one group-by on
+    the score domain, one running-sum window over the DOMAIN-sized table
+    (quantize continuous scores first at 100 TB — documented), one row out."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = d.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    t = r.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p").cast("double")
+            * (
+                F.col("cum_before").cast("double")
+                + (F.col("n").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            )
+        ).alias("u"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("u")
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos").cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )
