@@ -265,7 +265,8 @@ _FRONT = [
 # step's pair statistics over the distinct-word table), and
 # q_doc_pmi_cooccurrence (windowed PMI collocations via shifted equi-join),
 # q_doc_lexicon_stats (hapax/TTR lexicon health), and q_eval_auc_ranksum
-# (exact-midrank Mann-Whitney AUC) — each local-t2 MATCH at sf0.01 AND
+# (exact-midrank Mann-Whitney AUC), and q_doc_negative_samples (md5
+# ring-offset contrastive negatives) — each local-t2 MATCH at sf0.01 AND
 # sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).

@@ -5323,3 +5323,79 @@ def q_eval_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "q_doc_negative_samples",
+    oracle="""
+    WITH n AS (SELECT MAX(doc_id) + 1 AS nn FROM documents),
+    a AS (SELECT doc_id AS anchor_id, source AS a_src FROM documents),
+    e AS (SELECT anchor_id, a_src, j,
+                 (anchor_id + 1
+                  + (CAST(('0x' || substr(md5('neg|' || CAST(anchor_id AS VARCHAR)
+                                           || '|' || CAST(j AS VARCHAR)), 1, 8))
+                          AS BIGINT) % (nn - 1))) % nn AS neg_id
+          FROM a, n, (SELECT unnest([0, 1, 2]) AS j) js)
+    SELECT e.anchor_id, CAST(e.j AS INT) AS j, e.neg_id,
+           CAST(d.source = e.a_src AS INT) AS same_source
+    FROM e JOIN documents d ON e.neg_id = d.doc_id
+    """,
+)
+def q_doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every doc
+    gets k=3 negatives chosen by the md5 gate over a RING offset —
+    neg = (anchor + 1 + hash(anchor,j) mod (N-1)) mod N — so a negative can
+    NEVER equal its anchor (offset in [1, N-1]) without any rejection loop,
+    and the pair set is a pure function of (salt, corpus size): stable
+    across repartitions, reproducible by any engine. Assumes a dense
+    0..N-1 id domain (true here; production assigns one with a stable
+    contiguous index — documented). same_source flags the in-domain
+    negatives a hard-negative miner would up-weight. Shape: the candidate
+    fan-out is scan-stage (one 3-element explode + hash arithmetic, N from
+    a one-row broadcast); the single shuffle is the neg_id equi-join that
+    fetches each negative's metadata."""
+    d = _t(spark, sf_dir, "documents")
+    nn = d.agg((F.max("doc_id") + 1).alias("nn"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    e = (
+        d.select(F.col("doc_id").alias("anchor_id"), F.col("source").alias("a_src"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "anchor_id",
+            "a_src",
+            "nn",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "a_src",
+            F.col("j").cast("int").alias("j"),
+            F.pmod(
+                F.col("anchor_id") + 1 + F.pmod(h, F.col("nn") - 1), F.col("nn")
+            ).alias("neg_id"),
+        )
+    )
+    return e.join(
+        d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("n_src")),
+        "neg_id",
+    ).select(
+        "anchor_id",
+        "j",
+        "neg_id",
+        (F.col("n_src") == F.col("a_src")).cast("int").alias("same_source"),
+    )
