@@ -5399,3 +5399,98 @@ def q_doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         (F.col("n_src") == F.col("a_src")).cast("int").alias("same_source"),
     )
+
+
+@register(
+    "q_eval_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_b,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s1a,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s2a,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'view') AS DOUBLE) AS s1b,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'view') AS DOUBLE) AS s2b
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    d AS (
+      SELECT n_a, n_b,
+             s1a / CAST(n_a AS DOUBLE) AS mean_a,
+             s1b / CAST(n_b AS DOUBLE) AS mean_b,
+             ((s2a - s1a * s1a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+               / CAST(n_a AS DOUBLE) AS sea,
+             ((s2b - s1b * s1b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+               / CAST(n_b AS DOUBLE) AS seb
+      FROM m)
+    SELECT n_a, n_b,
+           CAST(ROUND(mean_a, 6) AS DOUBLE) AS mean_a,
+           CAST(ROUND(mean_b, 6) AS DOUBLE) AS mean_b,
+           CAST(ROUND((mean_a - mean_b) / sqrt(sea + seb), 6) AS DOUBLE) AS t_stat,
+           CAST(ROUND((sea + seb) * (sea + seb)
+                      / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                         + seb * seb / CAST(n_b - 1 AS DOUBLE)), 6)
+                AS DOUBLE) AS welch_df
+    FROM d
+    """,
+)
+def q_eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts (purchase
+    vs view spend) — the A/B-metric readout a pipeline computes at corpus
+    scale, AUC's parametric sibling (H60): group means, the t statistic,
+    and the Welch-Satterthwaite degrees of freedom. Parity discipline: both
+    moments accumulate in DECIMAL (exact, order-independent — the money-sum
+    rule) and every downstream double expression is written with IDENTICAL
+    association in both engines; sqrt is IEEE-exact, so the 6-round never
+    sits on a cross-engine boundary. Shape: ONE conditional-aggregate pass
+    over one filtered scan (no per-group jobs), one row out."""
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    dv = F.col("value").cast("decimal(18,6)")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "view"
+    m = e.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, dv)).cast("double").alias("s1a"),
+        F.sum(F.when(is_a, dv * dv)).cast("double").alias("s2a"),
+        F.sum(F.when(is_b, dv)).cast("double").alias("s1b"),
+        F.sum(F.when(is_b, dv * dv)).cast("double").alias("s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = m.select(
+        "n_a",
+        "n_b",
+        (F.col("s1a") / na).alias("mean_a"),
+        (F.col("s1b") / nb).alias("mean_b"),
+        (
+            ((F.col("s2a") - F.col("s1a") * F.col("s1a") / na) / (na - F.lit(1.0)))
+            / na
+        ).alias("sea"),
+        (
+            ((F.col("s2b") - F.col("s1b") * F.col("s1b") / nb) / (nb - F.lit(1.0)))
+            / nb
+        ).alias("seb"),
+    )
+    se2 = F.col("sea") + F.col("seb")
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            se2
+            * se2
+            / (
+                F.col("sea") * F.col("sea") / (F.col("n_a").cast("double") - F.lit(1.0))
+                + F.col("seb") * F.col("seb") / (F.col("n_b").cast("double") - F.lit(1.0))
+            ),
+            6,
+        ).alias("welch_df"),
+    )

@@ -57,3 +57,48 @@ def test_auc_degenerate_cases(spark):
     assert _spark_auc(spark, perfect) == 1.0
     assert _spark_auc(spark, inverted) == 0.0
     assert _spark_auc(spark, all_tied) == 0.5
+
+
+def test_welch_ttest_matches_reference(spark):
+    """q_eval_welch_ttest's DECIMAL-moment formulation against a plain
+    Python Welch computation on known samples."""
+    import math
+
+    a = [10.0, 12.5, 11.0, 13.0, 9.5, 12.0]
+    b = [8.0, 9.0, 7.5, 8.5]
+    rows = [("purchase", v) for v in a] + [("view", v) for v in b]
+    d = spark.createDataFrame(rows, "event_type string, value double")
+    dv = F.col("value").cast("decimal(18,6)")
+    is_a, is_b = F.col("event_type") == "purchase", F.col("event_type") == "view"
+    m = d.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, dv)).cast("double").alias("s1a"),
+        F.sum(F.when(is_a, dv * dv)).cast("double").alias("s2a"),
+        F.sum(F.when(is_b, dv)).cast("double").alias("s1b"),
+        F.sum(F.when(is_b, dv * dv)).cast("double").alias("s2b"),
+    ).collect()[0]
+
+    def stats(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+        return n, mean, var
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    sea, seb = va / na, vb / nb
+    t_ref = (ma - mb) / math.sqrt(sea + seb)
+    df_ref = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+
+    mean_a = m["s1a"] / m["n_a"]
+    var_a = (m["s2a"] - m["s1a"] ** 2 / m["n_a"]) / (m["n_a"] - 1)
+    mean_b = m["s1b"] / m["n_b"]
+    var_b = (m["s2b"] - m["s1b"] ** 2 / m["n_b"]) / (m["n_b"] - 1)
+    got_t = (mean_a - mean_b) / math.sqrt(var_a / m["n_a"] + var_b / m["n_b"])
+    got_df = (var_a / m["n_a"] + var_b / m["n_b"]) ** 2 / (
+        (var_a / m["n_a"]) ** 2 / (m["n_a"] - 1)
+        + (var_b / m["n_b"]) ** 2 / (m["n_b"] - 1)
+    )
+    assert abs(got_t - t_ref) < 1e-9
+    assert abs(got_df - df_ref) < 1e-9
