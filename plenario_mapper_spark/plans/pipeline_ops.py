@@ -5494,3 +5494,52 @@ def q_eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "q_events_embargo_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-18' THEN 'train'
+                  WHEN CAST(ts AS DATE) < DATE '2024-01-20' THEN 'embargo'
+                  ELSE 'test' END AS split,
+             event_type, user_id, CAST(ts AS DATE) AS day
+      FROM events)
+    SELECT split, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM s GROUP BY split, event_type
+    """,
+)
+def q_events_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap — time-series leakage
+    hygiene (the temporal sibling of q_doc_leakage_safe_split's group-keyed
+    form): observations in the 2-day window before the test cutoff are
+    assigned to neither side, so features computed over trailing windows
+    (rolling sums, EWMA, session state) cannot straddle the boundary and
+    leak test-period signal into training rows. Fixed date literals (the
+    production shape: cutoffs are pinned run config, never derived from the
+    data being split); the manifest reports per-(split, event_type) volume,
+    user reach, and the day span PROVING the gap. Pure scan-stage CASE +
+    one aggregate — embarrassingly parallel."""
+    day = F.to_date("ts")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.when(day < F.lit("2024-01-18").cast("date"), "train")
+            .when(day < F.lit("2024-01-20").cast("date"), "embargo")
+            .otherwise("test")
+            .alias("split"),
+            "event_type",
+            "user_id",
+            day.alias("day"),
+        )
+        .groupBy("split", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
