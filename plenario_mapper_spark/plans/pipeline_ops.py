@@ -5543,3 +5543,158 @@ def q_events_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("max_day"),
         )
     )
+
+
+@register(
+    "q_doc_emd_length_drift",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id % 2 = 0 AS is_a, n_chars // 100 AS bucket FROM documents),
+    agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+            FROM agg),
+    c AS (
+      SELECT bucket, n_a, n_b,
+             SUM(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                 - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+               OVER (ORDER BY bucket) AS cdf_gap
+      FROM agg, tot)
+    SELECT bucket, n_a, n_b,
+           CAST(ROUND(cdf_gap, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS cdf_gap,
+           CAST(ROUND(abs(cdf_gap), 6) AS DOUBLE) AS emd_contrib
+    FROM c
+    """,
+)
+def q_doc_emd_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) drift between two corpus snapshots'
+    length distributions, completing the drift family's metric axes: PSI
+    weights by log-ratio (blind to WHERE mass moved), KS takes the single
+    worst ECDF gap, EMD integrates |ECDF gap| over the support — the metric
+    that distinguishes "mass shifted one band" from "mass shifted across
+    the whole range". Same fixed 100-char integer bands and even/odd
+    snapshot split as q_doc_psi_length_drift (the shared banding makes the
+    three metrics comparable on one dashboard); per-band rows carry the
+    signed cumulative gap AND its absolute contribution — summing
+    emd_contrib (x band width) IS the EMD, and the sign names the direction
+    of the shift. Parity: counts are integers, the running CDF gap is a sum
+    of exact-integer ratios rounded at the output grid. Scale: one scan,
+    one |buckets|-key shuffle; the window runs over the aggregated
+    |buckets|-row relation."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.floor(F.col("n_chars") / 100).cast("long").alias("bucket"),
+    )
+    agg = d.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("long").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("long").alias("n_b"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = agg.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum(
+            F.col("n_a").cast("double")
+            / F.sum("n_a").over(wt).cast("double")
+            - F.col("n_b").cast("double") / F.sum("n_b").over(wt).cast("double")
+        )
+        .over(wc)
+        .alias("cdf_gap"),
+    )
+    return c.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        # + 0.0 canonicalizes IEEE negative zero: the last band's gap is the
+        # full-distribution difference, mathematically 0 but computed as
+        # ~-1e-17 — ROUND keeps the sign and str(-0.0) != str(0.0)
+        (F.round("cdf_gap", 6) + F.lit(0.0)).alias("cdf_gap"),
+        F.round(F.abs("cdf_gap"), 6).alias("emd_contrib"),
+    )
+
+
+@register(
+    "q_doc_source_overlap",
+    oracle="""
+    WITH sg AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(CASE WHEN len(toks) >= 3
+                 THEN [array_to_string(toks[i:i+2], ' ')
+                       FOR i IN generate_series(1, len(toks) - 2)]
+                 ELSE [array_to_string(toks, ' ')] END) AS g
+        FROM (SELECT source,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS toks
+              FROM documents) t) u),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+    ov AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+           GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_common,
+           CAST(ROUND(CAST(n_common AS DOUBLE)
+                      / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                AS DOUBLE) AS jaccard
+    FROM ov JOIN sz sa ON ov.src_a = sa.source
+            JOIN sz sb ON ov.src_b = sb.source
+    """,
+)
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: trigram-shingle Jaccard between
+    every pair of SOURCES — the corpus-level companion to the doc-level
+    dedup family and the benchmark decontamination probe (H8 checks corpus
+    vs eval set; this checks the corpus's sources against EACH OTHER — the
+    signal that two 'independent' crawls share a mirror). Scale property
+    worth naming: grams dedupe to (source, gram) FIRST, so per-gram join
+    fan-out is bounded by the SOURCE COUNT (<= 20 here), never document
+    frequency — the d² gram-skew hazard of doc-level pair joins does not
+    exist at this granularity. Zero-overlap pairs are omitted (inner join;
+    absence = no shared trigram). Integer counts, one exact division."""
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh = make_shingles_udf(3)
+    d = DD._spread(_t(spark, sf_dir, "documents"))
+    sg = (
+        d.select("source", F.explode(sh(F.col("text"))).alias("g"))
+        .distinct()
+        .persist()
+    )
+    sg.count()  # eager: three legs (sizes + both sides of the pair join)
+    sz = sg.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    ov = (
+        sg.join(
+            sg.select(F.col("source").alias("src_b"), "g"),
+            ["g"],
+        )
+        .filter(F.col("source") < F.col("src_b"))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        ov.join(
+            F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
