@@ -269,8 +269,10 @@ _FRONT = [
 # ring-offset contrastive negatives), q_eval_welch_ttest (A/B Welch t
 # with DECIMAL-exact moments), q_events_embargo_split (temporal
 # train/test split with a leakage embargo gap), q_doc_emd_length_drift
-# (Wasserstein-1 drift on the PSI bands), and q_doc_source_overlap
-# (source-pair trigram contamination matrix) — each local-t2 MATCH at
+# (Wasserstein-1 drift on the PSI bands), q_doc_source_overlap
+# (source-pair trigram contamination matrix), q_doc_quantile_normalize
+# (exact-midrank within-group percentiles), and q_events_itemset_pairs
+# (market-basket support/confidence/lift) — each local-t2 MATCH at
 # sf0.01 AND sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).

@@ -5698,3 +5698,140 @@ def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_doc_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, n_chars),
+    r AS (
+      SELECT source, n_chars, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM g)
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(ROUND((CAST(r.cum_before AS DOUBLE)
+                       + (CAST(r.n AS DOUBLE) + CAST(1 AS DOUBLE))
+                         / CAST(2 AS DOUBLE))
+                      / CAST(r.n_src AS DOUBLE), 6) AS DOUBLE) AS pctl
+    FROM documents d JOIN r ON d.source = r.source AND d.n_chars = r.n_chars
+    """,
+)
+def q_doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group quantile (rank) normalization: every doc's length mapped
+    to its midrank percentile INSIDE its own source — the batch-effect
+    correction that makes a feature comparable across sources with wildly
+    different raw scales (the grouped, exact-tie sibling of q_group_zscore's
+    parametric form; same dyadic-midrank machinery as the AUC, H60).
+    Shape: ranks come from a (group x value-domain)-sized counted pass +
+    one group-partitioned running window — never a per-row sort — then one
+    equi-join back to the docs; midranks are dyadic rationals, so both
+    engines agree exactly before the output round."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("source")
+    wo = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "source",
+        "n_chars",
+        "n",
+        F.coalesce(F.sum("n").over(wo), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("n").over(wp).cast("long").alias("n_src"),
+    )
+    return d.select("doc_id", "source", "n_chars").join(
+        F.broadcast(r), ["source", "n_chars"]
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            (
+                F.col("cum_before").cast("double")
+                + (F.col("n").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            )
+            / F.col("n_src").cast("double"),
+            6,
+        ).alias("pctl"),
+    )
+
+
+@register(
+    "q_events_itemset_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    s1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY event_type),
+    p AS (SELECT a.event_type AS item_a, c.event_type AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type < c.event_type
+          GROUP BY a.event_type, c.event_type)
+    SELECT item_a, item_b, n_ab,
+           CAST(ROUND(CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                AS DOUBLE) AS support,
+           CAST(ROUND(CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+                AS DOUBLE) AS confidence_a_b,
+           CAST(ROUND((CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+                      / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6)
+                AS DOUBLE) AS lift
+    FROM p JOIN s1 sa ON p.item_a = sa.event_type
+           JOIN s1 sb ON p.item_b = sb.event_type, nu
+    """,
+)
+def q_events_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-2 frequent itemsets with association metrics — market-basket
+    analysis over user behavior (basket = the SET of event types a user
+    ever fired): pair support, confidence(a=>b), and lift. The Apriori
+    property is applied structurally: baskets dedupe to DISTINCT
+    (user, item) FIRST, so the pair join's per-user fan-out is bounded by
+    the ITEM-DOMAIN size (5 types -> <= 10 pairs/user), never the user's
+    raw event count — the same bounded-fan-out discipline as the
+    source-overlap matrix (H65). Marginals come from the item-domain-sized
+    singleton table; all metrics are exact-integer ratios with identical
+    association both engines."""
+    e = _events(spark, sf_dir)
+    b = e.select("user_id", "event_type").distinct().persist()
+    b.count()  # eager: three legs (singletons + both sides of the pair join)
+    nu = e.select("user_id").distinct().count()
+    s1 = b.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    p = (
+        b.join(
+            b.select("user_id", F.col("event_type").alias("item_b")), "user_id"
+        )
+        .filter(F.col("event_type") < F.col("item_b"))
+        .groupBy(F.col("event_type").alias("item_a"), "item_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    return (
+        p.join(
+            F.broadcast(s1.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(s1.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(float(nu)), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.lit(float(nu)))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
