@@ -173,3 +173,50 @@ def pagerank(
                 break
         ranks = new_ranks
     return ranks
+
+
+def bfs_khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Multi-source BFS: exact hop distance (<= k) from a seed SET over an
+    edge list — the reachability/blast-radius primitive (which parts sit
+    within 3 co-purchase hops of a recalled part; which users within 2
+    referral hops of a fraud cluster). Returns (node, d) with d = MIN hops,
+    seeds at 0; nodes beyond k hops are absent.
+
+    Frontier form, the only shape that survives scale: each hop joins ONLY
+    the newly-reached frontier against the edge list (cost ∝ edges touched
+    by the frontier, never |V| x k) and anti-joins the visited set so no
+    node re-expands. Lineage is truncated per hop (persist + eager count —
+    the connected-components discipline) so hop j's plan does not replay
+    hops 1..j-1.
+
+    `edges` is directed (a -> b); pass both orientations for an undirected
+    graph. `seeds` is any one-column relation of node ids."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    a, b = edges.columns[0], edges.columns[1]
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+        .persist()
+    )
+    dist.count()
+    frontier = dist.select("node")
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[a])
+            .select(F.col(b).alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("d", F.lit(hop))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt).persist()
+        new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("node")
+    return dist

@@ -5835,3 +5835,49 @@ def q_events_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q_graph_khop_distance",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+    seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 5),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT p.b, w.d + 1 FROM walk w JOIN p ON p.a = w.node WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS d FROM walk GROUP BY node
+    """,
+)
+def q_graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 3-hop BFS distances (graph.bfs_khop) over the part
+    co-purchase graph from the seed set {partkey < 5} — the
+    reachability/blast-radius primitive completing the graph family
+    (PageRank = global influence, triangles = local cohesion, CC = global
+    membership, BFS = exact proximity). The engine path is FRONTIER-based:
+    each hop joins only the newly-reached nodes against the edge list and
+    anti-joins the visited set, with lineage truncated per hop (the CC
+    discipline) — cost ∝ frontier-touched edges. The oracle recomputes via
+    a depth-bounded recursive CTE + MIN(d) — path-enumerating, quadratic in
+    walks, viable only at oracle scale. Distances are small integers; the
+    comparison is exact."""
+    from plenario_mapper_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b")),
+            "o",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    seeds = li.filter(F.col("l_partkey") < 5).select("l_partkey").distinct()
+    out = G.bfs_khop(pairs, seeds, k=3)
+    return out.select("node", F.col("d").cast("int").alias("d"))

@@ -90,3 +90,39 @@ def test_triangle_counts_skewed_hub(spark):
     df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_bfs_khop_exact_distances_on_known_graph(spark):
+    """graph.bfs_khop: hand-checkable path graph with a branch and an
+    unreachable island; k caps the radius."""
+    from plenario_mapper_spark.operators.graph import bfs_khop
+    from pyspark.sql import functions as F
+
+    # 1-2-3-4-5 path, branch 2-6; island 9-10
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (9, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["d"] for r in bfs_khop(edges, seeds, k=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2}
+    got3 = {r["node"]: r["d"] for r in bfs_khop(edges, seeds, k=3).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}
+    # multi-source takes the MIN over seeds
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got_ms = {r["node"]: r["d"] for r in bfs_khop(edges, seeds2, k=1).collect()}
+    assert got_ms == {1: 0, 5: 0, 2: 1, 4: 1}
+
+
+def test_bfs_khop_early_stop_and_validation(spark):
+    from plenario_mapper_spark.operators.graph import bfs_khop
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    # graph exhausts at hop 1; k=5 must terminate early with the same answer
+    got = {r["node"]: r["d"] for r in bfs_khop(edges, seeds, k=5).collect()}
+    assert got == {1: 0, 2: 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        bfs_khop(edges, seeds, k=-1)
