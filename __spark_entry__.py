@@ -272,9 +272,10 @@ _FRONT = [
 # (Wasserstein-1 drift on the PSI bands), q_doc_source_overlap
 # (source-pair trigram contamination matrix), q_doc_quantile_normalize
 # (exact-midrank within-group percentiles), q_events_itemset_pairs
-# (market-basket support/confidence/lift), and q_graph_khop_distance
-# (frontier BFS distances vs the recursive-CTE oracle) — each local-t2
-# MATCH at sf0.01 AND sf0.001 on landing;
+# (market-basket support/confidence/lift), q_graph_khop_distance
+# (frontier BFS distances vs the recursive-CTE oracle), and
+# q_doc_feature_hashing (zero-state hashing-trick featurizer) — each
+# local-t2 MATCH at sf0.01 AND sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

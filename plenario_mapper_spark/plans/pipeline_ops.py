@@ -5881,3 +5881,56 @@ def q_graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = li.filter(F.col("l_partkey") < 5).select("l_partkey").distinct()
     out = G.bfs_khop(pairs, seeds, k=3)
     return out.select("node", F.col("d").cast("int").alias("d"))
+
+
+@register(
+    "q_doc_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('fh|' || tok), 1, 8)) AS BIGINT) % 32 AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5('fs|' || tok), 1, 8)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks)
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    HAVING SUM(sgn) <> 0
+    """,
+)
+def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): every doc featurized
+    into a FIXED 32-bucket signed-count vector with no vocabulary pass at
+    all — bucket and sign are pure md5 functions of the token, so the
+    featurizer needs zero fitted state, works identically on stream and
+    batch, and any engine reproduces the exact vectors (the property that
+    lets a Spark-built training set and an online scorer agree). The signed
+    second hash makes collisions cancel in expectation (the unbiased-kernel
+    trick); exact zero-sum buckets are dropped for sparse semantics
+    (documented). Shape: one explode + scan-stage hashing + one
+    (doc, bucket) aggregate — embarrassingly parallel, integers only."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+
+    def _h32(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("tok"))), 1, 8), 16, 10
+        ).cast("long")
+
+    h = toks.select(
+        "doc_id",
+        F.pmod(_h32("fh|"), F.lit(32)).cast("int").alias("bucket"),
+        F.when(F.pmod(_h32("fs|"), F.lit(2)) == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
