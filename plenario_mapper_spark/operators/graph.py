@@ -187,7 +187,11 @@ def bfs_khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     by the frontier, never |V| x k) and anti-joins the visited set so no
     node re-expands. Lineage is truncated per hop (persist + eager count —
     the connected-components discipline) so hop j's plan does not replay
-    hops 1..j-1.
+    hops 1..j-1. Per-hop persists are frontier-sized and deliberately NOT
+    manually unpersisted: inside a registry build the cache tracker owns
+    them (plans/registry.release_query_caches releases exactly the tracked
+    set — a manual unpersist would leave the tracker holding dead entries),
+    and outside one they die with the session.
 
     `edges` is directed (a -> b); pass both orientations for an undirected
     graph. `seeds` is any one-column relation of node ids."""
@@ -212,11 +216,9 @@ def bfs_khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
             .persist()
         )
         if nxt.count() == 0:
-            nxt.unpersist()
             break
         new_dist = dist.unionByName(nxt).persist()
         new_dist.count()
-        dist.unpersist()
         dist = new_dist
         frontier = nxt.select("node")
     return dist
