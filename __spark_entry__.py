@@ -273,9 +273,10 @@ _FRONT = [
 # (source-pair trigram contamination matrix), q_doc_quantile_normalize
 # (exact-midrank within-group percentiles), q_events_itemset_pairs
 # (market-basket support/confidence/lift), q_graph_khop_distance
-# (frontier BFS distances vs the recursive-CTE oracle), and
-# q_doc_feature_hashing (zero-state hashing-trick featurizer) — each
-# local-t2 MATCH at sf0.01 AND sf0.001 on landing;
+# (frontier BFS distances vs the recursive-CTE oracle),
+# q_doc_feature_hashing (zero-state hashing-trick featurizer), and
+# q_audit_benford_digits (first-digit forensics vs inlined Benford
+# constants) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
 # a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
 # landing, and a final full sweep re-ran at session close (see PERF_NOTES).
 #

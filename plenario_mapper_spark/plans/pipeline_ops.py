@@ -5934,3 +5934,74 @@ def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@register(
+    "q_audit_benford_digits",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+    bf(digit, p) AS (VALUES (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT bf.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+           CAST(ROUND(bf.p, 6) AS DOUBLE) AS benford_p,
+           CAST(ROUND(CAST(tot.n AS DOUBLE) * bf.p, 6) AS DOUBLE) AS expected,
+           CAST(ROUND((CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                       - CAST(tot.n AS DOUBLE) * bf.p)
+                      * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                         - CAST(tot.n AS DOUBLE) * bf.p)
+                      / (CAST(tot.n AS DOUBLE) * bf.p), 6) AS DOUBLE) AS chi2_contrib
+    FROM bf LEFT JOIN obs ON bf.digit = obs.digit, tot
+    """,
+)
+def q_audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the data-forensics
+    member of the quality family (constraints catch rule violations, drift
+    catches distribution movement; Benford catches FABRICATION — invented
+    numbers have uniform-ish leading digits, organic multiplicative ones
+    follow log10(1+1/d)): per-digit observed counts, Benford expectation,
+    and chi-square contributions naming the suspicious digits. Parity: the
+    first digit extracts from the INTEGER cents string (no log10 on data,
+    no float-format dependence); the nine Benford probabilities are
+    10-digit literals generated once in Python and inlined IDENTICALLY into
+    both engines, so the only float math is identically-associated
+    arithmetic on exact counts. One scan, one 9-key aggregate, a 9-row
+    constant join. (The synthetic uniform prices WON'T follow Benford —
+    large chi2 here is the correct answer, and it is the same large value
+    in both engines.)"""
+    digit = F.substring(
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    bf = spark.createDataFrame(
+        [(1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)], "digit int, p double"
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    dev = F.col("n_obs").cast("double") - F.col("n").cast("double") * F.col("p")
+    return (
+        bf.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round("p", 6).alias("benford_p"),
+            F.round(F.col("n").cast("double") * F.col("p"), 6).alias("expected"),
+            F.round(
+                dev * dev / (F.col("n").cast("double") * F.col("p")), 6
+            ).alias("chi2_contrib"),
+        )
+    )
