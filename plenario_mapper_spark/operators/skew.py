@@ -78,3 +78,79 @@ def salted_collect_list(
         partial.groupBy(*keys)
         .agg(F.flatten(F.collect_list("_part")).alias("values"))
     )
+
+
+def key_skew_audit(df: DataFrame, key: str | Column, top_k: int = 10) -> DataFrame:
+    """Key-distribution skew DIAGNOSIS — the measurement you run before
+    choosing a join/partitioning strategy (the helpers above are the cure;
+    this is the X-ray). One row of concentration statistics over the key
+    histogram:
+
+    - n_rows / n_keys / max_count — raw shape (max/avg is the naive
+      "hottest reducer vs mean" ratio);
+    - top1_share / topk_share — mass held by the hottest key(s): the
+      broadcast-vs-salt decision reads exactly this;
+    - hhi — Herfindahl–Hirschman index Σ(c_i/N)², the economist's
+      concentration scalar (1/n_keys = uniform, →1 = one key owns it);
+    - gini — Gini coefficient of the count distribution via the exact
+      rank formula G = 2·Σ(i·c_(i))/(n·N) − (n+1)/n over ascending-sorted
+      counts (tie order cannot change the sum: equal values contribute
+      c·Σi over any permutation of their rank block).
+
+    Scale shape: ONE map-side-combined groupBy reduces the corpus to the
+    key DOMAIN; every statistic after that runs on histogram rows, never
+    raw rows — the aggregate pass, a TakeOrdered top-k, and the Gini rank
+    (one domain-sized sort, the only non-trivial stage; documented as the
+    price of an exact Gini). Parity: every statistic is exact-integer
+    arithmetic until one final double division, so cross-engine values are
+    bit-identical before rounding; +0.0 canonicalizes the −0.0 a uniform
+    histogram's gini rounds to.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.alias("key")).agg(F.count("*").cast("long").alias("c"))
+    counts = counts.persist()
+    counts.count()
+
+    base = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_sumsq"),
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("key").asc())
+        .limit(top_k)
+        .agg(F.sum("c").cast("long").alias("_topk"))
+    )
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "_i", F.row_number().over(Window.orderBy(F.col("c").asc(), F.col("key").asc()))
+    )
+    gini_sum = ranked.agg(F.sum(F.col("_i") * F.col("c")).cast("long").alias("_ic"))
+
+    n = F.col("n_rows").cast("double")
+    nk = F.col("n_keys").cast("double")
+    return (
+        base.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(gini_sum))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_count",
+            F.round(F.col("max_count").cast("double") / n * nk, 6).alias(
+                "max_over_avg"
+            ),
+            F.round(F.col("max_count").cast("double") / n, 6).alias("top1_share"),
+            F.round(F.col("_topk").cast("double") / n, 6).alias("topk_share"),
+            F.round(F.col("_sumsq").cast("double") / (n * n), 6).alias("hhi"),
+            (
+                F.round(
+                    F.lit(2.0) * F.col("_ic").cast("double") / (nk * n)
+                    - (nk + F.lit(1.0)) / nk,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gini"),
+        )
+    )

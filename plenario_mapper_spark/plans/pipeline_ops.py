@@ -6005,3 +6005,55 @@ def q_audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+@register(
+    "q_skew_key_audit",
+    oracle="""
+    WITH c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id),
+    base AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys,
+                    CAST(MAX(c) AS BIGINT) AS max_count,
+                    CAST(SUM(c * c) AS BIGINT) AS sumsq
+             FROM c),
+    top AS (SELECT CAST(SUM(c) AS BIGINT) AS topk
+            FROM (SELECT c FROM c ORDER BY c DESC, key ASC LIMIT 10)),
+    g AS (SELECT CAST(SUM(i * c) AS BIGINT) AS ic
+          FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, key ASC) AS i
+                FROM c))
+    SELECT n_rows, n_keys, max_count,
+           CAST(ROUND(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                      * CAST(n_keys AS DOUBLE), 6) AS DOUBLE) AS max_over_avg,
+           CAST(ROUND(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                AS DOUBLE) AS top1_share,
+           CAST(ROUND(CAST(topk AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                AS DOUBLE) AS topk_share,
+           CAST(ROUND(CAST(sumsq AS DOUBLE)
+                      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
+                AS DOUBLE) AS hhi,
+           CAST(ROUND(CAST(2 AS DOUBLE) * CAST(ic AS DOUBLE)
+                      / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                      - (CAST(n_keys AS DOUBLE) + CAST(1 AS DOUBLE))
+                        / CAST(n_keys AS DOUBLE), 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS gini
+    FROM base, top, g
+    """,
+)
+def q_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew audit over the event stream's user key — the
+    measurement a 100 TB job runs BEFORE committing to a partitioning: the
+    broadcast-vs-salt-vs-AQE decision reads top1_share/topk_share, the
+    "hottest reducer vs mean" ratio is max_over_avg, and HHI/Gini summarize
+    concentration for dashboards and round-over-round drift alarms (a
+    rising Gini on the join key predicts tomorrow's straggler). One
+    map-side-combined groupBy reduces the corpus to its key DOMAIN;
+    everything downstream runs on histogram rows only (one aggregate, one
+    TakeOrdered top-10, one domain-sized rank for the exact Gini —
+    documented as exact-Gini's price). All statistics are exact integers
+    until a final double division (engine-exact); tie order inside the
+    Gini rank cannot change the sum (equal counts contribute c·Σi over any
+    permutation of their rank block)."""
+    from plenario_mapper_spark.operators.skew import key_skew_audit
+
+    return key_skew_audit(_events(spark, sf_dir), "user_id", top_k=10)

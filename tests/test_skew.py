@@ -266,3 +266,45 @@ def test_weighted_resample_updown_semantics(spark):
     a = sorted(map(tuple, out.select("k", "copy_idx").collect()))
     b = sorted(map(tuple, out2.select("k", "copy_idx").collect()))
     assert a == b
+
+
+def _audit_row(spark, rows):
+    d = spark.createDataFrame(rows, "k string")
+    return SK.key_skew_audit(d, "k", top_k=2).collect()[0]
+
+
+def test_key_skew_audit_uniform_histogram(spark):
+    """Uniform counts: gini exactly 0, hhi exactly 1/n_keys."""
+    r = _audit_row(spark, [(k,) for k in "aabbccdd"])
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (8, 4, 2)
+    assert r["gini"] == 0.0 and str(r["gini"]) == "0.0"  # -0.0 canonicalized
+    assert r["hhi"] == 0.25
+    assert r["max_over_avg"] == 1.0
+    assert r["top1_share"] == 0.25
+    assert r["topk_share"] == 0.5
+
+
+def test_key_skew_audit_matches_python_reference(spark):
+    """Skewed histogram vs an independently-coded reference."""
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [("c",)] * 10 + [("d",)] * 4 + [("e",)]
+    r = _audit_row(spark, rows)
+    counts = sorted([60, 25, 10, 4, 1])
+    n_tot, n_keys = sum(counts), len(counts)
+    hhi = sum(c * c for c in counts) / (n_tot * n_tot)
+    gini = 2.0 * sum(i * c for i, c in enumerate(counts, 1)) / (
+        n_keys * n_tot
+    ) - (n_keys + 1) / n_keys
+    assert r["n_rows"] == n_tot and r["n_keys"] == n_keys
+    assert r["max_count"] == 60
+    assert abs(r["hhi"] - hhi) < 1e-6
+    assert abs(r["gini"] - gini) < 1e-6
+    assert r["top1_share"] == 0.6
+    assert r["topk_share"] == 0.85  # top_k=2 -> 60 + 25
+
+
+def test_key_skew_audit_gini_tie_order_invariant(spark):
+    """Equal counts occupy a rank block; any within-block order yields the
+    same sum(i*c) — append order must not change the audit."""
+    a = _audit_row(spark, [(k,) for k in "abcabcab"])
+    b = _audit_row(spark, [(k,) for k in "bacbacba"])
+    assert tuple(a) == tuple(b)
