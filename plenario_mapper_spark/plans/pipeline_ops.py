@@ -6057,3 +6057,64 @@ def q_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plenario_mapper_spark.operators.skew import key_skew_audit
 
     return key_skew_audit(_events(spark, sf_dir), "user_id", top_k=10)
+
+
+@register(
+    "q_privacy_k_anonymity",
+    oracle="""
+    WITH cents AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+               AS bal_cents
+      FROM customer),
+    banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             (bal_cents - ((bal_cents % 100000 + 100000) % 100000)) // 100000
+               AS bal_band
+      FROM cents),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l
+      FROM banded GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(n) AS DOUBLE), 6) AS DOUBLE) AS risk_rate,
+           CAST(MIN(l) AS BIGINT) AS min_l_diversity,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_l
+    FROM classes
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a planned customer release — the
+    STRUCTURED-data privacy check beside the text path's PII redaction:
+    quasi-identifiers (nation, market segment) define equivalence classes;
+    the audit reports the k the release actually achieves, the rows that
+    would need suppression/generalization to reach k=5, and the minimum
+    l-diversity of the sensitive attribute (account balance banded to
+    1000-currency-unit bands). Sensitive banding is EXACT integer floor
+    division on cents ((x − pmod(x,b)) div b — truncating div equals
+    flooring // once the numerator is exactly divisible, the
+    negative-balance parity rule); everything else is exact integers except
+    one final double division. One class-domain groupBy + one single-row
+    aggregate."""
+    from plenario_mapper_spark.operators.privacy import k_anonymity_audit
+
+    cents = (
+        F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+    )
+    band = (
+        (cents - F.pmod(cents, F.lit(100000))) / F.lit(100000)
+    ).cast("long")
+    c = _t(spark, sf_dir, "customer").withColumn("bal_band", band)
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
+    )
