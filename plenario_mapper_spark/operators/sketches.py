@@ -126,3 +126,72 @@ def kmv_overlap_stats(
         est_j.alias("est_jaccard"),
         (est_j * est_union).alias("est_intersect"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J.Alg'05): point-frequency
+# estimates with a ONE-SIDED error — est >= true always (a theorem, not a
+# tendency: every occurrence of a key lands in all d of its cells), and the
+# overcount is bounded by (e/w)·N with probability 1−e^−d. The directional
+# complement to Misra–Gries (operators/frequency.py), whose estimates only
+# UNDERcount: together they bracket the true frequency from both sides.
+#
+# 100 TB shape: the token stream first collapses map-side to its VOCAB
+# domain (token, count); the d-way explode runs over vocab rows, never the
+# corpus, and the sketch itself is a CONSTANT d×w cell table (KBs) that
+# broadcasts to any probe. Determinism: md5 row hashes (the KMV/sampling
+# discipline) so the DuckDB oracle reproduces cells, estimates, and
+# overcounts bit for bit — full value parity, not certification-only.
+# --------------------------------------------------------------------------
+
+
+def cm_cell(key: Column, row: int, width: int) -> Column:
+    """Row `row`'s cell index for `key`: first 8 md5 hex digits mod width."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cm{row}|"), key)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cm_build(weighted_keys: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Sketch (j, cell, total) from a (key, c) weighted-domain table —
+    callers pass the map-side-combined histogram, not raw rows."""
+    entries = weighted_keys.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cm_cell(F.col("key"), j, width).alias("cell")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("c", F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+    return entries.groupBy("j", "cell").agg(F.sum("c").cast("long").alias("total"))
+
+
+def cm_estimate(
+    queries: DataFrame, sketch: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """min-over-rows point estimates for a (key,) query table: joins the
+    constant-size sketch (broadcastable by construction) on (j, cell)."""
+    probes = queries.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cm_cell(F.col("key"), j, width).alias("cell")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("key", F.col("e.j").alias("j"), F.col("e.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("key")
+        .agg(F.min("total").cast("long").alias("cm_est"))
+    )

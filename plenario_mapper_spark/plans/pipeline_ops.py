@@ -6118,3 +6118,81 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         c, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
     )
+
+
+@register(
+    "q_doc_count_min",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v),
+    cells AS (
+      SELECT tok, c, j,
+             CAST(('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || tok),
+                                  1, 8)) AS BIGINT) % 256 AS cell
+      FROM v, (SELECT unnest([0, 1, 2, 3]) AS j)),
+    sk AS (SELECT j, cell, CAST(SUM(c) AS BIGINT) AS total
+           FROM cells GROUP BY j, cell),
+    q AS (SELECT tok, c FROM v ORDER BY c DESC, tok ASC LIMIT 20),
+    est AS (
+      SELECT q.tok, q.c, CAST(MIN(s.total) AS BIGINT) AS cm_est
+      FROM q JOIN cells ce ON ce.tok = q.tok
+             JOIN sk s ON s.j = ce.j AND s.cell = ce.cell
+      GROUP BY q.tok, q.c)
+    SELECT tok AS token, c AS true_count, cm_est,
+           cm_est - c AS overcount,
+           CAST(CASE WHEN cm_est >= c THEN 1 ELSE 0 END AS INT) AS never_under,
+           CAST(CASE WHEN (cm_est - c) * 256 <= 3 * tot.n THEN 1 ELSE 0 END
+                AS INT) AS within_3w_bound
+    FROM est, tot
+    """,
+)
+def q_doc_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for the corpus's top-20
+    tokens — the ONE-SIDED complement to Misra–Gries (q_doc_heavy_hitters):
+    CM never undercounts (every occurrence lands in all d of a key's
+    cells — emitted as the never_under theorem bit), MG never overcounts;
+    together they bracket the truth. Sketch: d=4 md5 hash rows × w=256
+    cells built from the VOCAB-domain histogram (the corpus collapses
+    map-side first; the d-way explode runs over distinct tokens only), a
+    constant d×w table that broadcasts to the probe join. The within_3w_bound
+    bit checks the Markov guarantee overcount ≤ (e/w)·N in exact-integer
+    form (overcount·w ≤ 3·N, 3 ≥ e). Deterministic hashes → the oracle
+    reproduces cells and estimates bit for bit: full value parity, stronger
+    than certification. Top-20 membership is integer-ranked (count desc,
+    token asc) — engine-decidable."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+    from plenario_mapper_spark.operators.sketches import cm_build, cm_estimate
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("key"))
+    vocab = toks.groupBy("key").agg(F.count("*").cast("long").alias("c"))
+    vocab = vocab.persist()
+    vocab.count()
+
+    sketch = cm_build(vocab, depth=4, width=256)
+    queries = vocab.orderBy(F.col("c").desc(), F.col("key").asc()).limit(20)
+    total = vocab.agg(F.sum("c").cast("long").alias("n"))
+    est = cm_estimate(queries.select("key"), sketch, depth=4, width=256)
+    return (
+        queries.join(est, "key")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("key").alias("token"),
+            F.col("c").alias("true_count"),
+            "cm_est",
+            (F.col("cm_est") - F.col("c")).alias("overcount"),
+            F.when(F.col("cm_est") >= F.col("c"), 1).otherwise(0).cast("int").alias(
+                "never_under"
+            ),
+            F.when(
+                (F.col("cm_est") - F.col("c")) * F.lit(256) <= F.lit(3) * F.col("n"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("within_3w_bound"),
+        )
+    )

@@ -113,3 +113,60 @@ def test_jaccard_estimate_tracks_true_overlap(spark):
 def test_k_validation():
     with pytest.raises(ValueError):
         SK.kmv_sketch(None, "key", 1)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _py_cm(counts: dict, depth=4, width=16):
+    """Independent reference: same md5 cell derivation, plain dicts."""
+    import hashlib
+
+    cells = {}
+    for tok, c in counts.items():
+        for j in range(depth):
+            h = int(hashlib.md5(f"cm{j}|{tok}".encode()).hexdigest()[:8], 16)
+            key = (j, h % width)
+            cells[key] = cells.get(key, 0) + c
+    est = {}
+    for tok in counts:
+        vals = []
+        for j in range(depth):
+            h = int(hashlib.md5(f"cm{j}|{tok}".encode()).hexdigest()[:8], 16)
+            vals.append(cells[(j, h % width)])
+        est[tok] = min(vals)
+    return est
+
+
+def test_count_min_matches_python_reference_and_never_undercounts(spark):
+    from plenario_mapper_spark.operators.sketches import cm_build, cm_estimate
+
+    # Zipf-ish histogram over a vocab (40) far wider than the cells (16):
+    # collisions are guaranteed, the one-sided error must still hold.
+    counts = {f"tok{i:02d}": max(1, 400 // (i + 1)) for i in range(40)}
+    dom = spark.createDataFrame(list(counts.items()), "key string, c long")
+    sketch = cm_build(dom, depth=4, width=16)
+    est = {
+        r["key"]: r["cm_est"]
+        for r in cm_estimate(dom.select("key"), sketch, depth=4, width=16).collect()
+    }
+    ref = _py_cm(counts, depth=4, width=16)
+    assert est == ref
+    assert all(est[t] >= c for t, c in counts.items())
+    # collisions actually happened (else the test proves nothing)
+    assert any(est[t] > c for t, c in counts.items())
+
+
+def test_count_min_exact_when_no_collisions(spark):
+    from plenario_mapper_spark.operators.sketches import cm_build, cm_estimate
+
+    counts = {"a": 5, "b": 3}
+    dom = spark.createDataFrame(list(counts.items()), "key string, c long")
+    sketch = cm_build(dom, depth=4, width=4096)
+    est = {
+        r["key"]: r["cm_est"]
+        for r in cm_estimate(dom.select("key"), sketch, depth=4, width=4096).collect()
+    }
+    # two keys in 4096 cells x 4 independent rows: a shared cell in EVERY
+    # row is impossible unless md5 collides 4x — estimates are exact
+    assert est == counts
