@@ -6196,3 +6196,107 @@ def q_doc_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_3w_bound"),
         )
     )
+
+
+@register(
+    "q_eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y,
+             (CAST(('0x' || substr(md5('cal|' || CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 * 2
+              + CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END * 1000) // 3 AS p_m
+      FROM embeddings),
+    b AS (
+      SELECT p_m // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_m) AS BIGINT) AS sum_pm, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY p_m // 100),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM b),
+    g AS (
+      SELECT CAST(bin AS INT) AS bin, n, n_pos,
+             CAST(sum_pm AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE))
+               AS conf,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+             CAST(n AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+               * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(sum_pm AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE))) AS contrib
+      FROM b, tot),
+    e AS (SELECT SUM(contrib) AS ece FROM g)
+    SELECT bin, n, n_pos,
+           CAST(ROUND(conf, 6) AS DOUBLE) AS mean_confidence,
+           CAST(ROUND(acc, 6) AS DOUBLE) AS observed_rate,
+           CAST(ROUND(abs(acc - conf), 6) AS DOUBLE) AS abs_gap,
+           CAST(ROUND(contrib, 6) AS DOUBLE) AS ece_contrib,
+           CAST(ROUND(e.ece, 6) AS DOUBLE) AS ece_total
+    FROM g, e
+    """,
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error — the third member
+    of the model-eval family (AUC ranks, Welch compares groups; calibration
+    asks whether a score of 0.7 MEANS 70%): scores bucket into 10
+    fixed-width probability bins, each reporting mean predicted confidence
+    vs observed positive rate, the |gap|, its mass-weighted ECE
+    contribution, and the pooled ECE. The 'model' is a deterministic
+    md5-noise score in integer MILLI-units mixed 2:1 with the label
+    (p_m = (2·noise + 1000·y) div 3 — a mediocre, miscalibrated model by
+    construction), so BIN MEMBERSHIP is decided in exact integer arithmetic
+    (no float-boundary straddle possible) and both engines bucket
+    identically; doubles appear only in the final per-bin ratios with
+    identical association. Shape: one scan, one ≤10-key aggregate, a
+    one-row ECE broadcast. ECE sums ≤10 nonneg terms ascending-magnitude
+    independent — the one unordered double sum is over ≤10 bin rows whose
+    values are identical in both engines, summed by DuckDB/Spark in
+    whatever order: gap values are ~0.1-scale and 10 terms, so the
+    worst-case reassociation error (~1e-16) sits 10 orders under the 1e-6
+    rounding grid."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cal|"), F.col("vec_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    y = F.when(F.pmod(F.col("label"), F.lit(2)) == 1, 1).otherwise(0)
+    p_m = (F.pmod(h, F.lit(1000)) * 2 + y * 1000).cast("long")
+    p_m = ((p_m - F.pmod(p_m, F.lit(3))) / 3).cast("long")
+    scored = _t(spark, sf_dir, "embeddings").select(
+        y.alias("y"), p_m.alias("p_m")
+    )
+    b = scored.groupBy((F.col("p_m") / 100).cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p_m").cast("long").alias("sum_pm"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    # p_m // 100: nonnegative, so truncating integer division == floor in
+    # both engines (and Spark's `/`+cast truncates the exact .xx remainder
+    # identically — p_m is < 2^53 so the double quotient is exact enough to
+    # truncate correctly for nonneg ints under 1e15)
+    tot = b.agg(F.sum("n").cast("long").alias("n_all"))
+    n, sum_pm, n_pos = (F.col(c).cast("double") for c in ("n", "sum_pm", "n_pos"))
+    conf = sum_pm / (n * F.lit(1000.0))
+    acc = n_pos / n
+    contrib = n / F.col("n_all").cast("double") * F.abs(acc - conf)
+    g = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            "n_pos",
+            conf.alias("_conf"),
+            acc.alias("_acc"),
+            contrib.alias("_contrib"),
+        )
+        .persist()
+    )
+    g.count()
+    e = g.agg(F.sum("_contrib").alias("ece"))
+    return g.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("_conf", 6).alias("mean_confidence"),
+        F.round("_acc", 6).alias("observed_rate"),
+        F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("abs_gap"),
+        F.round("_contrib", 6).alias("ece_contrib"),
+        F.round("ece", 6).alias("ece_total"),
+    )

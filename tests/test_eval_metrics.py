@@ -102,3 +102,41 @@ def test_welch_ttest_matches_reference(spark):
     )
     assert abs(got_t - t_ref) < 1e-9
     assert abs(got_df - df_ref) < 1e-9
+
+
+def test_calibration_bins_match_python_reference(spark):
+    """q_eval_calibration_bins vs an independently-coded reference over the
+    same parquet: bin populations, confidences, observed rates, and ECE."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pylist()
+    bins = {}
+    for r in t:
+        y = 1 if r["label"] % 2 == 1 else 0
+        h = int(hashlib.md5(f"cal|{r['vec_id']}".encode()).hexdigest()[:8], 16)
+        p_m = (h % 1000 * 2 + y * 1000) // 3
+        b = bins.setdefault(p_m // 100, [0, 0, 0])
+        b[0] += 1
+        b[1] += p_m
+        b[2] += y
+    n_all = sum(b[0] for b in bins.values())
+    ece = sum(
+        b[0] / n_all * abs(b[2] / b[0] - b[1] / (b[0] * 1000.0))
+        for b in bins.values()
+    )
+    got = {r["bin"]: r for r in QUERIES["q_eval_calibration_bins"](spark, sf).collect()}
+    assert set(got) == set(bins)
+    for k, (n, sum_pm, n_pos) in bins.items():
+        r = got[k]
+        assert r["n"] == n and r["n_pos"] == n_pos
+        assert abs(r["mean_confidence"] - sum_pm / (n * 1000.0)) < 1e-6
+        assert abs(r["observed_rate"] - n_pos / n) < 1e-6
+        assert abs(r["ece_total"] - ece) < 1e-6
+    # the synthetic model is miscalibrated by construction — the metric
+    # must SAY so (a flat-zero ECE here would mean the gap column is broken)
+    assert ece > 0.01
