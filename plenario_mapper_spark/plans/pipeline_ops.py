@@ -6300,3 +6300,82 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_contrib", 6).alias("ece_contrib"),
         F.round("ece", 6).alias("ece_total"),
     )
+
+
+@register(
+    "q_events_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS s
+           FROM daily),
+    dev AS (SELECT d, CAST(st.nn * x - st.s AS HUGEINT) AS v FROM daily, st),
+    den AS (SELECT SUM(v * v) AS den FROM dev),
+    num AS (
+      SELECT k.k AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(a.v * b.v) AS num
+      FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) k
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.d = a.d + k.k
+      GROUP BY k.k)
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           CAST(ROUND(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS acf
+    FROM num, den
+    """,
+)
+def q_events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1–7 — the
+    periodicity X-ray of the time-series diagnostics family (CUSUM detects
+    sustained shifts, EWMA denoises the level; ACF answers 'is there a
+    weekly rhythm, and how sticky is yesterday'): a spike at lag 7 is
+    weekly seasonality, slow decay is trend — exactly what you check
+    before picking forecast features or a seasonal baseline. Exactness:
+    with S = Σx and N days, r_k = Σ(N·x_t − S)(N·x_{t+k} − S) /
+    Σ(N·x_t − S)² — multiplying the classic estimator through by N²
+    clears the rational mean, so numerator and denominator are EXACT
+    integers (DECIMAL/HUGEINT accumulation — no overflow at any corpus
+    scale) and the one double division is the only float op. Shape: one
+    map-side-combined day-grain aggregate reduces the corpus to its
+    calendar domain; the 7 lag joins are integer-day equi-joins on
+    calendar rows; missing days simply contribute no pair (documented).
+    Lag pairing never touches raw events."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    st = daily.agg(
+        F.count("*").cast("long").alias("nn"), F.sum("x").cast("long").alias("s")
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(st))
+        .select(
+            "d",
+            (F.col("nn") * F.col("x") - F.col("s"))
+            .cast("decimal(19,0)")
+            .alias("v"),
+        )
+        .persist()
+    )
+    dev.count()
+    den = dev.agg(F.sum(F.col("v") * F.col("v")).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = dev.alias("a").crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        dev.alias("b"), F.col("b.d") == F.col("a.d") + F.col("lag")
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("a.v") * F.col("b.v")).alias("num"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        (
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("acf"),
+    )

@@ -109,3 +109,41 @@ def test_pow_half_is_exact_power_of_two(spark):
         "FROM generate_series(1, 50) t(i)"
     ).fetchone()[0]
     assert duck == [2.0**-i for i in range(1, 51)]
+
+
+def test_acf_daily_matches_reference_and_finds_period(spark):
+    """q_events_acf_daily's scaled-integer estimator == the textbook
+    r_k = sum((x_t-m)(x_{t+k}-m)) / sum((x_t-m)^2) on a planted period-7
+    series, which the lag-7 coefficient must single out."""
+    import datetime
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+    import plenario_mapper_spark.plans.pipeline_ops as P
+
+    # 63 days, strong weekly rhythm + deterministic jitter
+    xs = [100 + 40 * (1 if t % 7 in (0, 1) else -1) + (t * 13 % 5) for t in range(63)]
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "click", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("events",):
+            df.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+        got = {r["lag"]: r for r in QUERIES["q_events_acf_daily"](spark, d).collect()}
+
+    m = sum(xs) / len(xs)
+    den = sum((x - m) ** 2 for x in xs)
+    for k in range(1, 8):
+        ref = sum((xs[t] - m) * (xs[t + k] - m) for t in range(len(xs) - k)) / den
+        assert abs(got[k]["acf"] - ref) < 1e-6, (k, got[k]["acf"], ref)
+        assert got[k]["n_pairs"] == 63 - k
+    assert got[7]["acf"] > 0.8
+    assert got[7]["acf"] > max(got[k]["acf"] for k in (1, 2, 3, 4, 5))
