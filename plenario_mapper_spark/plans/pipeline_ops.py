@@ -6379,3 +6379,61 @@ def q_events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("acf"),
     )
+
+
+@register(
+    "q_events_ohlc_bars",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, value,
+             first_value(value) OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS o,
+             last_value(value) OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS c
+      FROM events)
+    SELECT day, event_type,
+           MAX(o) AS open, MAX(value) AS high, MIN(value) AS low, MAX(c) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM w GROUP BY day, event_type
+    """,
+)
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bar downsampling — the lossy-but-shaped compaction every
+    metrics store runs before charting or feature-extracting a
+    high-frequency stream (the batch sibling of the tumbling-window
+    family): per (day, event_type) bar with open/close (FIRST/LAST value
+    by the unique (ts, event_id) order — deterministic, engine-decidable),
+    high/low, volume, and the DECIMAL-exact value sum. Shape: ONE
+    bar-keyed window pass (one Exchange + one sort) computes both ends of
+    the bar, then a map-side-combinable aggregate collapses to bar grain
+    — raw events shuffle exactly once, and open/close never need a
+    self-join back to the extremes. min/max/first/last move VALUES, not
+    arithmetic, so doubles pass through bit-identical."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    w = (
+        Window.partitionBy("day", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    with_ends = e.select(
+        "day",
+        "event_type",
+        "value",
+        F.first("value").over(w).alias("o"),
+        F.last("value").over(w).alias("c"),
+    )
+    return with_ends.groupBy("day", "event_type").agg(
+        F.max("o").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("c").alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -147,3 +147,44 @@ def test_acf_daily_matches_reference_and_finds_period(spark):
         assert got[k]["n_pairs"] == 63 - k
     assert got[7]["acf"] > 0.8
     assert got[7]["acf"] > max(got[k]["acf"] for k in (1, 2, 3, 4, 5))
+
+
+def test_ohlc_bars_hand_checked(spark):
+    """Open/close follow the (ts, event_id) order including the same-ts
+    tie; high/low/volume/sum over a hand-built two-bar day."""
+    import datetime
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        # bar (2024-03-01, click): open=5 (earliest), close=2 (same-ts tie:
+        # higher event_id wins last), high=9, low=1
+        (1, d0, 7, "click", 5.0, "{}"),
+        (0, d0 + datetime.timedelta(hours=1), 7, "click", 9.0, "{}"),
+        (2, d0 + datetime.timedelta(hours=2), 7, "click", 1.0, "{}"),
+        (3, d0 + datetime.timedelta(hours=3), 7, "click", 4.0, "{}"),
+        (4, d0 + datetime.timedelta(hours=3), 7, "click", 2.0, "{}"),
+        # bar (2024-03-01, view): single event -> open=high=low=close
+        (5, d0, 8, "view", 3.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (str(r["day"]), r["event_type"]): r
+            for r in QUERIES["q_events_ohlc_bars"](spark, d).collect()
+        }
+    click = got[("2024-03-01", "click")]
+    assert (click["open"], click["high"], click["low"], click["close"]) == (
+        5.0, 9.0, 1.0, 2.0,
+    )
+    assert click["n_events"] == 5 and click["sum_value"] == 21.0
+    view = got[("2024-03-01", "view")]
+    assert (view["open"], view["high"], view["low"], view["close"]) == (
+        3.5, 3.5, 3.5, 3.5,
+    )
