@@ -6437,3 +6437,108 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "q_search_rrf_fusion",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+               x -> x = 'window')) AS BIGINT) AS tf
+      FROM documents),
+    ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS r
+      FROM tf WHERE tf > 0 QUALIFY r <= 100),
+    rb AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+      FROM documents QUALIFY r <= 100),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             CAST(ra.r AS INT) AS rank_tf, CAST(rb.r AS INT) AS rank_len,
+             COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(ra.r AS DOUBLE)),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rb.r AS DOUBLE)),
+                        CAST(0 AS DOUBLE)) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id, rank_tf, rank_len, CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 12) DESC, doc_id ASC)
+                      AS out_r
+          FROM fused) t
+    WHERE out_r <= 20
+    """,
+)
+def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) — the standard
+    way to combine heterogeneous retrievers (BM25 + dense ANN + priors)
+    without score calibration, since it consumes only RANKS: two rankers
+    over the corpus (term-frequency for 'window', tf desc; a length prior,
+    n_chars desc — both integer-ranked with doc_id tie-breaks, so list
+    membership is engine-decidable), top-100 each, fused by
+    Σ 1/(60 + rank) over the lists containing the doc, top-20 out.
+    Parity: each RRF term is one IEEE division and the sum is two
+    fixed-order terms — bit-identical cross-engine — and the output cut
+    still ranks on the 12-rounded score with doc_id tie-break (the
+    round-then-rank discipline). Shape: two TakeOrdered top-100s (never a
+    global sort of the corpus), a 200-row full-outer fuse, a 200-row
+    top-20 — everything after the scans is constant-size. The docs scan
+    is shared by both rankers via one persisted pass."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(TX.tokens(F.col("text")), lambda x: x == "window"))
+        .cast("long")
+        .alias("tf"),
+    )
+    d = d.persist()
+    d.count()
+    ra = (
+        d.filter(F.col("tf") > 0)
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc()))
+            .alias("r"),
+        )
+    )
+    rb = (
+        d.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+            .alias("r"),
+        )
+    )
+    term = F.lit(1.0) / (F.lit(60.0) + F.col("r").cast("double"))
+    fused = (
+        ra.select("doc_id", F.col("r").alias("ra"), term.alias("sa"))
+        .join(
+            rb.select("doc_id", F.col("r").alias("rb"), term.alias("sb")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            F.col("ra").cast("int").alias("rank_tf"),
+            F.col("rb").cast("int").alias("rank_len"),
+            (
+                F.coalesce(F.col("sa"), F.lit(0.0))
+                + F.coalesce(F.col("sb"), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    out = fused.withColumn(
+        "out_r",
+        F.row_number().over(
+            Window.orderBy(F.round("rrf", 12).desc(), F.col("doc_id").asc())
+        ),
+    )
+    return out.filter(F.col("out_r") <= 20).select(
+        "doc_id", "rank_tf", "rank_len", F.round("rrf", 6).alias("rrf_score")
+    )

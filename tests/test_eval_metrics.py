@@ -140,3 +140,41 @@ def test_calibration_bins_match_python_reference(spark):
     # the synthetic model is miscalibrated by construction — the metric
     # must SAY so (a flat-zero ECE here would mean the gap column is broken)
     assert ece > 0.01
+
+
+def test_rrf_fusion_hand_checked(spark):
+    """RRF = sum of 1/(60+rank) over the lists containing the doc; a doc
+    near the top of BOTH rankers must outrank either single-list leader."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    # doc 1: tf=5 (rank_tf 1) and longest (rank_len 1) -> fused leader.
+    # doc 2: tf=9? no - keep tf leader doc 2 single-list: tf rank 1 but absent
+    # from the length top via tiny n_chars? n_chars ranks ALL docs, so give it
+    # a low length rank instead; fusion still favors the both-lists doc 1.
+    rows = [
+        (1, "window " * 5 + "x", "en", "a", 9000),
+        (2, "window " * 9, "en", "b", 10),
+        (3, "nothing here", "en", "c", 8000),
+        (4, "window once", "en", "d", 7000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in QUERIES["q_search_rrf_fusion"](spark, d).collect()}
+
+    # tf ranks: doc2 (tf 9) r1, doc1 (tf 5) r2, doc4 (tf 1) r3; doc3 absent
+    # len ranks: doc1 r1, doc3 r2, doc4 r3, doc2 r4
+    assert got[2]["rank_tf"] == 1 and got[1]["rank_tf"] == 2
+    assert got[1]["rank_len"] == 1 and got[3]["rank_tf"] is None
+    ref = {
+        1: 1 / 62 + 1 / 61,
+        2: 1 / 61 + 1 / 64,
+        3: 1 / 62,
+        4: 1 / 63 + 1 / 63,
+    }
+    for k, v in ref.items():
+        assert abs(got[k]["rrf_score"] - v) < 1e-6
+    # both-lists doc 1 beats the single-list tf leader doc 2
+    assert got[1]["rrf_score"] > got[2]["rrf_score"]
