@@ -6542,3 +6542,64 @@ def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("out_r") <= 20).select(
         "doc_id", "rank_tf", "rank_len", F.round("rrf", 6).alias("rrf_score")
     )
+
+
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total FROM t
+          GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n, m.from_total,
+           CAST(ROUND(CAST(t.n AS DOUBLE) / CAST(m.from_total AS DOUBLE), 6)
+                AS DOUBLE) AS p,
+           CAST(CASE WHEN t.from_type = t.to_type THEN 1 ELSE 0 END AS INT)
+             AS self_loop
+    FROM t JOIN m ON t.from_type = m.from_type
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys — the
+    generative model behind the path family (path n-grams mine the top
+    sequences; the transition matrix IS the chain: P(next type | this
+    type), the input to next-event prediction, anomaly scoring of unusual
+    journeys, and absorbing-state funnel analysis): consecutive event-type
+    pairs from ONE user-keyed window pass (lead over (ts, event_id) — the
+    path-ngrams discipline, never an adjacent-row self-join that would
+    shuffle the fact table twice), counted to the (type × type) domain,
+    conditional probabilities as exact-integer ratios with one final
+    double division. Journey boundaries respected: the last event of each
+    user emits no transition. The marginals join is (type-domain)² rows —
+    trivially broadcastable."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _events(spark, sf_dir).select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    t = (
+        s.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = t.persist()
+    t.count()
+    m = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("from_total"))
+    return t.join(F.broadcast(m), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "from_total",
+        F.round(
+            F.col("n").cast("double") / F.col("from_total").cast("double"), 6
+        ).alias("p"),
+        F.when(F.col("from_type") == F.col("to_type"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("self_loop"),
+    )

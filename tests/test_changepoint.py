@@ -188,3 +188,36 @@ def test_ohlc_bars_hand_checked(spark):
     assert (view["open"], view["high"], view["low"], view["close"]) == (
         3.5, 3.5, 3.5, 3.5,
     )
+
+
+def test_markov_transitions_hand_checked(spark):
+    """Journeys a->b->a (user 1) and b->b (user 2): per-row conditionals
+    sum to 1, journey boundaries emit no transition."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (1, d0, 1, "a", 0.0, "{}"),
+        (2, d0 + datetime.timedelta(minutes=1), 1, "b", 0.0, "{}"),
+        (3, d0 + datetime.timedelta(minutes=2), 1, "a", 0.0, "{}"),
+        (4, d0, 2, "b", 0.0, "{}"),
+        (5, d0 + datetime.timedelta(minutes=1), 2, "b", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["from_type"], r["to_type"]): r
+            for r in QUERIES["q_events_markov_transitions"](spark, d).collect()
+        }
+    # transitions: a->b (u1), b->a (u1), b->b (u2); u1's last 'a' and u2's
+    # last 'b' emit nothing
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "b")}
+    assert got[("a", "b")]["n"] == 1 and got[("a", "b")]["p"] == 1.0
+    assert got[("b", "a")]["p"] == 0.5 and got[("b", "b")]["p"] == 0.5
+    assert got[("b", "b")]["self_loop"] == 1 and got[("b", "a")]["self_loop"] == 0
+    assert got[("b", "a")]["from_total"] == 2
