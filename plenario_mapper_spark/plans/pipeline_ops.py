@@ -6603,3 +6603,103 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("self_loop"),
     )
+
+
+@register(
+    "q_customer_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            DATE '2002-01-01') AS BIGINT) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS f_orders,
+             CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS m_cents
+      FROM orders GROUP BY o_custkey),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    ranked AS (
+      SELECT base.*, n.n,
+             ROW_NUMBER() OVER (ORDER BY r_days ASC, custkey ASC) AS rr,
+             ROW_NUMBER() OVER (ORDER BY f_orders DESC, custkey ASC) AS rf,
+             ROW_NUMBER() OVER (ORDER BY m_cents DESC, custkey ASC) AS rm
+      FROM base, n)
+    SELECT custkey, r_days, f_orders, m_cents,
+           CAST(5 * (rr - 1) // n + 1 AS INT) AS r_q,
+           CAST(5 * (rf - 1) // n + 1 AS INT) AS f_q,
+           CAST(5 * (rm - 1) // n + 1 AS INT) AS m_q,
+           CAST(5 * (rr - 1) // n + 1 AS VARCHAR)
+             || CAST(5 * (rf - 1) // n + 1 AS VARCHAR)
+             || CAST(5 * (rm - 1) // n + 1 AS VARCHAR) AS rfm
+    FROM ranked
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid (recency,
+    frequency, monetary quintiles; '111' = best in all three): per
+    customer, days since last order as of a FIXED literal date (pinned run
+    config, never max-of-data — the embargo-split discipline: a data-derived
+    'now' makes yesterday's segments unreproducible), order count, and
+    DECIMAL-exact lifetime spend in integer cents. Quintiles are EXACT-RANK
+    cuts — q = 5·(rank−1) div n + 1 over (metric, custkey) orderings —
+    pure integer arithmetic (never ntile, whose remainder-distribution is
+    convention, or float percentiles): both engines assign every customer
+    the identical segment. Shape: one order-table aggregate to customer
+    grain, three domain-sized rank windows, zero joins back to facts."""
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+            )
+            .cast("long")
+            .alias("r_days"),
+            F.count("*").cast("long").alias("f_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    n = base.agg(F.count("*").cast("long").alias("n"))
+    ranked = (
+        base.crossJoin(F.broadcast(n))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.col("r_days").asc(), F.col("custkey").asc())
+            ),
+        )
+        .withColumn(
+            "rf",
+            F.row_number().over(
+                Window.orderBy(F.col("f_orders").desc(), F.col("custkey").asc())
+            ),
+        )
+        .withColumn(
+            "rm",
+            F.row_number().over(
+                Window.orderBy(F.col("m_cents").desc(), F.col("custkey").asc())
+            ),
+        )
+    )
+    def quint(r):
+        return (5 * (F.col(r) - 1) / F.col("n")).cast("long") + 1
+
+    return ranked.select(
+        "custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        quint("rr").cast("int").alias("r_q"),
+        quint("rf").cast("int").alias("f_q"),
+        quint("rm").cast("int").alias("m_q"),
+        F.concat(
+            quint("rr").cast("int").cast("string"),
+            quint("rf").cast("int").cast("string"),
+            quint("rm").cast("int").cast("string"),
+        ).alias("rfm"),
+    )

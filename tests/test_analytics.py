@@ -1,0 +1,51 @@
+"""Customer/behavioral analytics queries: hand-checked semantics."""
+
+import datetime
+import os
+import tempfile
+
+from plenario_mapper_spark.plans.registry import QUERIES
+
+
+def test_rfm_exact_rank_quintiles(spark):
+    """10 customers, one order each, metrics arranged so every quintile
+    gets exactly two customers; '2002-01-01' recency anchor."""
+    rows = []
+    for i in range(10):
+        # custkey i: order on 2001-01-(i+1) -> recency rank follows i desc;
+        # totalprice 100*(i+1) -> monetary rank follows i desc
+        rows.append(
+            (
+                i + 1,  # o_orderkey
+                i,  # o_custkey
+                "O",
+                100.0 * (i + 1),
+                datetime.datetime(2001, 1, i + 1),
+                "1-URGENT",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = {r["custkey"]: r for r in QUERIES["q_customer_rfm"](spark, d).collect()}
+
+    assert len(got) == 10
+    # customer 9 ordered most recently and spent the most -> r_q=1, m_q=1
+    assert got[9]["r_q"] == 1 and got[9]["m_q"] == 1
+    # customer 0 is the stalest and cheapest -> r_q=5, m_q=5
+    assert got[0]["r_q"] == 5 and got[0]["m_q"] == 5
+    # frequency all tied at 1 -> quintile decided by the custkey tie-break,
+    # two customers per band
+    f_bands = [got[i]["f_q"] for i in range(10)]
+    assert f_bands == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    # exact-rank cut: two customers per recency band as well
+    assert sorted(r["r_q"] for r in got.values()) == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    assert got[9]["r_days"] == (
+        datetime.date(2002, 1, 1) - datetime.date(2001, 1, 10)
+    ).days
+    assert got[9]["m_cents"] == 100000
+    assert got[9]["rfm"] == "1" + str(got[9]["f_q"]) + "1"
