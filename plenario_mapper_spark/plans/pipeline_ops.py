@@ -6703,3 +6703,72 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             quint("rm").cast("int").cast("string"),
         ).alias("rfm"),
     )
+
+
+@register(
+    "q_doc_ngram_novelty",
+    oracle="""
+    WITH dg AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 5
+                 THEN [array_to_string(toks[i:i+4], ' ')
+                       FOR i IN generate_series(1, len(toks) - 4)]
+                 ELSE [array_to_string(toks, ' ')] END) AS g
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                 x -> x <> '') AS toks
+              FROM documents) t) u),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nd FROM dg GROUP BY g)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(ROUND(CAST(SUM(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+    FROM dg JOIN gdf ON dg.g = gdf.g
+    GROUP BY dg.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk profile a
+    training-data curation report keys on (the doc-level reading of what
+    the pairwise dedup family decides: a doc whose 5-grams mostly exist
+    ELSEWHERE in the corpus is boilerplate or a near-copy even when no
+    single pair crosses the dedup threshold, and its content is what a
+    model will memorize fastest): per doc, distinct word-5-gram count, how
+    many of those grams appear in at least one OTHER document (document
+    frequency > 1 — since (doc, gram) rows are deduped first, nd > 1 means
+    another doc), and the dup-rate ratio. Scale shape: grams dedupe to
+    (doc, gram) FIRST; the gram-frequency table is gram-domain-sized and
+    map-side combinable; the join back fans out to exactly |dg| rows —
+    never a doc-pair join, so the d² hazard never appears. Integer counts,
+    one exact division."""
+    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
+
+    sh = make_shingles_udf(5)
+    d = DD._spread(_t(spark, sf_dir, "documents"))
+    dg = (
+        d.select("doc_id", F.explode(sh(F.col("text"))).alias("g"))
+        .distinct()
+        .persist()
+    )
+    dg.count()  # eager: two legs (gram frequencies + the join back)
+    gdf = dg.groupBy("g").agg(F.count("*").cast("long").alias("nd"))
+    return (
+        dg.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

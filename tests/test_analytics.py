@@ -49,3 +49,35 @@ def test_rfm_exact_rank_quintiles(spark):
     ).days
     assert got[9]["m_cents"] == 100000
     assert got[9]["rfm"] == "1" + str(got[9]["f_q"]) + "1"
+
+
+def test_ngram_novelty_hand_checked(spark):
+    """Copied docs share all grams; the unique doc shares none; a doc
+    shorter than the shingle width falls back to its whole-token gram."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "a", 1),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "a", 1),  # exact copy
+        (3, "one two three four five six seven", "en", "a", 1),    # unique
+        (4, "tiny doc", "en", "a", 1),                              # < 5 tokens
+        (5, "tiny doc", "en", "a", 1),                              # copy of 4
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r for r in QUERIES["q_doc_ngram_novelty"](spark, d).collect()
+        }
+    # 6 tokens -> 2 distinct 5-grams; both shared with the copy
+    assert got[1]["n_grams"] == 2 and got[1]["n_shared"] == 2
+    assert got[1]["dup_rate"] == 1.0 and got[2]["dup_rate"] == 1.0
+    # 7 tokens -> 3 grams, none shared
+    assert got[3]["n_grams"] == 3 and got[3]["n_shared"] == 0
+    assert got[3]["dup_rate"] == 0.0
+    # fallback whole-doc gram, shared between the two tiny copies
+    assert got[4]["n_grams"] == 1 and got[4]["dup_rate"] == 1.0
