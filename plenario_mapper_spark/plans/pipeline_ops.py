@@ -6772,3 +6772,69 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "q_doc_simpson_diversity",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+      GROUP BY source, tok),
+    s AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(c AS HUGEINT) * (c - 1)) AS rep
+      FROM tc GROUP BY source)
+    SELECT source, n_tokens, n_types,
+           CAST(ROUND(CAST(rep AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)),
+                      6) AS DOUBLE) AS simpson,
+           CAST(ROUND(CASE WHEN rep = 0 THEN NULL
+                      ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+                           / CAST(rep AS DOUBLE) END, 6) AS DOUBLE) AS inv_simpson
+    FROM s
+    """,
+)
+def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson lexical diversity per source — the concentration axis of the
+    corpus-health battery (lexicon_stats' TTR counts types; Simpson asks
+    how the MASS is spread: D = Σc(c−1)/(N(N−1)) is the exact probability
+    two random token instances are the same type, and 1/D is the
+    'effective vocabulary' — a source whose inv-Simpson collapses is
+    boilerplate-flooded even if raw TTR looks fine): per source, exact
+    repeat-mass numerator and pair denominator (DECIMAL/HUGEINT — exact at
+    any corpus size), one double division each; the unique-corpus edge
+    (rep = 0) yields NULL inv-Simpson identically in both engines. Shape:
+    one map-side-combined (source, token) count, one source-grain
+    aggregate — the token stream shuffles once."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    tc = (
+        d.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c").cast("decimal(19,0)") * (F.col("c") - 1)).alias("rep"),
+    )
+    n = F.col("n_tokens").cast("double")
+    pairs = n * (F.col("n_tokens") - 1).cast("double")
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("rep").cast("double") / pairs, 6).alias("simpson"),
+        F.round(
+            F.when(F.col("rep") == 0, F.lit(None)).otherwise(
+                pairs / F.col("rep").cast("double")
+            ),
+            6,
+        ).alias("inv_simpson"),
+    )

@@ -81,3 +81,33 @@ def test_ngram_novelty_hand_checked(spark):
     assert got[3]["dup_rate"] == 0.0
     # fallback whole-doc gram, shared between the two tiny copies
     assert got[4]["n_grams"] == 1 and got[4]["dup_rate"] == 1.0
+
+
+def test_simpson_diversity_hand_checked(spark):
+    """Uniform source vs one-token source vs all-unique source."""
+    rows = [
+        # source u: tokens a a b b -> D = (2+2)/(4*3) = 1/3, inv = 3
+        (1, "a a b b", "en", "u", 1),
+        # source m: one type only -> D = 1, inv = 1
+        (2, "x x x x x", "en", "m", 1),
+        # source q: all unique -> rep 0 -> D = 0, inv NULL
+        (3, "p q r s", "en", "q", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in QUERIES["q_doc_simpson_diversity"](spark, d).collect()
+        }
+    assert got["u"]["n_tokens"] == 4 and got["u"]["n_types"] == 2
+    assert abs(got["u"]["simpson"] - 1 / 3) < 1e-6
+    assert abs(got["u"]["inv_simpson"] - 3.0) < 1e-6
+    assert got["m"]["simpson"] == 1.0 and got["m"]["inv_simpson"] == 1.0
+    assert got["q"]["simpson"] == 0.0 and got["q"]["inv_simpson"] is None
