@@ -6838,3 +6838,68 @@ def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("inv_simpson"),
     )
+
+
+@register(
+    "q_graph_degree_hist",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs) u
+      GROUP BY node),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total FROM deg)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n.n_nodes_total AS DOUBLE), 6)
+                AS DOUBLE) AS share
+    FROM deg, n GROUP BY degree, n.n_nodes_total
+    """,
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first thing
+    computed before choosing any graph algorithm (PageRank converges, CC's
+    star rounds, and triangle wedge counts are all budgeted off this
+    histogram; a power-law tail here is the warning to salt or
+    high-degree-split downstream joins — the graph-shaped companion to the
+    key-skew audit): distinct undirected co-purchase edges (a < b
+    canonicalization, same construction as the k-hop/triangle queries),
+    per-node degree from one map-side-combined count over both endpoint
+    projections, then the degree-domain histogram with exact shares.
+    Scale: edges dedupe before counting; the histogram is degree-domain
+    sized (tiny); the only non-trivial stage is the per-order pair
+    expansion every graph query in this family already pays (bounded by
+    max order width squared)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b")),
+            "o",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    n = deg.agg(F.count("*").cast("long").alias("n_nodes_total"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes").cast("double") / F.col("n_nodes_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )

@@ -126,3 +126,31 @@ def test_bfs_khop_early_stop_and_validation(spark):
 
     with pytest.raises(ValueError):
         bfs_khop(edges, seeds, k=-1)
+
+
+def test_degree_hist_hand_checked(spark):
+    """Triangle + pendant: degrees 1,2,2,3 -> histogram {1:1, 2:2, 3:1}."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    # one order with parts {1,2,3} (triangle), one with {3,4} (pendant edge)
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (20, 3), (20, 4),
+    ]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r["degree"]: r for r in QUERIES["q_graph_degree_hist"](spark, d).collect()
+        }
+    assert got[1]["n_nodes"] == 1   # part 4
+    assert got[2]["n_nodes"] == 2   # parts 1, 2
+    assert got[3]["n_nodes"] == 1   # part 3 bridges
+    assert abs(got[2]["share"] - 0.5) < 1e-6
