@@ -6903,3 +6903,35 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "q_window_percentile_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist + rank per market segment — the relative-
+    standing window trio completing §2.E's analytic surface (rank/ntile/
+    frames are covered elsewhere; these are the normalized forms BI tools
+    emit for 'top x% of segment' cuts). Both are exact rationals of
+    integer ranks — (rank−1)/(n−1) and peers≤/n — computed by each engine
+    as one double division of identical integers, so values are
+    bit-identical before rounding. The (acctbal, custkey) order makes
+    every rank deterministic; one partition-keyed window pass, no joins."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+    )

@@ -111,3 +111,35 @@ def test_simpson_diversity_hand_checked(spark):
     assert abs(got["u"]["inv_simpson"] - 3.0) < 1e-6
     assert got["m"]["simpson"] == 1.0 and got["m"]["inv_simpson"] == 1.0
     assert got["q"]["simpson"] == 0.0 and got["q"]["inv_simpson"] is None
+
+
+def test_percent_rank_cume_dist_tie_semantics(spark):
+    """Ties share percent_rank (gap semantics) but cume_dist counts ALL
+    peers at the value; singleton partition percent_rank is 0."""
+    rows = [
+        (1, "n", 0, 10.0, "A"),
+        (2, "n", 0, 10.0, "A"),   # tie with custkey 1 on the value
+        (3, "n", 0, 20.0, "A"),
+        (4, "n", 0, 5.0, "B"),    # singleton partition
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+        got = {
+            r["c_custkey"]: r
+            for r in QUERIES["q_window_percentile_rank"](spark, d).collect()
+        }
+    # order within A by (acctbal, custkey): 1, 2, 3 -> ranks 1, 2, 3 since the
+    # custkey tie-break makes every ORDER key unique (no shared ranks)
+    assert [got[i]["rnk"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert got[1]["pct_rank"] == 0.0
+    assert abs(got[2]["pct_rank"] - 0.5) < 1e-6
+    assert got[3]["pct_rank"] == 1.0
+    assert abs(got[1]["cume"] - 1 / 3) < 1e-6
+    assert got[4]["pct_rank"] == 0.0 and got[4]["cume"] == 1.0
