@@ -6935,3 +6935,67 @@ def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w).cast("long").alias("rnk"),
     )
+
+
+@register(
+    "q_vocab_zipf_fit",
+    oracle="""
+    WITH v AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+      GROUP BY tok),
+    top AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
+      FROM v QUALIFY r <= 100)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                AS DOUBLE) AS zipf_intercept,
+           CAST(ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+                AS DOUBLE) AS r2
+    FROM top
+    """,
+)
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the top-100 token frequencies — the
+    corpus-health scalar the vocabulary family reads after induction
+    (coverage says how much mass top-N holds; the Zipf exponent says
+    whether the DISTRIBUTION is natural-language-shaped at all: organic
+    text fits ln c ≈ a + s·ln r with s near −1 and high R², boilerplate
+    floods flatten it, template spam steepens it): log-log OLS
+    (regr_slope/intercept/r2) on integer-ranked (count desc, token) top-100
+    rows — membership engine-decidable; ln runs on identical exact
+    integers, and the regr_* aggregate over 100 points differs across
+    engines only at the ~1e-12 reassociation level (the forecast_trend
+    precedent), ten orders under the rounding grid. Shape: one
+    map-side-combined vocab count, one TakeOrdered top-100, one aggregate
+    row — the corpus shuffles once."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    v = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        v.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(100)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
+            .alias("r"),
+        )
+    )
+    y = F.log(F.col("c").cast("double"))
+    x = F.log(F.col("r").cast("double"))
+    return top.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

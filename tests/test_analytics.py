@@ -143,3 +143,29 @@ def test_percent_rank_cume_dist_tie_semantics(spark):
     assert got[3]["pct_rank"] == 1.0
     assert abs(got[1]["cume"] - 1 / 3) < 1e-6
     assert got[4]["pct_rank"] == 0.0 and got[4]["cume"] == 1.0
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus whose counts are EXACTLY c = 1000/r (slope -1 in log-log)
+    must fit slope ~= -1 with r2 ~= 1."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    docs = []
+    did = 0
+    for r in range(1, 41):
+        c = max(1, round(1000 / r))
+        # token 'tNN' appears c times spread over docs
+        docs.append((did, (" ".join([f"t{r:02d}"] * c)), "en", "s", 1))
+        did += 1
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        row = QUERIES["q_vocab_zipf_fit"](spark, d).collect()[0]
+    assert row["n_points"] == 40
+    assert abs(row["zipf_slope"] + 1.0) < 0.02  # rounding of 1000/r only
+    assert row["r2"] > 0.999
+    assert abs(row["zipf_intercept"] - 6.9077) < 0.02  # ln(1000)
