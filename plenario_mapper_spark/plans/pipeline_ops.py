@@ -6999,3 +6999,86 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "q_doc_readability",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS toks,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             x -> trim(x) <> '')) AS n_sentences
+      FROM documents),
+    syl AS (
+      SELECT doc_id, n_sentences,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(
+               toks, t -> GREATEST(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+               AS BIGINT) AS n_syllables
+      FROM base)
+    SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences, n_syllables,
+           CAST(ROUND(CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+             ELSE CAST(0.39 AS DOUBLE)
+                    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  + CAST(11.8 AS DOUBLE)
+                    * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  - CAST(15.59 AS DOUBLE) END, 6) AS DOUBLE) AS fk_grade
+    FROM syl
+    """,
+)
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level per document — the readability axis of
+    the quality battery (length/punct ratios catch garbage; readability
+    ranks the KEEPABLE text by audience level, the knob a curriculum or a
+    kids-corpus filter turns): words from the shared tokenizer, sentences
+    by [.!?]+ runs with blank fragments dropped, syllables approximated as
+    vowel-group runs per word with a 1-minimum (the standard heuristic —
+    exact hyphenation needs a dictionary; documented approximation, ~90%
+    agreement on English). Parity: every input to the grade formula is an
+    exact INTEGER from portable regexes (character classes only — Java and
+    RE2 agree), the formula's constants are identical literals, and the
+    association is written identically in both engines; degenerate docs
+    (no words / no sentences) yield NULL identically. One scan, zero
+    shuffles — the whole battery is scan-stage HOF expressions."""
+    toks = TX.tokens(F.col("text"))
+    sentences = F.size(
+        F.filter(
+            F.split(F.col("text"), "[.!?]+"), lambda x: F.trim(x) != F.lit("")
+        )
+    )
+    syllables = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+    )
+    nw, ns, sy = (
+        F.col("n_words").cast("double"),
+        F.col("n_sentences").cast("double"),
+        F.col("n_syllables").cast("double"),
+    )
+    grade = F.when(
+        (F.col("n_words") == 0) | (F.col("n_sentences") == 0), F.lit(None)
+    ).otherwise(
+        F.lit(0.39) * (nw / ns) + F.lit(11.8) * (sy / nw) - F.lit(15.59)
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(grade, 6).alias("fk_grade"),
+    )

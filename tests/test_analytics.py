@@ -169,3 +169,37 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     assert abs(row["zipf_slope"] + 1.0) < 0.02  # rounding of 1000/r only
     assert row["r2"] > 0.999
     assert abs(row["zipf_intercept"] - 6.9077) < 0.02  # ln(1000)
+
+
+def test_readability_hand_checked(spark):
+    """Known words/sentences/syllables; degenerate docs yield NULL."""
+    rows = [
+        # "See spot run. See spot." -> 5 words, 2 sentences,
+        # syllables: see=1 spot=1 run=1 see=1 spot=1 = 5
+        (1, "See spot run. See spot.", "en", "a", 1),
+        # no sentence punctuation -> split yields one fragment, 1 sentence
+        (2, "just three words", "en", "a", 1),
+        # empty text -> 0 words -> NULL grade
+        (3, "", "en", "a", 1),
+        # punctuation only -> 0 words and 0 sentences -> NULL grade
+        (4, "...", "en", "a", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r for r in QUERIES["q_doc_readability"](spark, d).collect()
+        }
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    ref = 0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59
+    assert abs(r1["fk_grade"] - ref) < 1e-6
+    assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 3
+    assert got[3]["fk_grade"] is None
+    assert got[4]["fk_grade"] is None and got[4]["n_sentences"] == 0
