@@ -7082,3 +7082,89 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(grade, 6).alias("fk_grade"),
     )
+
+
+@register(
+    "q_supplier_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      FROM lineitem GROUP BY l_suppkey),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+    ranked AS (
+      SELECT suppkey, r, n.n,
+             ROW_NUMBER() OVER (ORDER BY r DESC, suppkey ASC) AS rk
+      FROM rev, n),
+    dec AS (
+      SELECT 10 * (rk - 1) // n + 1 AS decile, CAST(COUNT(*) AS BIGINT)
+               AS n_suppliers, SUM(r) AS rev
+      FROM ranked GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS t FROM dec)
+    SELECT CAST(decile AS INT) AS decile, n_suppliers,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS DOUBLE)
+             AS share,
+           CAST(ROUND(CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
+                      / CAST(tot.t AS DOUBLE), 6) AS DOUBLE) AS cum_share
+    FROM dec, tot
+    """,
+)
+def q_supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration deciles of supplier revenue — the Lorenz-curve
+    reading of concentration that answers the business form of the skew
+    question ('do 10% of suppliers carry 80% of revenue?'), the cumulative
+    companion to the key-skew audit's scalars (Gini/HHI say HOW
+    concentrated; the decile table says WHERE the mass sits): suppliers
+    rank by DECIMAL-exact revenue (desc, suppkey tie-break), deciles are
+    exact-rank cuts (10·(rank−1) div n + 1 — the RFM discipline), and
+    shares/cumulative shares divide exact DECIMAL sums once at
+    presentation. Shape: one fact aggregate to supplier grain, one
+    domain-sized rank window, a 10-row decile table with a 10-row
+    cumulative window."""
+    from plenario_mapper_spark.plans.relational import _dec
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+            ).alias("r")
+        )
+    )
+    n = rev.agg(F.count("*").cast("long").alias("n"))
+    ranked = rev.crossJoin(F.broadcast(n)).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("r").desc(), F.col("suppkey").asc())),
+    )
+    dec = (
+        ranked.groupBy(
+            ((10 * (F.col("rk") - 1) / F.col("n")).cast("long") + 1)
+            .cast("int")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("r").alias("rev"),
+        )
+    )
+    dec = dec.persist()
+    dec.count()
+    tot = dec.agg(F.sum("rev").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_suppliers",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.col("t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -203,3 +203,39 @@ def test_readability_hand_checked(spark):
     assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 3
     assert got[3]["fk_grade"] is None
     assert got[4]["fk_grade"] is None and got[4]["n_sentences"] == 0
+
+
+def test_pareto_deciles_hand_checked(spark):
+    """20 suppliers with revenue 20..1: decile 1 = {20,19} -> share 39/210,
+    cum_share telescopes to exactly 1.0 at decile 10."""
+    rows = []
+    lk = 0
+    for s in range(1, 21):
+        # supplier s earns exactly s units: one lineitem, price s, disc 0
+        lk += 1
+        rows.append((lk, 1, s, 1, 1.0, float(s), 0.0, 0.0, "N", "O", None))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r["decile"]: r
+            for r in QUERIES["q_supplier_pareto_deciles"](spark, d).collect()
+        }
+    assert sorted(got) == list(range(1, 11))
+    assert all(got[i]["n_suppliers"] == 2 for i in got)
+    assert got[1]["revenue"] == 39.0  # 20 + 19
+    assert abs(got[1]["share"] - 39 / 210) < 1e-6
+    assert got[10]["cum_share"] == 1.0
+    cum = 0.0
+    for i in range(1, 11):
+        cum += got[i]["share"]
+        assert abs(got[i]["cum_share"] - cum) < 5e-6
