@@ -7168,3 +7168,65 @@ def q_supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "q_events_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM daily GROUP BY event_type)
+    SELECT event_type, nn AS n_days, sx AS n_events,
+           CAST(ROUND(CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS DOUBLE)
+             AS mean_daily,
+           CAST(ROUND(CAST(nn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+                AS DOUBLE) AS fano
+    FROM s WHERE nn > 1 AND sx > 0
+    """,
+)
+def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of daily counts) per event type — the
+    burstiness scalar of the time-series family (ACF finds rhythm, CUSUM
+    finds level shifts; Fano classifies the ARRIVAL PROCESS: ≈1 is
+    Poisson-like steady traffic, ≫1 is bursty/flash-crowd, ≪1 is
+    rate-limited/scheduled — the classifier that picks between throttling
+    and capacity planning): sample variance in the scaled-integer form
+    (N·Σx² − S²)/(N(N−1)) — numerator EXACT in HUGEINT/DECIMAL, divided by
+    the mean in one identically-associated double expression. One
+    map-side-combined (type, day) aggregate reduces the corpus to its
+    calendar×type domain; one type-grain aggregate after. Degenerate
+    series (single day, zero events) are excluded identically in both
+    engines."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    nn = F.col("nn").cast("double")
+    sx = F.col("sx").cast("double")
+    var_num = (
+        F.col("nn").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    mean = sx / nn
+    return s.filter((F.col("nn") > 1) & (F.col("sx") > 0)).select(
+        "event_type",
+        F.col("nn").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(
+            var_num / (nn * (F.col("nn") - 1).cast("double") * mean), 6
+        ).alias("fano"),
+    )

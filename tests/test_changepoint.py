@@ -221,3 +221,36 @@ def test_markov_transitions_hand_checked(spark):
     assert got[("b", "a")]["p"] == 0.5 and got[("b", "b")]["p"] == 0.5
     assert got[("b", "b")]["self_loop"] == 1 and got[("b", "a")]["self_loop"] == 0
     assert got[("b", "a")]["from_total"] == 2
+
+
+def test_fano_factor_classifies_arrival_processes(spark):
+    """Constant series -> Fano 0; planted bursty series matches the
+    textbook variance/mean computed independently."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    steady = [10] * 12
+    bursty = [1, 1, 1, 40, 1, 1, 1, 1, 35, 1, 1, 1]
+    for t, (a, b) in enumerate(zip(steady, bursty)):
+        for _ in range(a):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "steady", 0.0, "{}")); eid += 1
+        for _ in range(b):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "bursty", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["q_events_fano_burstiness"](spark, d).collect()
+        }
+    assert got["steady"]["fano"] == 0.0 and got["steady"]["mean_daily"] == 10.0
+    n = len(bursty)
+    m = sum(bursty) / n
+    var = sum((x - m) ** 2 for x in bursty) / (n - 1)
+    assert abs(got["bursty"]["fano"] - var / m) < 1e-6
+    assert got["bursty"]["fano"] > 10  # unmistakably bursty
