@@ -7230,3 +7230,71 @@ def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_num / (nn * (F.col("nn") - 1).cast("double") * mean), 6
         ).alias("fano"),
     )
+
+
+@register(
+    "q_nested_order_lines",
+    oracle="""
+    WITH ord AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey,
+                                         CAST(l_quantity AS DECIMAL(18,2))) AS rn,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt
+      FROM lineitem)
+    SELECT l_orderkey AS orderkey,
+           CAST(MAX(cnt) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rn = 1 THEN l_partkey END) AS BIGINT) AS first_part,
+           CAST(MAX(CASE WHEN rn = cnt THEN l_partkey END) AS BIGINT) AS last_part,
+           CAST(SUM(q) AS DOUBLE) AS total_qty,
+           CAST(MAX(CASE WHEN rn = cnt THEN l_linenumber END) AS INT) AS max_lineno
+    FROM ord GROUP BY l_orderkey
+    """,
+)
+def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document construction and consumption — the denormalized
+    array<struct> shape every document store / feature-fetch layer wants
+    (one order = one row with its lines INSIDE it), exercised end to end:
+    lines collect into a per-order array of structs, canonicalized by
+    sort_array (collect_list order is execution-dependent; the
+    lexicographic struct sort over the FULL (lineno, partkey, qty) triple
+    is total up to identical rows — this corpus reuses line numbers within
+    an order, so the leading field alone would NOT be deterministic), and
+    every output scalar is then computed FROM THE NESTED FORM by JVM
+    higher-order functions (size, element_at ±1, aggregate over a
+    projected field) — proving the array survives as a usable column, not
+    a blob. The oracle computes the same answers
+    relationally (arg_min/arg_max on the unique line number), so the hash
+    certifies the nested roundtrip against flat SQL truth. One shuffle
+    (the collect), scan-stage HOFs after; DECIMAL quantity elements keep
+    the array-side sum engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    from plenario_mapper_spark.plans.relational import _dec
+
+    nested = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_partkey").alias("pk"),
+                    _dec("l_quantity").alias("qty"),
+                )
+            )
+        ).alias("lines")
+    )
+    arr = F.col("lines")
+    return nested.select(
+        "orderkey",
+        F.size(arr).cast("long").alias("n_lines"),
+        F.element_at(arr, 1)["pk"].cast("long").alias("first_part"),
+        F.element_at(arr, -1)["pk"].cast("long").alias("last_part"),
+        F.aggregate(
+            F.transform(arr, lambda x: x["qty"]),
+            F.lit(0).cast("decimal(18,2)"),
+            lambda acc, q: (acc + q).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("total_qty"),
+        F.element_at(arr, -1)["ln"].cast("int").alias("max_lineno"),
+    )

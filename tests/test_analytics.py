@@ -239,3 +239,39 @@ def test_pareto_deciles_hand_checked(spark):
     for i in range(1, 11):
         cum += got[i]["share"]
         assert abs(got[i]["cum_share"] - cum) < 5e-6
+
+
+def test_nested_order_lines_roundtrip(spark):
+    """Nested array semantics: duplicate line numbers break ties on
+    partkey; scalars derive from the array, matching flat truth."""
+    rows = [
+        # order 1: duplicate lineno 1 (parts 9 and 3) + lineno 2
+        (1, 9, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (1, 3, 1, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", None),
+        (1, 7, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", None),
+        # order 2: single line
+        (2, 4, 1, 1, 8.0, 1.0, 0.0, 0.0, "N", "O", None),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r["orderkey"]: r
+            for r in QUERIES["q_nested_order_lines"](spark, d).collect()
+        }
+    o1 = got[1]
+    # sort order: (1, 3), (1, 9), (2, 7) -> first part 3, last part 7
+    assert o1["n_lines"] == 3
+    assert o1["first_part"] == 3 and o1["last_part"] == 7
+    assert o1["total_qty"] == 8.0 and o1["max_lineno"] == 2
+    o2 = got[2]
+    assert (o2["first_part"], o2["last_part"], o2["n_lines"]) == (4, 4, 1)
