@@ -7298,3 +7298,88 @@ def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_qty"),
         F.element_at(arr, -1)["ln"].cast("int").alias("max_lineno"),
     )
+
+
+@register(
+    "q_events_dow_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS s
+           FROM daily),
+    g AS (
+      SELECT isodow(day) - 1 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sg
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT SUM(CAST(st.nn * x - st.s AS HUGEINT)
+                 * CAST(st.nn * x - st.s AS HUGEINT)) AS ss_t
+      FROM daily, st),
+    btw AS (
+      SELECT SUM(CAST(CAST(st.nn * sg - n_days * st.s AS HUGEINT)
+                      * CAST(st.nn * sg - n_days * st.s AS HUGEINT) AS DOUBLE)
+                 / CAST(n_days AS DOUBLE)) AS ss_b
+      FROM g, st)
+    SELECT CAST(g.dow AS INT) AS dow, g.n_days,
+           CAST(ROUND(CAST(g.sg AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6)
+                AS DOUBLE) AS mean_count,
+           CAST(ROUND(btw.ss_b / CAST(tot.ss_t AS DOUBLE), 6) AS DOUBLE)
+             AS seasonality_strength
+    FROM g, st, tot, btw
+    """,
+)
+def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile — the decomposition step between
+    ACF's detection ('there IS a weekly rhythm') and a seasonal baseline
+    ('THIS is the weekly shape'): per weekday (0=Mon..6=Sun, ISO), mean
+    daily event count, plus the classic seasonality strength
+    SS_between/SS_total over daily counts (the share of daily variance the
+    weekday label explains — ≈0 means a DOW-naive forecast is fine, near 1
+    means the weekday IS the signal). Exactness: SS_total uses the
+    N-scaled integer form Σ(N·x−S)² (EXACT in HUGEINT/DECIMAL — the ACF
+    trick); each SS_between group term (N·S_g − n_g·S)²/n_g has an exact
+    integer numerator and one double division, summed over ≤7 terms
+    (reassociation ~1e-16, ten orders under the grid). One day-grain
+    map-side aggregate; everything after runs on ≤ calendar-domain rows."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    daily = daily.persist()
+    daily.count()
+    st = daily.agg(
+        F.count("*").cast("long").alias("nn"), F.sum("x").cast("long").alias("s")
+    )
+    with_st = daily.crossJoin(F.broadcast(st))
+    dev = (F.col("nn") * F.col("x") - F.col("s")).cast("decimal(19,0)")
+    tot = with_st.agg(F.sum(dev * dev).alias("ss_t"))
+    g = with_st.groupBy(F.weekday("day").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sg"),
+        F.max("nn").alias("nn"),
+        F.max("s").alias("s"),
+    )
+    gdev = (F.col("nn") * F.col("sg") - F.col("n_days") * F.col("s")).cast(
+        "decimal(19,0)"
+    )
+    btw = g.agg(
+        F.sum((gdev * gdev).cast("double") / F.col("n_days").cast("double")).alias(
+            "ss_b"
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(
+                F.col("sg").cast("double") / F.col("n_days").cast("double"), 6
+            ).alias("mean_count"),
+            F.round(F.col("ss_b") / F.col("ss_t").cast("double"), 6).alias(
+                "seasonality_strength"
+            ),
+        )
+    )

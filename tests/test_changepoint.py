@@ -254,3 +254,31 @@ def test_fano_factor_classifies_arrival_processes(spark):
     var = sum((x - m) ** 2 for x in bursty) / (n - 1)
     assert abs(got["bursty"]["fano"] - var / m) < 1e-6
     assert got["bursty"]["fano"] > 10  # unmistakably bursty
+
+
+def test_dow_profile_strength_extremes(spark):
+    """A pure weekday function of counts gives strength ~1; means match the
+    planted shape and the dow convention is ISO Monday=0."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    shape = [10, 20, 30, 40, 50, 5, 2]  # Mon..Sun
+    rows, eid = [], 0
+    for t in range(28):  # four full weeks
+        for _ in range(shape[t % 7]):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "e", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r["dow"]: r for r in QUERIES["q_events_dow_profile"](spark, d).collect()}
+    assert sorted(got) == list(range(7))
+    for dow, m in enumerate(shape):
+        assert got[dow]["mean_count"] == float(m)
+        assert got[dow]["n_days"] == 4
+    # counts are an exact function of weekday -> all variance explained
+    assert got[0]["seasonality_strength"] == 1.0
