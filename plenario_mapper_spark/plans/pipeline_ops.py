@@ -7383,3 +7383,90 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_eval_wilson_ci",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS k
+      FROM u GROUP BY variant)
+    SELECT CAST(variant AS INT) AS variant, n, k AS conversions,
+           CAST(ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS rate,
+           CAST(ROUND(
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+              - CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(1 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+             / (CAST(1 AS DOUBLE)
+                + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS wilson_lo,
+           CAST(ROUND(
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+              + CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(1 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))))
+             / (CAST(1 AS DOUBLE)
+                + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS wilson_hi
+    FROM s
+    """,
+)
+def q_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for per-variant conversion — the
+    PROPORTION-metric readout completing the A/B family (Welch compares
+    means, AUC ranks; conversion is a binomial rate, and Wilson is the
+    interval that stays sane at small n and extreme rates where the naive
+    Wald interval collapses or exits [0,1]): users assign to variants by a
+    deterministic key function (user_id mod 2 — the split_assign
+    discipline), convert if they ever purchased; per variant, exact n/k,
+    the rate, and Wilson bounds at z=1.96. Parity: p̂ is one division of
+    exact integers, every constant is an identical literal, sqrt is
+    IEEE-exact on an identically-associated operand, and the full bound
+    expression is written with the same association in both engines. Two
+    map-side-combinable aggregates (user grain, then variant grain)."""
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"), "conv")
+    )
+    s = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"), F.sum("conv").cast("long").alias("k")
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return s.select(
+        "variant",
+        "n",
+        F.col("k").alias("conversions"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -178,3 +178,43 @@ def test_rrf_fusion_hand_checked(spark):
         assert abs(got[k]["rrf_score"] - v) < 1e-6
     # both-lists doc 1 beats the single-list tf leader doc 2
     assert got[1]["rrf_score"] > got[2]["rrf_score"]
+
+
+def test_wilson_ci_matches_python_reference(spark):
+    """Wilson bounds vs an independently-coded reference, including the
+    zero-conversion edge where the Wald interval would degenerate."""
+    import datetime, math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # variant 0 (even users 0..19): users 0,2,4 purchase -> k=3, n=10
+    # variant 1 (odd users 1..19): nobody purchases -> k=0, n=10
+    for uid in range(20):
+        rows.append((eid, d0, uid, "view", 0.0, "{}")); eid += 1
+        if uid % 2 == 0 and uid < 6:
+            rows.append((eid, d0, uid, "purchase", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r["variant"]: r for r in QUERIES["q_eval_wilson_ci"](spark, d).collect()}
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        return (center - half) / denom, (center + half) / denom
+
+    assert got[0]["n"] == 10 and got[0]["conversions"] == 3
+    lo, hi = wilson(3, 10)
+    assert abs(got[0]["wilson_lo"] - lo) < 1e-6
+    assert abs(got[0]["wilson_hi"] - hi) < 1e-6
+    # zero-conversion variant: lower bound exactly 0, upper meaningfully > 0
+    lo1, hi1 = wilson(0, 10)
+    assert got[1]["rate"] == 0.0
+    assert abs(got[1]["wilson_lo"] - lo1) < 1e-6 and got[1]["wilson_lo"] == 0.0
+    assert abs(got[1]["wilson_hi"] - hi1) < 1e-6 and got[1]["wilson_hi"] > 0.2
