@@ -667,3 +667,37 @@ def test_kmv_overlap_joins_stay_broadcast(spark):
     df.count()
     plan = _executed_view(df)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rrf_rankers_are_take_ordered_not_global_sort(spark):
+    """q_search_rrf_fusion: both rankers' top-100 cuts must plan as
+    TakeOrderedAndProject (per-partition partial top-k) — a global Sort of
+    the corpus would be the shape that dies at 100x. The only global sort
+    allowed is the final 20-row output window over the fused constant-size
+    relation."""
+    plan = _executed_view(QUERIES["q_search_rrf_fusion"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_zipf_top100_is_take_ordered(spark):
+    """q_vocab_zipf_fit: the top-100 vocabulary cut is TakeOrdered — the
+    vocab table is never globally sorted."""
+    plan = _executed_view(QUERIES["q_vocab_zipf_fit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [c" not in plan, plan
+
+
+def test_count_min_sketch_broadcasts_to_probe(spark):
+    """q_doc_count_min: the probe joins the CONSTANT d*w sketch by
+    broadcast — the sketch is the build side by construction, and the
+    token/vocab relations never shuffle into the probe join."""
+    plan = _executed_view(QUERIES["q_doc_count_min"](spark, SF))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_readability_is_scan_stage_only(spark):
+    """q_doc_readability: the whole battery is scan-stage HOF expressions —
+    no Exchange of any kind and no Python boundary in the plan."""
+    plan = _plan(QUERIES["q_doc_readability"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
