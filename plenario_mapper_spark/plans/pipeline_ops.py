@@ -7470,3 +7470,103 @@ def q_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "q_alloc_largest_remainder",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS orderkey, l_linenumber, l_partkey,
+             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+               AS w
+      FROM lineitem WHERE l_orderkey % 50 = 0),
+    o AS (
+      SELECT li.orderkey, l_linenumber, l_partkey, w,
+             SUM(w) OVER (PARTITION BY li.orderkey) AS wsum,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+               AS total
+      FROM li JOIN orders ON orders.o_orderkey = li.orderkey),
+    base AS (
+      SELECT *, total * w // wsum AS floor_cents,
+             total * w % wsum AS rem
+      FROM o),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY orderkey
+                                ORDER BY rem DESC, l_linenumber, l_partkey, w)
+               AS rk,
+             total - SUM(floor_cents) OVER (PARTITION BY orderkey) AS leftover
+      FROM base)
+    SELECT orderkey, CAST(l_linenumber AS INT) AS lineno, l_partkey AS partkey,
+           CAST(floor_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents,
+           CAST(CASE WHEN SUM(floor_cents + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY orderkey) = total
+                THEN 1 ELSE 0 END AS INT) AS conserved
+    FROM ranked
+    """,
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) money allocation — the penny-exact
+    proportional split every billing/attribution/cost-showback pipeline
+    needs (naive rounding of proportional shares loses or invents cents;
+    floats make the books unbalanceable): each order's total allocates
+    across its lines ∝ line price, floor shares first (total·w div Σw in
+    pure integers — nonneg, so div == floor), then the leftover cents go
+    one each to the largest remainders (deterministic (rem desc, lineno,
+    partkey, w) tie-break). EVERYTHING is int64 arithmetic — the per-order
+    conservation bit (Σalloc == total) is emitted and the oracle expects
+    it to be 1 on every row: balance is a theorem of the method, checked
+    per row. Shape: one fact↔orders equi-join (the 1-in-50 order sample
+    bounds driver rows, not the method), then three order-keyed window
+    passes — one shuffle key end to end."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(50)) == 0)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100, 0)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("total"),
+    )
+    wo = Window.partitionBy("orderkey")
+    base = (
+        li.join(o, "orderkey")
+        .withColumn("wsum", F.sum("w").over(wo))
+        .withColumn("prod", F.col("total") * F.col("w"))
+        .withColumn("rem", F.pmod(F.col("prod"), F.col("wsum")))
+        .withColumn(
+            "floor_cents",
+            ((F.col("prod") - F.col("rem")) / F.col("wsum")).cast("long"),
+        )
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            wo.orderBy(
+                F.col("rem").desc(), F.col("l_linenumber"), F.col("l_partkey"), F.col("w")
+            )
+        ),
+    ).withColumn("leftover", F.col("total") - F.sum("floor_cents").over(wo))
+    alloc = F.col("floor_cents") + F.when(
+        F.col("rk") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return ranked.withColumn("alloc_cents", alloc.cast("long")).select(
+        "orderkey",
+        F.col("l_linenumber").cast("int").alias("lineno"),
+        F.col("l_partkey").alias("partkey"),
+        "alloc_cents",
+        F.when(F.sum("alloc_cents").over(wo) == F.col("total"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("conserved"),
+    )

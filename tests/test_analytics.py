@@ -275,3 +275,53 @@ def test_nested_order_lines_roundtrip(spark):
     assert o1["total_qty"] == 8.0 and o1["max_lineno"] == 2
     o2 = got[2]
     assert (o2["first_part"], o2["last_part"], o2["n_lines"]) == (4, 4, 1)
+
+
+def test_largest_remainder_allocation_hand_checked(spark):
+    """total=100 cents over equal thirds: floors 33 each, the single
+    leftover penny goes to the lowest lineno; books always balance."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    li_rows = [
+        # order 50 (passes the %50 gate): three equal-priced lines
+        (50, 7, 1, 1, 1.0, 0.01, 0.0, 0.0, "N", "O", None),
+        (50, 8, 1, 2, 1.0, 0.01, 0.0, 0.0, "N", "O", None),
+        (50, 9, 1, 3, 1.0, 0.01, 0.0, 0.0, "N", "O", None),
+        # order 100: weights 2:1, total 101 -> floors 67/33, leftover 1 to
+        # the larger remainder (line 2: rem 101*1%3=2 > line 1: 202%3=1)
+        (100, 1, 1, 1, 1.0, 0.02, 0.0, 0.0, "N", "O", None),
+        (100, 2, 1, 2, 1.0, 0.01, 0.0, 0.0, "N", "O", None),
+    ]
+    import datetime
+
+    o_rows = [
+        (50, 1, "O", 1.00, datetime.datetime(2024, 1, 1), "x"),
+        (100, 1, "O", 1.01, datetime.datetime(2024, 1, 1), "x"),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            (r["orderkey"], r["lineno"]): r
+            for r in QUERIES["q_alloc_largest_remainder"](spark, d).collect()
+        }
+    # order 50: 100 cents over [1,1,1] -> 34/33/33, lineno tie-break
+    assert [got[(50, i)]["alloc_cents"] for i in (1, 2, 3)] == [34, 33, 33]
+    # order 100: 101 cents over [2,1] -> floors 67/33; remainders 1 vs 2 ->
+    # the penny goes to line 2
+    assert got[(100, 1)]["alloc_cents"] == 67
+    assert got[(100, 2)]["alloc_cents"] == 34
+    assert all(r["conserved"] == 1 for r in got.values())
