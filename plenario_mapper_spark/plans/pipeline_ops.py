@@ -7570,3 +7570,95 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("conserved"),
     )
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT e.user_id, epoch_us(MIN(e.ts)) - epoch_us(su.s) AS lat_us
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.s
+      GROUP BY e.user_id, su.s),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM conv),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS nsu FROM su),
+    ranked AS (
+      SELECT lat_us, ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk
+      FROM conv)
+    SELECT ns.nsu AS n_signups, n.nc AS n_converted,
+           CAST(ROUND(CAST(n.nc AS DOUBLE) / CAST(ns.nsu AS DOUBLE), 6) AS DOUBLE)
+             AS conversion_rate,
+           CAST(MAX(CASE WHEN rk = (n.nc + 1) // 2 THEN lat_us END) AS BIGINT)
+             AS p50_lat_us,
+           CAST(MAX(CASE WHEN rk = (9 * n.nc + 9) // 10 THEN lat_us END) AS BIGINT)
+             AS p90_lat_us
+    FROM ranked, n, ns
+    GROUP BY ns.nsu, n.nc
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency — the funnel family's TIMING
+    readout (the funnel counts who converts; this says how long conversion
+    takes, the SLA/activation metric): per user, first signup to first
+    purchase at-or-after it, latency in EXACT integer microseconds;
+    p50/p90 are exact-rank ORDER STATISTICS (the value at rank ⌈p·n⌉ under
+    the (latency, user) total order — type-1 quantiles, deliberately NOT
+    interpolated: interpolation multiplies integer gaps by non-dyadic
+    fractions and invites cross-engine ulp straddles; the exact-midrank
+    discipline). Shape: two map-side-combined user-grain aggregates + one
+    user-keyed join, then ranks over the CONVERTED-USER domain only;
+    ceil in integer form ((a+b−1) div b)."""
+    e = _events(spark, sf_dir)
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s"))
+        .groupBy("user_id", "s")
+        .agg(F.min("ts").alias("p"))
+        .select(
+            "user_id",
+            (F.unix_micros("p") - F.unix_micros("s")).cast("long").alias("lat_us"),
+        )
+    )
+    conv = conv.persist()
+    conv.count()
+    n = conv.agg(F.count("*").cast("long").alias("nc"))
+    ns = su.agg(F.count("*").cast("long").alias("nsu"))
+    ranked = conv.withColumn(
+        "rk", F.row_number().over(Window.orderBy("lat_us", "user_id"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ns))
+        .groupBy("nsu", "nc")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.floor((F.col("nc") + 1) / 2), F.col("lat_us")
+                ).cast("long")
+            ).alias("_p50"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.floor((9 * F.col("nc") + 9) / 10),
+                    F.col("lat_us"),
+                ).cast("long")
+            ).alias("_p90"),
+        )
+        .select(
+            F.col("nsu").alias("n_signups"),
+            F.col("nc").alias("n_converted"),
+            F.round(
+                F.col("nc").cast("double") / F.col("nsu").cast("double"), 6
+            ).alias("conversion_rate"),
+            F.col("_p50").alias("p50_lat_us"),
+            F.col("_p90").alias("p90_lat_us"),
+        )
+    )

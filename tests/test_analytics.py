@@ -325,3 +325,35 @@ def test_largest_remainder_allocation_hand_checked(spark):
     assert got[(100, 1)]["alloc_cents"] == 67
     assert got[(100, 2)]["alloc_cents"] == 34
     assert all(r["conserved"] == 1 for r in got.values())
+
+
+def test_time_to_convert_order_statistics(spark):
+    """10 converting users with latencies 1..10 s, one who signs up but
+    never buys, and one pre-signup purchase that must not count."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid in range(1, 11):
+        rows.append((eid, d0, uid, "signup", 0.0, "{}")); eid += 1
+        rows.append(
+            (eid, d0 + datetime.timedelta(seconds=uid), uid, "purchase", 0.0, "{}")
+        ); eid += 1
+    rows.append((eid, d0, 99, "signup", 0.0, "{}")); eid += 1  # never converts
+    # user 98 purchased BEFORE signing up -> not a conversion
+    rows.append((eid, d0 - datetime.timedelta(hours=1), 98, "purchase", 0.0, "{}")); eid += 1
+    rows.append((eid, d0, 98, "signup", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        r = QUERIES["q_events_time_to_convert"](spark, d).collect()[0]
+    assert r["n_signups"] == 12 and r["n_converted"] == 10
+    assert abs(r["conversion_rate"] - 10 / 12) < 1e-6
+    # exact-rank type-1 quantiles over 1..10 s: p50 = rank ceil(11/2)=5 ->
+    # 5 s; p90 = rank ceil(99/10)=9 -> 9 s
+    assert r["p50_lat_us"] == 5_000_000
+    assert r["p90_lat_us"] == 9_000_000
