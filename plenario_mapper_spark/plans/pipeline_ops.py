@@ -7662,3 +7662,65 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_p90").alias("p90_lat_us"),
         )
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS month, CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2),
+    mau AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1),
+    agg AS (
+      SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS dau_sum
+      FROM dau GROUP BY month)
+    SELECT CAST(agg.month AS DATE) AS month, agg.n_days, agg.dau_sum, mau.mau,
+           CAST(ROUND(CAST(agg.dau_sum AS DOUBLE)
+                      / (CAST(agg.n_days AS DOUBLE) * CAST(mau.mau AS DOUBLE)), 6)
+                AS DOUBLE) AS stickiness
+    FROM agg JOIN mau ON agg.month = mau.month
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every product
+    dashboard leads with (retention says they come BACK; stickiness says
+    how much of the month they LIVE here: avg daily actives over monthly
+    actives, ≈1/30 for monthly-touch products, →1 for daily habits):
+    avg(DAU)/MAU written as the single exact ratio Σdau/(n_days·MAU) so
+    the only float op is one identically-associated division of exact
+    integers. Shape: both actives tables are map-side-combinable distinct
+    aggregates ((month, day, user) then (month, user)); everything joins
+    at MONTH grain. At 100 TB the distincts are the cost — both partial-
+    aggregate before shuffling, and the month-grain join is trivially
+    broadcastable."""
+    e = _events(spark, sf_dir).select(
+        F.trunc(F.to_date("ts"), "month").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = e.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = e.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    agg = dau.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("dau_sum"),
+    )
+    return agg.join(F.broadcast(mau), "month").select(
+        "month",
+        "n_days",
+        "dau_sum",
+        "mau",
+        F.round(
+            F.col("dau_sum").cast("double")
+            / (F.col("n_days").cast("double") * F.col("mau").cast("double")),
+            6,
+        ).alias("stickiness"),
+    )

@@ -357,3 +357,33 @@ def test_time_to_convert_order_statistics(spark):
     # 5 s; p90 = rank ceil(99/10)=9 -> 9 s
     assert r["p50_lat_us"] == 5_000_000
     assert r["p90_lat_us"] == 9_000_000
+
+
+def test_stickiness_hand_checked(spark):
+    """Two months: a daily-habit user + a one-day tourist give known
+    DAU sums; the ratio is exact."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows, eid = [], 0
+    # January (3 active days): user 1 active all 3 days, user 2 on day 1 only
+    for day in (1, 2, 3):
+        rows.append((eid, datetime.datetime(2024, 1, day), 1, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, datetime.datetime(2024, 1, 1), 2, "view", 0.0, "{}")); eid += 1
+    # duplicate same-day events must not inflate DAU
+    rows.append((eid, datetime.datetime(2024, 1, 1, 9), 2, "click", 0.0, "{}")); eid += 1
+    # February: single user, single day
+    rows.append((eid, datetime.datetime(2024, 2, 10), 3, "view", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {str(r["month"]): r for r in QUERIES["q_events_stickiness"](spark, d).collect()}
+    jan = got["2024-01-01"]
+    # DAU: day1=2, day2=1, day3=1 -> sum 4 over 3 days; MAU=2
+    assert jan["n_days"] == 3 and jan["dau_sum"] == 4 and jan["mau"] == 2
+    assert abs(jan["stickiness"] - 4 / 6) < 1e-6
+    feb = got["2024-02-01"]
+    assert feb["stickiness"] == 1.0
