@@ -7724,3 +7724,92 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+@register(
+    "q_doc_js_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+           FROM tok GROUP BY source, tok),
+    corp AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM sc GROUP BY tok),
+    nsrc AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sc GROUP BY source),
+    ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corp),
+    terms AS (
+      SELECT sc.source,
+             (CAST(sc.cs AS DOUBLE) / CAST(nsrc.ns AS DOUBLE))
+               * ln(CAST(2 AS DOUBLE)
+                    * (CAST(sc.cs AS DOUBLE) / CAST(nsrc.ns AS DOUBLE))
+                    / ((CAST(sc.cs AS DOUBLE) / CAST(nsrc.ns AS DOUBLE))
+                       + (CAST(corp.c AS DOUBLE) / CAST(ntot.n AS DOUBLE))))
+             + (CAST(corp.c AS DOUBLE) / CAST(ntot.n AS DOUBLE))
+               * ln(CAST(2 AS DOUBLE)
+                    * (CAST(corp.c AS DOUBLE) / CAST(ntot.n AS DOUBLE))
+                    / ((CAST(sc.cs AS DOUBLE) / CAST(nsrc.ns AS DOUBLE))
+                       + (CAST(corp.c AS DOUBLE) / CAST(ntot.n AS DOUBLE))))
+               AS t,
+             CAST(corp.c AS DOUBLE) / CAST(ntot.n AS DOUBLE) AS qmass
+      FROM sc JOIN corp ON sc.tok = corp.tok
+              JOIN nsrc ON sc.source = nsrc.source, ntot)
+    SELECT source,
+           CAST(ROUND(CAST(0.5 AS DOUBLE) * SUM(t)
+                      + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) - SUM(qmass)), 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS js_divergence,
+           CAST(ROUND(SUM(qmass), 6) AS DOUBLE) AS corpus_mass_covered
+    FROM terms GROUP BY source
+    """,
+)
+def q_doc_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution from
+    the corpus — the out-of-distribution ranking a data-mixing decision
+    reads (PSI/KS/EMD watch ONE statistic drift over time; JS compares
+    whole VOCABULARY distributions, bounded [0, ln2], symmetric, never
+    infinite — which of my twenty crawls speaks a different language?):
+    per present (source, token) pair the two KL terms, plus the
+    missing-mass identity — tokens ABSENT from a source each contribute
+    ½·q·ln2, so Σ_absent collapses to ½·ln2·(1 − Σ_present q) and the
+    (source × vocab) cross product is NEVER materialized (per-source work
+    is its own token set, not the corpus vocab). Probabilities are
+    divisions of exact integers written with identical association; ln
+    runs on identical doubles; the vocab-domain sum's reassociation sits
+    ~9 orders under the rounding grid; +0.0 canonicalizes the single-source
+    −0.0 edge. One (source, token) map-side count, a token-keyed join to
+    corpus counts, broadcast marginals."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    sc = (
+        d.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cs"))
+    )
+    sc = sc.persist()
+    sc.count()
+    corp = sc.groupBy("tok").agg(F.sum("cs").cast("long").alias("c"))
+    nsrc = sc.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    ntot = corp.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("cs").cast("double") / F.col("ns").cast("double")
+    q = F.col("c").cast("double") / F.col("n").cast("double")
+    t = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    terms = (
+        sc.join(corp, "tok")
+        .join(F.broadcast(nsrc), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select("source", t.alias("t"), q.alias("qmass"))
+    )
+    return terms.groupBy("source").agg(
+        (
+            F.round(
+                F.lit(0.5) * F.sum("t")
+                + F.lit(0.5) * F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum("qmass")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("js_divergence"),
+        F.round(F.sum("qmass"), 6).alias("corpus_mass_covered"),
+    )

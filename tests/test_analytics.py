@@ -387,3 +387,58 @@ def test_stickiness_hand_checked(spark):
     assert abs(jan["stickiness"] - 4 / 6) < 1e-6
     feb = got["2024-02-01"]
     assert feb["stickiness"] == 1.0
+
+
+def test_js_divergence_identity_and_disjoint_extremes(spark):
+    """A source identical to the corpus diverges 0; fully-disjoint
+    vocabularies hit the ln2 ceiling; a mixed case matches an
+    independently-coded reference."""
+    import math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return {
+                r["source"]: r
+                for r in QUERIES["q_doc_js_source_divergence"](spark, d).collect()
+            }
+
+    # single source: P == Q exactly -> JS 0, coverage 1
+    got = run([(1, "a b c a", "en", "only", 1)])
+    assert got["only"]["js_divergence"] == 0.0
+    assert got["only"]["corpus_mass_covered"] == 1.0
+
+    # two disjoint-vocab sources of equal mass: for each source,
+    # JS(P, M_corpus) where corpus = even mixture
+    got = run([(1, "a a b b", "en", "s1", 1), (2, "x x y y", "en", "s2", 1)])
+
+    def ref_js(p_counts, q_counts):
+        np_, nq = sum(p_counts.values()), sum(q_counts.values())
+        toks = set(p_counts) | set(q_counts)
+        js = 0.0
+        for t in toks:
+            p = p_counts.get(t, 0) / np_
+            q = q_counts.get(t, 0) / nq
+            m = (p + q) / 2
+            if p:
+                js += 0.5 * p * math.log(p / m)
+            if q:
+                js += 0.5 * q * math.log(q / m)
+        return js
+
+    corpus = {"a": 2, "b": 2, "x": 2, "y": 2}
+    expect = ref_js({"a": 2, "b": 2}, corpus)
+    assert abs(got["s1"]["js_divergence"] - expect) < 1e-6
+    assert abs(got["s2"]["js_divergence"] - expect) < 1e-6
+    assert abs(got["s1"]["corpus_mass_covered"] - 0.5) < 1e-6
+
+    # mixed overlap vs reference
+    got = run([(1, "a a b", "en", "s1", 1), (2, "a c c c", "en", "s2", 1)])
+    corpus = {"a": 3, "b": 1, "c": 3}
+    assert abs(got["s1"]["js_divergence"] - ref_js({"a": 2, "b": 1}, corpus)) < 1e-6
+    assert abs(got["s2"]["js_divergence"] - ref_js({"a": 1, "c": 3}, corpus)) < 1e-6
