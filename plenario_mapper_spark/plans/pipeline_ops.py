@@ -7813,3 +7813,90 @@ def q_doc_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_divergence"),
         F.round(F.sum("qmass"), 6).alias("corpus_mass_covered"),
     )
+
+
+@register(
+    "q_events_bot_signals",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    tw AS (
+      SELECT user_id, c,
+             (CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id)
+                                       AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY user_id)
+                                           AS DOUBLE)) AS t
+      FROM tc),
+    u AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             SUM(t) AS negent
+      FROM tw GROUP BY user_id),
+    d AS (
+      SELECT user_id, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS active_days
+      FROM events GROUP BY user_id)
+    SELECT u.user_id, n_events, n_types, d.active_days,
+           CAST(ROUND(-negent + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS type_entropy,
+           CAST(ROUND(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+                AS DOUBLE) AS top_type_share,
+           CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(d.active_days AS DOUBLE), 6)
+                AS DOUBLE) AS events_per_day,
+           CAST(CASE WHEN CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE)
+                          >= CAST(0.8 AS DOUBLE)
+                          AND n_events >= 20 THEN 1 ELSE 0 END AS INT)
+             AS bot_flag
+    FROM u JOIN d ON u.user_id = d.user_id
+    """,
+)
+def q_events_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral bot signals — the abuse-detection profile a
+    traffic-quality gate reads before events feed ANY downstream metric
+    (one scripted client can dominate DAU, funnels, and training labels):
+    volume, type diversity (Shannon entropy over the user's own event-type
+    mix — scripts are low-entropy), top-type concentration, per-active-day
+    intensity, and a conservative flag (≥80% one type at ≥20 events —
+    decided on EXACT integers: top_c·5 ≥ n·4 avoided in favor of the
+    identical double comparison both engines make on exact-integer
+    operands). Entropy sums ≤|type-domain| identically-valued ln terms per
+    user (reassociation ~1e-16); the window-inside-aggregate form keeps
+    one (user, type) pass. Shape: two map-side-combined user-grain
+    aggregates, one user-keyed join — never a per-event shuffle beyond the
+    first groupBy."""
+    e = _events(spark, sf_dir)
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c").cast("double") / F.sum("c").over(wu).cast("double")
+    u = (
+        tc.withColumn("_t", p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.max("c").cast("long").alias("top_c"),
+            F.sum("_t").alias("negent"),
+        )
+    )
+    d = e.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("active_days")
+    )
+    share = F.col("top_c").cast("double") / F.col("n_events").cast("double")
+    return u.join(d, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "active_days",
+        F.round(-F.col("negent") + F.lit(0.0), 6).alias("type_entropy"),
+        F.round(share, 6).alias("top_type_share"),
+        F.round(
+            F.col("n_events").cast("double") / F.col("active_days").cast("double"), 6
+        ).alias("events_per_day"),
+        F.when((share >= F.lit(0.8)) & (F.col("n_events") >= 20), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("bot_flag"),
+    )

@@ -442,3 +442,39 @@ def test_js_divergence_identity_and_disjoint_extremes(spark):
     corpus = {"a": 3, "b": 1, "c": 3}
     assert abs(got["s1"]["js_divergence"] - ref_js({"a": 2, "b": 1}, corpus)) < 1e-6
     assert abs(got["s2"]["js_divergence"] - ref_js({"a": 1, "c": 3}, corpus)) < 1e-6
+
+
+def test_bot_signals_hand_checked(spark):
+    """A scripted one-type user flags; a diverse human does not; entropy
+    and intensity match hand math."""
+    import datetime, math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # bot: 25 clicks, nothing else, all on one day
+    for _ in range(25):
+        rows.append((eid, d0, 1, "click", 0.0, "{}")); eid += 1
+    # human: 4 types x 3 events over 3 days
+    for day in range(3):
+        for t in ("click", "view", "purchase", "signup"):
+            rows.append(
+                (eid, d0 + datetime.timedelta(days=day), 2, t, 0.0, "{}")
+            ); eid += 1
+    # heavy but diverse: 20 events, 50/50 two types -> no flag (share 0.5)
+    for i in range(20):
+        rows.append((eid, d0, 3, "click" if i % 2 else "view", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r["user_id"]: r for r in QUERIES["q_events_bot_signals"](spark, d).collect()}
+    bot, human, heavy = got[1], got[2], got[3]
+    assert bot["bot_flag"] == 1 and bot["type_entropy"] == 0.0
+    assert bot["top_type_share"] == 1.0 and bot["events_per_day"] == 25.0
+    assert human["bot_flag"] == 0
+    assert abs(human["type_entropy"] - math.log(4)) < 1e-6
+    assert human["events_per_day"] == 4.0
+    assert heavy["bot_flag"] == 0 and abs(heavy["type_entropy"] - math.log(2)) < 1e-6
