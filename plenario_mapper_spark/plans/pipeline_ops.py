@@ -7900,3 +7900,66 @@ def q_events_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bot_flag"),
     )
+
+
+@register(
+    "q_events_twap",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events),
+    agg AS (
+      SELECT event_type, day,
+             CAST(COUNT(dt_us) AS BIGINT) AS n_intervals,
+             CAST(SUM(CASE WHEN dt_us IS NOT NULL THEN v * dt_us END)
+                  AS DECIMAL(38,2)) AS vw,
+             CAST(SUM(dt_us) AS BIGINT) AS w
+      FROM s GROUP BY event_type, day)
+    SELECT event_type, day, n_intervals,
+           CAST(ROUND(CAST(vw AS DOUBLE) / CAST(w AS DOUBLE), 6) AS DOUBLE) AS twap
+    FROM agg WHERE w > 0
+    """,
+)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the value gauge per (day, type) — the
+    metrics-store aggregate for IRREGULARLY-sampled gauges (a plain mean
+    over samples overweights chatty periods; TWAP weights each reading by
+    how long it was the current one — the same reason financial TWAP
+    exists): each reading holds until the next one in its (day, type)
+    series ((ts, event_id) order, lead in ONE window pass — the OHLC/path
+    discipline), the last reading of a day carries no weight (no
+    successor; half-open day semantics, documented), and Σ(value·dt)
+    accumulates in DECIMAL × exact integer microseconds — engine-exact
+    until the single closing division. Days with a single reading (no
+    intervals) are excluded identically via w > 0. One window pass + one
+    map-side-combinable aggregate."""
+    from plenario_mapper_spark.plans.relational import _dec
+
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    s = _events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        _dec("value").alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    agg = s.groupBy("event_type", "day").agg(
+        F.count("dt_us").cast("long").alias("n_intervals"),
+        F.sum(
+            F.when(F.col("dt_us").isNotNull(), F.col("v") * F.col("dt_us"))
+        )
+        .cast("decimal(38,2)")
+        .alias("vw"),
+        F.sum("dt_us").cast("long").alias("w"),
+    )
+    return agg.filter(F.col("w") > 0).select(
+        "event_type",
+        "day",
+        "n_intervals",
+        F.round(F.col("vw").cast("double") / F.col("w").cast("double"), 6).alias(
+            "twap"
+        ),
+    )

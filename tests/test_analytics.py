@@ -478,3 +478,33 @@ def test_bot_signals_hand_checked(spark):
     assert abs(human["type_entropy"] - math.log(4)) < 1e-6
     assert human["events_per_day"] == 4.0
     assert heavy["bot_flag"] == 0 and abs(heavy["type_entropy"] - math.log(2)) < 1e-6
+
+
+def test_twap_weights_by_holding_time(spark):
+    """Value 10 held 9 s then value 100 held 1 s -> TWAP 19; the trailing
+    reading carries no weight; single-reading days are excluded."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1, "gauge", 10.0, "{}"),
+        (2, d0 + datetime.timedelta(seconds=9), 1, "gauge", 100.0, "{}"),
+        (3, d0 + datetime.timedelta(seconds=10), 1, "gauge", 7.0, "{}"),  # trailing
+        # a lonely reading on day 2: no interval -> excluded
+        (4, d0 + datetime.timedelta(days=1), 1, "gauge", 55.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["event_type"], str(r["day"])): r
+            for r in QUERIES["q_events_twap"](spark, d).collect()
+        }
+    assert set(got) == {("gauge", "2024-01-01")}
+    r = got[("gauge", "2024-01-01")]
+    assert r["n_intervals"] == 2
+    assert abs(r["twap"] - (10.0 * 9 + 100.0 * 1) / 10) < 1e-6
