@@ -7963,3 +7963,62 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+@register(
+    "q_audit_corpus_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                  1, 12)) AS BIGINT) AS h48
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h48) % 9007199254740991 AS BIGINT) AS content_hash,
+           CAST(MIN(h48) AS BIGINT) AS min_h, CAST(MAX(h48) AS BIGINT) AS max_h
+    FROM h GROUP BY source
+    """,
+)
+def q_audit_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent corpus content fingerprint per source — the
+    reproducibility primitive a training run records BEFORE it starts
+    ('did my input change since the last run' must be answerable without
+    diffing terabytes; the write-audit-publish companion at the INPUT
+    edge): each row hashes to 48 md5 bits (exact in BIGINT and a double's
+    mantissa — the KMV discipline), and the per-source fingerprint is the
+    SUM mod 2^53−1 — commutative/associative, so partitioning, file order,
+    and shuffle layout cannot change it, and any single-row change almost
+    surely does (flip probability 2^−48 per colliding pair). min/max
+    hashes ride along as cheap extra collision detectors. One
+    map-side-combinable aggregate over a scan-stage hash — the corpus
+    never shuffles, only 4 longs per source do."""
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    return (
+        d.select("source", h48.alias("h48"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            # accumulate in DECIMAL(38,0): h48 < 2^48 but the SUM is
+            # unbounded with corpus size — int64 would overflow where the
+            # oracle's HUGEINT doesn't; mod only after the exact sum
+            F.pmod(
+                F.sum(F.col("h48").cast("decimal(38,0)")),
+                F.lit(9007199254740991).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("content_hash"),
+            F.min("h48").cast("long").alias("min_h"),
+            F.max("h48").cast("long").alias("max_h"),
+        )
+    )

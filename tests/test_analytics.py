@@ -508,3 +508,32 @@ def test_twap_weights_by_holding_time(spark):
     r = got[("gauge", "2024-01-01")]
     assert r["n_intervals"] == 2
     assert abs(r["twap"] - (10.0 * 9 + 100.0 * 1) / 10) < 1e-6
+
+
+def test_corpus_fingerprint_order_invariant_and_change_sensitive(spark):
+    """Same rows in any order/partitioning -> same fingerprint; one edited
+    row flips it; min/max ride along."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [(i, f"text number {i}", "en", "s", 1) for i in range(50)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def fp(data, parts):
+        df = spark.createDataFrame(data, schema).repartition(parts)
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return {
+                r["source"]: tuple(r)
+                for r in QUERIES["q_audit_corpus_fingerprint"](spark, d).collect()
+            }
+
+    a = fp(rows, 1)
+    b = fp(list(reversed(rows)), 7)
+    assert a == b  # order and layout cannot change the fingerprint
+    edited = rows[:]
+    edited[13] = (13, "text number 13 EDITED", "en", "s", 1)
+    c = fp(edited, 1)
+    assert c["s"] != a["s"]
+    assert c["s"][1] == a["s"][1]  # same row count — only content moved
