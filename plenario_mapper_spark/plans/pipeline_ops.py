@@ -8022,3 +8022,99 @@ def q_audit_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h48").cast("long").alias("max_h"),
         )
     )
+
+
+@register(
+    "q_events_type_correlation",
+    oracle="""
+    WITH cal AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, c.day, COALESCE(cnt.x, 0) AS x
+      FROM types t CROSS JOIN cal c
+      LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.day = c.day),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.x) AS BIGINT) AS sy,
+             SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+             SUM(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+             SUM(CAST(b.x AS HUGEINT) * b.x) AS syy
+      FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, nn AS n_days,
+           CAST(ROUND(CASE WHEN (nn * sxx - CAST(sx AS HUGEINT) * sx) = 0
+                             OR (nn * syy - CAST(sy AS HUGEINT) * sy) = 0
+                      THEN NULL
+                      ELSE CAST(nn * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                           / (sqrt(CAST(nn * sxx - CAST(sx AS HUGEINT) * sx
+                                        AS DOUBLE))
+                              * sqrt(CAST(nn * syy - CAST(sy AS HUGEINT) * sy
+                                          AS DOUBLE))) END, 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS corr
+    FROM pairs
+    """,
+)
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event types' daily series — the
+    co-movement map behind alerting and metric design (error spikes
+    tracking click volume are load, not regressions; a purchase series
+    decorrelating from views is the real alarm): the shared calendar is
+    ALL observed days, each (type, day) cell 0-FILLED (absence is a 0
+    reading, not a missing row — correlations over only-mutual days would
+    bias toward busy days), then every moment in the N-scaled exact
+    integer form (HUGEINT/DECIMAL): corr = (N·Σxy − SxSy) /
+    (√(N·Σxx−Sx²)·√(N·Σyy−Sy²)) — sqrt is the only irrational step, on
+    identical exact inputs. Constant series yield NULL identically (exact
+    integer zero-variance test, not a float epsilon). Shape: one
+    map-side-combined (type, day) count; the grid is |types|×|days|
+    (tiny); the pair join keys on the day across the type-bounded grid."""
+    e = _events(spark, sf_dir)
+    cnt = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    cnt = cnt.persist()
+    cnt.count()
+    cal = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(cal)
+        .join(cnt, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "day", F.col("x").alias("xa")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), "day", F.col("x").alias("xb")
+    )
+    dx = lambda c: F.col(c).cast("decimal(19,0)")
+    pairs = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("long").alias("nn"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+            F.sum(dx("xa") * F.col("xb")).alias("sxy"),
+            F.sum(dx("xa") * F.col("xa")).alias("sxx"),
+            F.sum(dx("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    n38 = F.col("nn").cast("decimal(38,0)")
+    vx = n38 * F.col("sxx") - dx("sx") * F.col("sx")
+    vy = n38 * F.col("syy") - dx("sy") * F.col("sy")
+    cov = n38 * F.col("sxy") - dx("sx") * F.col("sy")
+    corr = F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+        cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("nn").alias("n_days"),
+        (F.round(corr, 6) + F.lit(0.0)).alias("corr"),
+    )

@@ -537,3 +537,64 @@ def test_corpus_fingerprint_order_invariant_and_change_sensitive(spark):
     c = fp(edited, 1)
     assert c["s"] != a["s"]
     assert c["s"][1] == a["s"][1]  # same row count — only content moved
+
+
+def test_type_correlation_extremes_and_zero_fill(spark):
+    """Perfectly parallel series corr=1, mirrored series corr=-1, constant
+    series NULL; a type absent on a day counts as 0, not a dropped day."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    up = [1, 2, 3, 4]       # 'a' and 'b' move together
+    down = [4, 3, 2, 1]     # 'c' mirrors them
+    for t, (u, dn) in enumerate(zip(up, down)):
+        day = d0 + datetime.timedelta(days=t)
+        for _ in range(u):
+            rows.append((eid, day, 1, "a", 0.0, "{}")); eid += 1
+            rows.append((eid, day, 1, "b", 0.0, "{}")); eid += 1
+        for _ in range(dn):
+            rows.append((eid, day, 1, "c", 0.0, "{}")); eid += 1
+        # 'flat' fires twice every day -> zero variance -> NULL corr
+        rows.append((eid, day, 1, "flat", 0.0, "{}")); eid += 1
+        rows.append((eid, day, 1, "flat", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["type_a"], r["type_b"]): r
+            for r in QUERIES["q_events_type_correlation"](spark, d).collect()
+        }
+    assert got[("a", "b")]["corr"] == 1.0
+    assert got[("a", "c")]["corr"] == -1.0
+    assert got[("a", "flat")]["corr"] is None
+    assert all(r["n_days"] == 4 for r in got.values())
+
+
+def test_type_correlation_absent_day_is_zero(spark):
+    """A type missing an entire day gets x=0 for that day — the grid must
+    0-fill rather than shrink the calendar."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 2, 1)
+    rows = [
+        (1, d0, 1, "a", 0.0, "{}"),
+        (2, d0 + datetime.timedelta(days=1), 1, "a", 0.0, "{}"),
+        (3, d0, 1, "b", 0.0, "{}"),
+        # b absent on day 2 entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = QUERIES["q_events_type_correlation"](spark, d).collect()
+    r = got[0]
+    # a is constant (1,1) -> zero variance -> NULL, but n_days must be 2
+    assert r["n_days"] == 2 and r["corr"] is None
