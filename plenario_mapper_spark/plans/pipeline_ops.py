@@ -8118,3 +8118,66 @@ def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_days"),
         (F.round(corr, 6) + F.lit(0.0)).alias("corr"),
     )
+
+
+@register(
+    "q_events_churn_labels",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS m
+      FROM events),
+    mx AS (SELECT MAX(m) AS max_m FROM um),
+    lab AS (
+      SELECT user_id, m,
+             lead(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+      FROM um)
+    SELECT user_id, CAST(m AS DATE) AS month,
+           CAST(CASE WHEN m = mx.max_m THEN 1 ELSE 0 END AS INT) AS censored,
+           CAST(CASE WHEN m <> mx.max_m
+                      AND (next_m IS NULL OR next_m <> m + INTERVAL 1 MONTH)
+                THEN 1 ELSE 0 END AS INT) AS churned
+    FROM lab, mx
+    """,
+)
+def q_events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label construction — the supervised-label builder an ML
+    pipeline runs BEFORE any model sees data (features get all the
+    attention; silently wrong labels poison everything downstream): one
+    row per (user, active month), churned = active this month, not active
+    the NEXT calendar month — computed from lead() over the user's own
+    month sequence so a gap month counts as churn even when the user later
+    returns (re-activation starts a new spell); the corpus's final month
+    is RIGHT-CENSORED (next month unobservable — flagged, not labeled
+    churned: the classic survival-data mistake this op exists to prevent).
+    Pure date/integer logic — engine-exact. Shape: one map-side
+    distinct to (user, month), one user-keyed window, a one-row max-month
+    broadcast."""
+    um = (
+        _events(spark, sf_dir)
+        .select("user_id", F.trunc(F.to_date("ts"), "month").alias("m"))
+        .distinct()
+    )
+    um = um.persist()
+    um.count()
+    mx = um.agg(F.max("m").alias("max_m"))
+    lab = um.withColumn(
+        "next_m", F.lead("m").over(Window.partitionBy("user_id").orderBy("m"))
+    )
+    return lab.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.col("m").alias("month"),
+        F.when(F.col("m") == F.col("max_m"), 1).otherwise(0).cast("int").alias(
+            "censored"
+        ),
+        F.when(
+            (F.col("m") != F.col("max_m"))
+            & (
+                F.col("next_m").isNull()
+                | (F.col("next_m") != F.add_months(F.col("m"), 1))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("churned"),
+    )

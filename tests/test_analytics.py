@@ -598,3 +598,38 @@ def test_type_correlation_absent_day_is_zero(spark):
     r = got[0]
     # a is constant (1,1) -> zero variance -> NULL, but n_days must be 2
     assert r["n_days"] == 2 and r["corr"] is None
+
+
+def test_churn_labels_gap_and_censoring(spark):
+    """A user active Jan+Feb+Apr: Jan not churned, Feb churned (March gap
+    despite the April return), Apr censored (corpus ends in April)."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 5), 1, "view", 0.0, "{}"),
+        (2, datetime.datetime(2024, 2, 9), 1, "view", 0.0, "{}"),
+        (3, datetime.datetime(2024, 4, 2), 1, "view", 0.0, "{}"),
+        # user 2 active Jan only -> churned in Jan
+        (4, datetime.datetime(2024, 1, 1), 2, "view", 0.0, "{}"),
+        # user 3 keeps the corpus alive through April
+        (5, datetime.datetime(2024, 3, 1), 3, "view", 0.0, "{}"),
+        (6, datetime.datetime(2024, 4, 1), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["user_id"], str(r["month"])): r
+            for r in QUERIES["q_events_churn_labels"](spark, d).collect()
+        }
+    assert got[(1, "2024-01-01")]["churned"] == 0  # Feb follows
+    assert got[(1, "2024-02-01")]["churned"] == 1  # March gap = churn
+    assert got[(1, "2024-04-01")]["censored"] == 1
+    assert got[(1, "2024-04-01")]["churned"] == 0  # censored, NOT churned
+    assert got[(2, "2024-01-01")]["churned"] == 1
+    assert got[(3, "2024-03-01")]["churned"] == 0
+    assert got[(3, "2024-04-01")]["censored"] == 1
