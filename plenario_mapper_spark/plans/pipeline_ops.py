@@ -8181,3 +8181,133 @@ def q_events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("churned"),
     )
+
+
+@register(
+    "q_survival_kaplan_meier",
+    oracle="""
+    WITH cm AS (
+      SELECT DISTINCT o_custkey AS c,
+             year(o_orderdate) * 12 + month(o_orderdate) AS mi
+      FROM orders),
+    mx AS (SELECT MAX(mi) AS max_mi FROM cm),
+    seq AS (
+      SELECT c, mi,
+             CASE WHEN mi - lag(mi) OVER (PARTITION BY c ORDER BY mi) > 1
+                  OR lag(mi) OVER (PARTITION BY c ORDER BY mi) IS NULL
+                  THEN 1 ELSE 0 END AS new_spell
+      FROM cm),
+    sp AS (
+      SELECT c, mi,
+             SUM(new_spell) OVER (PARTITION BY c ORDER BY mi) AS spell_id
+      FROM seq),
+    spells AS (
+      SELECT c, spell_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(CASE WHEN MAX(mi) = mx.max_mi THEN 1 ELSE 0 END AS INT)
+               AS censored
+      FROM sp, mx GROUP BY c, spell_id, mx.max_mi),
+    km AS (
+      SELECT len, CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c_cnt
+      FROM spells GROUP BY len),
+    at_risk AS (
+      SELECT len, d, c_cnt,
+             CAST(SUM(d + c_cnt) OVER (ORDER BY len DESC) AS BIGINT) AS n_risk
+      FROM km)
+    SELECT CAST(len AS BIGINT) AS spell_months, n_risk AS n_at_risk,
+           d AS n_churned, c_cnt AS n_censored,
+           CAST(CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY len) = 1
+                THEN CAST(0 AS DOUBLE)
+                ELSE ROUND(exp(SUM(CASE WHEN d = 0 OR d = n_risk
+                                THEN CAST(0 AS DOUBLE)
+                           ELSE ln(CAST(1 AS DOUBLE)
+                                   - CAST(d AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)) END)
+                           OVER (ORDER BY len)), 6) + CAST(0 AS DOUBLE) END
+                AS DOUBLE) AS survival
+    FROM at_risk
+    """,
+)
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of customer ordering spells — the
+    survival-analysis estimator behind every retention curve that has to
+    coexist with INCOMPLETE observation (the churn-label op flags
+    censoring; KM is what you then DO with it — naive 'average lifetime'
+    over censored data is biased low): consecutive-month ordering spells
+    per customer (integer month index year·12+month — never
+    months_between float arithmetic; a gap starts a new spell), spells
+    touching the corpus's last month are right-censored; per spell length,
+    at-risk counts (suffix-cumulative — censored spells leave the risk set
+    without dying), deaths, and S(t) = Π(1 − d/n) computed as
+    exp(Σ ln(1−d/n)) with the SAME association in both engines (d=0 terms
+    contribute exact 0; a d=n final bucket drives S to exact 0 via
+    exp(−inf)). Shape: one distinct to (customer, month), one
+    customer-keyed window pair for spell ids, then everything runs on the
+    spell-length domain (≤ corpus months — tiny)."""
+    cm = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .distinct()
+    )
+    cm = cm.persist()
+    cm.count()
+    mx = cm.agg(F.max("mi").alias("max_mi"))
+    wc = Window.partitionBy("c").orderBy("mi")
+    seq = cm.withColumn(
+        "new_spell",
+        F.when(
+            (F.col("mi") - F.lag("mi").over(wc) > 1)
+            | F.lag("mi").over(wc).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sp = seq.withColumn(
+        "spell_id",
+        F.sum("new_spell").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spells = (
+        sp.crossJoin(F.broadcast(mx))
+        .groupBy("c", "spell_id")
+        .agg(
+            F.count("*").cast("long").alias("len"),
+            F.when(F.max("mi") == F.max(F.col("max_mi")), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    km = spells.groupBy("len").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c_cnt"),
+    )
+    w_desc = Window.orderBy(F.col("len").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = km.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c_cnt")).over(w_desc).cast("long")
+    )
+    # the absorbing bucket (d == n_risk) would be ln(0): DuckDB raises on
+    # it rather than returning -inf, so BOTH engines carry an explicit
+    # cumulative extinction flag and emit exact 0 from there on
+    term = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"))
+    )
+    term = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(term)
+    w_asc = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    extinct = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(w_asc)), 6) + F.lit(0.0)
+    )
+    return at_risk.select(
+        F.col("len").alias("spell_months"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c_cnt").alias("n_censored"),
+        surv.alias("survival"),
+    )

@@ -633,3 +633,46 @@ def test_churn_labels_gap_and_censoring(spark):
     assert got[(2, "2024-01-01")]["churned"] == 1
     assert got[(3, "2024-03-01")]["churned"] == 0
     assert got[(3, "2024-04-01")]["censored"] == 1
+
+
+def test_kaplan_meier_hand_checked(spark):
+    """Textbook KM with censoring: spells {1,1,2+censored,3}: S(1)=.5,
+    censored spell leaves the risk set without dying, S(3)=0."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    def o(k, cust, y, m):
+        return (k, cust, "O", 1.0, datetime.datetime(y, m, 1), "x")
+
+    rows = [
+        # cust 1: one-month spell (Jan 2020) -> dies at len 1
+        o(1, 1, 2020, 1),
+        # cust 2: one-month spell (Feb 2020) -> dies at len 1
+        o(2, 2, 2020, 2),
+        # cust 3: 3-month spell Jan-Mar 2020 -> dies at len 3
+        o(3, 3, 2020, 1), o(4, 3, 2020, 2), o(5, 3, 2020, 3),
+        # cust 4: spell touching the corpus max month (Apr-May 2020,
+        # May is global max) -> len 2, censored
+        o(6, 4, 2020, 4), o(7, 4, 2020, 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["spell_months"]: r
+            for r in QUERIES["q_survival_kaplan_meier"](spark, d).collect()
+        }
+    # len 1: at risk 4, 2 deaths -> S(1) = 1/2
+    assert got[1]["n_at_risk"] == 4 and got[1]["n_churned"] == 2
+    assert abs(got[1]["survival"] - 0.5) < 1e-6
+    # len 2: at risk 2, 0 deaths, 1 censored -> S(2) = 1/2 still
+    assert got[2]["n_at_risk"] == 2 and got[2]["n_churned"] == 0
+    assert got[2]["n_censored"] == 1
+    assert abs(got[2]["survival"] - 0.5) < 1e-6
+    # len 3: at risk 1, 1 death -> extinction, exact 0
+    assert got[3]["n_at_risk"] == 1 and got[3]["survival"] == 0.0
