@@ -8311,3 +8311,87 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_cnt").alias("n_censored"),
         surv.alias("survival"),
     )
+
+
+@register(
+    "q_doc_info_gain",
+    oracle="""
+    WITH jt AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM jt),
+    ml AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM jt GROUP BY lang),
+    ms AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM jt GROUP BY source),
+    hy AS (
+      SELECT SUM(-(CAST(cl AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * ln(CAST(cl AS DOUBLE) / CAST(n.n AS DOUBLE))) AS h_label
+      FROM ml, n),
+    mi AS (
+      SELECT SUM((CAST(jt.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * ln(CAST(jt.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      / (CAST(ms.cs AS DOUBLE) * CAST(ml.cl AS DOUBLE))))
+               AS mi
+      FROM jt JOIN ms ON jt.source = ms.source
+              JOIN ml ON jt.lang = ml.lang, n)
+    SELECT CAST(ROUND(hy.h_label, 6) AS DOUBLE) AS h_label,
+           CAST(ROUND(mi.mi, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS info_gain,
+           CAST(ROUND(CASE WHEN hy.h_label = CAST(0 AS DOUBLE) THEN NULL
+                      ELSE mi.mi / hy.h_label END, 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS gain_ratio_of_entropy
+    FROM hy, mi
+    """,
+)
+def q_doc_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of the source feature about the language label —
+    the feature-screening statistic a training pipeline runs before
+    spending on a column (chi² says IS there dependence; IG/mutual
+    information says HOW MANY BITS the feature buys, the decision-tree
+    split criterion and the metadata-leakage detector in one number —
+    IG ≈ H(label) means source NAMES the language and the model will
+    shortcut on it): IG = H(label) − H(label|source) = MI(source; label),
+    computed from the exact integer contingency table as
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — every probability one division of
+    exact integers, identical association, summed over the tiny
+    |sources|×|langs| domain (reassociation far under the grid); the
+    normalized share of label entropy rides along (NULL when H(label)=0,
+    identically). One map-side contingency count; marginals and the one
+    output row join at domain size."""
+    jt = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    jt = jt.persist()
+    jt.count()
+    n = jt.agg(F.sum("c").cast("long").alias("n"))
+    ml = jt.groupBy("lang").agg(F.sum("c").cast("long").alias("cl"))
+    ms = jt.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    pl = F.col("cl").cast("double") / F.col("n").cast("double")
+    hy = ml.crossJoin(F.broadcast(n)).agg(
+        F.sum(-pl * F.log(pl)).alias("h_label")
+    )
+    pj = F.col("c").cast("double") / F.col("n").cast("double")
+    lift = (
+        F.col("c").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("cs").cast("double") * F.col("cl").cast("double"))
+    )
+    mi = (
+        jt.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(pj * F.log(lift)).alias("mi"))
+    )
+    return hy.crossJoin(F.broadcast(mi)).select(
+        F.round("h_label", 6).alias("h_label"),
+        (F.round("mi", 6) + F.lit(0.0)).alias("info_gain"),
+        (
+            F.round(
+                F.when(F.col("h_label") == 0.0, F.lit(None)).otherwise(
+                    F.col("mi") / F.col("h_label")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gain_ratio_of_entropy"),
+    )

@@ -676,3 +676,37 @@ def test_kaplan_meier_hand_checked(spark):
     assert abs(got[2]["survival"] - 0.5) < 1e-6
     # len 3: at risk 1, 1 death -> extinction, exact 0
     assert got[3]["n_at_risk"] == 1 and got[3]["survival"] == 0.0
+
+
+def test_info_gain_extremes(spark):
+    """Perfectly predictive feature -> IG == H(label); independent feature
+    -> IG == 0; single-label corpus -> H=0 and NULL ratio."""
+    import math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return QUERIES["q_doc_info_gain"](spark, d).collect()[0]
+
+    # source names the language exactly (2 sources, 2 langs, balanced)
+    r = run([(i, "t", "en" if i % 2 else "de", "s_en" if i % 2 else "s_de", 1)
+             for i in range(8)])
+    assert abs(r["h_label"] - math.log(2)) < 1e-6
+    assert abs(r["info_gain"] - math.log(2)) < 1e-6
+    assert abs(r["gain_ratio_of_entropy"] - 1.0) < 1e-6
+
+    # source independent of language (each source half en, half de)
+    r = run([(i, "t", "en" if i % 2 else "de", "a" if i < 4 else "b", 1)
+             for i in range(8)])
+    assert abs(r["h_label"] - math.log(2)) < 1e-6
+    assert r["info_gain"] == 0.0
+
+    # degenerate single-label corpus
+    r = run([(i, "t", "en", "a" if i % 2 else "b", 1) for i in range(4)])
+    assert r["h_label"] == 0.0 and r["info_gain"] == 0.0
+    assert r["gain_ratio_of_entropy"] is None
