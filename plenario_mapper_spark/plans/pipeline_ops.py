@@ -8395,3 +8395,100 @@ def q_doc_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gain_ratio_of_entropy"),
     )
+
+
+@register(
+    "q_sample_neyman_quotas",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, nh,
+             CAST(nh AS DOUBLE)
+               * sqrt(CAST(nh * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) AS wh
+      FROM s WHERE nh > 1),
+    tot AS (SELECT SUM(wh) AS wsum FROM w),
+    q AS (
+      SELECT source, nh, wh,
+             floor(CAST(1000 AS DOUBLE) * wh / tot.wsum) AS fq,
+             CAST(1000 AS DOUBLE) * wh / tot.wsum
+               - floor(CAST(1000 AS DOUBLE) * wh / tot.wsum) AS frac
+      FROM w, tot),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(frac, 12) DESC, source) AS rk,
+             CAST(1000 - SUM(fq) OVER () AS BIGINT) AS leftover
+      FROM q)
+    SELECT source, nh AS n_rows,
+           CAST(ROUND(wh / CAST(nh AS DOUBLE), 6) AS DOUBLE) AS std_chars,
+           CAST(fq + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r
+    """,
+)
+def q_sample_neyman_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design — the step BEFORE sampling
+    that every estimator-quality budget decision needs (equal or
+    proportional quotas waste budget on homogeneous strata; Neyman puts
+    samples where variance lives: n_h ∝ N_h·S_h minimizes the stratified
+    mean's variance for a fixed total budget): per-source counts and the
+    exact N-scaled integer variance of doc length (the ACF/Fano trick),
+    weights N_h·S_h (sqrt the only irrational step, on identical exact
+    inputs), and the 1000-sample budget integerized by LARGEST REMAINDER
+    (the H91 allocation method — quotas sum to the budget exactly, a
+    theorem) ranking fractional parts ROUNDED to 12 digits with a source
+    tie-break (round-then-rank: raw fractional parts of irrational weights
+    are the classic cross-engine ulp straddle). Single-doc strata are
+    excluded (variance undefined) identically. One source-grain aggregate,
+    then everything on the |sources| domain."""
+    s = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("nh"),
+            F.sum("n_chars").cast("long").alias("sx"),
+            F.sum(F.col("n_chars").cast("decimal(19,0)") * F.col("n_chars")).alias(
+                "sxx"
+            ),
+        )
+        .filter(F.col("nh") > 1)
+    )
+    var_num = (
+        F.col("nh").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    wh = F.col("nh").cast("double") * F.sqrt(
+        var_num / (F.col("nh").cast("double") * (F.col("nh") - 1).cast("double"))
+    )
+    w = s.select("source", "nh", wh.alias("wh"))
+    w = w.persist()
+    w.count()
+    tot = w.agg(F.sum("wh").alias("wsum"))
+    exact = F.lit(1000.0) * F.col("wh") / F.col("wsum")
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        "wh",
+        F.floor(exact).alias("fq"),
+        (exact - F.floor(exact)).alias("frac"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.round("frac", 12).desc(), F.col("source").asc())
+        ),
+    ).withColumn("leftover", (F.lit(1000) - F.sum("fq").over(wall)).cast("long"))
+    return r.select(
+        "source",
+        F.col("nh").alias("n_rows"),
+        F.round(F.col("wh") / F.col("nh").cast("double"), 6).alias("std_chars"),
+        (F.col("fq") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

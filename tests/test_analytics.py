@@ -710,3 +710,35 @@ def test_info_gain_extremes(spark):
     r = run([(i, "t", "en", "a" if i % 2 else "b", 1) for i in range(4)])
     assert r["h_label"] == 0.0 and r["info_gain"] == 0.0
     assert r["gain_ratio_of_entropy"] is None
+
+
+def test_neyman_quotas_put_budget_where_variance_lives(spark):
+    """Two equal-size strata, one 10x the spread: its quota dominates ~10:1;
+    quotas sum exactly to the 1000 budget; singleton strata are excluded."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = []
+    did = 0
+    # stratum 'tight': 100 docs, lengths alternate 1000 +/- 10
+    for i in range(100):
+        rows.append((did, "t", "en", "tight", 1000 + (10 if i % 2 else -10))); did += 1
+    # stratum 'wild': 100 docs, lengths alternate 1000 +/- 100
+    for i in range(100):
+        rows.append((did, "t", "en", "wild", 1000 + (100 if i % 2 else -100))); did += 1
+    rows.append((did, "t", "en", "single", 777))  # excluded: no variance
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in QUERIES["q_sample_neyman_quotas"](spark, d).collect()
+        }
+    assert set(got) == {"tight", "wild"}
+    assert got["tight"]["quota"] + got["wild"]["quota"] == 1000
+    # equal N, sd ratio exactly 10 -> quotas 10:1 up to the integerization
+    assert got["wild"]["quota"] in (909, 910)
+    assert abs(got["wild"]["std_chars"] / got["tight"]["std_chars"] - 10) < 1e-6
