@@ -8492,3 +8492,60 @@ def q_sample_neyman_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+
+
+@register(
+    "q_orders_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             MIN(date_trunc('month', CAST(o_orderdate AS DATE))) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT CAST(a.month AS DATE) AS month, a.n_orders,
+           CAST(ROUND(a.rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(b.rev, 2) AS DOUBLE) AS revenue_sply,
+           CAST(ROUND(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 6)
+                AS DOUBLE) AS yoy_growth
+    FROM m a LEFT JOIN m b ON b.mi = a.mi - 12
+    """,
+)
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month revenue vs the same period last year — the reporting join
+    every finance/BI layer runs (month-over-month confounds seasonality;
+    SPLY compares like with like, which is why it's the default growth
+    number): monthly DECIMAL-exact revenue keyed on an integer month index
+    (year·12+month — the KM discipline; never month-name strings or
+    interval arithmetic), self-joined at mi−12; growth is one double
+    division of exact decimal sums, NULL where no prior year exists
+    (LEFT join semantics, identical in both engines). One
+    map-side-combined month aggregate; the self-join runs on the tiny
+    month domain."""
+    from plenario_mapper_spark.plans.relational import _dec
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(
+            F.min(F.trunc(F.to_date("o_orderdate"), "month")).alias("month"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    m = m.persist()
+    m.count()
+    b = m.select((F.col("mi") + 12).alias("mi"), F.col("rev").alias("rev_sply"))
+    return m.join(b, "mi", "left").select(
+        "month",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round("rev_sply", 2).cast("double").alias("revenue_sply"),
+        F.round(
+            (F.col("rev") - F.col("rev_sply")).cast("double")
+            / F.col("rev_sply").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )

@@ -742,3 +742,29 @@ def test_neyman_quotas_put_budget_where_variance_lives(spark):
     # equal N, sd ratio exactly 10 -> quotas 10:1 up to the integerization
     assert got["wild"]["quota"] in (909, 910)
     assert abs(got["wild"]["std_chars"] / got["tight"]["std_chars"] - 10) < 1e-6
+
+
+def test_yoy_growth_hand_checked(spark):
+    """Known months: +50% growth, first year NULL, Dec->Jan boundary."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, 1, "O", 100.0, datetime.datetime(2020, 1, 15), "x"),
+        (2, 1, "O", 100.0, datetime.datetime(2020, 12, 15), "x"),
+        (3, 1, "O", 150.0, datetime.datetime(2021, 1, 15), "x"),
+        (4, 1, "O", 50.0, datetime.datetime(2021, 12, 15), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = {str(r["month"]): r for r in QUERIES["q_orders_yoy_growth"](spark, d).collect()}
+    assert got["2020-01-01"]["yoy_growth"] is None
+    assert abs(got["2021-01-01"]["yoy_growth"] - 0.5) < 1e-6
+    assert abs(got["2021-12-01"]["yoy_growth"] + 0.5) < 1e-6
+    assert got["2021-01-01"]["revenue_sply"] == 100.0
