@@ -8549,3 +8549,82 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "q_customer_ltv_cohorts",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c, year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders),
+    first_m AS (SELECT c, MIN(mi) AS cm FROM o GROUP BY c),
+    sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM first_m GROUP BY cm),
+    ages AS (
+      SELECT f.cm, o.mi - f.cm AS age, SUM(o.rev) AS rev
+      FROM o JOIN first_m f ON o.c = f.c
+      WHERE o.mi - f.cm <= 11
+      GROUP BY f.cm, o.mi - f.cm),
+    cum AS (
+      SELECT cm, age, rev,
+             SUM(rev) OVER (PARTITION BY cm ORDER BY age) AS cum_rev
+      FROM ages)
+    SELECT CAST(cum.cm AS BIGINT) AS cohort_month_index,
+           CAST(cum.age AS INT) AS age_months,
+           sz.cohort_size,
+           CAST(ROUND(cum.rev, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(cum.cum_rev AS DOUBLE)
+                      / CAST(sz.cohort_size AS DOUBLE), 6) AS DOUBLE)
+             AS cum_ltv_per_customer
+    FROM cum JOIN sz ON cum.cm = sz.cm
+    """,
+)
+def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation curves — the growth-finance readout built on
+    the cohort machinery (retention counts who comes back; LTV prices it:
+    cumulative revenue per customer by cohort age is what payback-period
+    and acquisition-spend decisions read): cohort = first-order month
+    (integer month index), age capped at 11 months (fixed-literal horizon
+    — open-ended ages make cohorts incomparable), DECIMAL-exact revenue
+    with the cumulative window running over exact decimals and ONE double
+    division per row at presentation. Shape: one customer-grain min, one
+    (cohort, age) aggregate after a customer-keyed join, cohort-domain
+    windows — the orders table shuffles twice (once per grain), never
+    more."""
+    from plenario_mapper_spark.plans.relational import _dec
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        _dec("o_totalprice").alias("rev"),
+    )
+    first_m = o.groupBy("c").agg(F.min("mi").alias("cm"))
+    first_m = first_m.persist()
+    first_m.count()
+    sz = first_m.groupBy("cm").agg(F.count("*").cast("long").alias("cohort_size"))
+    ages = (
+        o.join(first_m, "c")
+        .withColumn("age", F.col("mi") - F.col("cm"))
+        .filter(F.col("age") <= 11)
+        .groupBy("cm", "age")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    wc = Window.partitionBy("cm").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ages.withColumn("cum_rev", F.sum("rev").over(wc))
+        .join(F.broadcast(sz), "cm")
+        .select(
+            F.col("cm").cast("long").alias("cohort_month_index"),
+            F.col("age").cast("int").alias("age_months"),
+            "cohort_size",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -768,3 +768,37 @@ def test_yoy_growth_hand_checked(spark):
     assert abs(got["2021-01-01"]["yoy_growth"] - 0.5) < 1e-6
     assert abs(got["2021-12-01"]["yoy_growth"] + 0.5) < 1e-6
     assert got["2021-01-01"]["revenue_sply"] == 100.0
+
+
+def test_ltv_cohorts_hand_checked(spark):
+    """Two-customer cohort: cumulative per-customer LTV telescopes over
+    ages; the 11-month horizon cap drops later revenue."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        # cohort 2020-01 (mi 24241): custs 1, 2
+        (1, 1, "O", 100.0, datetime.datetime(2020, 1, 5), "x"),   # age 0
+        (2, 2, "O", 50.0, datetime.datetime(2020, 1, 20), "x"),   # age 0
+        (3, 1, "O", 30.0, datetime.datetime(2020, 3, 1), "x"),    # age 2
+        (4, 2, "O", 10.0, datetime.datetime(2021, 6, 1), "x"),    # age 17: dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            (r["cohort_month_index"], r["age_months"]): r
+            for r in QUERIES["q_customer_ltv_cohorts"](spark, d).collect()
+        }
+    cm = 2020 * 12 + 1
+    assert set(got) == {(cm, 0), (cm, 2)}
+    assert got[(cm, 0)]["cohort_size"] == 2
+    assert got[(cm, 0)]["revenue"] == 150.0
+    assert abs(got[(cm, 0)]["cum_ltv_per_customer"] - 75.0) < 1e-6
+    assert got[(cm, 2)]["revenue"] == 30.0
+    assert abs(got[(cm, 2)]["cum_ltv_per_customer"] - 90.0) < 1e-6
