@@ -8628,3 +8628,87 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@register(
+    "q_events_forecast_error",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, d, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7
+      FROM daily),
+    err AS (
+      SELECT event_type,
+             CAST(COUNT(x7) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END) AS BIGINT)
+               AS ae1,
+             CAST(SUM(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END) AS BIGINT)
+               AS ae7
+      FROM lagged GROUP BY event_type)
+    SELECT event_type, n_scored,
+           CAST(ROUND(CAST(ae1 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+                AS DOUBLE) AS mae_naive,
+           CAST(ROUND(CAST(ae7 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+                AS DOUBLE) AS mae_seasonal,
+           CAST(ROUND(CASE WHEN ae1 = 0 THEN NULL
+                      ELSE CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE) END, 6)
+                AS DOUBLE) AS mase_seasonal_vs_naive
+    FROM err WHERE n_scored > 0
+    """,
+)
+def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-error baselines per series — the eval harness every
+    forecasting effort must beat BEFORE it ships (a model that loses to
+    'yesterday's value' or 'same weekday last week' is negative value; and
+    MASE is the scale-free way to say so — Hyndman's answer to MAPE's
+    zero-division and asymmetry): daily counts, the naive (lag-1) and
+    seasonal-naive (lag-7) predictors in ONE window pass, absolute errors
+    as EXACT INTEGERS (counts minus counts), both MAEs and their ratio
+    (MASE of the seasonal vs naive) with one division each; rows are
+    scored only where BOTH predictors exist (first 7 days excluded
+    identically — a common-support comparison, not two different test
+    sets). Map-side day-grain aggregate first; windows run on the
+    calendar×type domain."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    scored = F.col("x7").isNotNull()
+    err = lagged.groupBy("event_type").agg(
+        F.count(F.col("x7")).cast("long").alias("n_scored"),
+        F.sum(F.when(scored, F.abs(F.col("x") - F.col("x1"))))
+        .cast("long")
+        .alias("ae1"),
+        F.sum(F.when(scored, F.abs(F.col("x") - F.col("x7"))))
+        .cast("long")
+        .alias("ae7"),
+    )
+    n = F.col("n_scored").cast("double")
+    return err.filter(F.col("n_scored") > 0).select(
+        "event_type",
+        "n_scored",
+        F.round(F.col("ae1").cast("double") / n, 6).alias("mae_naive"),
+        F.round(F.col("ae7").cast("double") / n, 6).alias("mae_seasonal"),
+        F.round(
+            F.when(F.col("ae1") == 0, F.lit(None)).otherwise(
+                F.col("ae7").cast("double") / F.col("ae1").cast("double")
+            ),
+            6,
+        ).alias("mase_seasonal_vs_naive"),
+    )

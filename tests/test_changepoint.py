@@ -282,3 +282,31 @@ def test_dow_profile_strength_extremes(spark):
         assert got[dow]["n_days"] == 4
     # counts are an exact function of weekday -> all variance explained
     assert got[0]["seasonality_strength"] == 1.0
+
+
+def test_forecast_error_seasonal_series_prefers_lag7(spark):
+    """On a strict period-7 series the seasonal-naive error is 0 -> MASE 0;
+    a drifting series scores lag-1 better (MASE > 1); first 7 days unscored."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    weekly = [5, 9, 13, 7, 11, 3, 2]
+    for t in range(21):
+        for _ in range(weekly[t % 7]):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "seasonal", 0.0, "{}")); eid += 1
+        for _ in range(10 + t):  # steady drift: lag-1 err 1/day, lag-7 err 7/day
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "trend", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r["event_type"]: r for r in QUERIES["q_events_forecast_error"](spark, d).collect()}
+    s, t = got["seasonal"], got["trend"]
+    assert s["n_scored"] == 14 and t["n_scored"] == 14
+    assert s["mae_seasonal"] == 0.0 and s["mase_seasonal_vs_naive"] == 0.0
+    assert t["mae_naive"] == 1.0 and t["mae_seasonal"] == 7.0
+    assert t["mase_seasonal_vs_naive"] == 7.0
