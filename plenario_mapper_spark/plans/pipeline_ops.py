@@ -8712,3 +8712,122 @@ def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mase_seasonal_vs_naive"),
     )
+
+
+@register(
+    "q_eval_odds_ratio",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM u)
+    SELECT a AS treat_conv, b AS treat_no, c AS ctrl_conv, d AS ctrl_no,
+           CAST(ROUND(CASE WHEN b * c = 0 THEN NULL
+                      ELSE (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+                AS DOUBLE) AS odds_ratio,
+           CAST(ROUND(CASE WHEN c = 0 OR a + b = 0 THEN NULL
+                      ELSE (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                           / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) END, 6)
+                AS DOUBLE) AS relative_risk,
+           CAST(ROUND(CASE WHEN a * b * c * d = 0 THEN NULL
+                      ELSE exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                                  / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                               - CAST(1.96 AS DOUBLE)
+                                 * sqrt(CAST(1 AS DOUBLE) / CAST(a AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(c AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)))
+                      END, 6) AS DOUBLE) AS or_ci_lo,
+           CAST(ROUND(CASE WHEN a * b * c * d = 0 THEN NULL
+                      ELSE exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                                  / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                               + CAST(1.96 AS DOUBLE)
+                                 * sqrt(CAST(1 AS DOUBLE) / CAST(a AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(c AS DOUBLE)
+                                        + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)))
+                      END, 6) AS DOUBLE) AS or_ci_hi
+    FROM t
+    """,
+)
+def q_eval_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio + relative risk with the Woolf log-normal CI — the
+    comparative binary effect size completing the A/B family (Wilson gives
+    each arm its own interval; Welch compares MEANS; this compares the
+    RATES themselves, the number a launch review quotes): the 2×2 table
+    from deterministic variant assignment, OR = ad/bc and RR as exact
+    rationals of integer cells, the CI as exp(ln OR ± 1.96·√(Σ1/cell)) —
+    ln/sqrt/exp all on identically-associated operands; any empty cell
+    yields NULL effect sizes identically in both engines (the standard
+    undefined-OR convention, surfaced rather than Haldane-corrected —
+    documented choice). Two map-side aggregates (user grain, then one
+    global row)."""
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"), "conv"
+        )
+    )
+    t = u.agg(
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    orr = a * d / (b * c)
+    se = F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    any_zero = F.col("a") * F.col("b") * F.col("c") * F.col("d") == 0
+    return t.select(
+        F.col("a").alias("treat_conv"),
+        F.col("b").alias("treat_no"),
+        F.col("c").alias("ctrl_conv"),
+        F.col("d").alias("ctrl_no"),
+        F.round(
+            F.when(F.col("b") * F.col("c") == 0, F.lit(None)).otherwise(orr), 6
+        ).alias("odds_ratio"),
+        F.round(
+            F.when((F.col("c") == 0) | (F.col("a") + F.col("b") == 0), F.lit(None))
+            .otherwise((a / (a + b)) / (c / (c + d))),
+            6,
+        ).alias("relative_risk"),
+        F.round(
+            F.when(any_zero, F.lit(None)).otherwise(
+                F.exp(F.log(orr) - F.lit(1.96) * se)
+            ),
+            6,
+        ).alias("or_ci_lo"),
+        F.round(
+            F.when(any_zero, F.lit(None)).otherwise(
+                F.exp(F.log(orr) + F.lit(1.96) * se)
+            ),
+            6,
+        ).alias("or_ci_hi"),
+    )

@@ -218,3 +218,56 @@ def test_wilson_ci_matches_python_reference(spark):
     assert got[1]["rate"] == 0.0
     assert abs(got[1]["wilson_lo"] - lo1) < 1e-6 and got[1]["wilson_lo"] == 0.0
     assert abs(got[1]["wilson_hi"] - hi1) < 1e-6 and got[1]["wilson_hi"] > 0.2
+
+
+def test_odds_ratio_matches_python_reference(spark):
+    """Known 2x2 table vs an independently-coded OR/RR/Woolf-CI; empty-cell
+    case yields NULLs."""
+    import datetime, math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def build(treat_conv, treat_no, ctrl_conv, ctrl_no):
+        rows, eid, uid = [], 0, 0
+        def user(variant, conv):
+            nonlocal eid, uid
+            while uid % 2 != variant:
+                uid += 1
+            rows.append((eid, d0, uid, "view", 0.0, "{}")); eid += 1
+            if conv:
+                rows.append((eid, d0, uid, "purchase", 0.0, "{}")); eid += 1
+            uid += 1
+        for _ in range(treat_conv):
+            user(1, True)
+        for _ in range(treat_no):
+            user(1, False)
+        for _ in range(ctrl_conv):
+            user(0, True)
+        for _ in range(ctrl_no):
+            user(0, False)
+        return rows
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+            return QUERIES["q_eval_odds_ratio"](spark, d).collect()[0]
+
+    r = run(build(12, 8, 6, 14))
+    a, b, c, d = 12, 8, 6, 14
+    assert (r["treat_conv"], r["treat_no"], r["ctrl_conv"], r["ctrl_no"]) == (a, b, c, d)
+    orr = a * d / (b * c)
+    assert abs(r["odds_ratio"] - orr) < 1e-6
+    assert abs(r["relative_risk"] - (a / (a + b)) / (c / (c + d))) < 1e-6
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert abs(r["or_ci_lo"] - math.exp(math.log(orr) - 1.96 * se)) < 1e-6
+    assert abs(r["or_ci_hi"] - math.exp(math.log(orr) + 1.96 * se)) < 1e-6
+    assert r["or_ci_lo"] < orr < r["or_ci_hi"]
+
+    r0 = run(build(5, 5, 0, 10))  # empty ctrl_conv cell
+    assert r0["odds_ratio"] is None and r0["or_ci_lo"] is None
+    assert r0["relative_risk"] is None
