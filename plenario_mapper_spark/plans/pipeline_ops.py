@@ -8831,3 +8831,56 @@ def q_eval_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("or_ci_hi"),
     )
+
+
+@register(
+    "q_events_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             user_id
+      FROM events),
+    cal AS (SELECT DISTINCT d FROM du)
+    SELECT cal.d AS day_index,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN du.d = cal.d THEN du.user_id END)
+                AS BIGINT) AS dau
+    FROM cal JOIN du ON du.d BETWEEN cal.d - 6 AND cal.d
+    GROUP BY cal.d
+    """,
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU curve beside the
+    monthly stickiness ratio, and the aggregate that shows WHY rolling
+    distinct is special: COUNT DISTINCT has no partial form over a sliding
+    frame (a window-frame count_distinct is unsupported for exactly that
+    reason), so the EXACT curve is computed by first deduping to the
+    (day, user) grain — map-side combinable, the only pass over raw events
+    — then fanning each active-day row into the ≤7 windows it serves via a
+    range join on the integer day index (fan-out bounded by the CONSTANT
+    window width, never by data) and distinct-counting per window. DAU
+    rides along from the same join (the d = cal.d slice). The approximate
+    alternative at extreme scale is the HLL-rollup family (H36); this is
+    the exact form with its cost shape stated."""
+    e = _events(spark, sf_dir)
+    du = (
+        e.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"), "user_id"
+        )
+        .distinct()
+    )
+    du = du.persist()
+    du.count()
+    cal = du.select("d").distinct().select(F.col("d").alias("day_index"))
+    j = cal.join(
+        du,
+        (F.col("d") >= F.col("day_index") - 6) & (F.col("d") <= F.col("day_index")),
+    )
+    return j.groupBy("day_index").agg(
+        F.countDistinct("user_id").cast("long").alias("wau"),
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day_index"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+    )

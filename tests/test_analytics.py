@@ -802,3 +802,38 @@ def test_ltv_cohorts_hand_checked(spark):
     assert abs(got[(cm, 0)]["cum_ltv_per_customer"] - 75.0) < 1e-6
     assert got[(cm, 2)]["revenue"] == 30.0
     assert abs(got[(cm, 2)]["cum_ltv_per_customer"] - 90.0) < 1e-6
+
+
+def test_rolling_wau_hand_checked(spark):
+    """User sets per day chosen so the 7-day union differs from any single
+    day; a returning user is not double-counted inside a window."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    day_users = {0: [1, 2], 3: [2, 3], 8: [4]}
+    rows, eid = [], 0
+    for t, users in day_users.items():
+        for u in users:
+            rows.append((eid, d0 + datetime.timedelta(days=t), u, "view", 0.0, "{}"))
+            eid += 1
+            # duplicate events same day must not matter
+            rows.append((eid, d0 + datetime.timedelta(days=t), u, "click", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        base = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+        got = {
+            r["day_index"] - base: r
+            for r in QUERIES["q_events_rolling_wau"](spark, d).collect()
+        }
+    # day 0: window {day 0} -> {1,2}; day 3: window {0,3} -> {1,2,3} with
+    # user 2 on both days counted once; day 8: window {3,8} -> {2,3,4}
+    assert got[0]["wau"] == 2 and got[0]["dau"] == 2
+    assert got[3]["wau"] == 3 and got[3]["dau"] == 2
+    assert got[8]["wau"] == 3 and got[8]["dau"] == 1
+    assert set(got) == {0, 3, 8}  # only observed days get a row
