@@ -8884,3 +8884,112 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dau"),
     )
+
+
+@register(
+    "q_events_session_quality",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(MIN(CAST(ts AS DATE)) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM sessions GROUP BY user_id, session_id),
+    ranked AS (
+      SELECT day, n_events, dur_us,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY dur_us, user_id, session_id) AS rk,
+             COUNT(*) OVER (PARTITION BY day) AS nd
+      FROM per_session)
+    SELECT day, CAST(MAX(nd) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(MAX(nd) AS DOUBLE), 6) AS DOUBLE) AS bounce_rate,
+           CAST(ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(MAX(nd) AS DOUBLE), 6)
+                AS DOUBLE) AS events_per_session,
+           CAST(MAX(CASE WHEN rk = (nd + 1) // 2 THEN dur_us END) AS BIGINT)
+             AS p50_duration_us
+    FROM ranked GROUP BY day
+    """,
+)
+def q_events_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session quality — the engagement-health dashboard row built
+    on the sessionize machinery (the session op assigns boundaries; this
+    scores what the boundaries contain: bounce rate — single-event
+    sessions, the canonical dead-visit signal — events per session, and
+    the median duration): sessions from the same 30-min-gap window chain
+    as q_events_sessionize (one user-keyed shuffle), attributed to the day
+    they START (MIN date — a midnight-spanning session counts once), the
+    median an exact-rank order statistic over (duration, user, session) —
+    the uninterpolated type-1 discipline. Bounce duration is 0 by
+    construction and pulls the median honestly downward (documented, not
+    filtered). Integer microsecond durations; two divisions per row at
+    presentation."""
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = _events(spark, sf_dir).withColumn(
+        "new_session",
+        F.when(
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wc)
+                > 1800
+            )
+            | F.lag("ts").over(wc).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.to_date("ts")).alias("day"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    per_session = per_session.persist()
+    per_session.count()
+    wd = Window.partitionBy("day")
+    ranked = per_session.select(
+        "day",
+        "n_events",
+        "dur_us",
+        F.row_number()
+        .over(wd.orderBy("dur_us", "user_id", "session_id"))
+        .alias("rk"),
+        F.count("*").over(wd).alias("nd"),
+    )
+    return ranked.groupBy("day").agg(
+        F.max("nd").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.max("nd").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.max("nd").cast("double"), 6
+        ).alias("events_per_session"),
+        F.max(
+            F.when(
+                F.col("rk") == F.floor((F.col("nd") + 1) / 2), F.col("dur_us")
+            )
+        )
+        .cast("long")
+        .alias("p50_duration_us"),
+    )

@@ -837,3 +837,42 @@ def test_rolling_wau_hand_checked(spark):
     assert got[3]["wau"] == 3 and got[3]["dau"] == 2
     assert got[8]["wau"] == 3 and got[8]["dau"] == 1
     assert set(got) == {0, 3, 8}  # only observed days get a row
+
+
+def test_session_quality_hand_checked(spark):
+    """Bounce counting, day attribution to session START, exact-rank
+    median over durations including the zero-duration bounce."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1, 23, 50)
+    rows = [
+        # user 1: session starting 23:50 Jan 1, spanning midnight (2 events)
+        (1, d0, 1, "view", 0.0, "{}"),
+        (2, d0 + datetime.timedelta(minutes=20), 1, "click", 0.0, "{}"),
+        # user 2: bounce on Jan 1 at noon
+        (3, datetime.datetime(2024, 1, 1, 12, 0), 2, "view", 0.0, "{}"),
+        # user 1: separate session on Jan 2 (gap >> 30 min), 3 events, 10 min
+        (4, datetime.datetime(2024, 1, 2, 9, 0), 1, "view", 0.0, "{}"),
+        (5, datetime.datetime(2024, 1, 2, 9, 5), 1, "view", 0.0, "{}"),
+        (6, datetime.datetime(2024, 1, 2, 9, 10), 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            str(r["day"]): r
+            for r in QUERIES["q_events_session_quality"](spark, d).collect()
+        }
+    jan1 = got["2024-01-01"]
+    # two sessions start Jan 1 (the midnight-spanning one counts HERE)
+    assert jan1["n_sessions"] == 2 and jan1["n_bounces"] == 1
+    assert abs(jan1["bounce_rate"] - 0.5) < 1e-6
+    assert abs(jan1["events_per_session"] - 1.5) < 1e-6
+    # durations on Jan 1: 0 (bounce) and 20 min -> exact-rank median = rank 1 -> 0
+    assert jan1["p50_duration_us"] == 0
+    jan2 = got["2024-01-02"]
+    assert jan2["n_sessions"] == 1 and jan2["p50_duration_us"] == 600_000_000
