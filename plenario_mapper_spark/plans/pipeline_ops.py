@@ -8993,3 +8993,42 @@ def q_events_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p50_duration_us"),
     )
+
+
+@register(
+    "q_scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_orderkey >> 1) AS BIGINT) AS gray_code,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_left,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_right,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           CAST(~o_orderkey AS BIGINT) AS complement
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface — the last scalar family §2.B's [absent]
+    coverage needed (datetime/string/math/json/array/calendar landed
+    earlier): AND/OR/XOR, shifts, popcount, complement over int64 keys —
+    the primitives behind bitmap flags, Gray codes (XOR with the
+    right-shift — the Z-order/Hilbert building block layout.py uses),
+    and hash mixing. Pure integer ops: bit-identical by definition in any
+    engine. Scan-stage only; the 1-in-100 key gate bounds driver rows."""
+    k = F.col("o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.pmod(k, F.lit(100)) == 0)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+            k.bitwiseXOR(F.shiftright(k, 1)).cast("long").alias("gray_code"),
+            F.shiftleft(k, 2).cast("long").alias("shifted_left"),
+            F.shiftright(k, 3).cast("long").alias("shifted_right"),
+            F.bit_count(k).cast("int").alias("popcount"),
+            F.bitwise_not(k).cast("long").alias("complement"),
+        )
+    )
