@@ -9032,3 +9032,79 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bitwise_not(k).cast("long").alias("complement"),
         )
     )
+
+
+@register(
+    "q_doc_template_prefix",
+    oracle="""
+    WITH p AS (
+      SELECT source, doc_id,
+             array_to_string(list_filter(regexp_split_to_array(lower(text),
+                                                               '[^a-z0-9_]+'),
+                                         x -> x <> '')[1:8], ' ') AS prefix
+      FROM documents),
+    pc AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p WHERE prefix <> '' GROUP BY source, prefix),
+    tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nd FROM pc GROUP BY source),
+    top AS (
+      SELECT source, prefix, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, prefix ASC) AS rk
+      FROM pc)
+    SELECT top.source, top.prefix AS top_prefix, top.n AS n_docs_sharing,
+           tot.nd AS n_docs,
+           CAST(ROUND(CAST(top.n AS DOUBLE) / CAST(tot.nd AS DOUBLE), 6)
+                AS DOUBLE) AS template_share,
+           CAST(CASE WHEN top.n * 5 >= tot.nd AND top.n >= 2
+                THEN 1 ELSE 0 END AS INT) AS template_suspect
+    FROM top JOIN tot ON top.source = tot.source
+    WHERE top.rk = 1
+    """,
+)
+def q_doc_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection per source — the crawl-health check
+    that catches what doc-level dedup misses (ten thousand pages sharing a
+    navigation header are NOT near-duplicates of each other, but their
+    shared opening is a template the model will memorize): the modal
+    8-token opening prefix per source, how many docs share it, and the
+    share — sources where ≥20% of docs open identically AND at least two
+    docs share it get the suspect bit (decided on exact integers:
+    n·5 ≥ total ∧ n ≥ 2 — the two-sharer floor keeps an all-unique tiny
+    source from tripping on its own 1/n). Shape: one scan-stage
+    prefix projection, one (source, prefix) map-side count, a
+    domain-sized top-1 window with (count desc, prefix) tie-break —
+    engine-decidable. Empty docs are excluded identically."""
+    toks = TX.tokens(F.col("text"))
+    p = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("prefix"),
+    )
+    pc = (
+        p.filter(F.col("prefix") != "")
+        .groupBy("source", "prefix")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pc = pc.persist()
+    pc.count()
+    tot = pc.groupBy("source").agg(F.sum("n").cast("long").alias("nd"))
+    top = pc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("n").desc(), F.col("prefix").asc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return top.join(F.broadcast(tot), "source").select(
+        "source",
+        F.col("prefix").alias("top_prefix"),
+        F.col("n").alias("n_docs_sharing"),
+        F.col("nd").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("nd").cast("double"), 6).alias(
+            "template_share"
+        ),
+        F.when((F.col("n") * 5 >= F.col("nd")) & (F.col("n") >= 2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("template_suspect"),
+    )

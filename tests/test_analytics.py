@@ -876,3 +876,37 @@ def test_session_quality_hand_checked(spark):
     assert jan1["p50_duration_us"] == 0
     jan2 = got["2024-01-02"]
     assert jan2["n_sessions"] == 1 and jan2["p50_duration_us"] == 600_000_000
+
+
+def test_template_prefix_flags_boilerplate_source(spark):
+    """A source whose docs share an opening template flags; a diverse
+    source does not; short docs use their whole prefix."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = []
+    did = 0
+    # 'boiler': 4 of 5 docs share the same 8-token opening
+    opening = "welcome to acme corp the leading provider of"
+    for i in range(4):
+        rows.append((did, opening + f" thing {i}", "en", "boiler", 1)); did += 1
+    rows.append((did, "totally different text here", "en", "boiler", 1)); did += 1
+    # 'varied': all distinct openings
+    for i in range(5):
+        rows.append((did, f"unique opening number {i} with words", "en", "varied", 1)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in QUERIES["q_doc_template_prefix"](spark, d).collect()
+        }
+    b = got["boiler"]
+    assert b["top_prefix"] == opening
+    assert b["n_docs_sharing"] == 4 and b["n_docs"] == 5
+    assert b["template_suspect"] == 1
+    v = got["varied"]
+    assert v["n_docs_sharing"] == 1 and v["template_suspect"] == 0
