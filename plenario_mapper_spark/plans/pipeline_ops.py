@@ -9108,3 +9108,64 @@ def q_doc_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("template_suspect"),
     )
+
+
+@register(
+    "q_doc_encoding_audit",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^ -~\\t\\n\\r]', '', 'g'))
+               AS n_non_ascii,
+             CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+                  THEN 1 ELSE 0 END AS has_control,
+             CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS has_repl
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_non_ascii) AS BIGINT) AS n_non_ascii,
+           CAST(ROUND(CAST(SUM(n_non_ascii) AS DOUBLE)
+                      / CAST(SUM(n_chars) AS DOUBLE), 6) AS DOUBLE)
+             AS non_ascii_ratio,
+           CAST(SUM(has_control) AS BIGINT) AS n_docs_control_chars,
+           CAST(SUM(has_repl) AS BIGINT) AS n_docs_replacement_char
+    FROM d GROUP BY source
+    """,
+)
+def q_doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit per source — the mojibake detector a crawl
+    pipeline runs before any text op trusts the bytes (a source that
+    double-decoded UTF-8 or leaked control characters poisons tokenizers
+    and dedup hashes silently): per source, non-ASCII character mass
+    (stripped via the portable printable class [ -~] plus tab/newline —
+    Java and RE2 agree on both the class and hex escapes), docs containing
+    C0 control characters (the binary-leak signal), and docs containing
+    U+FFFD (the decoder already LOST data — matched by literal char
+    containment, no regex unicode-escape dialect involved). All counts
+    exact integers; one scan-stage pass + one source-grain aggregate. A
+    clean corpus audits to zeros — which is the point of an audit; the
+    damage semantics are pinned on synthetic mojibake in tests."""
+    t = F.col("text")
+    non_ascii = F.length(t) - F.length(
+        F.regexp_replace(t, "[^ -~\t\n\r]", "")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.length(t).alias("n_chars"),
+        non_ascii.alias("n_non_ascii"),
+        F.when(t.rlike("[\x00-\x08\x0B\x0C\x0E-\x1F]"), 1).otherwise(0).alias(
+            "has_control"
+        ),
+        F.when(t.contains(F.lit("�")), 1).otherwise(0).alias("has_repl"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_non_ascii").cast("long").alias("n_non_ascii"),
+        F.round(
+            F.sum("n_non_ascii").cast("double") / F.sum("n_chars").cast("double"), 6
+        ).alias("non_ascii_ratio"),
+        F.sum("has_control").cast("long").alias("n_docs_control_chars"),
+        F.sum("has_repl").cast("long").alias("n_docs_replacement_char"),
+    )

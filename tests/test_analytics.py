@@ -910,3 +910,36 @@ def test_template_prefix_flags_boilerplate_source(spark):
     assert b["template_suspect"] == 1
     v = got["varied"]
     assert v["n_docs_sharing"] == 1 and v["template_suspect"] == 0
+
+
+def test_encoding_audit_synthetic_mojibake(spark):
+    """Planted damage: accented chars count as non-ASCII mass, a NUL byte
+    trips the control flag, U+FFFD trips the replacement flag, tabs and
+    newlines do NOT count as non-ASCII."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, "clean ascii text\twith tab\nand newline", "en", "ok", 1),
+        (2, "café naïve résumé", "en", "accents", 1),  # 4 non-ascii
+        (3, "binary\x00leak", "en", "ctrl", 1),
+        (4, "lost � data � here", "en", "repl", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in QUERIES["q_doc_encoding_audit"](spark, d).collect()
+        }
+    assert got["ok"]["n_non_ascii"] == 0
+    assert got["ok"]["n_docs_control_chars"] == 0
+    assert got["accents"]["n_non_ascii"] == 4
+    assert got["accents"]["n_docs_control_chars"] == 0
+    assert got["ctrl"]["n_docs_control_chars"] == 1
+    assert got["ctrl"]["n_non_ascii"] == 1  # the NUL itself is non-printable
+    assert got["repl"]["n_docs_replacement_char"] == 1
+    assert got["repl"]["n_non_ascii"] == 2
