@@ -9169,3 +9169,140 @@ def q_doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_control").cast("long").alias("n_docs_control_chars"),
         F.sum("has_repl").cast("long").alias("n_docs_replacement_char"),
     )
+
+
+_SMD_ORACLE_ARM = """
+      SELECT '{name}' AS covariate, variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({col}) AS BIGINT) AS s,
+             SUM(CAST({col} AS HUGEINT) * {col}) AS ss
+      FROM u GROUP BY variant
+"""
+
+
+@register(
+    "q_eval_covariate_balance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY user_id),
+    arms AS (
+"""
+    + _SMD_ORACLE_ARM.format(name="n_events", col="n_events")
+    + " UNION ALL "
+    + _SMD_ORACLE_ARM.format(name="n_types", col="n_types")
+    + " UNION ALL "
+    + _SMD_ORACLE_ARM.format(name="value_cents", col="value_cents")
+    + """),
+    wide AS (
+      SELECT covariate,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+             MAX(CASE WHEN variant = 1 THEN ss END) AS ss1,
+             MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+             MAX(CASE WHEN variant = 0 THEN ss END) AS ss0
+      FROM arms GROUP BY covariate),
+    m AS (
+      SELECT covariate, n1, n0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1,
+             CAST(n0 * ss0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0
+      FROM wide)
+    SELECT covariate, n1 AS n_treat, n0 AS n_ctrl,
+           CAST(ROUND(m1, 6) AS DOUBLE) AS mean_treat,
+           CAST(ROUND(m0, 6) AS DOUBLE) AS mean_ctrl,
+           CAST(ROUND(CASE WHEN v1 + v0 = CAST(0 AS DOUBLE) THEN NULL
+                      ELSE (m1 - m0) / sqrt((v1 + v0) / CAST(2 AS DOUBLE)) END, 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS smd,
+           CAST(CASE WHEN v1 + v0 = CAST(0 AS DOUBLE) THEN NULL
+                WHEN abs((m1 - m0) / sqrt((v1 + v0) / CAST(2 AS DOUBLE)))
+                     < CAST(0.1 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS balanced
+    FROM m
+    """,
+)
+def q_eval_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance between experiment arms — the randomization-health
+    check run BEFORE reading any treatment effect (a 'significant' lift on
+    arms that already differed at baseline is selection bias wearing a
+    p-value): per pre-treatment covariate (events, type breadth, spend
+    cents — all exact integers at user grain), the standardized mean
+    difference (m₁−m₀)/√((v₁+v₀)/2) with the conventional |SMD| < 0.1
+    balance bit. Variances in the N-scaled exact-integer form; the only
+    irrational step is one sqrt on identically-associated operands;
+    zero-variance covariates yield NULL identically. Shape: one user-grain
+    aggregate, three arm-grain aggregates over the persisted user table,
+    constant-size everything after."""
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    u = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            "n_events",
+            "n_types",
+            "value_cents",
+        )
+    )
+    u = u.persist()
+    u.count()
+
+    def arm(name):
+        return u.groupBy("variant").agg(
+            F.lit(name).alias("covariate"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(name).cast("long").alias("s"),
+            F.sum(F.col(name).cast("decimal(19,0)") * F.col(name)).alias("ss"),
+        )
+
+    arms = arm("n_events").unionByName(arm("n_types")).unionByName(
+        arm("value_cents")
+    )
+    wide = arms.groupBy("covariate").agg(
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("variant") == 1, F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("variant") == 0, F.col("ss"))).alias("ss0"),
+    )
+
+    def var(nn, s, ss):
+        num = (
+            F.col(nn).cast("decimal(38,0)") * F.col(ss)
+            - F.col(s).cast("decimal(19,0)") * F.col(s)
+        ).cast("double")
+        return num / (F.col(nn).cast("double") * (F.col(nn) - 1).cast("double"))
+
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    v1, v0 = var("n1", "s1", "ss1"), var("n0", "s0", "ss0")
+    smd = (m1 - m0) / F.sqrt((v1 + v0) / F.lit(2.0))
+    zero_var = (v1 + v0) == F.lit(0.0)
+    return wide.select(
+        "covariate",
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.round(m1, 6).alias("mean_treat"),
+        F.round(m0, 6).alias("mean_ctrl"),
+        (
+            F.round(F.when(zero_var, F.lit(None)).otherwise(smd), 6) + F.lit(0.0)
+        ).alias("smd"),
+        F.when(zero_var, F.lit(None))
+        .otherwise(F.when(F.abs(smd) < 0.1, 1).otherwise(0))
+        .cast("int")
+        .alias("balanced"),
+    )

@@ -271,3 +271,47 @@ def test_odds_ratio_matches_python_reference(spark):
     r0 = run(build(5, 5, 0, 10))  # empty ctrl_conv cell
     assert r0["odds_ratio"] is None and r0["or_ci_lo"] is None
     assert r0["relative_risk"] is None
+
+
+def test_covariate_balance_detects_broken_randomization(spark):
+    """Balanced arms give |SMD| ~ 0; a planted imbalance on one covariate
+    gives a large SMD matching the hand formula on exact moments."""
+    import datetime, math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 20 users/arm; n_events alternates 3/5 within each arm (balanced),
+    # but treatment users carry value 10.0/event vs control 1.0 (imbalanced)
+    for uid in range(40):
+        variant = uid % 2
+        k = 3 if (uid // 2) % 2 == 0 else 5
+        for _ in range(k):
+            rows.append(
+                (eid, d0, uid, "view", 10.0 if variant else 1.0, "{}")
+            ); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["covariate"]: r
+            for r in QUERIES["q_eval_covariate_balance"](spark, d).collect()
+        }
+    assert got["n_events"]["smd"] == 0.0 and got["n_events"]["balanced"] == 1
+    # n_types is constant (all 'view') in both arms -> zero variance -> NULL
+    assert got["n_types"]["smd"] is None and got["n_types"]["balanced"] is None
+    vc = got["value_cents"]
+    # hand SMD: arm means 4000 vs 400 cents, per-arm values {3000,5000}/{300,500}
+    vals1 = [3000, 5000] * 10
+    vals0 = [300, 500] * 10
+    def mv(v):
+        m = sum(v) / len(v)
+        return m, sum((x - m) ** 2 for x in v) / (len(v) - 1)
+    m1, v1 = mv(vals1)
+    m0, v0 = mv(vals0)
+    ref = (m1 - m0) / math.sqrt((v1 + v0) / 2)
+    assert abs(vc["smd"] - ref) < 1e-6
+    assert vc["balanced"] == 0
