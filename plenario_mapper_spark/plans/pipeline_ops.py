@@ -9306,3 +9306,80 @@ def q_eval_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("balanced"),
     )
+
+
+@register(
+    "q_graph_component_sizes",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+    p AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+    reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component),
+    n AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_nodes FROM sizes)
+    SELECT sz AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(COUNT(*) * sz AS BIGINT) AS n_nodes,
+           CAST(ROUND(CAST(COUNT(*) * sz AS DOUBLE) / CAST(n.n_nodes AS DOUBLE), 6)
+                AS DOUBLE) AS node_share
+    FROM sizes, n GROUP BY sz, n.n_nodes
+    """,
+)
+def q_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size profile of the (sparsified) co-purchase
+    graph — the connectivity census completing the graph family's
+    reconnaissance pair (the degree histogram describes LOCAL structure;
+    this describes GLOBAL structure: one giant component means
+    partition-by-community is hopeless and CC output is degenerate, many
+    small ones mean per-component parallelism is free — the same census
+    the dedup pipeline reads as its duplicate-cluster profile): components
+    from the O(log n)-round large-star/small-star algorithm
+    (operators/dedup.connected_components — the engine path), histogram on
+    the component-size domain with exact node shares. The 1-in-20 order
+    sparsification keeps the ORACLE's recursive-CTE closure (quadratic in
+    component size) viable — the engine path itself has no such limit.
+    Exact integers; one final division."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.pmod(F.col("l_orderkey"), F.lit(20)) == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .join(
+            li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v")),
+            "o",
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    comp = DD.connected_components(pairs, "u", "v")
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("sz"))
+    sizes = sizes.persist()
+    sizes.count()
+    n = sizes.agg(F.sum("sz").cast("long").alias("_tot_nodes"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("sz").alias("component_size"),
+            "n_components",
+            (F.col("n_components") * F.col("sz")).cast("long").alias("n_nodes"),
+            F.round(
+                (F.col("n_components") * F.col("sz")).cast("double")
+                / F.col("_tot_nodes").cast("double"),
+                6,
+            ).alias("node_share"),
+        )
+    )

@@ -154,3 +154,35 @@ def test_degree_hist_hand_checked(spark):
     assert got[2]["n_nodes"] == 2   # parts 1, 2
     assert got[3]["n_nodes"] == 1   # part 3 bridges
     assert abs(got[2]["share"] - 0.5) < 1e-6
+
+
+def test_component_sizes_hand_checked(spark):
+    """Known topology through the %20 order gate: a 3-clique, a 2-path,
+    and an isolated pair -> sizes {3:1, 2:1+1}."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    # orders 20/40/60 pass the gate; order 7 (filtered) would merge the
+    # components if it leaked through
+    rows = [
+        (20, 1), (20, 2), (20, 3),   # triangle {1,2,3}
+        (40, 4), (40, 5),            # pair {4,5}
+        (60, 6), (60, 7),            # pair {6,7}
+        (7, 3, ), (7, 4),            # MUST be filtered out
+    ]
+    li = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r["component_size"]: r
+            for r in QUERIES["q_graph_component_sizes"](spark, d).collect()
+        }
+    assert got[3]["n_components"] == 1 and got[3]["n_nodes"] == 3
+    assert got[2]["n_components"] == 2 and got[2]["n_nodes"] == 4
+    assert abs(got[3]["node_share"] - 3 / 7) < 1e-6
