@@ -9383,3 +9383,89 @@ def q_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node_share"),
         )
     )
+
+
+@register(
+    "q_events_holt_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS et,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT et, d, x,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY d) AS rn
+      FROM daily),
+    holt AS (
+      SELECT et, rn, d, CAST(x AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.et, s.rn, s.d,
+             CAST(0.5 AS DOUBLE) * CAST(s.x AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+             CAST(0.5 AS DOUBLE)
+               * (CAST(0.5 AS DOUBLE) * CAST(s.x AS DOUBLE)
+                  + CAST(0.5 AS DOUBLE) * (h.l + h.b) - h.l)
+               + CAST(0.5 AS DOUBLE) * h.b
+      FROM holt h JOIN seq s ON s.et = h.et AND s.rn = h.rn + 1)
+    SELECT et AS event_type, CAST(d AS BIGINT) AS day_index,
+           CAST(ROUND(l, 6) AS DOUBLE) AS level,
+           CAST(ROUND(b, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS trend,
+           CAST(ROUND(l + b, 6) AS DOUBLE) AS forecast_next
+    FROM holt
+    """,
+)
+def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per daily series —
+    the step up from EWMA every capacity planner actually runs (EWMA lags
+    a trending series by construction; Holt tracks the slope, and l+b is
+    the one-step forecast): α = β = 0.5, the DYADIC parameters (the EWMA
+    lesson: halving is exact in binary, so each step's arithmetic is the
+    same short op sequence in every IEEE engine), initialized l₁ = x₁,
+    b₁ = 0 (documented convention). The recursion is genuinely sequential
+    — two coupled states, no closed form like CUSUM's — so the engine
+    path is a per-series Arrow-batched applyInPandas fold (the
+    CusumStream machinery in BATCH form; one shuffle on the series key,
+    state two floats) and the oracle is a step-identical recursive CTE:
+    both execute the IDENTICAL operation sequence on IEEE doubles, so
+    values stay bit-identical through all ~30 steps before rounding.
+    +0.0 canonicalizes the flat-series trend's −0.0."""
+    import pandas as pd
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        out = []
+        l = b = None
+        for _, row in pdf.iterrows():
+            x = float(row["x"])
+            if l is None:
+                l, b = x, 0.0
+            else:
+                l_new = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            out.append((row["event_type"], int(row["d"]), l, b))
+        return pd.DataFrame(
+            out, columns=["event_type", "day_index", "level", "trend"]
+        )
+
+    folded = daily.groupBy("event_type").applyInPandas(
+        fold, "event_type string, day_index long, level double, trend double"
+    )
+    return folded.select(
+        "event_type",
+        "day_index",
+        F.round("level", 6).alias("level"),
+        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+    )

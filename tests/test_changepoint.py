@@ -310,3 +310,47 @@ def test_forecast_error_seasonal_series_prefers_lag7(spark):
     assert s["mae_seasonal"] == 0.0 and s["mase_seasonal_vs_naive"] == 0.0
     assert t["mae_naive"] == 1.0 and t["mae_seasonal"] == 7.0
     assert t["mase_seasonal_vs_naive"] == 7.0
+
+
+def test_holt_trend_tracks_linear_series(spark):
+    """On x_t = 10 + 5t Holt converges toward trend 5 and the one-step
+    forecast approaches the true next value; a flat series keeps trend 0;
+    recursion matches an independent Python reference exactly."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for t in range(20):
+        for _ in range(10 + 5 * t):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "lin", 0.0, "{}")); eid += 1
+        for _ in range(7):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "flat", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["event_type"], r["day_index"]): r
+            for r in QUERIES["q_events_holt_trend"](spark, d).collect()
+        }
+    base_d = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+    # independent reference
+    l = b = None
+    for t in range(20):
+        x = float(10 + 5 * t)
+        if l is None:
+            l, b = x, 0.0
+        else:
+            ln = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (ln - l) + 0.5 * b
+            l = ln
+    last = got[("lin", base_d + 19)]
+    assert abs(last["level"] - l) < 1e-6 and abs(last["trend"] - b) < 1e-6
+    assert abs(last["trend"] - 5.0) < 0.2          # slope recovered
+    assert abs(last["forecast_next"] - (10 + 5 * 20)) < 1.0
+    flat = got[("flat", base_d + 19)]
+    assert flat["level"] == 7.0 and flat["trend"] == 0.0
+    assert str(flat["trend"]) == "0.0"  # -0.0 canonicalized
