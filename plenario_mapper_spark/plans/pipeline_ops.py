@@ -9469,3 +9469,128 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
         F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
     )
+
+
+@register(
+    "q_events_peak_days",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT d, x,
+             lag(x) OVER (ORDER BY d) AS xp,
+             lead(x) OVER (ORDER BY d) AS xn,
+             lag(d) OVER (ORDER BY d) AS dp,
+             lead(d) OVER (ORDER BY d) AS dn
+      FROM daily)
+    SELECT d AS day_index, x AS n_events,
+           CAST(CASE WHEN dp = d - 1 AND dn = d + 1
+                      AND x > xp AND x > xn THEN 1 ELSE 0 END AS INT) AS is_peak,
+           CAST(CASE WHEN dp = d - 1 AND dn = d + 1
+                      AND x < xp AND x < xn THEN 1 ELSE 0 END AS INT) AS is_valley
+    FROM lagged
+    """,
+)
+def q_events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema labeling of the daily series — the spike/dip marker
+    feeding annotation layers and alert post-mortems (CUSUM finds
+    SUSTAINED shifts; a one-day flash crowd is invisible to it and
+    obvious here): a day is a peak/valley only when BOTH calendar
+    neighbors exist (dp = d−1 ∧ dn = d+1 — a gap disqualifies; boundary
+    days are never extrema, the honest convention) and the strict
+    inequality holds both sides (plateaus are neither). Pure integer
+    comparisons over one ordered window pass on the calendar domain."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+        F.lag("d").over(w).alias("dp"),
+        F.lead("d").over(w).alias("dn"),
+    )
+    adjacent = (F.col("dp") == F.col("d") - 1) & (F.col("dn") == F.col("d") + 1)
+    return lagged.select(
+        F.col("d").alias("day_index"),
+        F.col("x").alias("n_events"),
+        F.when(adjacent & (F.col("x") > F.col("xp")) & (F.col("x") > F.col("xn")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_peak"),
+        F.when(adjacent & (F.col("x") < F.col("xp")) & (F.col("x") < F.col("xn")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_valley"),
+    )
+
+
+@register(
+    "q_dedup_cross_source_rate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 140) t),
+    p AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_source,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+             AS cross_source_rate
+    FROM p
+    """,
+)
+def q_dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate pressure — the provenance question asked of
+    every near-dup pair set (within-source duplication is re-posts and
+    boilerplate you fix per-source; CROSS-source duplication means two
+    'independent' feeds ingest the same upstream — dedup them jointly or
+    double-count forever; the pair-level drill-down under H65's
+    source-matrix view): the exact trigram-Jaccard pairs on the bounded
+    slice (the cluster_cc edge source — same gate, oracle-mirrorable),
+    each pair labeled by its endpoints' sources via two broadcast-size
+    doc→source joins, one summary row. Integer counts, one division."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 140)
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.05, shingle_n=3)
+    src = d.select("doc_id", "source")
+    labeled = pairs.join(
+        F.broadcast(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))),
+        "id_a",
+    ).join(
+        F.broadcast(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))),
+        "id_b",
+    )
+    return labeled.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_source"),
+        F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.round(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("cross_source_rate"),
+    )

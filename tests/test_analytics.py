@@ -943,3 +943,29 @@ def test_encoding_audit_synthetic_mojibake(spark):
     assert got["ctrl"]["n_non_ascii"] == 1  # the NUL itself is non-printable
     assert got["repl"]["n_docs_replacement_char"] == 1
     assert got["repl"]["n_non_ascii"] == 2
+
+
+def test_cross_source_rate_hand_checked(spark):
+    """Two identical docs in one source + one identical doc in another:
+    3 pairs total, 1 within-source, 2 cross-source."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, text, "en", "a", 1),
+        (2, text, "en", "a", 1),
+        (3, text, "en", "b", 1),
+        (4, "completely unrelated content with different words", "en", "b", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        r = QUERIES["q_dedup_cross_source_rate"](spark, d).collect()[0]
+    assert r["n_pairs"] == 3
+    assert r["n_within_source"] == 1  # (1,2)
+    assert r["n_cross_source"] == 2   # (1,3), (2,3)
+    assert abs(r["cross_source_rate"] - 2 / 3) < 1e-6

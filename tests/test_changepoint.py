@@ -354,3 +354,35 @@ def test_holt_trend_tracks_linear_series(spark):
     flat = got[("flat", base_d + 19)]
     assert flat["level"] == 7.0 and flat["trend"] == 0.0
     assert str(flat["trend"]) == "0.0"  # -0.0 canonicalized
+
+
+def test_peak_days_gap_and_plateau_rules(spark):
+    """Strict extrema only: plateaus are neither; a calendar gap
+    disqualifies both neighbors; boundaries are never extrema."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    # days 0..4 counts: 1, 5, 2, 2, 3 -> day1 peak, day2/3 plateau (neither)
+    # then a GAP, then days 6..8: 9, 1, 9 -> day7 valley but day6/8 boundaries
+    counts = {0: 1, 1: 5, 2: 2, 3: 2, 4: 3, 6: 9, 7: 1, 8: 9}
+    rows, eid = [], 0
+    for t, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=t), 1, "e", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        base_d = (datetime.date(2024, 1, 1) - datetime.date(1970, 1, 1)).days
+        got = {
+            r["day_index"] - base_d: (r["is_peak"], r["is_valley"])
+            for r in QUERIES["q_events_peak_days"](spark, d).collect()
+        }
+    assert got[1] == (1, 0)
+    assert got[2] == (0, 0) and got[3] == (0, 0)  # plateau
+    assert got[4] == (0, 0)  # right neighbor is a gap
+    assert got[7] == (0, 1)
+    assert got[0] == (0, 0) and got[8] == (0, 0)  # boundaries
