@@ -9594,3 +9594,83 @@ def q_dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cross_source_rate"),
     )
+
+
+@register(
+    "q_orders_volume_price_decomp",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT a.mi, a.n AS n1, a.rev AS r1, b.n AS n0, b.rev AS r0
+      FROM m a JOIN m b ON b.mi = a.mi - 1)
+    SELECT CAST(mi AS BIGINT) AS month_index, n1 AS n_orders, n0 AS n_orders_prev,
+           CAST(ROUND(r1 - r0, 2) AS DOUBLE) AS revenue_delta,
+           CAST(ROUND(CAST(n1 - n0 AS DOUBLE)
+                      * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS DOUBLE)
+             AS volume_effect,
+           CAST(ROUND(CAST(n1 AS DOUBLE)
+                      * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS DOUBLE)
+             AS price_effect,
+           CAST(CASE WHEN abs(CAST(n1 - n0 AS DOUBLE)
+                              * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                              + CAST(n1 AS DOUBLE)
+                                * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                   - CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                              - CAST(r1 - r0 AS DOUBLE)) < CAST(0.01 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS decomposition_exact
+    FROM pairs
+    """,
+)
+def q_orders_volume_price_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume/price decomposition of month-over-month revenue change — the
+    'WHY did the number move' answer every metrics review asks (a revenue
+    delta alone cannot distinguish more orders from bigger orders; the
+    Laspeyres-style split ΔR = Δn·p₀ + n₁·Δp̄ attributes the change
+    exactly): consecutive months joined on the integer month index,
+    DECIMAL-exact revenue, average order value as one division, and the
+    decomposition's EXACTNESS itself emitted as a bit (the two effects
+    must reconstruct the delta to the cent — an algebraic identity, so a
+    failed bit means float damage, not data). One month-grain aggregate +
+    a month-domain self-join."""
+    from plenario_mapper_spark.plans.relational import _dec
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+        )
+    )
+    m = m.persist()
+    m.count()
+    prev = m.select(
+        (F.col("mi") + 1).alias("mi"),
+        F.col("n").alias("n0"),
+        F.col("rev").alias("r0"),
+    )
+    pairs = m.select(
+        "mi", F.col("n").alias("n1"), F.col("rev").alias("r1")
+    ).join(prev, "mi")
+    p0 = F.col("r0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("n1").cast("double")
+    vol = (F.col("n1") - F.col("n0")).cast("double") * p0
+    price = F.col("n1").cast("double") * (p1 - p0)
+    delta = (F.col("r1") - F.col("r0")).cast("double")
+    return pairs.select(
+        F.col("mi").cast("long").alias("month_index"),
+        F.col("n1").alias("n_orders"),
+        F.col("n0").alias("n_orders_prev"),
+        F.round(F.col("r1") - F.col("r0"), 2).cast("double").alias("revenue_delta"),
+        F.round(vol, 6).alias("volume_effect"),
+        F.round(price, 6).alias("price_effect"),
+        F.when(F.abs(vol + price - delta) < F.lit(0.01), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("decomposition_exact"),
+    )

@@ -969,3 +969,33 @@ def test_cross_source_rate_hand_checked(spark):
     assert r["n_within_source"] == 1  # (1,2)
     assert r["n_cross_source"] == 2   # (1,3), (2,3)
     assert abs(r["cross_source_rate"] - 2 / 3) < 1e-6
+
+
+def test_volume_price_decomposition_hand_checked(spark):
+    """Jan: 2 orders x 100; Feb: 3 orders x 120 -> delta 160 = volume 100
+    + price 60; the identity bit holds."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, 1, "O", 100.0, datetime.datetime(2024, 1, 3), "x"),
+        (2, 1, "O", 100.0, datetime.datetime(2024, 1, 9), "x"),
+        (3, 1, "O", 120.0, datetime.datetime(2024, 2, 1), "x"),
+        (4, 1, "O", 120.0, datetime.datetime(2024, 2, 2), "x"),
+        (5, 1, "O", 120.0, datetime.datetime(2024, 2, 3), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        got = QUERIES["q_orders_volume_price_decomp"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["revenue_delta"] == 160.0
+    assert abs(r["volume_effect"] - 100.0) < 1e-6   # (3-2) x 100
+    assert abs(r["price_effect"] - 60.0) < 1e-6     # 3 x (120-100)
+    assert r["decomposition_exact"] == 1
