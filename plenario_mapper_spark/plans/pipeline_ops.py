@@ -9674,3 +9674,82 @@ def q_orders_volume_price_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("decomposition_exact"),
     )
+
+
+@register(
+    "q_eval_median_ci",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+               AS cents,
+             o_orderkey
+      FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+      FROM v)
+    SELECT n.n AS n_rows,
+           CAST(MAX(CASE WHEN rk = (n.n + 1) // 2 THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(MAX(CASE WHEN rk = CAST(floor((CAST(n.n AS DOUBLE)
+                          - CAST(1.96 AS DOUBLE) * sqrt(CAST(n.n AS DOUBLE)))
+                          / CAST(2 AS DOUBLE)) AS BIGINT)
+                     THEN cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = CAST(ceil(CAST(1 AS DOUBLE)
+                          + (CAST(n.n AS DOUBLE)
+                             + CAST(1.96 AS DOUBLE) * sqrt(CAST(n.n AS DOUBLE)))
+                            / CAST(2 AS DOUBLE)) AS BIGINT)
+                     THEN cents END) AS BIGINT) AS ci_hi_cents
+    FROM ranked, n GROUP BY n.n
+    """,
+)
+def q_eval_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence interval for the median — the
+    uncertainty every point estimate should ship with, WITHOUT assuming a
+    distribution (the binomial order-statistic CI: the true median lies
+    between the ⌊(n−z√n)/2⌋-th and ⌈1+(n+z√n)/2⌉-th order statistics with
+    ~95% coverage — ranks from counting arguments, no normality of the
+    DATA needed): order totals in exact integer cents, the three ranks
+    decided by identical double expressions floored/ceiled identically in
+    both engines, values SELECTED (never computed) at those ranks under
+    the (cents, orderkey) total order. One rank window over the value
+    domain, one aggregate row."""
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast(
+        "long"
+    )
+    v = _t(spark, sf_dir, "orders").select(
+        cents.alias("cents"), "o_orderkey"
+    )
+    v = v.persist()
+    v.count()
+    n = v.agg(F.count("*").cast("long").alias("n"))
+    ranked = v.withColumn(
+        "rk", F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+    )
+    nn = F.col("n").cast("double")
+    lo_rk = F.floor((nn - F.lit(1.96) * F.sqrt(nn)) / F.lit(2.0)).cast("long")
+    hi_rk = F.ceil(
+        F.lit(1.0) + (nn + F.lit(1.96) * F.sqrt(nn)) / F.lit(2.0)
+    ).cast("long")
+    med_rk = F.floor((nn + 1) / 2).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.max(F.when(F.col("rk") == med_rk, F.col("cents")))
+            .cast("long")
+            .alias("median_cents"),
+            F.max(F.when(F.col("rk") == lo_rk, F.col("cents")))
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.max(F.when(F.col("rk") == hi_rk, F.col("cents")))
+            .cast("long")
+            .alias("ci_hi_cents"),
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            "median_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

@@ -315,3 +315,29 @@ def test_covariate_balance_detects_broken_randomization(spark):
     ref = (m1 - m0) / math.sqrt((v1 + v0) / 2)
     assert abs(vc["smd"] - ref) < 1e-6
     assert vc["balanced"] == 0
+
+
+def test_median_ci_order_statistics(spark):
+    """n=100 values 1..100 cents*? -> median rank 50, CI ranks
+    floor((100-19.6)/2)=40 and ceil(1+(100+19.6)/2)=61; bounds bracket."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (i, 1, "O", i / 100.0, datetime.datetime(2024, 1, 1), "x")
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        r = QUERIES["q_eval_median_ci"](spark, d).collect()[0]
+    assert r["n_rows"] == 100
+    assert r["median_cents"] == 50  # rank floor(101/2)=50 -> value 50
+    assert r["ci_lo_cents"] == 40
+    assert r["ci_hi_cents"] == 61
+    assert r["ci_lo_cents"] < r["median_cents"] < r["ci_hi_cents"]
