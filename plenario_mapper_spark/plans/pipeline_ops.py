@@ -9753,3 +9753,89 @@ def q_eval_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@register(
+    "q_events_hourly_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS s
+           FROM hourly),
+    g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(x) AS BIGINT) AS sg
+          FROM hourly GROUP BY h),
+    tot AS (
+      SELECT SUM(CAST(st.nn * x - st.s AS HUGEINT)
+                 * CAST(st.nn * x - st.s AS HUGEINT)) AS ss_t
+      FROM hourly, st),
+    btw AS (
+      SELECT SUM(CAST(CAST(st.nn * sg - n_cells * st.s AS HUGEINT)
+                      * CAST(st.nn * sg - n_cells * st.s AS HUGEINT) AS DOUBLE)
+                 / CAST(n_cells AS DOUBLE)) AS ss_b
+      FROM g, st)
+    SELECT CAST(g.h AS INT) AS hour, g.n_cells, g.sg AS n_events,
+           CAST(ROUND(CAST(g.sg AS DOUBLE) / CAST(g.n_cells AS DOUBLE), 6)
+                AS DOUBLE) AS mean_count,
+           CAST(ROUND(btw.ss_b / CAST(tot.ss_t AS DOUBLE), 6) AS DOUBLE)
+             AS hour_strength
+    FROM g, st, tot, btw
+    """,
+)
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile — the INTRA-day seasonal axis beside the
+    weekday profile (H89; a capacity plan needs both: DOW says which days
+    burn, hour-of-day says when to schedule compaction and when autoscale
+    must lead the curve): per hour, mean events per (day, hour) cell and
+    the hour-of-day seasonality strength SS_between/SS_total over the
+    (day × hour) cell series — the same N-scaled exact-integer machinery
+    as the DOW profile (EXACT SS_total in HUGEINT/DECIMAL; ≤24
+    one-division group terms). One (day, hour)-grain map-side aggregate;
+    calendar×24 domain after."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    hourly = hourly.persist()
+    hourly.count()
+    st = hourly.agg(
+        F.count("*").cast("long").alias("nn"), F.sum("x").cast("long").alias("s")
+    )
+    with_st = hourly.crossJoin(F.broadcast(st))
+    dev = (F.col("nn") * F.col("x") - F.col("s")).cast("decimal(19,0)")
+    tot = with_st.agg(F.sum(dev * dev).alias("ss_t"))
+    g = with_st.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("sg"),
+        F.max("nn").alias("nn"),
+        F.max("s").alias("s"),
+    )
+    gdev = (F.col("nn") * F.col("sg") - F.col("n_cells") * F.col("s")).cast(
+        "decimal(19,0)"
+    )
+    btw = g.agg(
+        F.sum((gdev * gdev).cast("double") / F.col("n_cells").cast("double")).alias(
+            "ss_b"
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .select(
+            F.col("h").cast("int").alias("hour"),
+            "n_cells",
+            F.col("sg").alias("n_events"),
+            F.round(
+                F.col("sg").cast("double") / F.col("n_cells").cast("double"), 6
+            ).alias("mean_count"),
+            F.round(F.col("ss_b") / F.col("ss_t").cast("double"), 6).alias(
+                "hour_strength"
+            ),
+        )
+    )

@@ -386,3 +386,31 @@ def test_peak_days_gap_and_plateau_rules(spark):
     assert got[4] == (0, 0)  # right neighbor is a gap
     assert got[7] == (0, 1)
     assert got[0] == (0, 0) and got[8] == (0, 0)  # boundaries
+
+
+def test_hourly_profile_recovers_planted_shape(spark):
+    """A pure hour-of-day function over 3 days gives strength 1 and exact
+    per-hour means; absent hours produce no cell (not a zero)."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    shape = {9: 10, 12: 30, 18: 5}
+    rows, eid = [], 0
+    for day in range(3):
+        for h, c in shape.items():
+            for _ in range(c):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, hours=h), 1, "e", 0.0, "{}")
+                ); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {r["hour"]: r for r in QUERIES["q_events_hourly_profile"](spark, d).collect()}
+    assert set(got) == set(shape)
+    for h, c in shape.items():
+        assert got[h]["mean_count"] == float(c) and got[h]["n_cells"] == 3
+    assert got[9]["hour_strength"] == 1.0
