@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E  # noqa: E402
+from plenario_mapper_spark.plans.registry import release_query_caches  # noqa: E402
 
 SF = os.environ.get("SF", "/root/testdata/sf0.01")
 CPUS = os.environ.get("CPUS", "8")
@@ -84,6 +85,12 @@ def main():
                 print("  oracle-only:", only_w)
         else:
             print(f"{name:36s} {'ROWS-ONLY':8s} rows={len(got):6d} spark={t_spark:6.2f}s")
+        # Bound cache lifetime exactly like bench.py: the registry's own
+        # persists accumulate across a 200+ query sweep and eventually
+        # overflow the default local-mode driver heap (observed at ~208
+        # queries). Released AFTER the timed section, so per-query walls
+        # are unchanged.
+        release_query_caches(spark)
     sys.exit(1 if bad else 0)
 
 
