@@ -9839,3 +9839,86 @@ def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_vocab_heaps_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+                FROM toks GROUP BY doc_id),
+    firsts AS (SELECT MIN(doc_id) AS fd FROM toks GROUP BY tok),
+    new_v AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+              FROM firsts GROUP BY fd),
+    chk AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.nt) OVER (ORDER BY p.doc_id) AS BIGINT) AS cum_tokens,
+             CAST(SUM(COALESCE(n.nv, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
+               AS cum_vocab
+      FROM per_doc p LEFT JOIN new_v n ON n.doc_id = p.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
+           CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS total_vocab,
+           CAST(ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                                 ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE)
+             AS heaps_beta,
+           CAST(ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                     ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE)
+             AS heaps_ln_k,
+           CAST(ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                              ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE) AS r2
+    FROM chk WHERE cum_tokens >= 1 AND cum_vocab >= 1
+    """,
+)
+def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ≈ K·N^β — the DYNAMIC
+    corpus-health check beside the static Zipf exponent (Zipf says the
+    frequency distribution is language-shaped; Heaps says the vocabulary
+    GROWS like language as the corpus accretes — β ≈ 0.4–0.6 for organic
+    text, β → 0 is a closed template vocabulary, β → 1 is id/noise
+    flooding — and the fit EXTRAPOLATES how much unseen vocabulary the
+    next 10× of corpus will bring, the capacity question a tokenizer plan
+    asks): cumulative (tokens, vocab) checkpoints at every doc via one
+    running window over per-doc token counts and one over first-occurrence
+    counts (each token's first_doc = min(doc_id) — an exact groupBy, never
+    a scan-order dependency), then log-log OLS over checkpoint rows — ln
+    on exact integers, regr_* reassociation ~1e-12 (the Zipf/forecast
+    precedent). One token-domain aggregate + doc-domain windows."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    toks = toks.persist()
+    toks.count()
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("nt"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    new_v = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("nv")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    chk = (
+        per_doc.join(new_v, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nt").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tokens") >= 1) & (F.col("cum_vocab") >= 1))
+    )
+    y = F.log(F.col("cum_vocab").cast("double"))
+    x = F.log(F.col("cum_tokens").cast("double"))
+    return chk.agg(
+        F.count("*").cast("long").alias("n_checkpoints"),
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+        F.round(F.regr_slope(y, x), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 6).alias("heaps_ln_k"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -999,3 +999,38 @@ def test_volume_price_decomposition_hand_checked(spark):
     assert abs(r["volume_effect"] - 100.0) < 1e-6   # (3-2) x 100
     assert abs(r["price_effect"] - 60.0) < 1e-6     # 3 x (120-100)
     assert r["decomposition_exact"] == 1
+
+
+def test_heaps_fit_recovers_planted_exponent(spark):
+    """A corpus built so V(N) = N^0.5 exactly at every checkpoint must fit
+    beta ~= 0.5 with r2 ~= 1; a closed-vocabulary corpus fits beta ~= 0."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return QUERIES["q_vocab_heaps_fit"](spark, d).collect()[0]
+
+    # doc k (1-based) carries exactly one UNSEEN token plus 2k-2 repeats of
+    # doc 1's token: cum_tokens = k^2, cum_vocab = k -> V = N^0.5 exactly
+    # at every checkpoint
+    rows = []
+    for k in range(1, 31):
+        toks = [f"new{k:03d}"] + ["new001"] * (2 * k - 2)
+        rows.append((k, " ".join(toks), "en", "s", 1))
+    r = run(rows)
+    assert r["n_checkpoints"] == 30
+    assert r["total_tokens"] == 900 and r["total_vocab"] == 30
+    assert abs(r["heaps_beta"] - 0.5) < 1e-6
+    assert r["r2"] > 0.999999
+
+    # closed vocabulary: every doc the same 5 tokens -> V flat after doc 1
+    rows = [(k, "a b c d e", "en", "s", 1) for k in range(1, 21)]
+    r = run(rows)
+    assert r["total_vocab"] == 5
+    assert abs(r["heaps_beta"]) < 0.15
