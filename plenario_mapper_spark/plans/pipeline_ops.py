@@ -9922,3 +9922,125 @@ def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("heaps_ln_k"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+@register(
+    "q_orders_mahalanobis_outliers",
+    oracle="""
+    WITH o AS (
+      SELECT o.o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(ROUND(CAST(MAX(o.o_totalprice) AS DECIMAL(18,2)) * 100, 0)
+                  AS BIGINT) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM o),
+    v AS (
+      SELECT n,
+             CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vxx,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vyy,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vxy,
+             sx, sy
+      FROM m),
+    d AS (
+      SELECT o.k, o.x, o.y,
+             (CAST(v.n * o.x - v.sx AS DOUBLE) * CAST(v.n * o.x - v.sx AS DOUBLE)
+                * v.vyy
+              - CAST(2 AS DOUBLE) * CAST(v.n * o.x - v.sx AS DOUBLE)
+                * CAST(v.n * o.y - v.sy AS DOUBLE) * v.vxy
+              + CAST(v.n * o.y - v.sy AS DOUBLE) * CAST(v.n * o.y - v.sy AS DOUBLE)
+                * v.vxx)
+             / ((v.vxx * v.vyy - v.vxy * v.vxy)
+                * (CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE))) AS d2
+      FROM o, v WHERE v.vxx * v.vyy - v.vxy * v.vxy <> CAST(0 AS DOUBLE))
+    SELECT k AS orderkey, x AS n_lines, y AS total_cents,
+           CAST(ROUND(d2, 6) AS DOUBLE) AS mahalanobis_sq
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(d2, 12) DESC, k) AS rk
+          FROM d) t
+    WHERE rk <= 20
+    """,
+)
+def q_orders_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers over order shape (line count ×
+    spend) — the MULTIVARIATE member of the anomaly family (z-score and
+    MAD are per-axis and miss the order that is unremarkable on each axis
+    but impossible JOINTLY — tiny basket, huge spend): per-order
+    (n_lines, total_cents) against the corpus centroid under the inverse
+    sample covariance, the 2×2 case in closed form. Exactness: deviations
+    are N-SCALED exact integers (n·xᵢ − Sx — the ACF trick, no rational
+    mean touches a row), covariance entries come from exact HUGEINT/
+    DECIMAL moments with one division each, and the quadratic form is one
+    identically-associated double expression; the degenerate-covariance
+    guard (det = 0) is the same expression in both engines. Top-20 by the
+    12-rounded distance with orderkey tie-break (round-then-rank). One
+    order-grain aggregate, one one-row moment broadcast, one TakeOrdered."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+        )
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.round(F.max("o_totalprice").cast("decimal(18,2)") * 100, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    o = o.persist()
+    o.count()
+    m = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    vxx = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double") / nd
+    vyy = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy")
+    ).cast("double") / nd
+    vxy = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sy")
+    ).cast("double") / nd
+    v = m.select("n", "sx", "sy", vxx.alias("vxx"), vyy.alias("vyy"), vxy.alias("vxy"))
+    j = o.crossJoin(F.broadcast(v))
+    dxn = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    dyn = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
+    d2 = (
+        dxn * dxn * F.col("vyy")
+        - F.lit(2.0) * dxn * dyn * F.col("vxy")
+        + dyn * dyn * F.col("vxx")
+    ) / (det * (F.col("n").cast("double") * F.col("n").cast("double")))
+    d = j.filter(det != F.lit(0.0)).select("k", "x", "y", d2.alias("d2"))
+    ranked = d.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.round("d2", 12).desc(), F.col("k").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 20).select(
+        F.col("k").alias("orderkey"),
+        F.col("x").alias("n_lines"),
+        F.col("y").alias("total_cents"),
+        F.round("d2", 6).alias("mahalanobis_sq"),
+    )

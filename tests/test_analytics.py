@@ -1034,3 +1034,51 @@ def test_heaps_fit_recovers_planted_exponent(spark):
     r = run(rows)
     assert r["total_vocab"] == 5
     assert abs(r["heaps_beta"]) < 0.15
+
+
+def test_mahalanobis_flags_jointly_impossible_point(spark):
+    """A point unremarkable on each axis but off the correlation line must
+    out-rank marginal extremes; values match a numpy reference."""
+    import datetime, os, tempfile
+
+    import numpy as np
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    # strongly correlated cloud: y = 100*x (+/- small), x in 2..11;
+    # plus the joint outlier (6, 1100): mid x, mid-ish y, but far OFF the line
+    pts = [(i, 2 + (i % 10), 100.0 * (2 + (i % 10)) + (1 if i % 2 else -1))
+           for i in range(1, 41)]
+    pts.append((99, 6, 1100.0))
+    o_rows, li_rows = [], []
+    for k, nl, total in pts:
+        o_rows.append((k, 1, "O", total / 100.0, datetime.datetime(2024, 1, 1), "x"))
+        for j in range(nl):
+            li_rows.append((k, j + 1, 1, j + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+    orders = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = QUERIES["q_orders_mahalanobis_outliers"](spark, d).collect()
+    top = got[0]
+    assert top["orderkey"] == 99  # the off-line point wins
+    # numpy reference for its distance
+    xs = np.array([nl for _, nl, _ in pts], dtype=float)
+    ys = np.array([round(t) for _, _, t in pts], dtype=float)  # cents = total here
+    X = np.stack([xs, ys], axis=1)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    inv = np.linalg.inv(cov)
+    dv = np.array([6.0, 1100.0]) - mu
+    ref = float(dv @ inv @ dv)
+    assert abs(top["mahalanobis_sq"] - ref) < 1e-4
