@@ -10044,3 +10044,77 @@ def q_orders_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("y").alias("total_cents"),
         F.round("d2", 6).alias("mahalanobis_sq"),
     )
+
+
+@register(
+    "q_events_entropy_rate",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    t AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM s
+          WHERE b IS NOT NULL GROUP BY a, b),
+    m AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM t GROUP BY a),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM t),
+    h AS (
+      SELECT SUM((CAST(m.na AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                 * ((CAST(t.n AS DOUBLE) / CAST(m.na AS DOUBLE))
+                    * ln(CAST(t.n AS DOUBLE) / CAST(m.na AS DOUBLE)))) AS st
+      FROM t JOIN m ON t.a = m.a, tot),
+    hs AS (
+      SELECT SUM((CAST(m.na AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                 * ln(CAST(m.na AS DOUBLE) / CAST(tot.nn AS DOUBLE))) AS ss
+      FROM m, tot)
+    SELECT CAST(ROUND(-h.st + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS entropy_rate,
+           CAST(ROUND(-hs.ss + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS state_entropy,
+           CAST(ROUND((-h.st) / (-hs.ss), 6) AS DOUBLE) AS predictability_ratio
+    FROM h, hs
+    """,
+)
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the behavioral Markov chain — the one-number answer
+    to 'how predictable is user behavior' (the transition matrix H78 is
+    the model; its entropy rate H = −Σ_a π(a) Σ_b P(b|a)·ln P(b|a) is the
+    model's residual uncertainty per step: ≈ln|types| means the next event
+    is a coin toss and sequence features are worthless, →0 means journeys
+    are deterministic and sequence models will shine — the go/no-go
+    measurement before investing in sequential features): π taken as the
+    empirical from-state distribution (the standard plug-in), every
+    probability one division of exact integer counts, ln on identical
+    doubles, summed over the (type×type) domain. state_entropy (the
+    zeroth-order H(π)) and the ratio ride along — the ratio is the share
+    of state uncertainty REMAINING after conditioning on the previous
+    event. One window pass + domain-sized everything (the H78 shuffle
+    shape); the state entropy aggregates the MARGINAL table directly —
+    never a dedup over joined rows, which would silently collapse two
+    states whose marginals happen to tie."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _events(spark, sf_dir).select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    t = (
+        s.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = t.persist()
+    t.count()
+    m = t.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    tot = t.agg(F.sum("n").cast("long").alias("nn"))
+    j = t.join(F.broadcast(m), "a").crossJoin(F.broadcast(tot))
+    pa = F.col("na").cast("double") / F.col("nn").cast("double")
+    pba = F.col("n").cast("double") / F.col("na").cast("double")
+    h = j.agg(F.sum(pa * (pba * F.log(pba))).alias("st"))
+    hs = (
+        m.crossJoin(F.broadcast(tot))
+        .agg(F.sum(pa * F.log(pa)).alias("ss"))
+    )
+    agg = h.crossJoin(F.broadcast(hs))
+    return agg.select(
+        (F.round(-F.col("st"), 6) + F.lit(0.0)).alias("entropy_rate"),
+        (F.round(-F.col("ss"), 6) + F.lit(0.0)).alias("state_entropy"),
+        F.round((-F.col("st")) / (-F.col("ss")), 6).alias("predictability_ratio"),
+    )

@@ -414,3 +414,31 @@ def test_hourly_profile_recovers_planted_shape(spark):
     for h, c in shape.items():
         assert got[h]["mean_count"] == float(c) and got[h]["n_cells"] == 3
     assert got[9]["hour_strength"] == 1.0
+
+
+def test_entropy_rate_extremes(spark):
+    """A deterministic a->b->a chain has entropy rate 0 with positive
+    state entropy; equal-marginal states must NOT collapse."""
+    import datetime, math, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: strict alternation a b a b ... (20 events)
+    for i in range(20):
+        rows.append(
+            (eid, d0 + datetime.timedelta(minutes=i), 1, "a" if i % 2 == 0 else "b", 0.0, "{}")
+        ); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        r = QUERIES["q_events_entropy_rate"](spark, d).collect()[0]
+    assert r["entropy_rate"] == 0.0
+    # marginals: a has 10 transitions out, b has 9 -> near-uniform H(pi)
+    pa, pb = 10 / 19, 9 / 19
+    ref = -(pa * math.log(pa) + pb * math.log(pb))
+    assert abs(r["state_entropy"] - ref) < 1e-6
+    assert r["predictability_ratio"] == 0.0
