@@ -10118,3 +10118,82 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(-F.col("ss"), 6) + F.lit(0.0)).alias("state_entropy"),
         F.round((-F.col("st")) / (-F.col("ss")), 6).alias("predictability_ratio"),
     )
+
+
+@register(
+    "q_orders_interpurchase_time",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+      FROM orders),
+    gaps AS (
+      SELECT c, k, d - lag(d) OVER (PARTITION BY c ORDER BY d, k) AS gap
+      FROM o),
+    g AS (SELECT c, k, CAST(gap AS BIGINT) AS gap FROM gaps WHERE gap IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT c) AS BIGINT) AS n_repeat_cust
+          FROM g),
+    ranked AS (
+      SELECT gap, ROW_NUMBER() OVER (ORDER BY gap, c, k) AS rk FROM g)
+    SELECT n.n AS n_gaps, n.n_repeat_cust,
+           CAST(MAX(CASE WHEN rk = (n.n + 3) // 4 THEN gap END) AS BIGINT)
+             AS p25_days,
+           CAST(MAX(CASE WHEN rk = (n.n + 1) // 2 THEN gap END) AS BIGINT)
+             AS p50_days,
+           CAST(MAX(CASE WHEN rk = (3 * n.n + 3) // 4 THEN gap END) AS BIGINT)
+             AS p75_days
+    FROM ranked, n GROUP BY n.n, n.n_repeat_cust
+    """,
+)
+def q_orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cycle — the reorder-clock metric replenishment and
+    campaign timing read (RFM says WHO is overdue relative to the base;
+    this says what 'overdue' MEANS: the quartiles of consecutive-order
+    gaps): per customer, day gaps between consecutive orders from ONE
+    lag window over the (date, orderkey) total order; quartiles are
+    exact-rank order statistics at ⌈p·n⌉ (type-1, uninterpolated — the
+    established discipline) under a fully deterministic (gap, customer,
+    order) ranking. First orders emit no gap; single-order customers
+    contribute nothing (documented). Integer days end to end — zero float
+    arithmetic anywhere."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+    )
+    w = Window.partitionBy("c").orderBy("d", "k")
+    g = (
+        o.withColumn("gap", F.col("d") - F.lag("d").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("c", "k", F.col("gap").cast("long").alias("gap"))
+    )
+    g = g.persist()
+    g.count()
+    n = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("c").cast("long").alias("n_repeat_cust"),
+    )
+    ranked = g.withColumn(
+        "rk", F.row_number().over(Window.orderBy("gap", "c", "k"))
+    )
+    def at(rank_expr):
+        return F.max(F.when(F.col("rk") == rank_expr, F.col("gap"))).cast("long")
+
+    nn = F.col("n")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy("n", "n_repeat_cust")
+        .agg(
+            at(F.floor((nn + 3) / 4)).alias("p25_days"),
+            at(F.floor((nn + 1) / 2)).alias("p50_days"),
+            at(F.floor((3 * nn + 3) / 4)).alias("p75_days"),
+        )
+        .select(
+            F.col("n").alias("n_gaps"),
+            "n_repeat_cust",
+            "p25_days",
+            "p50_days",
+            "p75_days",
+        )
+    )

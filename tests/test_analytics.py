@@ -1082,3 +1082,45 @@ def test_mahalanobis_flags_jointly_impossible_point(spark):
     dv = np.array([6.0, 1100.0]) - mu
     ref = float(dv @ inv @ dv)
     assert abs(top["mahalanobis_sq"] - ref) < 1e-4
+
+
+def test_interpurchase_time_order_statistics(spark):
+    """Gaps engineered to 1..8 days across two customers: exact-rank
+    quartiles at ranks 2/4/6; single-order customers contribute nothing."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows, key = [], 0
+    d0 = datetime.date(2024, 1, 1)
+
+    def add(cust, dates):
+        nonlocal key
+        for dt in dates:
+            key += 1
+            rows.append(
+                (key, cust, "O", 1.0,
+                 datetime.datetime(dt.year, dt.month, dt.day), "x")
+            )
+
+    # customer 1: gaps 1, 2, 3, 4 days; customer 2: gaps 5, 6, 7, 8
+    days1 = [d0]
+    for gp in (1, 2, 3, 4):
+        days1.append(days1[-1] + datetime.timedelta(days=gp))
+    days2 = [d0]
+    for gp in (5, 6, 7, 8):
+        days2.append(days2[-1] + datetime.timedelta(days=gp))
+    add(1, days1)
+    add(2, days2)
+    add(3, [d0])  # single order -> no gap
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        r = QUERIES["q_orders_interpurchase_time"](spark, d).collect()[0]
+    assert r["n_gaps"] == 8 and r["n_repeat_cust"] == 2
+    # ranks: ceil(8/4)=2 -> 2 days; ceil(8/2)=4 -> 4; ceil(24/4)=6 -> 6
+    assert (r["p25_days"], r["p50_days"], r["p75_days"]) == (2, 4, 6)
