@@ -10197,3 +10197,58 @@ def q_orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_days",
         )
     )
+
+
+@register(
+    "q_doc_unseen_mass",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+      GROUP BY source, tok)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis_legomena,
+           CAST(ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS p_unseen_gt
+    FROM tc GROUP BY source
+    """,
+)
+def q_doc_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen probability mass per source — the per-source
+    answer to 'how much vocabulary haven't we seen yet' (the Good–Turing
+    estimate P(next token is NOVEL) ≈ N₁/N from hapax mass is the
+    smoothing constant every n-gram LM needs AND the drift early-warning:
+    a source whose unseen mass climbs is changing faster than the corpus
+    has sampled it — the per-source drill-down under the corpus-level
+    lexicon health check and the Heaps growth fit): hapax and dis-legomena
+    counts per source from one (source, token) map-side count, the
+    estimate one exact-integer division. Zero float arithmetic before the
+    final ratio."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    tc = (
+        d.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis_legomena"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("p_unseen_gt"),
+    )

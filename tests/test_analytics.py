@@ -1124,3 +1124,29 @@ def test_interpurchase_time_order_statistics(spark):
     assert r["n_gaps"] == 8 and r["n_repeat_cust"] == 2
     # ranks: ceil(8/4)=2 -> 2 days; ceil(8/2)=4 -> 4; ceil(24/4)=6 -> 6
     assert (r["p25_days"], r["p50_days"], r["p75_days"]) == (2, 4, 6)
+
+
+def test_unseen_mass_hand_checked(spark):
+    """All-hapax source -> P_unseen = 1; no-hapax source -> 0; mixed source
+    matches N1/N exactly."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = [
+        (1, "a b c d", "en", "fresh", 1),          # all hapax -> 1.0
+        (2, "x x y y", "en", "stable", 1),          # no hapax -> 0.0
+        (3, "p p p q r", "en", "mixed", 1),         # N1=2 (q,r), N=5, dis=0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["source"]: r for r in QUERIES["q_doc_unseen_mass"](spark, d).collect()
+        }
+    assert got["fresh"]["p_unseen_gt"] == 1.0 and got["fresh"]["n_hapax"] == 4
+    assert got["stable"]["p_unseen_gt"] == 0.0
+    assert got["stable"]["n_dis_legomena"] == 2
+    assert abs(got["mixed"]["p_unseen_gt"] - 2 / 5) < 1e-6
