@@ -10252,3 +10252,71 @@ def q_doc_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_unseen_gt"),
     )
+
+
+@register(
+    "q_vocab_term_burstiness",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents) t
+      GROUP BY doc_id, tok),
+    v AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY tok),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    top AS (
+      SELECT tok, tf, df,
+             ROW_NUMBER() OVER (ORDER BY tf DESC, tok ASC) AS rk
+      FROM v QUALIFY rk <= 20)
+    SELECT tok AS token, tf, df,
+           CAST(ROUND(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS DOUBLE)
+             AS burstiness,
+           CAST(ROUND(CAST(df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6) AS DOUBLE)
+             AS doc_coverage
+    FROM top, nd
+    """,
+)
+def q_vocab_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale term burstiness for the top-20 terms — the dispersion
+    reading raw counts hide (two terms with equal total frequency can be a
+    FUNCTION word sprinkled once everywhere — burstiness ≈ 1, high
+    coverage — or a CONTENT/template word that stacks up inside few docs —
+    burstiness ≫ 1, low coverage; the stopword-vs-topic-vs-boilerplate
+    discriminator a weighting or stop-list decision reads): per term,
+    mean occurrences per CONTAINING doc (tf/df) and document coverage
+    (df/N), both exact-integer ratios; top-20 membership integer-ranked
+    (tf desc, token). One (doc, token) map-side count → one vocab
+    aggregate; the doc total is a one-row broadcast."""
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    dt = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dt = dt.persist()
+    dt.count()
+    v = dt.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"), F.count("*").cast("long").alias("df")
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    top = (
+        v.orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("tok").alias("token"),
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") / F.col("df").cast("double"), 6).alias(
+            "burstiness"
+        ),
+        F.round(
+            F.col("df").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("doc_coverage"),
+    )

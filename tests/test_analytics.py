@@ -1150,3 +1150,31 @@ def test_unseen_mass_hand_checked(spark):
     assert got["stable"]["p_unseen_gt"] == 0.0
     assert got["stable"]["n_dis_legomena"] == 2
     assert abs(got["mixed"]["p_unseen_gt"] - 2 / 5) < 1e-6
+
+
+def test_term_burstiness_discriminates_function_vs_bursty(spark):
+    """Equal total frequency, opposite dispersion: the sprinkled word has
+    burstiness 1 and full coverage; the stacked word has burstiness 6 and
+    low coverage."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    rows = []
+    # 'the' once in each of 6 docs; 'spam' 6 times inside doc 0 only
+    for i in range(6):
+        text = "the pad" + (" spam" * 6 if i == 0 else "")
+        rows.append((i, text, "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["token"]: r
+            for r in QUERIES["q_vocab_term_burstiness"](spark, d).collect()
+        }
+    assert got["the"]["tf"] == 6 and got["spam"]["tf"] == 6
+    assert got["the"]["burstiness"] == 1.0 and got["the"]["doc_coverage"] == 1.0
+    assert got["spam"]["burstiness"] == 6.0
+    assert abs(got["spam"]["doc_coverage"] - 1 / 6) < 1e-6
