@@ -10320,3 +10320,105 @@ def q_vocab_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("doc_coverage"),
     )
+
+
+@register(
+    "q_eval_langid_kappa",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS en,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS es,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS fr,
+             len(list_filter({_SQL_TOKENS}, x -> list_contains(['der','die','und','das','ist','von','mit','den','ein','zu'], x))) AS de
+      FROM documents),
+    cm AS (
+      SELECT lang,
+             CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                  WHEN fr >= greatest(en, es, de) THEN 'fr'
+                  WHEN es >= greatest(en, de) THEN 'es'
+                  WHEN en >= de THEN 'en'
+                  ELSE 'de' END AS pred,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cm),
+    agree AS (SELECT CAST(SUM(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT)
+                AS na FROM cm),
+    mt AS (SELECT lang AS l, CAST(SUM(n) AS BIGINT) AS ct FROM cm GROUP BY lang),
+    mp AS (SELECT pred AS l, CAST(SUM(n) AS BIGINT) AS cp FROM cm GROUP BY pred),
+    chance AS (
+      SELECT SUM(CAST(mt.ct AS HUGEINT) * mp.cp) AS ce
+      FROM mt JOIN mp ON mt.l = mp.l)
+    SELECT tot.nn AS n_docs, agree.na AS n_agree,
+           CAST(ROUND(CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE), 6)
+                AS DOUBLE) AS accuracy,
+           CAST(ROUND(CAST(COALESCE(chance.ce, 0) AS DOUBLE)
+                      / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 6)
+                AS DOUBLE) AS p_chance,
+           CAST(ROUND((CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+                       - CAST(COALESCE(chance.ce, 0) AS DOUBLE)
+                         / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)))
+                      / (CAST(1 AS DOUBLE)
+                         - CAST(COALESCE(chance.ce, 0) AS DOUBLE)
+                           / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE))), 6)
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS cohens_kappa
+    FROM tot, agree, chance
+    """,
+)
+def q_eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID classifier — the chance-corrected
+    agreement scalar on top of the confusion matrix (H3's
+    q_doc_langid_confusion shows WHERE predictions go; kappa says whether
+    the classifier beats guessing-by-marginals at all — raw accuracy is
+    flattered whenever one class dominates, exactly the skewed-language
+    corpus case): κ = (p_o − p_e)/(1 − p_e), where chance agreement p_e =
+    Σ_l (row marginal · column marginal)/N² — the marginal cross-products
+    accumulate as EXACT HUGEINT/DECIMAL integers, so both probabilities
+    are single divisions of exact values and κ is one identically-
+    associated expression. Same scan-stage predictor as the confusion
+    matrix; everything after is (lang-domain)²-sized. +0.0 canonicalizes
+    the κ≈0 edge."""
+    cm = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", TX.lang_id(F.col("text")).alias("pred"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cm = cm.persist()
+    cm.count()
+    tot = cm.agg(F.sum("n").cast("long").alias("nn"))
+    agree = cm.agg(
+        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("na")
+    )
+    mt = cm.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("n").cast("long").alias("ct")
+    )
+    mp = cm.groupBy(F.col("pred").alias("l")).agg(
+        F.sum("n").cast("long").alias("cp")
+    )
+    chance = mt.join(mp, "l").agg(
+        F.sum(F.col("ct").cast("decimal(19,0)") * F.col("cp")).alias("ce")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(chance))
+        .select(
+            "nn",
+            "na",
+            F.coalesce(F.col("ce"), F.lit(0).cast("decimal(38,0)")).alias("ce"),
+        )
+    )
+    po = F.col("na").cast("double") / F.col("nn").cast("double")
+    pe = F.col("ce").cast("double") / (
+        F.col("nn").cast("double") * F.col("nn").cast("double")
+    )
+    return j.select(
+        F.col("nn").alias("n_docs"),
+        F.col("na").alias("n_agree"),
+        F.round(po, 6).alias("accuracy"),
+        F.round(pe, 6).alias("p_chance"),
+        (F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0)).alias(
+            "cohens_kappa"
+        ),
+    )

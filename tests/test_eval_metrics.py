@@ -341,3 +341,33 @@ def test_median_ci_order_statistics(spark):
     assert r["ci_lo_cents"] == 40
     assert r["ci_hi_cents"] == 61
     assert r["ci_lo_cents"] < r["median_cents"] < r["ci_hi_cents"]
+
+
+def test_cohens_kappa_reference(spark):
+    """Kappa vs a hand-computed reference on a controlled corpus; perfect
+    agreement gives kappa 1."""
+    import os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+            return QUERIES["q_eval_langid_kappa"](spark, d).collect()[0]
+
+    en = "the cat and the dog of it is that for"
+    de = "der hund und die katze ist von mit den ein"
+    # perfect agreement: labels match the stopword vote
+    r = run([(1, en, "en", "s", 1), (2, de, "de", "s", 1),
+             (3, en, "en", "s", 1), (4, de, "de", "s", 1)])
+    assert r["accuracy"] == 1.0 and r["cohens_kappa"] == 1.0
+    assert r["p_chance"] == 0.5  # balanced 2x2 marginals
+
+    # half the labels deliberately wrong: accuracy 0.5 == chance -> kappa 0
+    r = run([(1, en, "en", "s", 1), (2, de, "de", "s", 1),
+             (3, en, "de", "s", 1), (4, de, "en", "s", 1)])
+    assert r["accuracy"] == 0.5
+    assert r["cohens_kappa"] == 0.0
