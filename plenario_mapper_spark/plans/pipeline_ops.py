@@ -10422,3 +10422,82 @@ def q_eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohens_kappa"
         ),
     )
+
+
+_PK_EDGES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+_PK_ORACLE_ONE = """
+      SELECT '{table}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct_keys,
+             CAST(COUNT(*) - COUNT({key}) AS BIGINT) AS n_null_keys
+      FROM {table}
+"""
+
+
+@register(
+    "q_quality_pk_scorecard",
+    oracle="""
+    WITH s AS (
+"""
+    + " UNION ALL ".join(
+        _PK_ORACLE_ONE.format(table=t, key=k) for t, k in _PK_EDGES
+    )
+    + """)
+    SELECT table_name, n_rows, n_distinct_keys, n_null_keys,
+           CAST(n_rows - n_distinct_keys - n_null_keys AS BIGINT) AS n_dup_rows,
+           CAST(CASE WHEN n_distinct_keys + n_null_keys = n_rows
+                      AND n_null_keys = 0 THEN 1 ELSE 0 END AS INT) AS pk_ok
+    FROM s
+    """,
+)
+def q_quality_pk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key health scorecard across every star-schema table — the
+    schema-wide companion to the FK-edge audit (H55 checks the ARROWS;
+    this checks the NODES: a duplicated or NULL key silently double-counts
+    every downstream join and breaks MERGE semantics): one row per table
+    with row count, distinct keys, NULL keys, the implied duplicate-row
+    count, and a pass bit — all exact integers. Each table contributes ONE
+    map-side-combinable aggregate (count-distinct is the only shuffle, on
+    the key column alone — payloads never move); the nine one-row results
+    union driver-side. The inventory is the same fixed table list the FK
+    audit pins, so a schema addition shows up as a diff in both."""
+    parts = []
+    for t, k in _PK_EDGES:
+        parts.append(
+            _t(spark, sf_dir, t).agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.countDistinct(F.col(k)).cast("long").alias("n_distinct_keys"),
+                (F.count("*") - F.count(F.col(k))).cast("long").alias("n_null_keys"),
+            )
+        )
+    s = parts[0]
+    for p in parts[1:]:
+        s = s.unionByName(p)
+    return s.select(
+        "table_name",
+        "n_rows",
+        "n_distinct_keys",
+        "n_null_keys",
+        (F.col("n_rows") - F.col("n_distinct_keys") - F.col("n_null_keys"))
+        .cast("long")
+        .alias("n_dup_rows"),
+        F.when(
+            (F.col("n_distinct_keys") + F.col("n_null_keys") == F.col("n_rows"))
+            & (F.col("n_null_keys") == 0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pk_ok"),
+    )

@@ -171,3 +171,44 @@ def test_fk_audit_passes_on_consistent_edge(spark):
     child = spark.createDataFrame([(1,), (2,), (2,)], "fk long")
     r = fk_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
     assert r["passed"] is True and r["n_orphans"] == 0
+
+
+def test_pk_scorecard_detects_dup_and_null_keys(spark, tmp_path):
+    """Synthetic damage: a duplicated orderkey and a NULL event_id must
+    fail their tables' pass bits with exact counts; clean tables pass."""
+    import datetime
+    import os
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.parquet(f"{d}/{t}.parquet")
+    # orders: append a duplicate of an existing key
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    dup = o.limit(1)
+    o.unionByName(dup).write.parquet(f"{d}/orders.parquet")
+    n_orders = o.count()
+    # events: one NULL event_id row
+    e = spark.read.parquet(f"{src}/events.parquet")
+    bad = spark.createDataFrame(
+        [(None, datetime.datetime(2024, 1, 1), 1, "click", 0.0, "{}")],
+        e.schema,
+    )
+    e.unionByName(bad).write.parquet(f"{d}/events.parquet")
+    n_events = e.count()
+
+    got = {
+        r["table_name"]: r
+        for r in QUERIES["q_quality_pk_scorecard"](spark, d).collect()
+    }
+    assert got["orders"]["pk_ok"] == 0
+    assert got["orders"]["n_rows"] == n_orders + 1
+    assert got["orders"]["n_dup_rows"] == 1
+    assert got["events"]["pk_ok"] == 0
+    assert got["events"]["n_null_keys"] == 1
+    assert got["events"]["n_dup_rows"] == 0
+    assert got["customer"]["pk_ok"] == 1 and got["region"]["pk_ok"] == 1
