@@ -68,8 +68,20 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Stopword-voting language ID over the supported set; 'und' if no votes."""
-    toks = tokens(text)
+    """Stopword-voting language ID over the supported set; 'und' if no votes.
+
+    Convenience form: tokenizes inline, which repeats the tokenizer subtree
+    once per language vote inside the single expression tree (no common-
+    subexpression reuse for interpreted HOFs). Hot paths should project the
+    token array once and call lang_id_from_tokens — measured ~4x at sf1
+    (the mapper.py let-binding discipline)."""
+    return lang_id_from_tokens(tokens(text))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """lang_id over a PRE-PROJECTED token array column — the staged form:
+    the tokenizer runs once per row and all four language votes read the
+    same attribute."""
     scores = []
     for lang, words in STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])

@@ -2139,8 +2139,9 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors to catch language-ID drift. Scan-stage expression + one tiny
     groupBy; nothing but (lang, pred) pairs shuffle."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy(
-        "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    staged = d.withColumn("_toks", TX.tokens(F.col("text")))
+    return staged.groupBy(
+        "lang", TX.lang_id_from_tokens(F.col("_toks")).alias("pred_lang")
     ).agg(F.count("*").cast("long").alias("n"))
 
 
@@ -10380,7 +10381,8 @@ def q_eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     the κ≈0 edge."""
     cm = (
         _t(spark, sf_dir, "documents")
-        .groupBy("lang", TX.lang_id(F.col("text")).alias("pred"))
+        .withColumn("_toks", TX.tokens(F.col("text")))
+        .groupBy("lang", TX.lang_id_from_tokens(F.col("_toks")).alias("pred"))
         .agg(F.count("*").cast("long").alias("n"))
     )
     cm = cm.persist()
