@@ -169,177 +169,130 @@ def entry(spark: SparkSession) -> DataFrame:
 # is untouched since r4). Demoted: the whole r6 window (50/50 green in
 # CORRECTNESS_r06.json) and the r5 greens; tools/t2.py keeps mirroring
 # them per-commit.
+#
+# Round-8 rotation (VERDICT r7 item 1 — rotation-repayment round): every one
+# of the 50 slots is a FIRST-TIME driver row. 88 of 240 registered queries had
+# never appeared in any CORRECTNESS_r{1..7} window (computed from the artifact
+# JSONs, not from memory); this window takes the judge's seven named
+# subtlest-parity risks first (q_events_holt_trend — step-identical IEEE fold;
+# q_survival_kaplan_meier — extinction flag for DuckDB ln(0);
+# q_doc_count_min / q_doc_heavy_hitters — sketch-theorem certification bits;
+# q_dedup_prefix_jaccard — exact PPJoin recall; q_eval_calibration_bins —
+# integer-milli bin membership; q_privacy_k_anonymity) and then the 43 oldest
+# never-rotated names in registration order (the r7 session-2/3 tail:
+# skyline, A-ES sampling, bloom prefilter, KMV, JL, CUSUM, EWMA, BPE/PMI/
+# lexicon, AUC/Welch, embargo/EMD/overlap/quantile-normalize, itemsets,
+# k-hop, Benford, skew audit, ACF/OHLC/RRF/Markov/RFM, novelty/Simpson/
+# degree-hist/percentile-rank/Zipf/readability/Pareto-deciles/Fano). The
+# remaining 38 never-verified names lead the mid section by registration
+# order — they are the committed r9 window (see the r9 plan note in
+# PERF_NOTES.md). Registry growth is FROZEN this round per the verdict,
+# except the two verdict-mandated oracle conversions (H14 compaction
+# manifest, H22 observability counts), which land mid BEHIND the 38 r9
+# claimants. Demoted to _BACK: all 152 queries with at least one driver-green
+# row (the whole r7 window included; 50/50 green in CORRECTNESS_r07.json);
+# tools/t2.py keeps mirroring them per-commit.
 _FRONT = [
-    "q_unpivot",
-    "q_group_geomean",
-    "q_binary_frame_sample",
-    "q18_large_orders",
-    "q_dedup_minhash",
-    "q_dedup_survivors",
-    "q_dedup_cluster_cc",
-    "q_dedup_incremental_near",
-    "q_dedup_incremental_cc",
-    "q_binary_decode_stats",
-    "q_binary_resize",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embed_near_dup",
-    "q_mapper_route_events",
-    "q_mapper_split_events",
-    "q_mapper_dead_letter_events",
-    "q_mapper_emit_events",
-    "q_mapper_alerts_events",
-    "q_mapper_alerts_invalid_key",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_balances",
-    "q_dedup_incremental",
-    "q_dedup_simhash",
-    "q_ngram_jaccard_pairs",
-    "q_embed_near_dup_exact",
-    "q_doc_chunk_windows",
-    "q_doc_curation_pipeline",
-    "q_doc_decontaminate",
-    "q_doc_gopher_repetition",
-    "q_doc_langid_confusion",
-    "q_doc_redact_pii",
-    "q_doc_split_assign",
-    "q_embed_kmeans_assign",
-    "q_embed_kmeans_iterate",
-    "q_events_session_window",
-    "q_events_sessionize",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_join_left",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_theta_nl",
-    "q_topk",
-    "q_topk_per_group",
-    "q_window_frames_ntile",
-    "q_window_lag_lead",
-    "q_window_running",
+    "q_events_holt_trend",
+    "q_survival_kaplan_meier",
+    "q_doc_count_min",
+    "q_doc_heavy_hitters",
+    "q_dedup_prefix_jaccard",
+    "q_eval_calibration_bins",
+    "q_privacy_k_anonymity",
+    "q_pareto_frontier",
+    "q_sample_weighted",
+    "q_ngram_containment_pairs",
+    "q_join_bloom_prefilter",
+    "q_vocab_topn_coverage",
+    "q_doc_curriculum_shards",
+    "q_sets_kmv_overlap",
+    "q_embed_jl_distortion",
+    "q_events_path_ngrams",
+    "q_events_cusum_changepoint",
+    "q_doc_impute_missing",
+    "q_events_ewma_smooth",
+    "q_sample_weighted_group",
+    "q_quality_fk_audit",
+    "q_dedup_exact_pipeline",
+    "q_vocab_bpe_merge_step",
+    "q_doc_pmi_cooccurrence",
+    "q_doc_lexicon_stats",
+    "q_eval_auc_ranksum",
+    "q_doc_negative_samples",
+    "q_eval_welch_ttest",
+    "q_events_embargo_split",
+    "q_doc_emd_length_drift",
+    "q_doc_source_overlap",
+    "q_doc_quantile_normalize",
+    "q_events_itemset_pairs",
+    "q_graph_khop_distance",
+    "q_doc_feature_hashing",
+    "q_audit_benford_digits",
+    "q_skew_key_audit",
+    "q_events_acf_daily",
+    "q_events_ohlc_bars",
+    "q_search_rrf_fusion",
+    "q_events_markov_transitions",
+    "q_customer_rfm",
+    "q_doc_ngram_novelty",
+    "q_doc_simpson_diversity",
+    "q_graph_degree_hist",
+    "q_window_percentile_rank",
+    "q_vocab_zipf_fit",
+    "q_doc_readability",
+    "q_supplier_pareto_deciles",
+    "q_events_fano_burstiness",
 ]
-# Added later in round 5, mid-positioned (outside this round's committed
-# window by construction; round-6 rotation claimants alongside the six
-# deferred entries): q_doc_psi_length_drift (banded PSI drift),
-# q_scan_schema_evolution (explicit per-batch schema normalization over
-# three real parquet versions), q_doc_oov_rate (vocab coverage),
-# q_events_attribution_linear (multi-touch fractional credit),
-# q_entity_survivorship (golden-record consolidation over near-dup
-# components), q_dedup_incremental_cc (batch edges folded into existing
-# components, certified incremental == one-shot), and the two
-# sketch-certification conversions (q_agg_approx_distinct /
-# q_agg_approx_percentile moved from rows-only to the est-in-band /
-# rank-in-band oracle form — rows-only is now 3, all sub-recall ANN with
-# exact twins) — all local-t2 MATCH at sf0.01 (full registry re-ran clean
-# at 139/139 and again at 145/145 mid-round; each addition individually
-# MATCH after landing).
-#
-# Added later in round 7, mid-positioned (outside this round's committed
-# window by construction; round-8 rotation claimants): q_doc_heavy_hitters
-# (Misra–Gries frequency sketch, theorem-backed certification bits),
-# q_pareto_frontier (distributed skyline vs the NOT EXISTS oracle), and
-# q_sample_weighted (A-ES weighted without-replacement selection,
-# round-then-rank membership), and q_ngram_containment_pairs (asymmetric
-# subsumption containment, gram-keyed equi-join) — each local-t2 MATCH at
-# sf0.01 on landing. Later still in round 7 (same mid-positioned, r8-claimant
-# status): q_join_bloom_prefilter (scan-stage bloom semi-join pre-filter,
-# certification bits proven against the exact twin), q_vocab_topn_coverage
-# (top-25 vocabulary with cumulative corpus coverage, integer-ranked), and
-# q_doc_curriculum_shards (integer-banded difficulty staging + md5-gate
-# shards), and q_sets_kmv_overlap (KMV set-operation sketches, estimates
-# themselves hash-checked cross-engine), and q_dedup_prefix_jaccard (EXACT
-# prefix-filter similarity join, deterministic-recall counterpart to the LSH
-# path), q_embed_jl_distortion (JL random-sign embedding compression,
-# all distortion columns full-value hash-checked), q_events_path_ngrams
-# (top-20 user-journey trigrams, one window pass), and
-# q_events_cusum_changepoint (CUSUM drift statistic in prefix-sum closed
-# form), q_doc_impute_missing (per-group mode/median fill over md5-gate
-# synthetic damage), q_events_ewma_smooth (EWMA at the dyadic alpha —
-# bit-identical cross-engine), q_sample_weighted_group (per-group A-ES
-# quotas), q_quality_fk_audit (7-edge referential-integrity audit), and
-# q_dedup_exact_pipeline (prefix-join -> CC -> survivorship composition,
-# certified end to end), q_vocab_bpe_merge_step (one Sennrich merge
-# step's pair statistics over the distinct-word table), and
-# q_doc_pmi_cooccurrence (windowed PMI collocations via shifted equi-join),
-# q_doc_lexicon_stats (hapax/TTR lexicon health), and q_eval_auc_ranksum
-# (exact-midrank Mann-Whitney AUC), q_doc_negative_samples (md5
-# ring-offset contrastive negatives), q_eval_welch_ttest (A/B Welch t
-# with DECIMAL-exact moments), q_events_embargo_split (temporal
-# train/test split with a leakage embargo gap), q_doc_emd_length_drift
-# (Wasserstein-1 drift on the PSI bands), q_doc_source_overlap
-# (source-pair trigram contamination matrix), q_doc_quantile_normalize
-# (exact-midrank within-group percentiles), q_events_itemset_pairs
-# (market-basket support/confidence/lift), q_graph_khop_distance
-# (frontier BFS distances vs the recursive-CTE oracle),
-# q_doc_feature_hashing (zero-state hashing-trick featurizer), and
-# q_audit_benford_digits (first-digit forensics vs inlined Benford
-# constants) — each local-t2 MATCH at sf0.01 AND sf0.001 on landing;
-# a full 160-query registry sweep re-ran 160/160 MATCH after the KMV
-# landing, and a final full sweep re-ran at session close (see PERF_NOTES).
-#
-# Demoted past the 50-slot window: every r4-window row is green in
-# CORRECTNESS_r04.json (48/48 checkable) and the earlier r≤3 greens are
-# unchanged; the 6 deferred never-checked entries (see rotation note) lead
-# the mid section implicitly by registration order. tools/t2.py mirrors the
-# full oracle-backed registry locally per-commit.
+# _BACK: every query with at least one driver-green CORRECTNESS row across
+# r1-r7 (152 names, registration order). Mid section (names in neither list)
+# = the 38 never-verified r9 claimants followed by any round-8 additions.
 _BACK = [
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q_scalar_datetime",
-    "q_scalar_string",
-    "q_scalar_case_math",
-    "q_scalar_json",
-    "q_scalar_array_hof",
-    "q_profile_drift",
-    "q_entity_survivorship",
-    "q_scan_schema_evolution",
-    "q_doc_psi_length_drift",
-    "q_doc_oov_rate",
-    "q_events_attribution_linear",
-    "q_agg_stats",
-    "q_scalar_calendar",
-    "q_doc_unigram_logprob",
-    "q_doc_mixture_resample",
-    "q_binary_audio_spectrum",
-    "q_sample_group_reservoir",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    "q_explode_tokens",
-    "q_setops",
     "q1_pricing_summary",
     "q_agg_distinct",
     "q_agg_rollup",
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_percentiles",
+    "q_agg_approx_distinct",
     "q_asof_join",
+    "q_explode_tokens",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_join_range",
     "q_subquery_correlated",
     "q_subquery_scalar",
     "q_window_rank",
+    "q_window_running",
+    "q_window_lag_lead",
+    "q_topk",
+    "q_setops",
+    "q_scalar_datetime",
+    "q_scalar_string",
+    "q_scalar_case_math",
+    "q_scalar_json",
     "q_events_tumbling_window",
+    "q_scalar_array_hof",
+    "q_agg_approx_percentile",
     "q_time_rollup",
     "q10_returned_items",
-    "q_doc_token_stats",
-    "q_doc_quality",
-    "q_doc_lang_signal",
-    "q_doc_tfidf_top_terms",
-    "q_dedup_exact_docs",
-    "q_skew_salted_collect",
-    "q_dedup_fingerprint",
-    "q_embed_cosine_topk",
-    "q_binary_meta",
-    "q_sample_stratified",
-    "q_pivot",
-    "q_group_zscore",
-    "q_doc_pack_sequences",
+    "q18_large_orders",
+    "q_window_frames_ntile",
+    "q_join_right",
+    "q_join_theta_nl",
+    "q_topk_per_group",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q15_top_supplier",
+    "q22_idle_balances",
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q9_product_type_profit",
@@ -354,6 +307,8 @@ _BACK = [
     "q_events_funnel",
     "q_events_cohort_retention",
     "q_events_winsorized",
+    "q_agg_stats",
+    "q_scalar_calendar",
     "q_events_forecast_trend",
     "q_events_rolling_window",
     "q_events_anomaly_mad",
@@ -361,13 +316,62 @@ _BACK = [
     "q_join_nullsafe",
     "q_events_metrics_pipeline",
     "q_events_attribution",
+    "q_events_attribution_linear",
     "q_events_throttle_batch",
+    "q_mapper_route_events",
+    "q_mapper_dead_letter_events",
+    "q_mapper_emit_events",
+    "q_mapper_alerts_events",
+    "q_mapper_alerts_invalid_key",
+    "q_doc_token_stats",
+    "q_doc_pack_sequences",
+    "q_doc_quality",
+    "q_doc_lang_signal",
+    "q_doc_tfidf_top_terms",
+    "q_dedup_exact_docs",
+    "q_skew_salted_collect",
+    "q_dedup_fingerprint",
+    "q_binary_audio_spectrum",
     "q_binary_phash_dedup",
     "q_quality_constraints",
+    "q_doc_mixture_resample",
+    "q_doc_unigram_logprob",
     "q_graph_pagerank",
     "q_doc_mixture_weights",
     "q_doc_span_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_embed_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embed_near_dup",
+    "q_embed_near_dup_exact",
+    "q_binary_meta",
+    "q_binary_frame_sample",
+    "q_binary_resize",
+    "q_binary_decode_stats",
+    "q_events_sessionize",
+    "q_events_session_window",
     "q_events_sessions_closed",
+    "q_dedup_cluster_cc",
+    "q_sample_stratified",
+    "q_pivot",
+    "q_unpivot",
+    "q_mapper_split_events",
+    "q_dedup_survivors",
+    "q_group_zscore",
+    "q_group_geomean",
+    "q_doc_decontaminate",
+    "q_doc_gopher_repetition",
+    "q_doc_langid_confusion",
+    "q_embed_kmeans_assign",
+    "q_doc_redact_pii",
+    "q_doc_split_assign",
+    "q_embed_kmeans_iterate",
+    "q_doc_chunk_windows",
+    "q_doc_curation_pipeline",
+    "q_dedup_incremental",
     "q_graph_triangles",
     "q_scd2_versions",
     "q_dedup_fuzzy_names",
@@ -377,11 +381,19 @@ _BACK = [
     "q_rollup_incremental_maintain",
     "q_doc_chi2_source_lang",
     "q_doc_ks_length_drift",
+    "q_profile_drift",
+    "q_dedup_incremental_near",
+    "q_dedup_incremental_cc",
+    "q_entity_survivorship",
+    "q_doc_oov_rate",
+    "q_scan_schema_evolution",
+    "q_doc_psi_length_drift",
     "q_scd2_point_in_time",
     "q_doc_sparse_cosine_topk",
     "q_geo_radius_join",
     "q_geo_grid_timeseries",
     "q_join_dpp_partitioned",
+    "q_sample_group_reservoir",
     "q_join_interval_overlap",
     "q_profile_orders",
     "q_profile_histogram",
