@@ -971,3 +971,123 @@ def test_containment_max_doc_freq_guard(spark):
         df, "doc_id", "text", threshold=0.1, shingle_n=2, max_doc_freq=3
     ).collect()
     assert sorted(map(tuple, same)) == sorted(map(tuple, loose))
+
+
+# The DuckDB formulation that q_embed_cosine_topk / _ANN_EXACT_TOPK_CTE use:
+# pre-normalize by the sequentially-folded norm, then a sequential product
+# fold — the exact IEEE op sequence of SIM.brute_force_topk.
+_DUCK_PRENORM_COS = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM emb),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), v), (acc, t) -> acc + t * t))) AS u
+          FROM e)
+    SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [q.u[j] * i.u[j] FOR j IN generate_series(1, len(q.u))]),
+               (acc, t) -> acc + t) AS cos
+    FROM n q JOIN n i ON i.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+"""
+
+
+def _spark_raw_prenorm_cosines(df):
+    """Unrounded cosines via brute_force_topk's own op sequence."""
+    from plenario_mapper_spark.functions import vector as V
+
+    n = V.norm(F.col("v"))
+    u = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", F.transform("v", lambda x: F.try_divide(x, n)).alias("u"))
+    q = u.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    return (
+        u.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item_id"),
+            V.dot(F.col("qu"), F.col("u")).alias("cos"),
+        )
+        .collect()
+    )
+
+
+def test_exact_topk_oracle_bitwise_parity(spark, embeddings):
+    """VERDICT r7 item 2 (ADVICE r6 #4): the ANN exact-twin's raw cosines must
+    be BIT-IDENTICAL between the engine (pre-normalized sequential fold) and
+    the oracle formulation — with identical raw doubles, the 6-rounded rank
+    values agree by construction, so no pair within an ulp of the rank-k
+    boundary (or of a .5e-6 rounding boundary) can flip top-k membership on
+    one side only. The old dot/(norm*norm) oracle form diverged in 4210/4990
+    raw values at sf0.01."""
+    import struct
+
+    import duckdb
+    import pandas as pd
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r["vec_id"] for r in rows],
+         "embedding": [list(r["embedding"]) for r in rows]}
+    )
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    want = {
+        (a, b): struct.pack("<d", c)
+        for a, b, c in con.execute(_DUCK_PRENORM_COS).fetchall()
+    }
+    got = {
+        (r["query_id"], r["item_id"]): struct.pack("<d", r["cos"])
+        for r in _spark_raw_prenorm_cosines(embeddings)
+    }
+    assert set(got) == set(want)
+    diffs = [k for k in got if got[k] != want[k]]
+    assert diffs == [], f"{len(diffs)} raw-bit divergences, e.g. {diffs[:3]}"
+
+
+def test_topk_near_tie_boundary_membership(spark):
+    """Constructed near-tie AT a .5e-6 rounding boundary: two items whose
+    cosines to the query sit 2e-13 apart straddling 0.1234565 — far below
+    the 1e-6 membership grid, three orders above double ulp so the construction
+    itself is engine-stable. With k=1, membership is decided purely by the
+    round-then-rank discipline; both the engine and the oracle formulation
+    must pick the SAME item (the one rounding up to 0.123457)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    x = 0.1234565
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [x - 1e-13, math.sqrt(1.0 - (x - 1e-13) ** 2), 0.0, 0.0],
+        2: [x + 1e-13, math.sqrt(1.0 - (x + 1e-13) ** 2), 0.0, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id int, embedding array<double>"
+    )
+    got = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=1).collect()
+    assert len(got) == 1
+
+    con = duckdb.connect()
+    con.register(
+        "emb",
+        pd.DataFrame(
+            {"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]}
+        ),
+    )
+    want = con.execute(
+        f"""
+        SELECT query_id, item_id FROM (
+          SELECT query_id, item_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY ROUND(cos, 6) DESC, item_id) AS rank
+          FROM ({_DUCK_PRENORM_COS})) t
+        WHERE rank <= 1 AND query_id = 0
+        """
+    ).fetchall()
+    assert (got[0]["query_id"], got[0]["item_id"]) == want[0] == (0, 2)
+    # and the reported rounded value crossed the boundary as constructed
+    assert got[0]["cosine"] == pytest.approx(0.123457, abs=1e-9)
