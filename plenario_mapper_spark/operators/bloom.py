@@ -51,10 +51,15 @@ def sized_bits(n_keys: int) -> int:
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     """k bit positions via Kirsch–Mitzenmacher double hashing: both base
     hashes reduced mod m FIRST so the combine never overflows a long under
-    ANSI arithmetic; h2 forced odd-range [1, m-1] so the k probes are
-    distinct."""
+    ANSI arithmetic; h2 forced ODD (2*pmod(h, m/2) + 1 ∈ [1, m-1]) so it is
+    coprime to the power-of-two m and the k probe positions are guaranteed
+    distinct — a merely-nonzero h2 that shares a power of two with m (e.g.
+    m/2) collapses the probes to fewer than k distinct bits, making the
+    (1-e^(-kn/m))^k false-positive bound slightly optimistic (ADVICE r7).
+    No-false-negatives is unaffected either way (build and probe share
+    these positions)."""
     h1 = F.pmod(F.xxhash64(key, F.lit(0x5BF0)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x1337)), F.lit(m_bits - 1)) + F.lit(1)
+    h2 = F.lit(2) * F.pmod(F.xxhash64(key, F.lit(0x1337)), F.lit(m_bits // 2)) + F.lit(1)
     return [F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(k)]
 
 

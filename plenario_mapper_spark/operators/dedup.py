@@ -1131,7 +1131,14 @@ def prefix_filter_jaccard_pairs(
     toks.count()  # eager: two legs (frequency induction + prefix cut)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df_t"))
     w = Window.partitionBy("id").orderBy(F.asc("df_t"), F.asc("tok"))
-    p_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # Conservative prefix cut: threshold*n in double arithmetic can land an
+    # ulp ABOVE the intended rational (e.g. 0.7*10), making ceil one too
+    # large and the prefix one SHORT — which could drop a pair whose Jaccard
+    # is exactly the threshold, breaking the EXACT every-pair recall
+    # guarantee. Subtracting an epsilon far below 1/n's resolution only ever
+    # LENGTHENS the prefix (extra candidates are removed by the exact
+    # verify), never loses a true pair (ADVICE r7).
+    p_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     prefix = (
         toks.join(freq, "tok")
         .withColumn("rn", F.row_number().over(w))

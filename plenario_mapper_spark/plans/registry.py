@@ -52,14 +52,24 @@ def _tracked_build(spark: SparkSession, fn, sf_dir: str) -> DataFrame:
     global _TRACK_DEPTH
     if _TRACK_DEPTH > 0:  # inner registry call: outer patch already records
         return fn(spark, sf_dir)
+    import threading
+
     owned = _OWNED_PERSISTS.setdefault(spark, [])
     targets = _df_classes()
     originals = {cls: cls.__dict__["persist"] for cls in targets}
+    # Ownership is scoped to THIS thread: the patch is class-wide for its
+    # duration, so a persist issued concurrently by non-registry code (a
+    # streaming foreachBatch on another thread, another session in the same
+    # process) must not be claimed — release_query_caches unpersisting a
+    # foreign cache is silent cache loss, not an error (ADVICE r7). The
+    # _TRACK_DEPTH guard handles re-entrancy only; this handles ownership.
+    build_thread = threading.get_ident()
 
     def make_recording(orig):
         def recording_persist(self, *args, **kwargs):
             out = orig(self, *args, **kwargs)
-            owned.append(out)
+            if threading.get_ident() == build_thread:
+                owned.append(out)
             return out
 
         return recording_persist

@@ -701,3 +701,47 @@ def test_readability_is_scan_stage_only(spark):
     plan = _plan(QUERIES["q_doc_readability"](spark, SF))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_persist_tracking_is_thread_scoped(spark):
+    """ADVICE r7: a persist issued by ANOTHER thread while a registry build
+    has the class-wide patch in place must NOT be claimed as registry-owned —
+    release_query_caches unpersisting a concurrent foreachBatch's (or another
+    session's) cache would be silent cache loss."""
+    import threading
+
+    from pyspark import StorageLevel
+
+    from plenario_mapper_spark.plans.registry import (
+        _OWNED_PERSISTS,
+        _tracked_build,
+        release_query_caches,
+    )
+
+    release_query_caches(spark)
+    foreign = spark.range(100).selectExpr("id", "id + 1 AS nxt")
+    errs = []
+
+    def build(s, sf_dir):
+        own = s.range(50).selectExpr("id * 3 AS trip").persist()
+        own.count()
+        t = threading.Thread(
+            target=lambda: (foreign.persist(), foreign.count())
+        )
+        t.start()
+        t.join()
+        return own
+
+    out = _tracked_build(spark, build, "unused")
+    try:
+        owned = list(_OWNED_PERSISTS.get(spark, []))
+        assert any(df is out for df in owned), "build thread's persist untracked"
+        assert all(df is not foreign for df in owned), (
+            "foreign thread's persist was claimed as registry-owned"
+        )
+        assert foreign.storageLevel.useMemory
+        release_query_caches(spark)
+        assert foreign.storageLevel.useMemory, "foreign cache clobbered"
+        assert out.storageLevel == StorageLevel.NONE
+    finally:
+        foreign.unpersist()
