@@ -10531,3 +10531,146 @@ def q_quality_pk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pk_ok"),
     )
+
+
+# --------------------------------------------------------------------------------
+# Round 8: oracle rows for the two formerly pytest-only operators (VERDICT r7
+# item 6). Registered LAST so they sit behind the 38 never-driver-verified r9
+# claimants in the mid section — registry growth is otherwise frozen this round.
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_compaction_manifest",
+    # The oracle recomputes the deterministic columns (slice row count, the
+    # hash-bucketed pre-compaction file count) and expects the certification
+    # bits = 1; the measured file sizes themselves are environment values the
+    # engine certifies rather than reproduces — the H36 sketch pattern.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(16 AS BIGINT) AS files_before,
+           CAST(1 AS INT) AS files_reduced_ok,
+           CAST(1 AS INT) AS rows_preserved_ok
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+)
+def q_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output compaction (H14) as a driver-decidable manifest row: stage a
+    deliberately fragmented copy of an orders slice (16 hash-bucketed writer
+    tasks -> 16 files; hash, not round-robin, so the layout is a pure
+    function of the keys and never of the source file's split geometry),
+    compact it at the default 128m target, and emit the deterministic
+    inventory plus two certification bits — files_reduced_ok (the rewrite
+    produced strictly fewer files; at these data sizes AQE's rebalance
+    coalesces to ~1) and rows_preserved_ok (recount equals the slice count:
+    compaction is a pure layout change). A dropped row, a no-op rewrite, or
+    a fragmenting regression turns a bit to 0 and reds the driver hash."""
+    import tempfile
+
+    from plenario_mapper_spark.operators import compaction as CP
+
+    slice_ = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    n_rows = slice_.count()
+    frag = tempfile.mkdtemp(prefix="compact_manifest_")
+    # 16 buckets: at sf0.001 the ~375-row slice still fills every bucket
+    # (P(empty) ~ 16*e^-23), so files_before is deterministic across SFs
+    slice_.repartition(16, "o_orderkey").write.mode("overwrite").parquet(frag)
+    files_before, _, _ = CP.file_stats(spark, frag)
+    CP.compact_dataset(spark, frag, target_file_bytes="128m")
+    files_after, _, _ = CP.file_stats(spark, frag)
+    n_after = spark.read.parquet(frag).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                files_before,
+                1 if files_after < files_before else 0,
+                1 if n_after == n_rows else 0,
+            )
+        ],
+        "n_rows long, files_before long, files_reduced_ok int, "
+        "rows_preserved_ok int",
+    )
+
+
+@register(
+    "q_stream_observability",
+    # Deterministic side: the replayed slice's total row count and the batch
+    # count forced by 3 staged files x maxFilesPerTrigger=1. Measured side
+    # (durations, rates): certified non-negative/populated bits.
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(1 AS INT) AS durations_ok
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def q_stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability (H22) as a driver-decidable row: replay an
+    events slice through a REAL Structured Streaming query (3 staged files,
+    maxFilesPerTrigger=1 under availableNow -> exactly 3 data batches) with
+    the ProgressRecorder listener attached, roll the captured progress up
+    with throughput_summary, and emit the deterministic totals (batch count,
+    input rows — both pure functions of the staged slice) plus durations_ok
+    (every recorded batch duration is a populated non-negative number).
+    A listener that drops progress events, double-counts a batch, or
+    mis-parses the progress JSON reds the row."""
+    import tempfile
+
+    from plenario_mapper_spark.streaming.observability import (
+        ProgressRecorder,
+        throughput_summary,
+    )
+
+    slice_ = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    stage = tempfile.mkdtemp(prefix="obs_stream_")
+    for i in range(3):
+        slice_.filter(F.pmod(F.col("event_id"), 30) == i * 10).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(stage, f"b{i}"))
+    in_dir = os.path.join(stage, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    import shutil as _sh
+
+    for i in range(3):
+        src = os.path.join(stage, f"b{i}")
+        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+        _sh.copy(os.path.join(src, part), os.path.join(in_dir, f"b{i}.parquet"))
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = (
+            spark.readStream.schema(slice_.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", os.path.join(stage, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the listener bus is ASYNCHRONOUS: progress events can land after
+        # awaitTermination returns — wait (bounded) for the 3 data batches
+        import time
+
+        deadline = time.monotonic() + 30
+        while (
+            sum(1 for r in rec.rows if (r[4] or 0) > 0) < 3
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+    finally:
+        spark.streams.removeListener(rec)
+    progress = rec.to_df(spark).filter(F.col("num_input_rows") > 0)
+    return throughput_summary(progress).select(
+        F.col("n_batches"),
+        F.col("total_rows"),
+        F.when(
+            (F.col("max_batch_ms") >= 0) & F.col("mean_batch_ms").isNotNull(), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("durations_ok"),
+    )
