@@ -1,0 +1,100 @@
+"""Parity fuzz: re-run oracle queries on PERTURBED clones of the testdata.
+
+Why: the driver regenerates /root/testdata between rounds, so a query that is
+t2-MATCH today can still red a future CORRECTNESS window if its cross-engine
+parity is DATA-dependent — a rounding-boundary straddle, a top-k tie, a
+float-sum ordering that only bites on particular values. This tool
+manufactures that future: clone the sf tables with seeded perturbations
+(row drops, small multiplicative noise on every float column, timestamp
+jitter), then point tools/t2.py at the clone. Engine and oracle read the
+SAME perturbed parquet, so any MISMATCH is a genuine latent parity flake,
+found here instead of in a driver round.
+
+Perturbations (seeded, deterministic per (table, seed)):
+- drop ~15% of rows (new group sizes, new tie configurations);
+- float64 columns: multiply by (1 + U(-5e-6, 5e-6)) and add U(-5e-5, 5e-5)
+  (new rounding neighborhoods near every .5e-6 boundary);
+- float32 list columns (embeddings): same multiplicative noise;
+- timestamp columns: jitter by U(-3600, 3600) seconds at native resolution
+  (new window/session boundaries);
+- keys, ints, strings: untouched (join topology and text analytics keep
+  their shape); region/nation are copied verbatim (5/25 rows — dropping
+  them would vacuously empty joins rather than stress parity).
+
+Usage:
+    python tools/fuzz_parity.py <out_dir> [seed] [src_sf_dir]
+    SF=<out_dir> python tools/t2.py <query...>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+VERBATIM = {"region", "nation"}
+
+
+def _perturb_table(src: str, dst: str, table: str, seed: int) -> None:
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    if table in VERBATIM:
+        pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+        return
+    rng = np.random.default_rng([seed, abs(hash(table)) % 2**32])
+    keep = rng.random(t.num_rows) > 0.15
+    t = t.filter(pa.array(keep))
+    cols = {}
+    for name in t.column_names:
+        col = t.column(name)
+        typ = col.type
+        if pa.types.is_float64(typ):
+            v = col.to_numpy(zero_copy_only=False)
+            noise = 1.0 + (rng.random(len(v)) - 0.5) * 1e-5
+            off = (rng.random(len(v)) - 0.5) * 1e-4
+            cols[name] = pa.array(v * noise + off, type=typ)
+        elif pa.types.is_timestamp(typ):
+            unit = typ.unit
+            per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+            v = col.combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            jit = rng.integers(-3600, 3601, size=len(v)) * per_sec
+            cols[name] = pa.array(v + jit, type=pa.int64()).cast(typ)
+        elif pa.types.is_list(typ) and pa.types.is_float32(typ.value_type):
+            chunk = col.combine_chunks()
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            noise = (1.0 + (rng.random(len(flat)) - 0.5) * 1e-5).astype(
+                np.float32
+            )
+            cols[name] = pa.ListArray.from_arrays(
+                chunk.offsets, pa.array(flat * noise, type=pa.float32())
+            )
+        else:
+            cols[name] = col
+    out = pa.table(cols)
+    pq.write_table(out, os.path.join(dst, f"{table}.parquet"))
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    out_dir = sys.argv[1]
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    os.makedirs(out_dir, exist_ok=True)
+    for table in TABLES:
+        _perturb_table(src, out_dir, table, seed)
+    print(f"perturbed clone of {src} (seed={seed}) -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
