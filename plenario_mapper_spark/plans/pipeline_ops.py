@@ -546,9 +546,18 @@ def q_binary_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_binary_phash_dedup",
+    # Data-driven oracle: each doc's structural group is doc_id % 5 (that is
+    # what the synthesized image pattern keys on), so the expected dup_count
+    # is the PRESENT member count of that group — not a hard-coded 6, which
+    # silently assumed every doc_id < 30 exists and went stale the moment a
+    # subset/regeneration thinned a group (caught by the r8 parity fuzz).
     oracle="""
-    SELECT doc_id, CAST(6 AS BIGINT) AS dup_count
-    FROM documents WHERE doc_id < 30
+    SELECT d.doc_id, g.cnt AS dup_count
+    FROM documents d
+    JOIN (SELECT doc_id % 5 AS grp, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE doc_id < 30 GROUP BY 1) g
+      ON d.doc_id % 5 = g.grp
+    WHERE d.doc_id < 30
     """,
 )
 def q_binary_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2438,6 +2438,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           -- both engines' month-add preserves time-of-day and clamps the
+           -- day-of-month; the Spark side uses timestamp + INTERVAL (NOT
+           -- add_months, which returns a DATE and silently truncates the
+           -- time — invisible on midnight-aligned stamps, divergent on any
+           -- intraday data; caught by the r8 parity fuzz)
            CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow_sunday0,
            CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
@@ -2447,17 +2452,22 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar arithmetic surface: quarter truncation, month end, calendar
-    month addition (add_months clamps day-of-month identically in both
-    engines), day-of-week (normalized to Sunday=0: Spark's dayofweek is
-    1-based Sunday-first, DuckDB's DOW is 0-based Sunday-first), day-of-year,
-    and day differences. All integer-exact on midnight-aligned stamps —
+    month addition (timestamp + INTERVAL in BOTH engines: preserves
+    time-of-day and clamps day-of-month identically — add_months would
+    return a DATE and truncate the time, which matches only on
+    midnight-aligned stamps; the r8 parity fuzz caught exactly that
+    divergence on jittered data), day-of-week (normalized to Sunday=0:
+    Spark's dayofweek is 1-based Sunday-first, DuckDB's DOW is 0-based
+    Sunday-first), day-of-year, and day differences. All integer-exact —
     no rounding discipline needed."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     return o.select(
         "o_orderkey",
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
-        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '3' MONTH"))
+        .cast("timestamp")
+        .alias("plus_3m"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sunday0"),
         F.dayofyear("o_orderdate").cast("int").alias("doy"),
         F.datediff(
