@@ -75,13 +75,27 @@ def _staged_buckets(staging: str) -> set[int]:
         return set()
 
 
+def _rename_converging(src: str, dst: str) -> None:
+    """Rename that tolerates a CONCURRENT recoverer having already performed
+    the same step (recovery-on-read can race another reader): on failure,
+    succeed iff the postcondition (dst present) already holds."""
+    try:
+        os.rename(src, dst)
+    except OSError:
+        if not os.path.isdir(dst):
+            raise
+
+
 def _apply_swap(path: str, journal: dict) -> None:
     """Idempotently complete the journaled bucket swap: every step is a
     presence-checked rename, so replaying after a crash at any point
     converges to the complete new generation. The journal's `staged` list
     (recorded at merge time, not re-derived from the staging dir) is what
     distinguishes an already-swapped-in NEW bucket from an emptied one — a
-    replay must not move a freshly-installed bucket out as if it were old."""
+    replay must not move a freshly-installed bucket out as if it were old.
+    Precondition (established by _sweep_leftovers before each journal write):
+    any `_merge-old-N` dir present belongs to THIS journal's swap, never to a
+    previously committed merge whose cleanup crashed."""
     staging = journal["staging"]
     staged = set(journal["staged"])
     for b in journal["buckets"]:
@@ -93,38 +107,81 @@ def _apply_swap(path: str, journal: dict) -> None:
                 # not yet swapped in: move the live dir out (if any and not
                 # already moved), then the staged dir in
                 if os.path.isdir(live) and not os.path.isdir(old):
-                    os.rename(live, old)
-                os.rename(src, live)
+                    _rename_converging(live, old)
+                _rename_converging(src, live)
             # else: already swapped in by a prior attempt — no-op
         else:
             # emptied bucket (all keys deleted): while the journal exists a
             # live dir without a moved-out sibling is still the OLD
             # generation — move it out so the keys stay deleted
             if os.path.isdir(live) and not os.path.isdir(old):
-                os.rename(live, old)
+                _rename_converging(live, old)
 
 
 def _finish_merge(path: str, journal: dict) -> None:
     """Delete the journal (the commit point for cleanup), then the
-    superseded bucket dirs and the staging dir."""
+    superseded bucket dirs and the staging dir. A crash inside this cleanup
+    leaves garbage (stale old/staging dirs, no journal) — invisible to
+    readers and removed by _sweep_leftovers at the next merge."""
     jpath = os.path.join(path, _JOURNAL)
-    if os.path.isfile(jpath):
+    try:
         os.remove(jpath)
+    except FileNotFoundError:
+        pass  # a concurrent recoverer finished first
     for b in journal["buckets"]:
         shutil.rmtree(os.path.join(path, f"_merge-old-{b}"), ignore_errors=True)
     shutil.rmtree(journal["staging"], ignore_errors=True)
 
 
+def _sweep_leftovers(path: str) -> None:
+    """Remove committed-merge garbage: `_merge-old-*` dirs inside the table
+    and orphan `_<name>.merge-*` staging dirs beside it. Called only when NO
+    journal exists (post-recovery), so every such dir is from a merge whose
+    swap committed (journal deleted) but whose cleanup crashed, or from a
+    staging write that never reached its journal — in both cases garbage.
+    Without this sweep a stale `_merge-old-N` would make the NEXT merge of
+    bucket N misread its own swap state (skipped move-out, then a rename
+    onto a non-empty target, or a silently resurrected old generation)."""
+    try:
+        for d in os.listdir(path):
+            if d.startswith("_merge-old-"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    except OSError:
+        return  # table doesn't exist yet
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for d in siblings:
+        if d.startswith(f"_{name}.merge-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def recover_merge(path: str) -> bool:
     """Roll an interrupted merge FORWARD from its journal; returns True if a
     recovery ran. Safe to call any time — the journal only exists between the
-    staging write completing and the swap committing, and every swap step is
-    idempotent."""
+    staging write completing and the swap committing, every swap step is
+    idempotent, and concurrent recoverers converge (_rename_converging). A
+    journal that does not parse means the system crashed before the
+    journal's fsync'd data committed — no swap rename can have happened yet
+    (they strictly follow the fsync), so the old generation is intact and
+    the journal is dropped."""
     jpath = os.path.join(path, _JOURNAL)
     if not os.path.isfile(jpath):
         return False
-    with open(jpath) as f:
-        journal = json.load(f)
+    try:
+        with open(jpath) as f:
+            journal = json.load(f)
+    except FileNotFoundError:
+        return False  # concurrent recoverer finished between check and open
+    except (ValueError, OSError):
+        try:
+            os.remove(jpath)
+        except FileNotFoundError:
+            pass
+        return False
     _apply_swap(path, journal)
     _finish_merge(path, journal)
     return True
@@ -147,6 +204,14 @@ def merge_into(
     from pyspark.errors import AnalysisException
 
     recover_merge(path)  # complete any interrupted predecessor first
+    # Committed-merge garbage must be gone BEFORE this merge's journal can
+    # land: _apply_swap reads `_merge-old-N` presence as "this swap already
+    # moved the live dir out", so a stale old dir from a prior merge whose
+    # CLEANUP crashed would wedge the swap (rename onto a non-empty target)
+    # or, for an emptied bucket, resurrect the superseded generation. Runs
+    # at entry — before the staging write — because the sweep also clears
+    # orphan staging dirs and must not eat this merge's own.
+    _sweep_leftovers(path)
     has_del = deleted_col in changes.columns
     # collapse the changeset to one row per key (last-wins by seq)
     if seq_col is not None:
@@ -192,6 +257,9 @@ def merge_into(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
 
     # Journal AFTER staging is durable: its presence means "roll forward".
+    # flush+fsync BEFORE the atomic rename so a system crash cannot commit
+    # the rename's metadata without the journal's data (a torn journal is
+    # then PROOF no swap rename has happened — recover_merge relies on it).
     journal = {
         "staging": staging,
         "buckets": [int(b) for b in buckets],
@@ -201,6 +269,8 @@ def merge_into(
     tmp = jpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, jpath)
 
     _apply_swap(path, journal)

@@ -10659,20 +10659,26 @@ def q_stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        qid = str(q.id)
         q.awaitTermination()
         # the listener bus is ASYNCHRONOUS: progress events can land after
-        # awaitTermination returns — wait (bounded) for the 3 data batches
+        # awaitTermination returns — wait (bounded) for the 3 data batches,
+        # counting only THIS query's rows (the recorder is session-global:
+        # a concurrent stream in the same session must not pollute the
+        # count or the result)
         import time
 
         deadline = time.monotonic() + 30
         while (
-            sum(1 for r in rec.rows if (r[4] or 0) > 0) < 3
+            sum(1 for r in rec.rows if r[0] == qid and (r[4] or 0) > 0) < 3
             and time.monotonic() < deadline
         ):
             time.sleep(0.05)
     finally:
         spark.streams.removeListener(rec)
-    progress = rec.to_df(spark).filter(F.col("num_input_rows") > 0)
+    progress = rec.to_df(spark).filter(
+        (F.col("query_id") == qid) & (F.col("num_input_rows") > 0)
+    )
     return throughput_summary(progress).select(
         F.col("n_batches"),
         F.col("total_rows"),

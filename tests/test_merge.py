@@ -86,11 +86,16 @@ def _table_snapshot(spark, path):
 
 def test_merge_kill_between_steps_readers_see_old_or_new(spark, tmp_path):
     """VERDICT r7 item 4: simulate a crash at EVERY filesystem step of the
-    journaled swap (each os.rename and the journal os.replace). After each
-    kill, a plain read_table (recovery-on-read) must return either the
-    complete pre-merge table or the complete post-merge table — never a
-    mixed generation, never a half-rewritten bucket, never a resurrected
-    deleted key."""
+    journaled swap — each os.rename, the journal os.replace, AND the cleanup
+    steps (journal os.remove, old/staging shutil.rmtree; a crash between the
+    journal delete and the rmtrees leaves stale _merge-old dirs that once
+    wedged the next merge of the same bucket). After each kill, a plain
+    read_table (recovery-on-read) must return either the complete pre-merge
+    table or the complete post-merge table — never a mixed generation, never
+    a half-rewritten bucket, never a resurrected deleted key — and a
+    follow-up merge of the SAME changeset must complete and land on the
+    post-merge snapshot (no leftover can wedge or corrupt it)."""
+    import shutil as _shutil
     import pytest as _pytest
 
     base_rows = [(i, f"v{i}") for i in range(40)]
@@ -127,7 +132,12 @@ def test_merge_kill_between_steps_readers_see_old_or_new(spark, tmp_path):
     class Kill(Exception):
         pass
 
-    real_rename, real_replace = os.rename, os.replace
+    real = {
+        "rename": os.rename,
+        "replace": os.replace,
+        "remove": os.remove,
+        "rmtree": _shutil.rmtree,
+    }
 
     def run_with_kill(kill_at):
         """Returns ('done'|'killed', snapshot_after_recovery_read)."""
@@ -145,18 +155,35 @@ def test_merge_kill_between_steps_readers_see_old_or_new(spark, tmp_path):
                 return fn(*a, **kw)
             return inner
 
-        os.rename, os.replace = counting(real_rename), counting(real_replace)
+        os.rename, os.replace = counting(real["rename"]), counting(real["replace"])
+        os.remove, _shutil.rmtree = counting(real["remove"]), counting(real["rmtree"])
         try:
             MG.merge_into(spark, path, changeset(), "k", n_buckets=8)
             outcome = "done"
         except Kill:
             outcome = "killed"
         finally:
-            os.rename, os.replace = real_rename, real_replace
+            os.rename, os.replace = real["rename"], real["replace"]
+            os.remove, _shutil.rmtree = real["remove"], real["rmtree"]
         got = _table_snapshot(spark, path)
         assert got in (want_old, want_new), (
             f"kill_at={kill_at}: mixed generation visible: {got}"
         )
+        # whatever the crash left behind, the SAME merge must be re-runnable
+        # and land on the new generation (stale olds/staging cannot wedge it)
+        MG.merge_into(spark, path, changeset(), "k", n_buckets=8)
+        assert _table_snapshot(spark, path) == want_new, f"kill_at={kill_at}"
+        leftovers = [
+            d for d in os.listdir(path) if d.startswith("_merge")
+        ]
+        assert leftovers == [], f"kill_at={kill_at}: {leftovers}"
+        # orphan staging dirs beside the table are swept too
+        stray = [
+            d
+            for d in os.listdir(tmp_path)
+            if d.startswith(f"_t{kill_at}.merge-")
+        ]
+        assert stray == [], f"kill_at={kill_at}: {stray}"
         return outcome, got
 
     kill_at = 0
@@ -166,7 +193,7 @@ def test_merge_kill_between_steps_readers_see_old_or_new(spark, tmp_path):
             assert got == want_new
             break
         kill_at += 1
-    assert kill_at >= 3  # journal replace + at least two bucket renames
+    assert kill_at >= 5  # journal replace + bucket renames + cleanup steps
 
 
 def test_merge_recovery_is_idempotent_and_completes(spark, tmp_path):

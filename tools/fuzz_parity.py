@@ -19,7 +19,14 @@ Perturbations (seeded, deterministic per (table, seed)):
   (new window/session boundaries);
 - keys, ints, strings: untouched (join topology and text analytics keep
   their shape); region/nation are copied verbatim (5/25 rows — dropping
-  them would vacuously empty joins rather than stress parity).
+  them would vacuously empty joins rather than stress parity); columns
+  carrying NULLs are copied verbatim (perturbation would rewrite the null
+  mask into NaN/empty, manufacturing false flakes and masking real
+  NULL-handling ones).
+
+First full sweep earned its keep: found the add_months time-of-day
+truncation in q_scalar_calendar and the hard-coded group size in
+q_binary_phash_dedup's oracle (both fixed in r8).
 
 Usage:
     python tools/fuzz_parity.py <out_dir> [seed] [src_sf_dir]
@@ -44,18 +51,29 @@ VERBATIM = {"region", "nation"}
 
 
 def _perturb_table(src: str, dst: str, table: str, seed: int) -> None:
+    import zlib
+
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     if table in VERBATIM:
         pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
         return
-    rng = np.random.default_rng([seed, abs(hash(table)) % 2**32])
+    # crc32, NOT hash(): Python's str hash is salted per process, which
+    # would make "the same seed" produce a different clone every run and
+    # any mismatch unreproducible
+    rng = np.random.default_rng([seed, zlib.crc32(table.encode())])
     keep = rng.random(t.num_rows) > 0.15
     t = t.filter(pa.array(keep))
     cols = {}
     for name in t.column_names:
         col = t.column(name)
         typ = col.type
-        if pa.types.is_float64(typ):
+        if col.null_count:
+            # perturbing would erase the null mask (to_numpy -> NaN for
+            # floats, from_arrays drops list validity) — rewriting NULL
+            # topology both manufactures false flakes (NaN semantics) and
+            # masks real NULL-handling ones; leave such columns verbatim
+            cols[name] = col
+        elif pa.types.is_float64(typ):
             v = col.to_numpy(zero_copy_only=False)
             noise = 1.0 + (rng.random(len(v)) - 0.5) * 1e-5
             off = (rng.random(len(v)) - 0.5) * 1e-4
