@@ -192,61 +192,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # claimants. Demoted to _BACK: all 152 queries with at least one driver-green
 # row (the whole r7 window included; 50/50 green in CORRECTNESS_r07.json);
 # tools/t2.py keeps mirroring them per-commit.
+#
+# Round-9 rotation (VERDICT r8 item 1 — rotation COMPLETION round): the 40
+# queries that have never had a driver row (computed from CORRECTNESS_r01-r08
+# artifact JSONs, not memory: the r7-session-4 analytics tail
+# q_nested_order_lines .. q_quality_pk_scorecard in registration order, plus
+# the two r7-verdict-mandated oracle conversions q_compaction_manifest /
+# q_stream_observability) fill the first 40 slots. After this window EVERY
+# registered query has had >=1 driver-green row — the rotation debt goes to
+# zero. The 10 spare slots re-verify the highest-risk earlier greens per the
+# verdict: the ANN family first (q_embed_cosine_topk / q_ann_lsh_topk /
+# q_ann_ivf_topk / q_embed_near_dup — their oracle text changed in r8 commit
+# 15de797 to mirror the engine's IEEE fold, and none has had a driver row
+# since — plus q_embed_near_dup_exact, the exact twin sharing that cosine
+# path), then the five r4 TPC-H deferrals (q6/q7/q8/q13/q14 — last driver
+# rows r4, three loader generations old, the oldest greens in the registry).
+# Demoted to _BACK: the whole r8 window (50/50 green, all first-time, in
+# CORRECTNESS_r08.json); tools/t2.py keeps mirroring them per-commit.
 _FRONT = [
-    "q_events_holt_trend",
-    "q_survival_kaplan_meier",
-    "q_doc_count_min",
-    "q_doc_heavy_hitters",
-    "q_dedup_prefix_jaccard",
-    "q_eval_calibration_bins",
-    "q_privacy_k_anonymity",
-    "q_pareto_frontier",
-    "q_sample_weighted",
-    "q_ngram_containment_pairs",
-    "q_join_bloom_prefilter",
-    "q_vocab_topn_coverage",
-    "q_doc_curriculum_shards",
-    "q_sets_kmv_overlap",
-    "q_embed_jl_distortion",
-    "q_events_path_ngrams",
-    "q_events_cusum_changepoint",
-    "q_doc_impute_missing",
-    "q_events_ewma_smooth",
-    "q_sample_weighted_group",
-    "q_quality_fk_audit",
-    "q_dedup_exact_pipeline",
-    "q_vocab_bpe_merge_step",
-    "q_doc_pmi_cooccurrence",
-    "q_doc_lexicon_stats",
-    "q_eval_auc_ranksum",
-    "q_doc_negative_samples",
-    "q_eval_welch_ttest",
-    "q_events_embargo_split",
-    "q_doc_emd_length_drift",
-    "q_doc_source_overlap",
-    "q_doc_quantile_normalize",
-    "q_events_itemset_pairs",
-    "q_graph_khop_distance",
-    "q_doc_feature_hashing",
-    "q_audit_benford_digits",
-    "q_skew_key_audit",
-    "q_events_acf_daily",
-    "q_events_ohlc_bars",
-    "q_search_rrf_fusion",
-    "q_events_markov_transitions",
-    "q_customer_rfm",
-    "q_doc_ngram_novelty",
-    "q_doc_simpson_diversity",
-    "q_graph_degree_hist",
-    "q_window_percentile_rank",
-    "q_vocab_zipf_fit",
-    "q_doc_readability",
-    "q_supplier_pareto_deciles",
-    "q_events_fano_burstiness",
+    # -- the 40 never-driver-verified (registration order) --
+    "q_nested_order_lines",
+    "q_events_dow_profile",
+    "q_eval_wilson_ci",
+    "q_alloc_largest_remainder",
+    "q_events_time_to_convert",
+    "q_events_stickiness",
+    "q_doc_js_source_divergence",
+    "q_events_bot_signals",
+    "q_events_twap",
+    "q_audit_corpus_fingerprint",
+    "q_events_type_correlation",
+    "q_events_churn_labels",
+    "q_doc_info_gain",
+    "q_sample_neyman_quotas",
+    "q_orders_yoy_growth",
+    "q_customer_ltv_cohorts",
+    "q_events_forecast_error",
+    "q_eval_odds_ratio",
+    "q_events_rolling_wau",
+    "q_events_session_quality",
+    "q_scalar_bitwise",
+    "q_doc_template_prefix",
+    "q_doc_encoding_audit",
+    "q_eval_covariate_balance",
+    "q_graph_component_sizes",
+    "q_events_peak_days",
+    "q_dedup_cross_source_rate",
+    "q_orders_volume_price_decomp",
+    "q_eval_median_ci",
+    "q_events_hourly_profile",
+    "q_vocab_heaps_fit",
+    "q_orders_mahalanobis_outliers",
+    "q_events_entropy_rate",
+    "q_orders_interpurchase_time",
+    "q_doc_unseen_mass",
+    "q_vocab_term_burstiness",
+    "q_eval_langid_kappa",
+    "q_quality_pk_scorecard",
+    "q_compaction_manifest",
+    "q_stream_observability",
+    # -- 10 re-verifies: ANN family (r8 oracle change, commit 15de797) --
+    "q_embed_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_embed_near_dup",
+    "q_embed_near_dup_exact",
+    # -- oldest greens: r4 TPC-H deferrals --
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
 ]
 # _BACK: every query with at least one driver-green CORRECTNESS row across
-# r1-r7 (152 names, registration order). Mid section (names in neither list)
-# = the 38 never-verified r9 claimants followed by any round-8 additions.
+# r1-r8 (192 names: the 152 r8-era backs minus the 10 promoted to this
+# round's re-verify slots, plus the 50-name r8 window appended). Mid section
+# (names in neither list) is EMPTY by construction this round: 242 registered
+# = 50 front + 192 back.
 _BACK = [
     "q1_pricing_summary",
     "q_agg_distinct",
@@ -285,11 +307,6 @@ _BACK = [
     "q_join_right",
     "q_join_theta_nl",
     "q_topk_per_group",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "q22_idle_balances",
@@ -342,11 +359,6 @@ _BACK = [
     "q_ngram_jaccard_pairs",
     "q_dedup_minhash",
     "q_dedup_simhash",
-    "q_embed_cosine_topk",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_embed_near_dup",
-    "q_embed_near_dup_exact",
     "q_binary_meta",
     "q_binary_frame_sample",
     "q_binary_resize",
@@ -400,6 +412,56 @@ _BACK = [
     "q_table_diff",
     "q_doc_bigram_logprob",
     "q_embed_quantize",
+    "q_events_holt_trend",
+    "q_survival_kaplan_meier",
+    "q_doc_count_min",
+    "q_doc_heavy_hitters",
+    "q_dedup_prefix_jaccard",
+    "q_eval_calibration_bins",
+    "q_privacy_k_anonymity",
+    "q_pareto_frontier",
+    "q_sample_weighted",
+    "q_ngram_containment_pairs",
+    "q_join_bloom_prefilter",
+    "q_vocab_topn_coverage",
+    "q_doc_curriculum_shards",
+    "q_sets_kmv_overlap",
+    "q_embed_jl_distortion",
+    "q_events_path_ngrams",
+    "q_events_cusum_changepoint",
+    "q_doc_impute_missing",
+    "q_events_ewma_smooth",
+    "q_sample_weighted_group",
+    "q_quality_fk_audit",
+    "q_dedup_exact_pipeline",
+    "q_vocab_bpe_merge_step",
+    "q_doc_pmi_cooccurrence",
+    "q_doc_lexicon_stats",
+    "q_eval_auc_ranksum",
+    "q_doc_negative_samples",
+    "q_eval_welch_ttest",
+    "q_events_embargo_split",
+    "q_doc_emd_length_drift",
+    "q_doc_source_overlap",
+    "q_doc_quantile_normalize",
+    "q_events_itemset_pairs",
+    "q_graph_khop_distance",
+    "q_doc_feature_hashing",
+    "q_audit_benford_digits",
+    "q_skew_key_audit",
+    "q_events_acf_daily",
+    "q_events_ohlc_bars",
+    "q_search_rrf_fusion",
+    "q_events_markov_transitions",
+    "q_customer_rfm",
+    "q_doc_ngram_novelty",
+    "q_doc_simpson_diversity",
+    "q_graph_degree_hist",
+    "q_window_percentile_rank",
+    "q_vocab_zipf_fit",
+    "q_doc_readability",
+    "q_supplier_pareto_deciles",
+    "q_events_fano_burstiness",
 ]
 
 
