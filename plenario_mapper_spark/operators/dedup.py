@@ -161,46 +161,10 @@ def minhash_near_dup_pairs(
         .persist()  # read twice: candidate-id set + final pair enrichment
     )
     cand.count()  # eager: both downstream lineages read it concurrently
-    # Verify stage: exact shingle sets for CANDIDATE docs only — a semi-join
-    # prunes the text scan to the (tiny) candidate id set before the shingle
-    # UDF runs, so verify cost scales with candidates, not corpus size.
-    from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
-
-    sh_udf = make_shingles_udf(shingle_n)
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
-    ).distinct()
-    sh_tab = (
-        base.join(F.broadcast(cand_ids), "id", "left_semi")
-        .select("id", sh_udf(F.col("_txt")).alias("sh"))
-        .persist()
-    )
-    sh_tab.count()
-    # NO static broadcast of sh_tab: it carries full shingle arrays (KBs per
-    # doc) for every candidate id, and full-sweep candidates scale with
-    # corpus size x dup density — a forced broadcast is an unbounded
-    # driver/executor OOM on a dup-heavy corpus. Plain equi-joins let AQE
-    # pick broadcast from the ACTUAL runtime size when the candidate set
-    # happens to be small (the cand_ids broadcast above stays — ids only).
-    # Persisting sh_tab eagerly still matters: both verify joins read it
-    # concurrently, and a lazy lineage would re-run the text scan + shingle
-    # UDF once per join side.
-    pairs = (
-        cand
-        .join(
-            sh_tab.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh_tab.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
-        )
-    )
-    return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    # Verify stage: exact shingle sets for CANDIDATE docs only — the shared
+    # verify prunes the text scan to the (tiny) candidate id set before the
+    # shingle UDF runs, so verify cost scales with candidates, not corpus.
+    return verify_jaccard_pairs(cand, base, threshold, shingle_n)
 
 
 def ngram_jaccard_pairs(
@@ -986,68 +950,47 @@ def update_components(
     return untouched.unionByName(recomputed)
 
 
-def minhash_incremental_pairs(
-    old_docs: DataFrame,
-    new_docs: DataFrame,
+def minhash_band_rows(
+    docs: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.7,
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH near-dup pairs TOUCHING A NEW BATCH — the ingest-time probe that,
-    with `update_components`, completes the incremental near-dup pipeline:
-    only pairs with at least one NEW endpoint are generated (new x old and
-    new x new), so per-batch cost scales with |batch| x bands plus the
-    candidates it touches, never |corpus|^2 — the same contract as
-    dedup_against_index for exact fingerprints. In production the old
-    side's (id, band-key) rows are a PERSISTED index (KB/doc, append-only;
-    the signature recompute here stands in for reading it); the probe is a
-    band-key equi-join, and the exact-Jaccard verify runs on candidates
-    only, shingling exactly the pruned id set. Output (id_a < id_b,
-    jaccard) matches minhash_near_dup_pairs row-for-row on the same pairs,
-    so downstream clustering cannot tell incremental evidence from a full
-    sweep (q_dedup_incremental_near certifies the whole chain against the
-    one-shot full-graph truth).
-
-    Ids appearing in BOTH inputs (an updated document) are resolved
-    new-wins: old rows whose id recurs in the batch are anti-joined away
-    before the corpus union, so each id contributes exactly one signature
-    and one shingle row — without this, a duplicated id double-joins its
-    shingle rows and emits duplicate candidate pairs."""
+    """(id, bk) banded-LSH key rows — the PERSISTABLE index unit for
+    stream-time near-dup (`NearDupStream`'s `<state>/bands/batch_id=N`
+    parquet log): a few bytes x `bands` rows per document, append-only, and
+    sufficient for candidate generation without ever touching document text
+    again. `bk` is the (band, band-hash) struct the probe equi-joins on;
+    signature semantics are identical to the full-sweep path
+    (minhash_signature -> minhash_bands), so index-probed candidates match
+    recompute-probed candidates row-for-row."""
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature(num_hashes, shingle_n)
-
-    # new-wins on id collision: the batch supersedes prior versions
-    old_docs = old_docs.join(
-        new_docs.select(F.col(id_col)).distinct(), id_col, "left_anti"
+    base = _spread(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
+    sig = base.select("id", sig_udf(F.col("_txt")).alias("sig"))
+    return sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
 
-    def banded(df, shared: bool):
-        base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        sig = base.select("id", sig_udf(F.col("_txt")).alias("sig"))
-        if shared:
-            # The NEW side's band rows feed TWO concurrent consumers (the
-            # probe and the unioned all_bands index side), so its signature
-            # lineage must be materialized once or each leg replays the
-            # Python UDF. The OLD side's bands have a single consumer — a
-            # persist there is pure overhead (verify shingles come from
-            # `base`, not `sig`).
-            sig = sig.persist()
-            sig.count()
-        return base, sig.select(
-            "id",
-            F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
-        )
 
-    base_old, bands_old = banded(old_docs, shared=False)
-    base_new, bands_new = banded(new_docs, shared=True)
-    all_bands = bands_old.unionByName(bands_new)
-    probe = bands_new.alias("l")
-    cand = (
+def lsh_candidate_pairs(
+    probe_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Distinct unordered candidate pairs (id_a < id_b) whose band keys
+    collide, with at least one PROBE-side endpoint — the band-key equi-join
+    that makes LSH sub-quadratic. Inputs are (id, bk) rows; the output is ids
+    only, so the join shuffle stays a few bytes wide no matter how large the
+    documents are. Callers materialize the result (persist + count) because
+    it always feeds two consumers (the candidate-id prune and the pair
+    enrichment)."""
+    probe = probe_bands.alias("l")
+    return (
         probe.join(
-            all_bands.alias("r"),
+            index_bands.alias("r"),
             (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") != F.col("r.id")),
         )
         .select(
@@ -1055,19 +998,39 @@ def minhash_incremental_pairs(
             F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
     )
-    cand.count()
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame,
+    corpus_texts: DataFrame,
+    threshold: float,
+    shingle_n: int = 3,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verify on LSH candidate pairs. `cand` is (id_a, id_b)
+    with id_a < id_b, already distinct; `corpus_texts` is (id, _txt) and must
+    cover every candidate id exactly once. Cost scales with |candidates|: the
+    text scan is pruned to candidate ids by a broadcast semi-join BEFORE the
+    shingle UDF runs, so corpus documents never shingle unless something
+    collided with them.
+
+    `caches`: internal persists are appended here when given, so a
+    LONG-RUNNING caller (a streaming micro-batch loop) can unpersist them
+    after materializing the result — otherwise each batch would leak one
+    cached block for the life of the session. Registry/batch callers omit it
+    (the registry's build-time persist tracker claims ownership there)."""
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
     sh_udf = make_shingles_udf(shingle_n)
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
-    corpus = base_old.unionByName(base_new)
     sh_tab = (
-        corpus.join(F.broadcast(cand_ids), "id", "left_semi")
+        corpus_texts.join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", sh_udf(F.col("_txt")).alias("sh"))
         .persist()
     )
+    if caches is not None:
+        caches.append(sh_tab)
     sh_tab.count()
     # NO static broadcast here: sh_tab carries full shingle arrays (KBs per
     # doc) for every candidate id, and candidates scale with batch size x
@@ -1088,6 +1051,89 @@ def minhash_incremental_pairs(
         pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_incremental_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    old_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
+) -> DataFrame:
+    """LSH near-dup pairs TOUCHING A NEW BATCH — the ingest-time probe that,
+    with `update_components`, completes the incremental near-dup pipeline:
+    only pairs with at least one NEW endpoint are generated (new x old and
+    new x new), so per-batch cost scales with |batch| x bands plus the
+    candidates it touches, never |corpus|^2 — the same contract as
+    dedup_against_index for exact fingerprints. The old side's (id, band-key)
+    rows are a PERSISTED index in production (KB/doc, append-only —
+    `NearDupStream` maintains exactly that via minhash_band_rows and passes
+    it as `old_bands`, so the stream runs ZERO signature computation over old
+    documents); when `old_bands` is None this batch-mode form re-derives them
+    from `old_docs`, which is fine for a one-call contract but would be an
+    O(|corpus|)-per-batch recompute in a stream. The probe is a band-key
+    equi-join, and the exact-Jaccard verify runs on candidates only,
+    shingling exactly the pruned id set. Output (id_a < id_b, jaccard)
+    matches minhash_near_dup_pairs row-for-row on the same pairs, so
+    downstream clustering cannot tell incremental evidence from a full sweep
+    (q_dedup_incremental_near certifies the whole chain against the one-shot
+    full-graph truth).
+
+    Ids appearing in BOTH inputs (an updated document) are resolved
+    new-wins: old rows whose id recurs in the batch are anti-joined away
+    before the corpus union — applied to `old_docs` AND `old_bands`, so each
+    id contributes exactly one band set and one shingle row; without this, a
+    duplicated id double-joins its shingle rows and emits duplicate
+    candidate pairs.
+
+    `old_docs` is only read for the candidate-pruned verify text when
+    `old_bands` is given; callers with a partitioned corpus log can pre-prune
+    it (NearDupStream narrows the scan to the batch partitions candidates
+    actually live in before passing it here)."""
+    # new-wins on id collision: the batch supersedes prior versions
+    new_ids = new_docs.select(F.col(id_col)).distinct()
+    old_docs = old_docs.join(new_ids, id_col, "left_anti")
+
+    if new_bands is None:
+        # The NEW side's band rows feed TWO concurrent consumers (the probe
+        # side and the unioned all_bands side), so materialize them once or
+        # each leg replays the signature UDF. Band rows are a few bytes x
+        # bands per doc — strictly smaller than the signature table the old
+        # formulation cached.
+        new_bands = minhash_band_rows(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_n
+        ).persist()
+        new_bands.count()
+    else:
+        new_bands = new_bands.select("id", "bk")
+    if old_bands is None:
+        # batch-mode stand-in for the persisted index: single consumer, no
+        # persist (verify shingles come from the text, not the bands)
+        old_bands = minhash_band_rows(
+            old_docs, id_col, text_col, num_hashes, bands, shingle_n
+        )
+    else:
+        old_bands = old_bands.join(
+            new_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+        ).select("id", "bk")
+
+    all_bands = old_bands.unionByName(new_bands)
+    cand = lsh_candidate_pairs(new_bands, all_bands).persist()
+    cand.count()
+    base_old = _spread(old_docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
+    base_new = _spread(new_docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
+    return verify_jaccard_pairs(
+        cand, base_old.unionByName(base_new), threshold, shingle_n
     )
 
 

@@ -133,17 +133,133 @@ def test_component_state_updates_with_old_version_still_readable(
     assert versions == ["version=1", "version=2"]
 
 
-def test_component_fold_never_collects_to_driver(spark, docs, tmp_path, monkeypatch):
-    """Guard the scale contract directly: process_batch must not call
-    DataFrame.collect (component membership is unbounded at corpus scale)."""
+def _patch_collect_recorder(monkeypatch, calls):
+    """Intercept DataFrame.collect on every concrete class (pyspark 4's
+    classic implementation SHADOWS the abstract parent's method), recording
+    (columns, row_count) per call."""
+    classes = []
     from pyspark.sql import DataFrame as _DF
 
-    def _boom(self, *a, **k):
-        raise AssertionError("driver-side collect() inside process_batch")
+    classes.append(_DF)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _Classic
 
-    monkeypatch.setattr(_DF, "collect", _boom)
+        classes.append(_Classic)
+    except ImportError:
+        pass
+    for cls in (c for c in classes if "collect" in c.__dict__):
+        orig = cls.__dict__["collect"]
+
+        def recording(self, *a, _orig=orig, **k):
+            out = _orig(self, *a, **k)
+            calls.append((tuple(self.columns), len(out)))
+            return out
+
+        monkeypatch.setattr(cls, "collect", recording)
+
+
+def test_component_fold_never_collects_to_driver(spark, docs, tmp_path, monkeypatch):
+    """Guard the scale contract directly: the only driver-side collect()
+    process_batch may run is the size-bounded band-index LOCATOR (one bigint
+    per touched ingest batch — bounded by the number of micro-batches ever
+    run, never by corpus or component size). Component state, pairs, and
+    texts must never materialize on the driver."""
+    calls = []
+    _patch_collect_recorder(monkeypatch, calls)
     stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
-    batch = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
-    stream.process_batch(batch, 0)  # must complete without collect
+    corpus = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    stream.process_batch(corpus.filter(F.col("doc_id") < 40), 0)
+    stream.process_batch(corpus.filter(F.col("doc_id") >= 40), 1)
     monkeypatch.undo()
-    assert len(_comp_map(stream.components())) >= 0
+    assert calls, "collect interception must actually fire (locator runs per batch)"
+    for cols, n_rows in calls:
+        assert cols == ("batch_id",), f"unexpected driver collect of {cols}"
+        assert n_rows <= 2  # bounded by batches ingested so far
+    assert len(_comp_map(stream.components())) > 0
+
+
+def test_probe_never_resignatures_old_documents(spark, docs, tmp_path):
+    """VERDICT r8 item 2 (the O(|corpus|)-per-batch scale finding): the probe
+    must equi-join the PERSISTED band index, never recompute old documents'
+    signatures from the corpus log, and must fetch old TEXT only for
+    candidate ids. Behavioral proof: after batch 0, rewrite the corpus log so
+    every NON-candidate old document's text becomes an exact copy of a
+    batch-1 document. A re-signaturing implementation would hash the planted
+    copies, collide them with batch 1, and emit extra jaccard=1.0 pairs; an
+    index-probing implementation's candidates and verify reads are untouched
+    (the planted docs are not in the band index's collision set), so the pair
+    log must equal the pristine run's."""
+    corpus = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    b0 = corpus.filter(F.col("doc_id") < 130)
+    b1 = corpus.filter(F.col("doc_id") >= 130)
+
+    # pristine two-batch run: the ground truth pair log
+    pristine = NearDupStream(spark, str(tmp_path / "pristine"), threshold=0.5)
+    pristine.process_batch(b0, 0)
+    pristine.process_batch(b1, 1)
+    want_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in pristine.pairs().collect()
+    }
+    cross = [k for k in want_pairs if k[0] < 130 <= k[1]]
+    assert cross, "test needs cross-batch near-dup pairs to discriminate"
+
+    # second state: batch 0, then plant batch-1 text copies on non-candidates
+    stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
+    stream.process_batch(b0, 0)
+    new_bands = DD.minhash_band_rows(b1, "doc_id", "text")
+    cand = DD.lsh_candidate_pairs(
+        new_bands, stream.band_index().select("id", "bk").unionByName(new_bands)
+    )
+    cand_ids = {
+        r["id"]
+        for r in cand.select(
+            F.explode(F.array("id_a", "id_b")).alias("id")
+        ).distinct().collect()
+    }
+    planted_text = b1.limit(1).collect()[0]["text"]
+    corrupted = b0.withColumn(
+        "text",
+        F.when(F.col("doc_id").isin([int(i) for i in cand_ids]), F.col("text"))
+        .otherwise(F.lit(planted_text)),
+    )
+    corrupted.write.mode("overwrite").parquet(
+        str(tmp_path / "state" / "corpus" / "batch_id=0")
+    )
+    stream.process_batch(b1, 1)
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(
+            str(tmp_path / "state" / "pairs" / "batch_id=1")
+        ).collect()
+    }
+    want_b1 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(
+            str(tmp_path / "pristine" / "pairs" / "batch_id=1")
+        ).collect()
+    }
+    assert got_pairs == want_b1
+
+
+def test_band_index_layout_and_corrupt_pointer_recovery(spark, docs, tmp_path):
+    """The band index must exist per batch partition with one row per
+    (doc, band); a corrupt-but-present _LATEST pointer (torn pre-fsync write,
+    bit-rot) must recover from the newest complete version directory, never
+    silently restart from empty state (ADVICE r8)."""
+    corpus = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
+    stream.process_batch(corpus.filter(F.col("doc_id") < 40), 0)
+    stream.process_batch(corpus.filter(F.col("doc_id") >= 40), 1)
+    bands_root = tmp_path / "state" / "bands"
+    assert sorted(os.listdir(bands_root)) == ["batch_id=0", "batch_id=1"]
+    # default geometry: 16 bands per doc, one (id, bk) row each
+    n = spark.read.parquet(str(bands_root)).count()
+    assert n == corpus.count() * 16
+    want = _comp_map(stream.components())
+    assert want
+    # corrupt the pointer: recovery must serve the newest complete version
+    ptr = tmp_path / "state" / "components" / "_LATEST"
+    ptr.write_text("")  # torn/empty
+    assert _comp_map(stream.components()) == want
+    ptr.write_text("not-a-number")
+    assert _comp_map(stream.components()) == want
