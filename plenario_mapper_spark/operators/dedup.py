@@ -22,6 +22,7 @@ import os
 from pyspark.sql import Column, DataFrame, functions as F
 
 from plenario_mapper_spark.functions import text as TX
+from plenario_mapper_spark.functions import parity as PAR
 
 # Mersenne prime 2^31-1 for the affine permutations (classic MinHash
 # construction h_i(x) = (a_i * x + b_i) mod p). 31-bit domain keeps a*h < 2^62,
@@ -192,7 +193,7 @@ def ngram_jaccard_pairs(
             jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
         )
         .filter(F.col("j") >= threshold)
-        .select("id_a", "id_b", F.round("j", 6).alias("jaccard"))
+        .select("id_a", "id_b", PAR.round6("j").alias("jaccard"))
     )
 
 
@@ -248,7 +249,7 @@ def ngram_containment_pairs(
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
         .filter(c >= threshold)
-        .select("id_a", "id_b", F.round(c, 6).alias("containment"))
+        .select("id_a", "id_b", PAR.round6(c).alias("containment"))
     )
 
 
@@ -1050,7 +1051,7 @@ def verify_jaccard_pairs(
     return (
         pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", PAR.round6("jaccard").alias("jaccard"))
     )
 
 
@@ -1214,5 +1215,5 @@ def prefix_filter_jaccard_pairs(
     return (
         joined.withColumn("jaccard_raw", j)
         .filter(F.col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select("id_a", "id_b", PAR.round6("jaccard_raw").alias("jaccard"))
     )

@@ -18,6 +18,7 @@ aggregation exactly like any other groupBy.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from plenario_mapper_spark.functions import parity as PAR
 
 
 def k_anonymity_audit(
@@ -62,9 +63,7 @@ def k_anonymity_audit(
         "k_anonymity",
         "n_classes_below_k",
         "rows_at_risk",
-        F.round(
-            F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double"), 6
-        ).alias("risk_rate"),
+        PAR.round6(F.col("rows_at_risk").cast("double") / F.col("n_rows").cast("double")).alias("risk_rate"),
         "min_l_diversity",
         "n_classes_below_l",
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from plenario_mapper_spark.functions import parity as PAR
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -137,6 +138,6 @@ def profile_drift(
         "column",
         "n_rows_a", "n_rows_b", "n_null_a", "n_null_b",
         "n_distinct_a", "n_distinct_b",
-        F.round(F.col("_min_b") - F.col("_min_a"), 6).alias("min_shift"),
-        F.round(F.col("_max_b") - F.col("_max_a"), 6).alias("max_shift"),
+        PAR.round6(F.col("_min_b") - F.col("_min_a")).alias("min_shift"),
+        PAR.round6(F.col("_max_b") - F.col("_max_a")).alias("max_shift"),
     )

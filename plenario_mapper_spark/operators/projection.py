@@ -29,6 +29,7 @@ import hashlib
 import math
 
 from pyspark.sql import Column, functions as F
+from plenario_mapper_spark.functions import parity as PAR
 
 
 def jl_signs(out_dim: int, in_dim: int, salt: str = "jl0") -> list[list[float]]:
@@ -64,15 +65,12 @@ def jl_project(vec: Column, signs: list[list[float]]) -> Column:
     scale = 1.0 / math.sqrt(len(signs))
     return F.array(
         *[
-            F.round(
-                F.lit(scale)
+            PAR.round6(F.lit(scale)
                 * F.aggregate(
                     F.zip_with(vec, F.lit(row), lambda a, b: a.cast("double") * b),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                ),
-                6,
-            )
+                ))
             for row in signs
         ]
     )

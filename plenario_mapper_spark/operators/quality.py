@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
+from plenario_mapper_spark.functions import parity as PAR
 
 
 @dataclass(frozen=True)
@@ -138,11 +139,8 @@ def fk_audit(
                 F.lit(name).alias("edge"),
                 F.count("*").cast("long").alias("n_child"),
                 F.count(F.when(orphan, 1)).cast("long").alias("n_orphans"),
-                F.round(
-                    F.count(F.when(orphan, 1)).cast("double")
-                    / F.greatest(F.count("*"), F.lit(1)).cast("double"),
-                    6,
-                ).alias("orphan_rate"),
+                PAR.round6(F.count(F.when(orphan, 1)).cast("double")
+                    / F.greatest(F.count("*"), F.lit(1)).cast("double")).alias("orphan_rate"),
                 (F.count(F.when(orphan, 1)) == 0).alias("passed"),
             )
         )

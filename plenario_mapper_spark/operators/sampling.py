@@ -16,6 +16,7 @@ of the [ext] training-data family (SURVEY §2.H).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from plenario_mapper_spark.functions import parity as PAR
 
 # 32-bit hash domain: thresholds are exact integers, so the gate has no
 # floating-point boundary to disagree on.
@@ -207,7 +208,7 @@ def weighted_sample_k(
         float(1 << _DOMAIN_BITS)
     )
     w = F.col(weight_col).cast("double")
-    pri = F.round(-F.log(u) / w, 12)
+    pri = PAR.round_at(-F.log(u) / w, 12)
     out = df.filter(w.isNotNull() & (w > 0)).withColumn("aes_priority", pri)
     if group_col is None:
         return out.orderBy(F.col("aes_priority").asc(), F.col(key_col).asc()).limit(k)

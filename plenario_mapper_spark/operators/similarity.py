@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from plenario_mapper_spark.functions import vector as V
+from plenario_mapper_spark.functions import parity as PAR
 
 
 def brute_force_topk(
@@ -80,7 +81,7 @@ def brute_force_topk(
         # correct; deciding membership on the same 6-rounded value both
         # engines compare keeps the round-then-compare parity discipline
         # (ADVICE r6).
-        F.round(V.dot(F.col("qu"), F.col("iu")), 6).alias("cosine"),
+        PAR.round6(V.dot(F.col("qu"), F.col("iu"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
@@ -158,7 +159,7 @@ def lsh_topk(
         "query_id",
         "item_id",
         # round-then-rank, matching brute_force_topk (see comment there)
-        F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+        PAR.round6(V.cosine(F.col("qv"), F.col("iv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
@@ -222,7 +223,7 @@ def ivf_topk(
         "query_id",
         "item_id",
         # round-then-rank, matching brute_force_topk (see comment there)
-        F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+        PAR.round6(V.cosine(F.col("qv"), F.col("iv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
@@ -254,7 +255,7 @@ def exact_near_dup_pairs(
             V.cosine(F.col("l.v"), F.col("r.v")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .select("id_a", "id_b", PAR.round6("cos").alias("cosine"))
     )
 
 
@@ -290,7 +291,7 @@ def embedding_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .select("id_a", "id_b", PAR.round6("cos").alias("cosine"))
     )
 
 
@@ -376,7 +377,7 @@ def ivf_search_index(
             "query_id",
             "item_id",
             # round-then-rank, matching brute_force_topk (see comment there)
-            F.round(V.cosine(F.col("qv"), F.col("iv")), 6).alias("cosine"),
+            PAR.round6(V.cosine(F.col("qv"), F.col("iv"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")

@@ -20,6 +20,7 @@ shuffle partition at ~1/salt of the hot key's volume.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from plenario_mapper_spark.functions import parity as PAR
 
 _SALT = "_skew_salt"
 
@@ -138,18 +139,15 @@ def key_skew_audit(df: DataFrame, key: str | Column, top_k: int = 10) -> DataFra
             "n_rows",
             "n_keys",
             "max_count",
-            F.round(F.col("max_count").cast("double") / n * nk, 6).alias(
+            PAR.round6(F.col("max_count").cast("double") / n * nk).alias(
                 "max_over_avg"
             ),
-            F.round(F.col("max_count").cast("double") / n, 6).alias("top1_share"),
-            F.round(F.col("_topk").cast("double") / n, 6).alias("topk_share"),
-            F.round(F.col("_sumsq").cast("double") / (n * n), 6).alias("hhi"),
+            PAR.round6(F.col("max_count").cast("double") / n).alias("top1_share"),
+            PAR.round6(F.col("_topk").cast("double") / n).alias("topk_share"),
+            PAR.round6(F.col("_sumsq").cast("double") / (n * n)).alias("hhi"),
             (
-                F.round(
-                    F.lit(2.0) * F.col("_ic").cast("double") / (nk * n)
-                    - (nk + F.lit(1.0)) / nk,
-                    6,
-                )
+                PAR.round6(F.lit(2.0) * F.col("_ic").cast("double") / (nk * n)
+                    - (nk + F.lit(1.0)) / nk)
                 + F.lit(0.0)
             ).alias("gini"),
         )

@@ -19,6 +19,7 @@ from plenario_mapper_spark.operators import mapper as M
 from plenario_mapper_spark.operators import similarity as SIM
 from plenario_mapper_spark.plans.registry import register
 from plenario_mapper_spark.plans.relational import _events, _t  # noqa: F401
+from plenario_mapper_spark.functions import parity as PAR
 # _t normalizes any TIMESTAMP_NTZ column to LTZ (see relational._t) so the
 # whole surface survives driver-side parquet-encoding changes.
 
@@ -323,7 +324,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
-           CAST(ROUND(SUM(ROUND(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6)), 6) AS DOUBLE) AS sum_punct_ratio
+           CAST(FLOOR((SUM(FLOOR((CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS sum_punct_ratio
     FROM documents GROUP BY source
     """,
 )
@@ -336,7 +337,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum((n_tok >= 10).cast("int")).cast("long").alias("n_len_ok"),
-        F.round(F.sum(F.round(TX.punct_ratio(F.col("text")), 6)), 6)
+        PAR.round6(F.sum(PAR.round6(TX.punct_ratio(F.col("text")))))
         .cast("double")
         .alias("sum_punct_ratio"),
     )
@@ -378,7 +379,7 @@ def q_doc_lang_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
     dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
     SELECT doc_id, tok, rank,
-           CAST(ROUND(tfidf, 6) AS DOUBLE) AS tfidf
+           CAST(FLOOR((tfidf) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS tfidf
     FROM (
       SELECT tf.doc_id, tf.tok,
              tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0) AS tfidf,
@@ -419,7 +420,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "tok", "rank", F.round("tfidf", 6).alias("tfidf"))
+        .select("doc_id", "tok", "rank", PAR.round6("tfidf").alias("tfidf"))
     )
 
 
@@ -738,7 +739,7 @@ def q_doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(cnt) AS n FROM vocab)
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(LN(CAST(v.cnt AS DOUBLE) / tt.n)), 6) AS mean_logprob
+           FLOOR((AVG(LN(CAST(v.cnt AS DOUBLE) / tt.n))) * 1e6 + 0.5) / 1e6 AS mean_logprob
     FROM toks t
       JOIN vocab v ON v.tok = t.tok
       CROSS JOIN tot tt
@@ -769,9 +770,7 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 6
-            ).alias("mean_logprob"),
+            PAR.round6(F.avg(F.log(F.col("cnt").cast("double") / F.col("n")))).alias("mean_logprob"),
         )
     )
 
@@ -813,9 +812,9 @@ def _pagerank_oracle(iters: int = 12, damping: float = 0.85) -> str:
         FROM r{i} r JOIN deg d ON r.node = d.src JOIN edges e ON e.src = d.src
         GROUP BY e.dst) m ON m.node = n.node)""")
     sql.append(f"""
-    SELECT node, ROUND(rank, 9) AS rank
+    SELECT node, FLOOR((rank) * 1e9 + 0.5) / 1e9 AS rank
     FROM r{iters} WHERE node LIKE 's%'
-    ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
+    ORDER BY FLOOR((rank) * 1e9 + 0.5) / 1e9 DESC, node LIMIT 20
     """)
     return "".join(sql)
 
@@ -843,7 +842,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, tol=None, max_iterations=12)
     return (
         ranks.filter(F.col("node").startswith("s"))
-        .select("node", F.round("rank", 9).alias("rank"))
+        .select("node", PAR.round_at("rank", 9).alias("rank"))
         # order on the ROUNDED rank: raw doubles differ across engines (and
         # across runs — double-sum order is partition-dependent) in the 16th
         # digit; the 1e-9 grid plus node-id tiebreak is deterministic
@@ -961,8 +960,8 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
             FROM documents WHERE doc_id < 60) t)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+           CAST(FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.05
@@ -993,8 +992,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
             FROM documents) t)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+           CAST(FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
@@ -1094,9 +1093,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n q JOIN n i ON i.vec_id <> q.vec_id
       WHERE q.vec_id < 10)
     SELECT query_id, item_id, rank, CAST(cosr AS DOUBLE) AS cosine FROM (
-      SELECT query_id, item_id, ROUND(cos, 6) AS cosr,
+      SELECT query_id, item_id, FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cosr,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY ROUND(cos, 6) DESC, item_id) AS rank
+                                ORDER BY FLOOR((cos) * 1e6 + 0.5) / 1e6 DESC, item_id) AS rank
       FROM scored) t
     WHERE rank <= 5
     """,
@@ -1132,14 +1131,14 @@ _ANN_EXACT_TOPK_CTE = """
       WHERE q.vec_id < 10),
     topk AS (
       SELECT query_id, cos FROM (
-        SELECT query_id, ROUND(cos, 6) AS cos,
+        SELECT query_id, FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cos,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY ROUND(cos, 6) DESC, item_id) AS rank
+                                  ORDER BY FLOOR((cos) * 1e6 + 0.5) / 1e6 DESC, item_id) AS rank
         FROM scored) t
       WHERE rank <= 5)
     SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_exact,
-           CAST(ROUND(SUM(cos), 6) AS DOUBLE) AS sum_exact_cosine,
+           CAST(FLOOR((SUM(cos)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS sum_exact_cosine,
            CAST(1 AS INT) AS recall_ok,
            CAST(1 AS INT) AS scores_exact_ok
     FROM topk
@@ -1174,7 +1173,7 @@ def _ann_certify(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame
         .agg(
             F.count_distinct(F.col("x.query_id")).cast("long").alias("n_queries"),
             F.count("*").cast("long").alias("n_exact"),
-            F.round(F.sum(F.col("x.cosine")), 6).alias("sum_exact_cosine"),
+            PAR.round6(F.sum(F.col("x.cosine"))).alias("sum_exact_cosine"),
             (
                 (F.sum(hit.cast("int")) / F.count("*")) >= F.lit(floor)
             ).cast("int").alias("recall_ok"),
@@ -1265,9 +1264,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_sum([a.v[j] * a.v[j] FOR j IN generate_series(1, len(a.v))]))
               * sqrt(list_sum([b.v[j] * b.v[j] FOR j IN generate_series(1, len(b.v))]))) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    ex AS (SELECT ROUND(cos, 6) AS cos FROM scored WHERE cos >= 0.4)
+    ex AS (SELECT FLOOR((cos) * 1e6 + 0.5) / 1e6 AS cos FROM scored WHERE cos >= 0.4)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
-           CAST(ROUND(SUM(cos), 6) AS DOUBLE) AS sum_exact_cosine,
+           CAST(FLOOR((SUM(cos)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS sum_exact_cosine,
            CAST(1 AS INT) AS recall_ok,
            CAST(1 AS INT) AS subset_ok
     FROM ex
@@ -1304,7 +1303,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_approx = F.col("a.cosine").isNotNull()
     return j.agg(
         F.sum(in_exact.cast("long")).alias("n_exact"),
-        F.round(F.sum(F.col("x.cosine")), 6).alias("sum_exact_cosine"),
+        PAR.round6(F.sum(F.col("x.cosine"))).alias("sum_exact_cosine"),
         (
             (F.sum((in_exact & in_approx).cast("int")) / F.sum(in_exact.cast("int")))
             >= 0.35
@@ -1324,7 +1323,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_sum([a.v[j] * a.v[j] FOR j IN generate_series(1, len(a.v))]))
               * sqrt(list_sum([b.v[j] * b.v[j] FOR j IN generate_series(1, len(b.v))]))) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
+    SELECT id_a, id_b, CAST(FLOOR((cos) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cosine
     FROM scored WHERE cos >= 0.4
     """,
 )
@@ -1979,8 +1978,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_zscore",
     oracle="""
     SELECT doc_id, source,
-           CAST(ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
-                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY source), 6) AS DOUBLE) AS z
+           CAST(FLOOR(((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY source)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS z
     FROM documents
     """,
 )
@@ -1993,14 +1992,14 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     z = grouped_zscore(d, "source", "n_chars", "z")
-    return z.select("doc_id", "source", F.round("z", 6).alias("z"))
+    return z.select("doc_id", "source", PAR.round6("z").alias("z"))
 
 
 @register(
     "q_group_geomean",
     oracle="""
     SELECT event_type,
-           CAST(ROUND(EXP(AVG(LN(value))), 6) AS DOUBLE) AS geomean
+           CAST(FLOOR((EXP(AVG(LN(value)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS geomean
     FROM events GROUP BY event_type
     """,
 )
@@ -2015,7 +2014,7 @@ def q_group_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     gm = geomean_udf()
     # grouped-agg pandas UDFs cannot mix with built-in aggregates in one agg
     return e.groupBy("event_type").agg(
-        F.round(gm(F.col("value")), 6).alias("geomean")
+        PAR.round6(gm(F.col("value"))).alias("geomean")
     )
 
 
@@ -2115,8 +2114,8 @@ def _doc_repetition_stats(d: DataFrame, min_tokens: int = 3) -> DataFrame:
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
     {_sql_rep_stats(3)}
     SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-           CAST(ROUND(CAST(max_wc AS DOUBLE) / n_words, 6) AS DOUBLE) AS max_word_frac,
-           CAST(ROUND(1.0 - CAST(nd_tri AS DOUBLE) / n_tri, 6) AS DOUBLE) AS dup_trigram_frac,
+           CAST(FLOOR((CAST(max_wc AS DOUBLE) / n_words) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS max_word_frac,
+           CAST(FLOOR((1.0 - CAST(nd_tri AS DOUBLE) / n_tri) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS dup_trigram_frac,
            CAST(CASE WHEN CAST(max_wc AS DOUBLE) / n_words <= {GOPHER_MAX_WORD_FRAC}
                       AND 1.0 - CAST(nd_tri AS DOUBLE) / n_tri <= {GOPHER_MAX_DUP_TRIGRAM_FRAC}
                      THEN 1 ELSE 0 END AS INT) AS keep
@@ -2142,8 +2141,8 @@ def q_doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_repetition_stats(d).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round(max_frac, 6).alias("max_word_frac"),
-        F.round(dup_frac, 6).alias("dup_trigram_frac"),
+        PAR.round6(max_frac).alias("max_word_frac"),
+        PAR.round6(dup_frac).alias("dup_trigram_frac"),
         keep.cast("int").alias("keep"),
     )
 
@@ -2921,9 +2920,9 @@ def q_rollup_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame
     colm AS (SELECT lang, SUM(n) AS n_lang FROM cell GROUP BY lang),
     tot AS (SELECT SUM(n) AS n_tot FROM cell)
     SELECT c.source, c.lang, c.n,
-           ROUND(CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot, 6) AS expected,
-           ROUND(POW(c.n - CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot, 2)
-                 / (CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot), 6) AS chi2_contrib
+           FLOOR((CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot) * 1e6 + 0.5) / 1e6 AS expected,
+           FLOOR((POW(c.n - CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot, 2)
+                 / (CAST(r.n_src AS DOUBLE) * c2.n_lang / t.n_tot)) * 1e6 + 0.5) / 1e6 AS chi2_contrib
     FROM cell c
     JOIN rowm r USING (source) JOIN colm c2 USING (lang) CROSS JOIN tot t
     """,
@@ -2956,10 +2955,8 @@ def q_doc_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "n",
-            F.round(expected, 6).alias("expected"),
-            F.round(
-                F.pow(F.col("n") - expected, F.lit(2)) / expected, 6
-            ).alias("chi2_contrib"),
+            PAR.round6(expected).alias("expected"),
+            PAR.round6(F.pow(F.col("n") - expected, F.lit(2)) / expected).alias("chi2_contrib"),
         )
     )
 
@@ -2984,8 +2981,8 @@ def q_doc_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_v)
     SELECT CAST(v AS BIGINT) AS at_value,
            CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-           ROUND(abs(CAST(cum_a AS DOUBLE) / t.na
-                     - CAST(cum_b AS DOUBLE) / t.nb), 6) AS ks_stat
+           FLOOR((abs(CAST(cum_a AS DOUBLE) / t.na
+                     - CAST(cum_b AS DOUBLE) / t.nb)) * 1e6 + 0.5) / 1e6 AS ks_stat
     FROM ecdf, tot t
     ORDER BY abs(CAST(cum_a AS DOUBLE) / t.na - CAST(cum_b AS DOUBLE) / t.nb) DESC, v
     LIMIT 1
@@ -3039,7 +3036,7 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("at_value"),
             F.col("na").cast("long").alias("n_a"),
             F.col("nb").cast("long").alias("n_b"),
-            F.round(dstat, 6).alias("ks_stat"),
+            PAR.round6(dstat).alias("ks_stat"),
         )
     )
 
@@ -3057,10 +3054,10 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - COUNT(o_custkey) FILTER (WHERE side = 1) AS BIGINT) AS n_null_b,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE side = 0) AS BIGINT) AS n_distinct_a,
            CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE side = 1) AS BIGINT) AS n_distinct_b,
-           CAST(ROUND(CAST(MIN(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
-                - CAST(MIN(o_custkey) FILTER (WHERE side = 0) AS DOUBLE), 6) AS DOUBLE) AS min_shift,
-           CAST(ROUND(CAST(MAX(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
-                - CAST(MAX(o_custkey) FILTER (WHERE side = 0) AS DOUBLE), 6) AS DOUBLE) AS max_shift
+           CAST(FLOOR((CAST(MIN(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
+                - CAST(MIN(o_custkey) FILTER (WHERE side = 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS min_shift,
+           CAST(FLOOR((CAST(MAX(o_custkey) FILTER (WHERE side = 1) AS DOUBLE)
+                - CAST(MAX(o_custkey) FILTER (WHERE side = 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS max_shift
     FROM s
     UNION ALL
     SELECT 'o_totalprice',
@@ -3072,10 +3069,10 @@ def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - COUNT(o_totalprice) FILTER (WHERE side = 1) AS BIGINT),
            CAST(COUNT(DISTINCT o_totalprice) FILTER (WHERE side = 0) AS BIGINT),
            CAST(COUNT(DISTINCT o_totalprice) FILTER (WHERE side = 1) AS BIGINT),
-           CAST(ROUND(MIN(o_totalprice) FILTER (WHERE side = 1)
-                - MIN(o_totalprice) FILTER (WHERE side = 0), 6) AS DOUBLE),
-           CAST(ROUND(MAX(o_totalprice) FILTER (WHERE side = 1)
-                - MAX(o_totalprice) FILTER (WHERE side = 0), 6) AS DOUBLE)
+           CAST(FLOOR((MIN(o_totalprice) FILTER (WHERE side = 1)
+                - MIN(o_totalprice) FILTER (WHERE side = 0)) * 1e6 + 0.5) / 1e6 AS DOUBLE),
+           CAST(FLOOR((MAX(o_totalprice) FILTER (WHERE side = 1)
+                - MAX(o_totalprice) FILTER (WHERE side = 0)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
     FROM s
     UNION ALL
     SELECT 'o_orderstatus',
@@ -3300,8 +3297,8 @@ def q_entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
-           CAST(ROUND(COUNT(*) FILTER (WHERE v.tok IS NULL)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+           CAST(FLOOR((COUNT(*) FILTER (WHERE v.tok IS NULL)
+                 / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
     GROUP BY t.doc_id
     """,
@@ -3342,9 +3339,7 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.round(
-                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
-            ).alias("oov_rate"),
+            PAR.round6(F.col("n_oov") / F.col("n_tokens").cast("double")).alias("oov_rate"),
         )
     )
 
@@ -3429,10 +3424,10 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY bucket),
     tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM agg)
     SELECT bucket, n_a, n_b,
-           CAST(ROUND(n_a / CAST(ta AS DOUBLE), 6) AS DOUBLE) AS p_a,
-           CAST(ROUND(n_b / CAST(tb AS DOUBLE), 6) AS DOUBLE) AS p_b,
-           CAST(ROUND((n_a / CAST(ta AS DOUBLE) - n_b / CAST(tb AS DOUBLE))
-                 * ln((n_a / CAST(ta AS DOUBLE)) / (n_b / CAST(tb AS DOUBLE))), 6)
+           CAST(FLOOR((n_a / CAST(ta AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p_a,
+           CAST(FLOOR((n_b / CAST(tb AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p_b,
+           CAST(FLOOR(((n_a / CAST(ta AS DOUBLE) - n_b / CAST(tb AS DOUBLE))
+                 * ln((n_a / CAST(ta AS DOUBLE)) / (n_b / CAST(tb AS DOUBLE)))) * 1e6 + 0.5) / 1e6
             AS DOUBLE) AS psi_contrib
     FROM agg, tot WHERE n_a > 0 AND n_b > 0
     """,
@@ -3476,9 +3471,9 @@ def q_doc_psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_a",
             "n_b",
-            F.round(p, 6).alias("p_a"),
-            F.round(q, 6).alias("p_b"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+            PAR.round6(p).alias("p_a"),
+            PAR.round6(q).alias("p_b"),
+            PAR.round6((p - q) * F.log(p / q)).alias("psi_contrib"),
         )
     )
 
@@ -3564,7 +3559,7 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
       FROM dot d JOIN nrm na ON na.doc_id = d.id_a
                  JOIN nrm nb ON nb.doc_id = d.id_b)
-    SELECT id_a, id_b, CAST(rn AS INT) AS rank, ROUND(cosine, 6) AS cosine
+    SELECT id_a, id_b, CAST(rn AS INT) AS rank, FLOOR((cosine) * 1e6 + 0.5) / 1e6 AS cosine
     FROM scored WHERE rn <= 3
     """,
 )
@@ -3623,7 +3618,7 @@ def q_doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select(
             "id_a", "id_b", F.col("rank").cast("int").alias("rank"),
-            F.round(cos, 6).alias("cosine"),
+            PAR.round6(cos).alias("cosine"),
         )
     )
 
@@ -3966,7 +3961,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp AS (SELECT w1, SUM(nb) AS np FROM cb GROUP BY 1)
     SELECT b.doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(AVG(LN(CAST(cb.nb AS DOUBLE) / cp.np)), 6) AS mean_logprob
+           FLOOR((AVG(LN(CAST(cb.nb AS DOUBLE) / cp.np))) * 1e6 + 0.5) / 1e6 AS mean_logprob
     FROM bg b
       JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
       JOIN cp ON cp.w1 = b.w1
@@ -4014,9 +4009,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.round(
-                F.avg(F.log(F.col("nb").cast("double") / F.col("np"))), 6
-            ).alias("mean_logprob"),
+            PAR.round6(F.avg(F.log(F.col("nb").cast("double") / F.col("np")))).alias("mean_logprob"),
         )
     )
 
@@ -4041,8 +4034,8 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(q) AS INT) AS n_dims,
            CAST(list_sum(q) AS BIGINT) AS q_sum,
            md5(array_to_string(q, ',')) AS q_md5,
-           ROUND(list_max(list_transform(range(1, len(v) + 1),
-                 i -> abs(lo + q[i] * scale - v[i]))), 6) AS max_abs_err
+           FLOOR((list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(lo + q[i] * scale - v[i])))) * 1e6 + 0.5) / 1e6 AS max_abs_err
     FROM qd
     """,
 )
@@ -4064,7 +4057,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.transform("q", lambda x: x.cast("string")), ",")
         ).alias("q_md5"),
-        F.round("max_abs_err", 6).alias("max_abs_err"),
+        PAR.round6("max_abs_err").alias("max_abs_err"),
     )
 
 
@@ -4138,8 +4131,8 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(('0x' || substr(md5('aes0|' || CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM documents)
-    SELECT doc_id, weight, ROUND(ROUND(-ln(u) / weight, 12), 6) AS aes_priority
-    FROM s ORDER BY ROUND(-ln(u) / weight, 12), doc_id LIMIT 25
+    SELECT doc_id, weight, FLOOR((FLOOR((-ln(u) / weight) * 1e12 + 0.5) / 1e12) * 1e6 + 0.5) / 1e6 AS aes_priority
+    FROM s ORDER BY FLOOR((-ln(u) / weight) * 1e12 + 0.5) / 1e12, doc_id LIMIT 25
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4161,7 +4154,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").cast("double").alias("weight")
     )
     sel = weighted_sample_k(d, "doc_id", "weight", k=25, salt="aes0")
-    return sel.withColumn("aes_priority", F.round("aes_priority", 6))
+    return sel.withColumn("aes_priority", PAR.round6("aes_priority"))
 
 
 @register(
@@ -4176,7 +4169,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS toks
             FROM documents WHERE doc_id < 60) t)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+           CAST(FLOOR((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS containment
     FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.2
@@ -4276,8 +4269,8 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cnt ORDER BY n DESC, tok LIMIT 25)
     SELECT top.rank, top.tok, top.n AS n_occurrences,
            CAST(SUM(top.n) OVER (ORDER BY top.rank) AS BIGINT) AS cum_occurrences,
-           CAST(ROUND(CAST(SUM(top.n) OVER (ORDER BY top.rank) AS DOUBLE)
-                      / CAST(tot.n_total AS DOUBLE), 6) AS DOUBLE) AS cum_coverage
+           CAST(FLOOR((CAST(SUM(top.n) OVER (ORDER BY top.rank) AS DOUBLE)
+                      / CAST(tot.n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cum_coverage
     FROM top, tot
     """,
 )
@@ -4317,11 +4310,8 @@ def q_vocab_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             F.col("n").alias("n_occurrences"),
             F.sum("n").over(w_cum).cast("long").alias("cum_occurrences"),
-            F.round(
-                F.sum("n").over(w_cum).cast("double")
-                / F.col("n_total").cast("double"),
-                6,
-            ).alias("cum_coverage"),
+            PAR.round6(F.sum("n").over(w_cum).cast("double")
+                / F.col("n_total").cast("double")).alias("cum_coverage"),
         )
     )
 
@@ -4352,7 +4342,7 @@ def q_vocab_topn_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(diff_i) AS BIGINT) AS min_difficulty,
            CAST(MAX(diff_i) AS BIGINT) AS max_difficulty,
-           CAST(ROUND(AVG(diff_i), 6) AS DOUBLE) AS avg_difficulty
+           CAST(FLOOR((AVG(diff_i)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS avg_difficulty
     FROM b GROUP BY stage, shard
     """,
 )
@@ -4401,7 +4391,7 @@ def q_doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.min("diff_i").alias("min_difficulty"),
         F.max("diff_i").alias("max_difficulty"),
-        F.round(F.avg("diff_i"), 6).alias("avg_difficulty"),
+        PAR.round6(F.avg("diff_i")).alias("avg_difficulty"),
     )
 
 
@@ -4429,15 +4419,15 @@ def q_doc_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (SELECT COUNT(*) FROM a JOIN b USING (key)) AS n_inter)
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            CAST(n_inter AS BIGINT) AS n_intersect,
-           CAST(ROUND(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
+           CAST(FLOOR((CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS exact_jaccard,
-           CAST(ROUND(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-                           ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END, 6)
+           CAST(FLOOR((CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                           ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS est_union,
-           CAST(ROUND(CAST(rho AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DOUBLE) AS est_jaccard,
-           CAST(ROUND((CAST(rho AS DOUBLE) / CAST(m AS DOUBLE))
+           CAST(FLOOR((CAST(rho AS DOUBLE) / CAST(m AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS est_jaccard,
+           CAST(FLOOR(((CAST(rho AS DOUBLE) / CAST(m AS DOUBLE))
                       * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-                              ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END), 6)
+                              ELSE CAST(17732923532771328 AS DOUBLE) / CAST(tau AS DOUBLE) END)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS est_intersect
     FROM ex, st
     """,
@@ -4481,14 +4471,11 @@ def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.lit(n_inter).cast("long").alias("n_intersect"),
-        F.round(
-            F.lit(n_inter).cast("double")
-            / F.lit(n_a + n_b - n_inter).cast("double"),
-            6,
-        ).alias("exact_jaccard"),
-        F.round("est_union", 6).alias("est_union"),
-        F.round("est_jaccard", 6).alias("est_jaccard"),
-        F.round("est_intersect", 6).alias("est_intersect"),
+        PAR.round6(F.lit(n_inter).cast("double")
+            / F.lit(n_a + n_b - n_inter).cast("double")).alias("exact_jaccard"),
+        PAR.round6("est_union").alias("est_union"),
+        PAR.round6("est_jaccard").alias("est_jaccard"),
+        PAR.round6("est_intersect").alias("est_intersect"),
     )
 
 
@@ -4506,7 +4493,7 @@ def q_sets_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
                       AS DOUBLE) AS j
       FROM s a JOIN s b ON a.doc_id < b.doc_id)
-    SELECT id_a, id_b, CAST(ROUND(j, 6) AS DOUBLE) AS jaccard
+    SELECT id_a, id_b, CAST(FLOOR((j) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS jaccard
     FROM p WHERE j >= 0.75
     """,
 )
@@ -4537,21 +4524,21 @@ _JL_SQL_MATRIX = """[[-1.0, -1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, 1.0, -1.0, -1
     e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings WHERE vec_id < 81),
     p AS (SELECT vec_id, v,
-                 [ROUND(CAST(0.25 AS DOUBLE)
-                        * list_sum([m[j][i] * v[i] FOR i IN generate_series(1, 64)]), 6)
+                 [FLOOR((CAST(0.25 AS DOUBLE)
+                        * list_sum([m[j][i] * v[i] FOR i IN generate_series(1, 64)])) * 1e6 + 0.5) / 1e6
                   FOR j IN generate_series(1, 16)] AS pv
           FROM e, sgn),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(sqrt(list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
-                                  FOR i IN generate_series(1, 64)])), 6) AS d_orig,
-             ROUND(sqrt(list_sum([(a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])
-                                  FOR j IN generate_series(1, 16)])), 6) AS d_proj
+             FLOOR((sqrt(list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                                  FOR i IN generate_series(1, 64)]))) * 1e6 + 0.5) / 1e6 AS d_orig,
+             FLOOR((sqrt(list_sum([(a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])
+                                  FOR j IN generate_series(1, 16)]))) * 1e6 + 0.5) / 1e6 AS d_proj
       FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
       WHERE a.vec_id % 2 = 0 AND a.vec_id < 80)
     SELECT id_a, id_b, CAST(d_orig AS DOUBLE) AS d_orig,
            CAST(d_proj AS DOUBLE) AS d_proj,
-           CAST(ROUND(d_proj / d_orig, 6) AS DOUBLE) AS distortion
+           CAST(FLOOR((d_proj / d_orig) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS distortion
     FROM pairs
     """,
 )
@@ -4585,8 +4572,8 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = p.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("pv").alias("pb")
     )
-    d_orig = F.round(PJ.euclidean(F.col("va"), F.col("vb")), 6)
-    d_proj = F.round(PJ.euclidean(F.col("pa"), F.col("pb")), 6)
+    d_orig = PAR.round6(PJ.euclidean(F.col("va"), F.col("vb")))
+    d_proj = PAR.round6(PJ.euclidean(F.col("pa"), F.col("pb")))
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
         .withColumn("d_orig", d_orig)
@@ -4596,7 +4583,7 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             "d_orig",
             "d_proj",
-            F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("distortion"),
+            PAR.round6(F.col("d_proj") / F.col("d_orig")).alias("distortion"),
         )
     )
 
@@ -4677,8 +4664,8 @@ def q_events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(dev) OVER (PARTITION BY event_type ORDER BY day) AS srun
       FROM s)
     SELECT event_type, day, n,
-           CAST(ROUND(srun - LEAST(CAST(0 AS DOUBLE),
-                 MIN(srun) OVER (PARTITION BY event_type ORDER BY day)), 6)
+           CAST(FLOOR((srun - LEAST(CAST(0 AS DOUBLE),
+                 MIN(srun) OVER (PARTITION BY event_type ORDER BY day))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS cusum
     FROM r
     """,
@@ -4712,11 +4699,8 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n",
-        F.round(
-            F.col("srun")
-            - F.least(F.lit(0.0), F.min("srun").over(wo)),
-            6,
-        ).alias("cusum"),
+        PAR.round6(F.col("srun")
+            - F.least(F.lit(0.0), F.min("srun").over(wo))).alias("cusum"),
     )
 
 
@@ -4744,7 +4728,7 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WHERE n_chars IS NOT NULL GROUP BY source)
     SELECT b.doc_id, b.source,
            COALESCE(b.lang, lm.lfill) AS lang_filled,
-           CAST(ROUND(COALESCE(b.n_chars, nm.nfill), 6) AS DOUBLE) AS n_chars_filled,
+           CAST(FLOOR((COALESCE(b.n_chars, nm.nfill)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS n_chars_filled,
            CAST(b.lang IS NULL AS INT) AS was_lang_null,
            CAST(b.n_chars IS NULL AS INT) AS was_nchars_null
     FROM base b LEFT JOIN lm USING (source) LEFT JOIN nm USING (source)
@@ -4796,7 +4780,7 @@ def q_doc_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.col("lang").alias("lang_filled"),
-        F.round("n_chars", 6).alias("n_chars_filled"),
+        PAR.round6("n_chars").alias("n_chars_filled"),
         "was_lang_null",
         "was_nchars_null",
     )
@@ -4820,8 +4804,8 @@ def q_doc_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / pow(CAST(0.5 AS DOUBLE), i) END AS w
       FROM r)
     SELECT event_type, day, n,
-           CAST(ROUND(pow(CAST(0.5 AS DOUBLE), i)
-                      * SUM(w) OVER (PARTITION BY event_type ORDER BY day), 6)
+           CAST(FLOOR((pow(CAST(0.5 AS DOUBLE), i)
+                      * SUM(w) OVER (PARTITION BY event_type ORDER BY day)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS ewma
     FROM s
     """,
@@ -4861,9 +4845,7 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n",
-        F.round(
-            F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(wo), 6
-        ).alias("ewma"),
+        PAR.round6(F.pow(F.lit(0.5), F.col("i")) * F.sum("w").over(wo)).alias("ewma"),
     )
 
 
@@ -4876,11 +4858,11 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT) + 0.5) / 4294967296.0 AS u
       FROM documents),
     r AS (
-      SELECT doc_id, source, weight, ROUND(-ln(u) / weight, 12) AS pri,
+      SELECT doc_id, source, weight, FLOOR((-ln(u) / weight) * 1e12 + 0.5) / 1e12 AS pri,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY ROUND(-ln(u) / weight, 12), doc_id) AS rn
+                                ORDER BY FLOOR((-ln(u) / weight) * 1e12 + 0.5) / 1e12, doc_id) AS rn
       FROM s)
-    SELECT doc_id, source, weight, ROUND(pri, 6) AS aes_priority
+    SELECT doc_id, source, weight, FLOOR((pri) * 1e6 + 0.5) / 1e6 AS aes_priority
     FROM r WHERE rn <= 3
     """,
 )
@@ -4903,7 +4885,7 @@ def q_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "weight", k=3, salt="aesg", group_col="source"
     )
     return sel.select(
-        "doc_id", "source", "weight", F.round("aes_priority", 6).alias("aes_priority")
+        "doc_id", "source", "weight", PAR.round6("aes_priority").alias("aes_priority")
     )
 
 
@@ -4912,50 +4894,50 @@ def q_sample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'lineitem.orderkey->orders' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 END) = 0 AS passed
     FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON c.l_orderkey = p.o_orderkey
     UNION ALL
     SELECT 'lineitem.partkey->part' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.l_partkey IS NOT NULL AND p.p_partkey IS NULL THEN 1 END) = 0 AS passed
     FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON c.l_partkey = p.p_partkey
     UNION ALL
     SELECT 'lineitem.suppkey->supplier' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 END) = 0 AS passed
     FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p ON c.l_suppkey = p.s_suppkey
     UNION ALL
     SELECT 'orders.custkey->customer' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 END) = 0 AS passed
     FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON c.o_custkey = p.c_custkey
     UNION ALL
     SELECT 'customer.nationkey->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) = 0 AS passed
     FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.c_nationkey = p.n_nationkey
     UNION ALL
     SELECT 'supplier.nationkey->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.s_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 END) = 0 AS passed
     FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.s_nationkey = p.n_nationkey
     UNION ALL
     SELECT 'nation.regionkey->region' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
            CAST(COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
-           CAST(ROUND(CAST(COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) AS DOUBLE)
-                      / CAST(greatest(COUNT(*), 1) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate,
+           CAST(FLOOR((CAST(COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) AS DOUBLE)
+                      / CAST(greatest(COUNT(*), 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS orphan_rate,
            COUNT(CASE WHEN c.n_regionkey IS NOT NULL AND p.r_regionkey IS NULL THEN 1 END) = 0 AS passed
     FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) p ON c.n_regionkey = p.r_regionkey
     """,
@@ -5139,10 +5121,10 @@ def q_vocab_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS n_tok,
                    (SELECT CAST(SUM(n_ab) AS BIGINT) FROM pr) AS n_pair),
     sc AS (SELECT tok_a, tok_b, n_ab,
-                  ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                  FLOOR((ln((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
                             * CAST(n_tok AS DOUBLE))
                            / (CAST(n_pair AS DOUBLE) * CAST(ua.n AS DOUBLE)
-                              * CAST(ub.n AS DOUBLE))), 6) AS pmi
+                              * CAST(ub.n AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS pmi
            FROM pr JOIN uni ua ON pr.tok_a = ua.tok
                    JOIN uni ub ON pr.tok_b = ub.tok, tot
            WHERE n_ab >= 5),
@@ -5203,8 +5185,7 @@ def q_doc_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             "n_ab",
-            F.round(
-                F.log(
+            PAR.round6(F.log(
                     (
                         F.col("n_ab").cast("double")
                         * F.col("n_tok").cast("double")
@@ -5215,9 +5196,7 @@ def q_doc_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("n_a").cast("double")
                         * F.col("n_b").cast("double")
                     )
-                ),
-                6,
-            ).alias("pmi"),
+                )).alias("pmi"),
         )
     )
     top = sc.orderBy(F.desc("pmi"), "tok_a", "tok_b").limit(20)
@@ -5241,9 +5220,9 @@ def q_doc_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS vocab_size,
            CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax_count,
            CAST(COUNT(*) FILTER (WHERE n = 2) AS BIGINT) AS dis_count,
-           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS hapax_rate,
-           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+           CAST(FLOOR((CAST(COUNT(*) FILTER (WHERE n = 1) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS hapax_rate,
+           CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS type_token_ratio,
            CAST(MAX(n) AS BIGINT) AS top_token_count
     FROM cnt
@@ -5271,14 +5250,9 @@ def q_doc_lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("vocab_size"),
         F.count(F.when(F.col("n") == 1, 1)).cast("long").alias("hapax_count"),
         F.count(F.when(F.col("n") == 2, 1)).cast("long").alias("dis_count"),
-        F.round(
-            F.count(F.when(F.col("n") == 1, 1)).cast("double")
-            / F.count("*").cast("double"),
-            6,
-        ).alias("hapax_rate"),
-        F.round(
-            F.count("*").cast("double") / F.sum("n").cast("double"), 6
-        ).alias("type_token_ratio"),
+        PAR.round6(F.count(F.when(F.col("n") == 1, 1)).cast("double")
+            / F.count("*").cast("double")).alias("hapax_rate"),
+        PAR.round6(F.count("*").cast("double") / F.sum("n").cast("double")).alias("type_token_ratio"),
         F.max("n").alias("top_token_count"),
     )
 
@@ -5304,10 +5278,10 @@ def q_doc_lexicon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / CAST(2 AS DOUBLE))) AS u
           FROM r)
     SELECT n_pos, n_neg,
-           CAST(ROUND((u - CAST(n_pos AS DOUBLE)
+           CAST(FLOOR(((u - CAST(n_pos AS DOUBLE)
                            * (CAST(n_pos AS DOUBLE) + CAST(1 AS DOUBLE))
                            / CAST(2 AS DOUBLE))
-                      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS auc
     FROM t
     """,
@@ -5350,16 +5324,13 @@ def q_eval_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "n_pos",
         "n_neg",
-        F.round(
-            (
+        PAR.round6((
                 F.col("u")
                 - F.col("n_pos").cast("double")
                 * (F.col("n_pos").cast("double") + F.lit(1.0))
                 / F.lit(2.0)
             )
-            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
-            6,
-        ).alias("auc"),
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))).alias("auc"),
     )
 
 
@@ -5464,12 +5435,12 @@ def q_doc_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(n_b AS DOUBLE) AS seb
       FROM m)
     SELECT n_a, n_b,
-           CAST(ROUND(mean_a, 6) AS DOUBLE) AS mean_a,
-           CAST(ROUND(mean_b, 6) AS DOUBLE) AS mean_b,
-           CAST(ROUND((mean_a - mean_b) / sqrt(sea + seb), 6) AS DOUBLE) AS t_stat,
-           CAST(ROUND((sea + seb) * (sea + seb)
+           CAST(FLOOR((mean_a) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_a,
+           CAST(FLOOR((mean_b) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_b,
+           CAST(FLOOR(((mean_a - mean_b) / sqrt(sea + seb)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS t_stat,
+           CAST(FLOOR(((sea + seb) * (sea + seb)
                       / (sea * sea / CAST(n_a - 1 AS DOUBLE)
-                         + seb * seb / CAST(n_b - 1 AS DOUBLE)), 6)
+                         + seb * seb / CAST(n_b - 1 AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS welch_df
     FROM d
     """,
@@ -5517,20 +5488,17 @@ def q_eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "n_a",
         "n_b",
-        F.round("mean_a", 6).alias("mean_a"),
-        F.round("mean_b", 6).alias("mean_b"),
-        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias(
+        PAR.round6("mean_a").alias("mean_a"),
+        PAR.round6("mean_b").alias("mean_b"),
+        PAR.round6((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias(
             "t_stat"
         ),
-        F.round(
-            se2
+        PAR.round6(se2
             * se2
             / (
                 F.col("sea") * F.col("sea") / (F.col("n_a").cast("double") - F.lit(1.0))
                 + F.col("seb") * F.col("seb") / (F.col("n_b").cast("double") - F.lit(1.0))
-            ),
-            6,
-        ).alias("welch_df"),
+            )).alias("welch_df"),
     )
 
 
@@ -5602,8 +5570,8 @@ def q_events_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (ORDER BY bucket) AS cdf_gap
       FROM agg, tot)
     SELECT bucket, n_a, n_b,
-           CAST(ROUND(cdf_gap, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS cdf_gap,
-           CAST(ROUND(abs(cdf_gap), 6) AS DOUBLE) AS emd_contrib
+           CAST(FLOOR((cdf_gap) * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) AS DOUBLE) AS cdf_gap,
+           CAST(FLOOR((abs(cdf_gap)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS emd_contrib
     FROM c
     """,
 )
@@ -5653,8 +5621,8 @@ def q_doc_emd_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0 canonicalizes IEEE negative zero: the last band's gap is the
         # full-distribution difference, mathematically 0 but computed as
         # ~-1e-17 — ROUND keeps the sign and str(-0.0) != str(0.0)
-        (F.round("cdf_gap", 6) + F.lit(0.0)).alias("cdf_gap"),
-        F.round(F.abs("cdf_gap"), 6).alias("emd_contrib"),
+        (PAR.round6("cdf_gap") + F.lit(0.0)).alias("cdf_gap"),
+        PAR.round6(F.abs("cdf_gap")).alias("emd_contrib"),
     )
 
 
@@ -5678,8 +5646,8 @@ def q_doc_emd_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
            GROUP BY a.source, b.source)
     SELECT src_a, src_b, n_common,
-           CAST(ROUND(CAST(n_common AS DOUBLE)
-                      / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+           CAST(FLOOR((CAST(n_common AS DOUBLE)
+                      / CAST(sa.n + sb.n - n_common AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS jaccard
     FROM ov JOIN sz sa ON ov.src_a = sa.source
             JOIN sz sb ON ov.src_b = sb.source
@@ -5729,11 +5697,8 @@ def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_a",
             "src_b",
             "n_common",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            PAR.round6(F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")).alias("jaccard"),
         )
     )
 
@@ -5752,10 +5717,10 @@ def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_src
       FROM g)
     SELECT d.doc_id, d.source, d.n_chars,
-           CAST(ROUND((CAST(r.cum_before AS DOUBLE)
+           CAST(FLOOR(((CAST(r.cum_before AS DOUBLE)
                        + (CAST(r.n AS DOUBLE) + CAST(1 AS DOUBLE))
                          / CAST(2 AS DOUBLE))
-                      / CAST(r.n_src AS DOUBLE), 6) AS DOUBLE) AS pctl
+                      / CAST(r.n_src AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS pctl
     FROM documents d JOIN r ON d.source = r.source AND d.n_chars = r.n_chars
     """,
 )
@@ -5790,14 +5755,11 @@ def q_doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
-        F.round(
-            (
+        PAR.round6((
                 F.col("cum_before").cast("double")
                 + (F.col("n").cast("double") + F.lit(1.0)) / F.lit(2.0)
             )
-            / F.col("n_src").cast("double"),
-            6,
-        ).alias("pctl"),
+            / F.col("n_src").cast("double")).alias("pctl"),
     )
 
 
@@ -5812,12 +5774,12 @@ def q_doc_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type < c.event_type
           GROUP BY a.event_type, c.event_type)
     SELECT item_a, item_b, n_ab,
-           CAST(ROUND(CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+           CAST(FLOOR((CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS support,
-           CAST(ROUND(CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+           CAST(FLOOR((CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS confidence_a_b,
-           CAST(ROUND((CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
-                      / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6)
+           CAST(FLOOR(((CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+                      / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS lift
     FROM p JOIN s1 sa ON p.item_a = sa.event_type
            JOIN s1 sb ON p.item_b = sb.event_type, nu
@@ -5860,17 +5822,12 @@ def q_events_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_a",
             "item_b",
             "n_ab",
-            F.round(F.col("n_ab").cast("double") / F.lit(float(nu)), 6).alias(
+            PAR.round6(F.col("n_ab").cast("double") / F.lit(float(nu))).alias(
                 "support"
             ),
-            F.round(
-                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
-            ).alias("confidence_a_b"),
-            F.round(
-                (F.col("n_ab").cast("double") * F.lit(float(nu)))
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
-                6,
-            ).alias("lift"),
+            PAR.round6(F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias("confidence_a_b"),
+            PAR.round6((F.col("n_ab").cast("double") * F.lit(float(nu)))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))).alias("lift"),
         )
     )
 
@@ -5985,13 +5942,13 @@ def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf(digit, p) AS (VALUES (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
     SELECT bf.digit, COALESCE(obs.n_obs, 0) AS n_obs,
-           CAST(ROUND(bf.p, 6) AS DOUBLE) AS benford_p,
-           CAST(ROUND(CAST(tot.n AS DOUBLE) * bf.p, 6) AS DOUBLE) AS expected,
-           CAST(ROUND((CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+           CAST(FLOOR((bf.p) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS benford_p,
+           CAST(FLOOR((CAST(tot.n AS DOUBLE) * bf.p) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS expected,
+           CAST(FLOOR(((CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
                        - CAST(tot.n AS DOUBLE) * bf.p)
                       * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
                          - CAST(tot.n AS DOUBLE) * bf.p)
-                      / (CAST(tot.n AS DOUBLE) * bf.p), 6) AS DOUBLE) AS chi2_contrib
+                      / (CAST(tot.n AS DOUBLE) * bf.p)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS chi2_contrib
     FROM bf LEFT JOIN obs ON bf.digit = obs.digit, tot
     """,
 )
@@ -6036,11 +5993,9 @@ def q_audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.col("n_obs").cast("long").alias("n_obs"),
-            F.round("p", 6).alias("benford_p"),
-            F.round(F.col("n").cast("double") * F.col("p"), 6).alias("expected"),
-            F.round(
-                dev * dev / (F.col("n").cast("double") * F.col("p")), 6
-            ).alias("chi2_contrib"),
+            PAR.round6("p").alias("benford_p"),
+            PAR.round6(F.col("n").cast("double") * F.col("p")).alias("expected"),
+            PAR.round6(dev * dev / (F.col("n").cast("double") * F.col("p"))).alias("chi2_contrib"),
         )
     )
 
@@ -6061,19 +6016,19 @@ def q_audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, key ASC) AS i
                 FROM c))
     SELECT n_rows, n_keys, max_count,
-           CAST(ROUND(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
-                      * CAST(n_keys AS DOUBLE), 6) AS DOUBLE) AS max_over_avg,
-           CAST(ROUND(CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+           CAST(FLOOR((CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                      * CAST(n_keys AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS max_over_avg,
+           CAST(FLOOR((CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS top1_share,
-           CAST(ROUND(CAST(topk AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+           CAST(FLOOR((CAST(topk AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS topk_share,
-           CAST(ROUND(CAST(sumsq AS DOUBLE)
-                      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
+           CAST(FLOOR((CAST(sumsq AS DOUBLE)
+                      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS hhi,
-           CAST(ROUND(CAST(2 AS DOUBLE) * CAST(ic AS DOUBLE)
+           CAST(FLOOR((CAST(2 AS DOUBLE) * CAST(ic AS DOUBLE)
                       / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
                       - (CAST(n_keys AS DOUBLE) + CAST(1 AS DOUBLE))
-                        / CAST(n_keys AS DOUBLE), 6)
+                        / CAST(n_keys AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS gini
     FROM base, top, g
     """,
@@ -6122,8 +6077,8 @@ def q_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_classes_below_k,
            CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              AS rows_at_risk,
-           CAST(ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
-                      / CAST(SUM(n) AS DOUBLE), 6) AS DOUBLE) AS risk_rate,
+           CAST(FLOOR((CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS risk_rate,
            CAST(MIN(l) AS BIGINT) AS min_l_diversity,
            CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_classes_below_l
@@ -6262,11 +6217,11 @@ def q_doc_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b, tot),
     e AS (SELECT SUM(contrib) AS ece FROM g)
     SELECT bin, n, n_pos,
-           CAST(ROUND(conf, 6) AS DOUBLE) AS mean_confidence,
-           CAST(ROUND(acc, 6) AS DOUBLE) AS observed_rate,
-           CAST(ROUND(abs(acc - conf), 6) AS DOUBLE) AS abs_gap,
-           CAST(ROUND(contrib, 6) AS DOUBLE) AS ece_contrib,
-           CAST(ROUND(e.ece, 6) AS DOUBLE) AS ece_total
+           CAST(FLOOR((conf) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_confidence,
+           CAST(FLOOR((acc) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS observed_rate,
+           CAST(FLOOR((abs(acc - conf)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS abs_gap,
+           CAST(FLOOR((contrib) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ece_contrib,
+           CAST(FLOOR((e.ece) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ece_total
     FROM g, e
     """,
 )
@@ -6332,11 +6287,11 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n",
         "n_pos",
-        F.round("_conf", 6).alias("mean_confidence"),
-        F.round("_acc", 6).alias("observed_rate"),
-        F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("abs_gap"),
-        F.round("_contrib", 6).alias("ece_contrib"),
-        F.round("ece", 6).alias("ece_total"),
+        PAR.round6("_conf").alias("mean_confidence"),
+        PAR.round6("_acc").alias("observed_rate"),
+        PAR.round6(F.abs(F.col("_acc") - F.col("_conf"))).alias("abs_gap"),
+        PAR.round6("_contrib").alias("ece_contrib"),
+        PAR.round6("ece").alias("ece_total"),
     )
 
 
@@ -6359,7 +6314,7 @@ def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dev b ON b.d = a.d + k.k
       GROUP BY k.k)
     SELECT CAST(lag AS INT) AS lag, n_pairs,
-           CAST(ROUND(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+           CAST(FLOOR((CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS acf
     FROM num, den
     """,
@@ -6413,7 +6368,7 @@ def q_events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag",
         "n_pairs",
         (
-            F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+            PAR.round6(F.col("num").cast("double") / F.col("den").cast("double"))
             + F.lit(0.0)
         ).alias("acf"),
     )
@@ -6499,8 +6454,8 @@ def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
              + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rb.r AS DOUBLE)),
                         CAST(0 AS DOUBLE)) AS rrf
       FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
-    SELECT doc_id, rank_tf, rank_len, CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf_score
-    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 12) DESC, doc_id ASC)
+    SELECT doc_id, rank_tf, rank_len, CAST(FLOOR((rrf) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS rrf_score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY FLOOR((rrf) * 1e12 + 0.5) / 1e12 DESC, doc_id ASC)
                       AS out_r
           FROM fused) t
     WHERE out_r <= 20
@@ -6574,11 +6529,11 @@ def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fused.withColumn(
         "out_r",
         F.row_number().over(
-            Window.orderBy(F.round("rrf", 12).desc(), F.col("doc_id").asc())
+            Window.orderBy(PAR.round_at("rrf", 12).desc(), F.col("doc_id").asc())
         ),
     )
     return out.filter(F.col("out_r") <= 20).select(
-        "doc_id", "rank_tf", "rank_len", F.round("rrf", 6).alias("rrf_score")
+        "doc_id", "rank_tf", "rank_len", PAR.round6("rrf").alias("rrf_score")
     )
 
 
@@ -6595,7 +6550,7 @@ def q_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total FROM t
           GROUP BY from_type)
     SELECT t.from_type, t.to_type, t.n, m.from_total,
-           CAST(ROUND(CAST(t.n AS DOUBLE) / CAST(m.from_total AS DOUBLE), 6)
+           CAST(FLOOR((CAST(t.n AS DOUBLE) / CAST(m.from_total AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS p,
            CAST(CASE WHEN t.from_type = t.to_type THEN 1 ELSE 0 END AS INT)
              AS self_loop
@@ -6633,9 +6588,7 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         "n",
         "from_total",
-        F.round(
-            F.col("n").cast("double") / F.col("from_total").cast("double"), 6
-        ).alias("p"),
+        PAR.round6(F.col("n").cast("double") / F.col("from_total").cast("double")).alias("p"),
         F.when(F.col("from_type") == F.col("to_type"), 1)
         .otherwise(0)
         .cast("int")
@@ -6761,8 +6714,8 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-           CAST(ROUND(CAST(SUM(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS dup_rate
+           CAST(FLOOR((CAST(SUM(CASE WHEN gdf.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS dup_rate
     FROM dg JOIN gdf ON dg.g = gdf.g
     GROUP BY dg.doc_id
     """,
@@ -6805,9 +6758,7 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_shared",
-            F.round(
-                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
-            ).alias("dup_rate"),
+            PAR.round6(F.col("n_shared").cast("double") / F.col("n_grams").cast("double")).alias("dup_rate"),
         )
     )
 
@@ -6828,12 +6779,11 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(c AS HUGEINT) * (c - 1)) AS rep
       FROM tc GROUP BY source)
     SELECT source, n_tokens, n_types,
-           CAST(ROUND(CAST(rep AS DOUBLE)
-                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)),
-                      6) AS DOUBLE) AS simpson,
-           CAST(ROUND(CASE WHEN rep = 0 THEN NULL
+           CAST(FLOOR((CAST(rep AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS simpson,
+           CAST(FLOOR((CASE WHEN rep = 0 THEN NULL
                       ELSE (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
-                           / CAST(rep AS DOUBLE) END, 6) AS DOUBLE) AS inv_simpson
+                           / CAST(rep AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS inv_simpson
     FROM s
     """,
 )
@@ -6868,13 +6818,10 @@ def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "n_types",
-        F.round(F.col("rep").cast("double") / pairs, 6).alias("simpson"),
-        F.round(
-            F.when(F.col("rep") == 0, F.lit(None)).otherwise(
+        PAR.round6(F.col("rep").cast("double") / pairs).alias("simpson"),
+        PAR.round6(F.when(F.col("rep") == 0, F.lit(None)).otherwise(
                 pairs / F.col("rep").cast("double")
-            ),
-            6,
-        ).alias("inv_simpson"),
+            )).alias("inv_simpson"),
     )
 
 
@@ -6891,7 +6838,7 @@ def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY node),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total FROM deg)
     SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n.n_nodes_total AS DOUBLE), 6)
+           CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) / CAST(n.n_nodes_total AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS share
     FROM deg, n GROUP BY degree, n.n_nodes_total
     """,
@@ -6935,10 +6882,7 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "degree",
             "n_nodes",
-            F.round(
-                F.col("n_nodes").cast("double") / F.col("n_nodes_total").cast("double"),
-                6,
-            ).alias("share"),
+            PAR.round6(F.col("n_nodes").cast("double") / F.col("n_nodes_total").cast("double")).alias("share"),
         )
     )
 
@@ -6947,8 +6891,8 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_percentile_rank",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
-           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+           CAST(FLOOR((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS pct_rank,
+           CAST(FLOOR((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cume,
            CAST(rank() OVER w AS BIGINT) AS rnk
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
@@ -6969,8 +6913,8 @@ def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        PAR.round6(F.percent_rank().over(w)).alias("pct_rank"),
+        PAR.round6(F.cume_dist().over(w)).alias("cume"),
         F.rank().over(w).cast("long").alias("rnk"),
     )
 
@@ -6988,11 +6932,11 @@ def q_window_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r
       FROM v QUALIFY r <= 100)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-           CAST(ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+           CAST(FLOOR((regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS zipf_slope,
-           CAST(ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+           CAST(FLOOR((regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS zipf_intercept,
-           CAST(ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+           CAST(FLOOR((regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS r2
     FROM top
     """,
@@ -7033,9 +6977,9 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.log(F.col("r").cast("double"))
     return top.agg(
         F.count("*").cast("long").alias("n_points"),
-        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        PAR.round6(F.regr_slope(y, x)).alias("zipf_slope"),
+        PAR.round6(F.regr_intercept(y, x)).alias("zipf_intercept"),
+        PAR.round6(F.regr_r2(y, x)).alias("r2"),
     )
 
 
@@ -7057,12 +7001,12 @@ def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS n_syllables
       FROM base)
     SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences, n_syllables,
-           CAST(ROUND(CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+           CAST(FLOOR((CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
              ELSE CAST(0.39 AS DOUBLE)
                     * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
                   + CAST(11.8 AS DOUBLE)
                     * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-                  - CAST(15.59 AS DOUBLE) END, 6) AS DOUBLE) AS fk_grade
+                  - CAST(15.59 AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS fk_grade
     FROM syl
     """,
 )
@@ -7118,7 +7062,7 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_sentences",
         "n_syllables",
-        F.round(grade, 6).alias("fk_grade"),
+        PAR.round6(grade).alias("fk_grade"),
     )
 
 
@@ -7142,10 +7086,10 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(rev) AS t FROM dec)
     SELECT CAST(decile AS INT) AS decile, n_suppliers,
            CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
-           CAST(ROUND(CAST(rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(rev AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS share,
-           CAST(ROUND(CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
-                      / CAST(tot.t AS DOUBLE), 6) AS DOUBLE) AS cum_share
+           CAST(FLOOR((CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
+                      / CAST(tot.t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS cum_share
     FROM dec, tot
     """,
 )
@@ -7198,12 +7142,8 @@ def q_supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_suppliers",
             F.round("rev", 2).cast("double").alias("revenue"),
-            F.round(
-                F.col("rev").cast("double") / F.col("t").cast("double"), 6
-            ).alias("share"),
-            F.round(
-                F.sum("rev").over(w).cast("double") / F.col("t").cast("double"), 6
-            ).alias("cum_share"),
+            PAR.round6(F.col("rev").cast("double") / F.col("t").cast("double")).alias("share"),
+            PAR.round6(F.sum("rev").over(w).cast("double") / F.col("t").cast("double")).alias("cum_share"),
         )
     )
 
@@ -7220,11 +7160,11 @@ def q_supplier_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM daily GROUP BY event_type)
     SELECT event_type, nn AS n_days, sx AS n_events,
-           CAST(ROUND(CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS mean_daily,
-           CAST(ROUND(CAST(nn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           CAST(FLOOR((CAST(nn * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                       / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)
-                         * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+                         * (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS fano
     FROM s WHERE nn > 1 AND sx > 0
     """,
@@ -7263,10 +7203,8 @@ def q_events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("nn").alias("n_days"),
         F.col("sx").alias("n_events"),
-        F.round(mean, 6).alias("mean_daily"),
-        F.round(
-            var_num / (nn * (F.col("nn") - 1).cast("double") * mean), 6
-        ).alias("fano"),
+        PAR.round6(mean).alias("mean_daily"),
+        PAR.round6(var_num / (nn * (F.col("nn") - 1).cast("double") * mean)).alias("fano"),
     )
 
 
@@ -7360,9 +7298,9 @@ def q_nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n_days AS DOUBLE)) AS ss_b
       FROM g, st)
     SELECT CAST(g.dow AS INT) AS dow, g.n_days,
-           CAST(ROUND(CAST(g.sg AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6)
+           CAST(FLOOR((CAST(g.sg AS DOUBLE) / CAST(g.n_days AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS mean_count,
-           CAST(ROUND(btw.ss_b / CAST(tot.ss_t AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((btw.ss_b / CAST(tot.ss_t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS seasonality_strength
     FROM g, st, tot, btw
     """,
@@ -7413,10 +7351,8 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("dow").cast("int").alias("dow"),
             "n_days",
-            F.round(
-                F.col("sg").cast("double") / F.col("n_days").cast("double"), 6
-            ).alias("mean_count"),
-            F.round(F.col("ss_b") / F.col("ss_t").cast("double"), 6).alias(
+            PAR.round6(F.col("sg").cast("double") / F.col("n_days").cast("double")).alias("mean_count"),
+            PAR.round6(F.col("ss_b") / F.col("ss_t").cast("double")).alias(
                 "seasonality_strength"
             ),
         )
@@ -7435,9 +7371,8 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(conv) AS BIGINT) AS k
       FROM u GROUP BY variant)
     SELECT CAST(variant AS INT) AS variant, n, k AS conversions,
-           CAST(ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS rate,
-           CAST(ROUND(
-             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           CAST(FLOOR((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS rate,
+           CAST(FLOOR((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
               + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
                 / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
               - CAST(1.96 AS DOUBLE)
@@ -7449,9 +7384,8 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * CAST(n AS DOUBLE))))
              / (CAST(1 AS DOUBLE)
                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
-                  / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS wilson_lo,
-           CAST(ROUND(
-             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS wilson_lo,
+           CAST(FLOOR((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
               + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
                 / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
               + CAST(1.96 AS DOUBLE)
@@ -7463,7 +7397,7 @@ def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * CAST(n AS DOUBLE))))
              / (CAST(1 AS DOUBLE)
                 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
-                  / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS wilson_hi
+                  / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS wilson_hi
     FROM s
     """,
 )
@@ -7504,9 +7438,9 @@ def q_eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "n",
         F.col("k").alias("conversions"),
-        F.round(p, 6).alias("rate"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
+        PAR.round6(p).alias("rate"),
+        PAR.round6((center - half) / denom).alias("wilson_lo"),
+        PAR.round6((center + half) / denom).alias("wilson_hi"),
     )
 
 
@@ -7627,7 +7561,7 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lat_us, ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk
       FROM conv)
     SELECT ns.nsu AS n_signups, n.nc AS n_converted,
-           CAST(ROUND(CAST(n.nc AS DOUBLE) / CAST(ns.nsu AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(n.nc AS DOUBLE) / CAST(ns.nsu AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS conversion_rate,
            CAST(MAX(CASE WHEN rk = (n.nc + 1) // 2 THEN lat_us END) AS BIGINT)
              AS p50_lat_us,
@@ -7693,9 +7627,7 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("nsu").alias("n_signups"),
             F.col("nc").alias("n_converted"),
-            F.round(
-                F.col("nc").cast("double") / F.col("nsu").cast("double"), 6
-            ).alias("conversion_rate"),
+            PAR.round6(F.col("nc").cast("double") / F.col("nsu").cast("double")).alias("conversion_rate"),
             F.col("_p50").alias("p50_lat_us"),
             F.col("_p90").alias("p90_lat_us"),
         )
@@ -7718,8 +7650,8 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(dau) AS BIGINT) AS dau_sum
       FROM dau GROUP BY month)
     SELECT CAST(agg.month AS DATE) AS month, agg.n_days, agg.dau_sum, mau.mau,
-           CAST(ROUND(CAST(agg.dau_sum AS DOUBLE)
-                      / (CAST(agg.n_days AS DOUBLE) * CAST(mau.mau AS DOUBLE)), 6)
+           CAST(FLOOR((CAST(agg.dau_sum AS DOUBLE)
+                      / (CAST(agg.n_days AS DOUBLE) * CAST(mau.mau AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS stickiness
     FROM agg JOIN mau ON agg.month = mau.month
     """,
@@ -7756,11 +7688,8 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "dau_sum",
         "mau",
-        F.round(
-            F.col("dau_sum").cast("double")
-            / (F.col("n_days").cast("double") * F.col("mau").cast("double")),
-            6,
-        ).alias("stickiness"),
+        PAR.round6(F.col("dau_sum").cast("double")
+            / (F.col("n_days").cast("double") * F.col("mau").cast("double"))).alias("stickiness"),
     )
 
 
@@ -7794,11 +7723,11 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sc JOIN corp ON sc.tok = corp.tok
               JOIN nsrc ON sc.source = nsrc.source, ntot)
     SELECT source,
-           CAST(ROUND(CAST(0.5 AS DOUBLE) * SUM(t)
+           CAST(FLOOR((CAST(0.5 AS DOUBLE) * SUM(t)
                       + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE))
-                        * (CAST(1 AS DOUBLE) - SUM(qmass)), 6)
+                        * (CAST(1 AS DOUBLE) - SUM(qmass))) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS js_divergence,
-           CAST(ROUND(SUM(qmass), 6) AS DOUBLE) AS corpus_mass_covered
+           CAST(FLOOR((SUM(qmass)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS corpus_mass_covered
     FROM terms GROUP BY source
     """,
 )
@@ -7842,14 +7771,11 @@ def q_doc_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("source").agg(
         (
-            F.round(
-                F.lit(0.5) * F.sum("t")
-                + F.lit(0.5) * F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum("qmass")),
-                6,
-            )
+            PAR.round6(F.lit(0.5) * F.sum("t")
+                + F.lit(0.5) * F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum("qmass")))
             + F.lit(0.0)
         ).alias("js_divergence"),
-        F.round(F.sum("qmass"), 6).alias("corpus_mass_covered"),
+        PAR.round6(F.sum("qmass")).alias("corpus_mass_covered"),
     )
 
 
@@ -7877,10 +7803,10 @@ def q_doc_js_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS active_days
       FROM events GROUP BY user_id)
     SELECT u.user_id, n_events, n_types, d.active_days,
-           CAST(ROUND(-negent + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS type_entropy,
-           CAST(ROUND(CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+           CAST(FLOOR((-negent + CAST(0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS type_entropy,
+           CAST(FLOOR((CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS top_type_share,
-           CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(d.active_days AS DOUBLE), 6)
+           CAST(FLOOR((CAST(n_events AS DOUBLE) / CAST(d.active_days AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS events_per_day,
            CAST(CASE WHEN CAST(top_c AS DOUBLE) / CAST(n_events AS DOUBLE)
                           >= CAST(0.8 AS DOUBLE)
@@ -7928,11 +7854,9 @@ def q_events_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_types",
         "active_days",
-        F.round(-F.col("negent") + F.lit(0.0), 6).alias("type_entropy"),
-        F.round(share, 6).alias("top_type_share"),
-        F.round(
-            F.col("n_events").cast("double") / F.col("active_days").cast("double"), 6
-        ).alias("events_per_day"),
+        PAR.round6(-F.col("negent") + F.lit(0.0)).alias("type_entropy"),
+        PAR.round6(share).alias("top_type_share"),
+        PAR.round6(F.col("n_events").cast("double") / F.col("active_days").cast("double")).alias("events_per_day"),
         F.when((share >= F.lit(0.8)) & (F.col("n_events") >= 20), 1)
         .otherwise(0)
         .cast("int")
@@ -7958,7 +7882,7 @@ def q_events_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(dt_us) AS BIGINT) AS w
       FROM s GROUP BY event_type, day)
     SELECT event_type, day, n_intervals,
-           CAST(ROUND(CAST(vw AS DOUBLE) / CAST(w AS DOUBLE), 6) AS DOUBLE) AS twap
+           CAST(FLOOR((CAST(vw AS DOUBLE) / CAST(w AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS twap
     FROM agg WHERE w > 0
     """,
 )
@@ -7997,7 +7921,7 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n_intervals",
-        F.round(F.col("vw").cast("double") / F.col("w").cast("double"), 6).alias(
+        PAR.round6(F.col("vw").cast("double") / F.col("w").cast("double")).alias(
             "twap"
         ),
     )
@@ -8084,14 +8008,14 @@ def q_audit_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
       GROUP BY 1, 2)
     SELECT type_a, type_b, nn AS n_days,
-           CAST(ROUND(CASE WHEN (nn * sxx - CAST(sx AS HUGEINT) * sx) = 0
+           CAST(FLOOR((CASE WHEN (nn * sxx - CAST(sx AS HUGEINT) * sx) = 0
                              OR (nn * syy - CAST(sy AS HUGEINT) * sy) = 0
                       THEN NULL
                       ELSE CAST(nn * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                            / (sqrt(CAST(nn * sxx - CAST(sx AS HUGEINT) * sx
                                         AS DOUBLE))
                               * sqrt(CAST(nn * syy - CAST(sy AS HUGEINT) * sy
-                                          AS DOUBLE))) END, 6)
+                                          AS DOUBLE))) END) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS corr
     FROM pairs
     """,
@@ -8154,7 +8078,7 @@ def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a",
         "type_b",
         F.col("nn").alias("n_days"),
-        (F.round(corr, 6) + F.lit(0.0)).alias("corr"),
+        (PAR.round6(corr) + F.lit(0.0)).alias("corr"),
     )
 
 
@@ -8257,12 +8181,12 @@ def q_events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                           OVER (ORDER BY len) = 1
                 THEN CAST(0 AS DOUBLE)
-                ELSE ROUND(exp(SUM(CASE WHEN d = 0 OR d = n_risk
+                ELSE FLOOR((exp(SUM(CASE WHEN d = 0 OR d = n_risk
                                 THEN CAST(0 AS DOUBLE)
                            ELSE ln(CAST(1 AS DOUBLE)
                                    - CAST(d AS DOUBLE)
                                      / CAST(n_risk AS DOUBLE)) END)
-                           OVER (ORDER BY len)), 6) + CAST(0 AS DOUBLE) END
+                           OVER (ORDER BY len))) * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) END
                 AS DOUBLE) AS survival
     FROM at_risk
     """,
@@ -8340,7 +8264,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
     ).over(w_asc)
     surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
-        F.round(F.exp(F.sum(term).over(w_asc)), 6) + F.lit(0.0)
+        PAR.round6(F.exp(F.sum(term).over(w_asc))) + F.lit(0.0)
     )
     return at_risk.select(
         F.col("len").alias("spell_months"),
@@ -8371,10 +8295,10 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mi
       FROM jt JOIN ms ON jt.source = ms.source
               JOIN ml ON jt.lang = ml.lang, n)
-    SELECT CAST(ROUND(hy.h_label, 6) AS DOUBLE) AS h_label,
-           CAST(ROUND(mi.mi, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS info_gain,
-           CAST(ROUND(CASE WHEN hy.h_label = CAST(0 AS DOUBLE) THEN NULL
-                      ELSE mi.mi / hy.h_label END, 6)
+    SELECT CAST(FLOOR((hy.h_label) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS h_label,
+           CAST(FLOOR((mi.mi) * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) AS DOUBLE) AS info_gain,
+           CAST(FLOOR((CASE WHEN hy.h_label = CAST(0 AS DOUBLE) THEN NULL
+                      ELSE mi.mi / hy.h_label END) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS gain_ratio_of_entropy
     FROM hy, mi
     """,
@@ -8421,15 +8345,12 @@ def q_doc_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(pj * F.log(lift)).alias("mi"))
     )
     return hy.crossJoin(F.broadcast(mi)).select(
-        F.round("h_label", 6).alias("h_label"),
-        (F.round("mi", 6) + F.lit(0.0)).alias("info_gain"),
+        PAR.round6("h_label").alias("h_label"),
+        (PAR.round6("mi") + F.lit(0.0)).alias("info_gain"),
         (
-            F.round(
-                F.when(F.col("h_label") == 0.0, F.lit(None)).otherwise(
+            PAR.round6(F.when(F.col("h_label") == 0.0, F.lit(None)).otherwise(
                     F.col("mi") / F.col("h_label")
-                ),
-                6,
-            )
+                ))
             + F.lit(0.0)
         ).alias("gain_ratio_of_entropy"),
     )
@@ -8457,11 +8378,11 @@ def q_doc_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
                - floor(CAST(1000 AS DOUBLE) * wh / tot.wsum) AS frac
       FROM w, tot),
     r AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(frac, 12) DESC, source) AS rk,
+      SELECT *, ROW_NUMBER() OVER (ORDER BY FLOOR((frac) * 1e12 + 0.5) / 1e12 DESC, source) AS rk,
              CAST(1000 - SUM(fq) OVER () AS BIGINT) AS leftover
       FROM q)
     SELECT source, nh AS n_rows,
-           CAST(ROUND(wh / CAST(nh AS DOUBLE), 6) AS DOUBLE) AS std_chars,
+           CAST(FLOOR((wh / CAST(nh AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS std_chars,
            CAST(fq + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
              AS quota
     FROM r
@@ -8519,13 +8440,13 @@ def q_sample_neyman_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.withColumn(
         "rk",
         F.row_number().over(
-            Window.orderBy(F.round("frac", 12).desc(), F.col("source").asc())
+            Window.orderBy(PAR.round_at("frac", 12).desc(), F.col("source").asc())
         ),
     ).withColumn("leftover", (F.lit(1000) - F.sum("fq").over(wall)).cast("long"))
     return r.select(
         "source",
         F.col("nh").alias("n_rows"),
-        F.round(F.col("wh") / F.col("nh").cast("double"), 6).alias("std_chars"),
+        PAR.round6(F.col("wh") / F.col("nh").cast("double")).alias("std_chars"),
         (F.col("fq") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
         .cast("long")
         .alias("quota"),
@@ -8544,7 +8465,7 @@ def q_sample_neyman_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(a.month AS DATE) AS month, a.n_orders,
            CAST(ROUND(a.rev, 2) AS DOUBLE) AS revenue,
            CAST(ROUND(b.rev, 2) AS DOUBLE) AS revenue_sply,
-           CAST(ROUND(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 6)
+           CAST(FLOOR((CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS yoy_growth
     FROM m a LEFT JOIN m b ON b.mi = a.mi - 12
     """,
@@ -8581,11 +8502,8 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round("rev", 2).cast("double").alias("revenue"),
         F.round("rev_sply", 2).cast("double").alias("revenue_sply"),
-        F.round(
-            (F.col("rev") - F.col("rev_sply")).cast("double")
-            / F.col("rev_sply").cast("double"),
-            6,
-        ).alias("yoy_growth"),
+        PAR.round6((F.col("rev") - F.col("rev_sply")).cast("double")
+            / F.col("rev_sply").cast("double")).alias("yoy_growth"),
     )
 
 
@@ -8612,8 +8530,8 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cum.age AS INT) AS age_months,
            sz.cohort_size,
            CAST(ROUND(cum.rev, 2) AS DOUBLE) AS revenue,
-           CAST(ROUND(CAST(cum.cum_rev AS DOUBLE)
-                      / CAST(sz.cohort_size AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(cum.cum_rev AS DOUBLE)
+                      / CAST(sz.cohort_size AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS cum_ltv_per_customer
     FROM cum JOIN sz ON cum.cm = sz.cm
     """,
@@ -8659,11 +8577,8 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("age").cast("int").alias("age_months"),
             "cohort_size",
             F.round("rev", 2).cast("double").alias("revenue"),
-            F.round(
-                F.col("cum_rev").cast("double")
-                / F.col("cohort_size").cast("double"),
-                6,
-            ).alias("cum_ltv_per_customer"),
+            PAR.round6(F.col("cum_rev").cast("double")
+                / F.col("cohort_size").cast("double")).alias("cum_ltv_per_customer"),
         )
     )
 
@@ -8689,12 +8604,12 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS ae7
       FROM lagged GROUP BY event_type)
     SELECT event_type, n_scored,
-           CAST(ROUND(CAST(ae1 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+           CAST(FLOOR((CAST(ae1 AS DOUBLE) / CAST(n_scored AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS mae_naive,
-           CAST(ROUND(CAST(ae7 AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+           CAST(FLOOR((CAST(ae7 AS DOUBLE) / CAST(n_scored AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS mae_seasonal,
-           CAST(ROUND(CASE WHEN ae1 = 0 THEN NULL
-                      ELSE CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE) END, 6)
+           CAST(FLOOR((CASE WHEN ae1 = 0 THEN NULL
+                      ELSE CAST(ae7 AS DOUBLE) / CAST(ae1 AS DOUBLE) END) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS mase_seasonal_vs_naive
     FROM err WHERE n_scored > 0
     """,
@@ -8741,14 +8656,11 @@ def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.filter(F.col("n_scored") > 0).select(
         "event_type",
         "n_scored",
-        F.round(F.col("ae1").cast("double") / n, 6).alias("mae_naive"),
-        F.round(F.col("ae7").cast("double") / n, 6).alias("mae_seasonal"),
-        F.round(
-            F.when(F.col("ae1") == 0, F.lit(None)).otherwise(
+        PAR.round6(F.col("ae1").cast("double") / n).alias("mae_naive"),
+        PAR.round6(F.col("ae7").cast("double") / n).alias("mae_seasonal"),
+        PAR.round6(F.when(F.col("ae1") == 0, F.lit(None)).otherwise(
                 F.col("ae7").cast("double") / F.col("ae1").cast("double")
-            ),
-            6,
-        ).alias("mase_seasonal_vs_naive"),
+            )).alias("mase_seasonal_vs_naive"),
     )
 
 
@@ -8770,15 +8682,15 @@ def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS d
       FROM u)
     SELECT a AS treat_conv, b AS treat_no, c AS ctrl_conv, d AS ctrl_no,
-           CAST(ROUND(CASE WHEN b * c = 0 THEN NULL
+           CAST(FLOOR((CASE WHEN b * c = 0 THEN NULL
                       ELSE (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
-                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END, 6)
+                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS odds_ratio,
-           CAST(ROUND(CASE WHEN c = 0 OR a + b = 0 THEN NULL
+           CAST(FLOOR((CASE WHEN c = 0 OR a + b = 0 THEN NULL
                       ELSE (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
-                           / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) END, 6)
+                           / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) END) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS relative_risk,
-           CAST(ROUND(CASE WHEN a * b * c * d = 0 THEN NULL
+           CAST(FLOOR((CASE WHEN a * b * c * d = 0 THEN NULL
                       ELSE exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
                                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
                                - CAST(1.96 AS DOUBLE)
@@ -8786,8 +8698,8 @@ def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
                                         + CAST(1 AS DOUBLE) / CAST(c AS DOUBLE)
                                         + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)))
-                      END, 6) AS DOUBLE) AS or_ci_lo,
-           CAST(ROUND(CASE WHEN a * b * c * d = 0 THEN NULL
+                      END) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS or_ci_lo,
+           CAST(FLOOR((CASE WHEN a * b * c * d = 0 THEN NULL
                       ELSE exp(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
                                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
                                + CAST(1.96 AS DOUBLE)
@@ -8795,7 +8707,7 @@ def q_events_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
                                         + CAST(1 AS DOUBLE) / CAST(c AS DOUBLE)
                                         + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)))
-                      END, 6) AS DOUBLE) AS or_ci_hi
+                      END) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS or_ci_hi
     FROM t
     """,
 )
@@ -8848,26 +8760,15 @@ def q_eval_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("treat_no"),
         F.col("c").alias("ctrl_conv"),
         F.col("d").alias("ctrl_no"),
-        F.round(
-            F.when(F.col("b") * F.col("c") == 0, F.lit(None)).otherwise(orr), 6
-        ).alias("odds_ratio"),
-        F.round(
-            F.when((F.col("c") == 0) | (F.col("a") + F.col("b") == 0), F.lit(None))
-            .otherwise((a / (a + b)) / (c / (c + d))),
-            6,
-        ).alias("relative_risk"),
-        F.round(
-            F.when(any_zero, F.lit(None)).otherwise(
+        PAR.round6(F.when(F.col("b") * F.col("c") == 0, F.lit(None)).otherwise(orr)).alias("odds_ratio"),
+        PAR.round6(F.when((F.col("c") == 0) | (F.col("a") + F.col("b") == 0), F.lit(None))
+            .otherwise((a / (a + b)) / (c / (c + d)))).alias("relative_risk"),
+        PAR.round6(F.when(any_zero, F.lit(None)).otherwise(
                 F.exp(F.log(orr) - F.lit(1.96) * se)
-            ),
-            6,
-        ).alias("or_ci_lo"),
-        F.round(
-            F.when(any_zero, F.lit(None)).otherwise(
+            )).alias("or_ci_lo"),
+        PAR.round6(F.when(any_zero, F.lit(None)).otherwise(
                 F.exp(F.log(orr) + F.lit(1.96) * se)
-            ),
-            6,
-        ).alias("or_ci_hi"),
+            )).alias("or_ci_hi"),
     )
 
 
@@ -8955,9 +8856,9 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, CAST(MAX(nd) AS BIGINT) AS n_sessions,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bounces,
-           CAST(ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / CAST(MAX(nd) AS DOUBLE), 6) AS DOUBLE) AS bounce_rate,
-           CAST(ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(MAX(nd) AS DOUBLE), 6)
+           CAST(FLOOR((CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(MAX(nd) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS bounce_rate,
+           CAST(FLOOR((CAST(SUM(n_events) AS DOUBLE) / CAST(MAX(nd) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS events_per_session,
            CAST(MAX(CASE WHEN rk = (nd + 1) // 2 THEN dur_us END) AS BIGINT)
              AS p50_duration_us
@@ -9015,14 +8916,9 @@ def q_events_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_bounces"),
-        F.round(
-            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
-            / F.max("nd").cast("double"),
-            6,
-        ).alias("bounce_rate"),
-        F.round(
-            F.sum("n_events").cast("double") / F.max("nd").cast("double"), 6
-        ).alias("events_per_session"),
+        PAR.round6(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.max("nd").cast("double")).alias("bounce_rate"),
+        PAR.round6(F.sum("n_events").cast("double") / F.max("nd").cast("double")).alias("events_per_session"),
         F.max(
             F.when(
                 F.col("rk") == F.floor((F.col("nd") + 1) / 2), F.col("dur_us")
@@ -9091,7 +8987,7 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pc)
     SELECT top.source, top.prefix AS top_prefix, top.n AS n_docs_sharing,
            tot.nd AS n_docs,
-           CAST(ROUND(CAST(top.n AS DOUBLE) / CAST(tot.nd AS DOUBLE), 6)
+           CAST(FLOOR((CAST(top.n AS DOUBLE) / CAST(tot.nd AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS template_share,
            CAST(CASE WHEN top.n * 5 >= tot.nd AND top.n >= 2
                 THEN 1 ELSE 0 END AS INT) AS template_suspect
@@ -9138,7 +9034,7 @@ def q_doc_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prefix").alias("top_prefix"),
         F.col("n").alias("n_docs_sharing"),
         F.col("nd").alias("n_docs"),
-        F.round(F.col("n").cast("double") / F.col("nd").cast("double"), 6).alias(
+        PAR.round6(F.col("n").cast("double") / F.col("nd").cast("double")).alias(
             "template_share"
         ),
         F.when((F.col("n") * 5 >= F.col("nd")) & (F.col("n") >= 2), 1)
@@ -9163,8 +9059,8 @@ def q_doc_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            CAST(SUM(n_non_ascii) AS BIGINT) AS n_non_ascii,
-           CAST(ROUND(CAST(SUM(n_non_ascii) AS DOUBLE)
-                      / CAST(SUM(n_chars) AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(SUM(n_non_ascii) AS DOUBLE)
+                      / CAST(SUM(n_chars) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS non_ascii_ratio,
            CAST(SUM(has_control) AS BIGINT) AS n_docs_control_chars,
            CAST(SUM(has_repl) AS BIGINT) AS n_docs_replacement_char
@@ -9201,9 +9097,7 @@ def q_doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.sum("n_non_ascii").cast("long").alias("n_non_ascii"),
-        F.round(
-            F.sum("n_non_ascii").cast("double") / F.sum("n_chars").cast("double"), 6
-        ).alias("non_ascii_ratio"),
+        PAR.round6(F.sum("n_non_ascii").cast("double") / F.sum("n_chars").cast("double")).alias("non_ascii_ratio"),
         F.sum("has_control").cast("long").alias("n_docs_control_chars"),
         F.sum("has_repl").cast("long").alias("n_docs_replacement_char"),
     )
@@ -9255,10 +9149,10 @@ _SMD_ORACLE_ARM = """
                / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0
       FROM wide)
     SELECT covariate, n1 AS n_treat, n0 AS n_ctrl,
-           CAST(ROUND(m1, 6) AS DOUBLE) AS mean_treat,
-           CAST(ROUND(m0, 6) AS DOUBLE) AS mean_ctrl,
-           CAST(ROUND(CASE WHEN v1 + v0 = CAST(0 AS DOUBLE) THEN NULL
-                      ELSE (m1 - m0) / sqrt((v1 + v0) / CAST(2 AS DOUBLE)) END, 6)
+           CAST(FLOOR((m1) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_treat,
+           CAST(FLOOR((m0) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_ctrl,
+           CAST(FLOOR((CASE WHEN v1 + v0 = CAST(0 AS DOUBLE) THEN NULL
+                      ELSE (m1 - m0) / sqrt((v1 + v0) / CAST(2 AS DOUBLE)) END) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS smd,
            CAST(CASE WHEN v1 + v0 = CAST(0 AS DOUBLE) THEN NULL
                 WHEN abs((m1 - m0) / sqrt((v1 + v0) / CAST(2 AS DOUBLE)))
@@ -9334,10 +9228,10 @@ def q_eval_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covariate",
         F.col("n1").alias("n_treat"),
         F.col("n0").alias("n_ctrl"),
-        F.round(m1, 6).alias("mean_treat"),
-        F.round(m0, 6).alias("mean_ctrl"),
+        PAR.round6(m1).alias("mean_treat"),
+        PAR.round6(m0).alias("mean_ctrl"),
         (
-            F.round(F.when(zero_var, F.lit(None)).otherwise(smd), 6) + F.lit(0.0)
+            PAR.round6(F.when(zero_var, F.lit(None)).otherwise(smd)) + F.lit(0.0)
         ).alias("smd"),
         F.when(zero_var, F.lit(None))
         .otherwise(F.when(F.abs(smd) < 0.1, 1).otherwise(0))
@@ -9367,7 +9261,7 @@ def q_eval_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sz AS component_size,
            CAST(COUNT(*) AS BIGINT) AS n_components,
            CAST(COUNT(*) * sz AS BIGINT) AS n_nodes,
-           CAST(ROUND(CAST(COUNT(*) * sz AS DOUBLE) / CAST(n.n_nodes AS DOUBLE), 6)
+           CAST(FLOOR((CAST(COUNT(*) * sz AS DOUBLE) / CAST(n.n_nodes AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS node_share
     FROM sizes, n GROUP BY sz, n.n_nodes
     """,
@@ -9414,11 +9308,8 @@ def q_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz").alias("component_size"),
             "n_components",
             (F.col("n_components") * F.col("sz")).cast("long").alias("n_nodes"),
-            F.round(
-                (F.col("n_components") * F.col("sz")).cast("double")
-                / F.col("_tot_nodes").cast("double"),
-                6,
-            ).alias("node_share"),
+            PAR.round6((F.col("n_components") * F.col("sz")).cast("double")
+                / F.col("_tot_nodes").cast("double")).alias("node_share"),
         )
     )
 
@@ -9448,9 +9339,9 @@ def q_graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CAST(0.5 AS DOUBLE) * h.b
       FROM holt h JOIN seq s ON s.et = h.et AND s.rn = h.rn + 1)
     SELECT et AS event_type, CAST(d AS BIGINT) AS day_index,
-           CAST(ROUND(l, 6) AS DOUBLE) AS level,
-           CAST(ROUND(b, 6) + CAST(0 AS DOUBLE) AS DOUBLE) AS trend,
-           CAST(ROUND(l + b, 6) AS DOUBLE) AS forecast_next
+           CAST(FLOOR((l) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS level,
+           CAST(FLOOR((b) * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) AS DOUBLE) AS trend,
+           CAST(FLOOR((l + b) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS forecast_next
     FROM holt
     """,
 )
@@ -9503,9 +9394,9 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "event_type",
         "day_index",
-        F.round("level", 6).alias("level"),
-        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
-        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+        PAR.round6("level").alias("level"),
+        (PAR.round6("trend") + F.lit(0.0)).alias("trend"),
+        PAR.round6(F.col("level") + F.col("trend")).alias("forecast_next"),
     )
 
 
@@ -9592,8 +9483,8 @@ def q_events_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_within_source,
            CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
              AS n_cross_source,
-           CAST(ROUND(CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS cross_source_rate
     FROM p
     """,
@@ -9626,11 +9517,8 @@ def q_dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
         .cast("long")
         .alias("n_cross_source"),
-        F.round(
-            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).cast("double")
-            / F.count("*").cast("double"),
-            6,
-        ).alias("cross_source_rate"),
+        PAR.round6(F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")).alias("cross_source_rate"),
     )
 
 
@@ -9647,12 +9535,12 @@ def q_dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m a JOIN m b ON b.mi = a.mi - 1)
     SELECT CAST(mi AS BIGINT) AS month_index, n1 AS n_orders, n0 AS n_orders_prev,
            CAST(ROUND(r1 - r0, 2) AS DOUBLE) AS revenue_delta,
-           CAST(ROUND(CAST(n1 - n0 AS DOUBLE)
-                      * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(n1 - n0 AS DOUBLE)
+                      * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS volume_effect,
-           CAST(ROUND(CAST(n1 AS DOUBLE)
+           CAST(FLOOR((CAST(n1 AS DOUBLE)
                       * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                         - CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS DOUBLE)
+                         - CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS price_effect,
            CAST(CASE WHEN abs(CAST(n1 - n0 AS DOUBLE)
                               * (CAST(r0 AS DOUBLE) / CAST(n0 AS DOUBLE))
@@ -9705,8 +9593,8 @@ def q_orders_volume_price_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_orders"),
         F.col("n0").alias("n_orders_prev"),
         F.round(F.col("r1") - F.col("r0"), 2).cast("double").alias("revenue_delta"),
-        F.round(vol, 6).alias("volume_effect"),
-        F.round(price, 6).alias("price_effect"),
+        PAR.round6(vol).alias("volume_effect"),
+        PAR.round6(price).alias("price_effect"),
         F.when(F.abs(vol + price - delta) < F.lit(0.01), 1)
         .otherwise(0)
         .cast("int")
@@ -9815,9 +9703,9 @@ def q_eval_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n_cells AS DOUBLE)) AS ss_b
       FROM g, st)
     SELECT CAST(g.h AS INT) AS hour, g.n_cells, g.sg AS n_events,
-           CAST(ROUND(CAST(g.sg AS DOUBLE) / CAST(g.n_cells AS DOUBLE), 6)
+           CAST(FLOOR((CAST(g.sg AS DOUBLE) / CAST(g.n_cells AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS mean_count,
-           CAST(ROUND(btw.ss_b / CAST(tot.ss_t AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((btw.ss_b / CAST(tot.ss_t AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS hour_strength
     FROM g, st, tot, btw
     """,
@@ -9869,10 +9757,8 @@ def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").cast("int").alias("hour"),
             "n_cells",
             F.col("sg").alias("n_events"),
-            F.round(
-                F.col("sg").cast("double") / F.col("n_cells").cast("double"), 6
-            ).alias("mean_count"),
-            F.round(F.col("ss_b") / F.col("ss_t").cast("double"), 6).alias(
+            PAR.round6(F.col("sg").cast("double") / F.col("n_cells").cast("double")).alias("mean_count"),
+            PAR.round6(F.col("ss_b") / F.col("ss_t").cast("double")).alias(
                 "hour_strength"
             ),
         )
@@ -9901,14 +9787,14 @@ def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
            CAST(MAX(cum_tokens) AS BIGINT) AS total_tokens,
            CAST(MAX(cum_vocab) AS BIGINT) AS total_vocab,
-           CAST(ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
-                                 ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE)
+           CAST(FLOOR((regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                                 ln(CAST(cum_tokens AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS heaps_beta,
-           CAST(ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
-                                     ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE)
+           CAST(FLOOR((regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                     ln(CAST(cum_tokens AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS heaps_ln_k,
-           CAST(ROUND(regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
-                              ln(CAST(cum_tokens AS DOUBLE))), 6) AS DOUBLE) AS r2
+           CAST(FLOOR((regr_r2(ln(CAST(cum_vocab AS DOUBLE)),
+                              ln(CAST(cum_tokens AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS r2
     FROM chk WHERE cum_tokens >= 1 AND cum_vocab >= 1
     """,
 )
@@ -9956,9 +9842,9 @@ def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_checkpoints"),
         F.max("cum_tokens").cast("long").alias("total_tokens"),
         F.max("cum_vocab").cast("long").alias("total_vocab"),
-        F.round(F.regr_slope(y, x), 6).alias("heaps_beta"),
-        F.round(F.regr_intercept(y, x), 6).alias("heaps_ln_k"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        PAR.round6(F.regr_slope(y, x)).alias("heaps_beta"),
+        PAR.round6(F.regr_intercept(y, x)).alias("heaps_ln_k"),
+        PAR.round6(F.regr_r2(y, x)).alias("r2"),
     )
 
 
@@ -10000,8 +9886,8 @@ def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE))) AS d2
       FROM o, v WHERE v.vxx * v.vyy - v.vxy * v.vxy <> CAST(0 AS DOUBLE))
     SELECT k AS orderkey, x AS n_lines, y AS total_cents,
-           CAST(ROUND(d2, 6) AS DOUBLE) AS mahalanobis_sq
-    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(d2, 12) DESC, k) AS rk
+           CAST(FLOOR((d2) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mahalanobis_sq
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY FLOOR((d2) * 1e12 + 0.5) / 1e12 DESC, k) AS rk
           FROM d) t
     WHERE rk <= 20
     """,
@@ -10073,14 +9959,14 @@ def q_orders_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     ranked = d.withColumn(
         "rk",
         F.row_number().over(
-            Window.orderBy(F.round("d2", 12).desc(), F.col("k").asc())
+            Window.orderBy(PAR.round_at("d2", 12).desc(), F.col("k").asc())
         ),
     )
     return ranked.filter(F.col("rk") <= 20).select(
         F.col("k").alias("orderkey"),
         F.col("x").alias("n_lines"),
         F.col("y").alias("total_cents"),
-        F.round("d2", 6).alias("mahalanobis_sq"),
+        PAR.round6("d2").alias("mahalanobis_sq"),
     )
 
 
@@ -10105,9 +9991,9 @@ def q_orders_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT SUM((CAST(m.na AS DOUBLE) / CAST(tot.nn AS DOUBLE))
                  * ln(CAST(m.na AS DOUBLE) / CAST(tot.nn AS DOUBLE))) AS ss
       FROM m, tot)
-    SELECT CAST(ROUND(-h.st + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS entropy_rate,
-           CAST(ROUND(-hs.ss + CAST(0 AS DOUBLE), 6) AS DOUBLE) AS state_entropy,
-           CAST(ROUND((-h.st) / (-hs.ss), 6) AS DOUBLE) AS predictability_ratio
+    SELECT CAST(FLOOR((-h.st + CAST(0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS entropy_rate,
+           CAST(FLOOR((-hs.ss + CAST(0 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS state_entropy,
+           CAST(FLOOR(((-h.st) / (-hs.ss)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS predictability_ratio
     FROM h, hs
     """,
 )
@@ -10152,9 +10038,9 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = h.crossJoin(F.broadcast(hs))
     return agg.select(
-        (F.round(-F.col("st"), 6) + F.lit(0.0)).alias("entropy_rate"),
-        (F.round(-F.col("ss"), 6) + F.lit(0.0)).alias("state_entropy"),
-        F.round((-F.col("st")) / (-F.col("ss")), 6).alias("predictability_ratio"),
+        (PAR.round6(-F.col("st")) + F.lit(0.0)).alias("entropy_rate"),
+        (PAR.round6(-F.col("ss")) + F.lit(0.0)).alias("state_entropy"),
+        PAR.round6((-F.col("st")) / (-F.col("ss"))).alias("predictability_ratio"),
     )
 
 
@@ -10253,8 +10139,8 @@ def q_orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dis_legomena,
-           CAST(ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS p_unseen_gt
+           CAST(FLOOR((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p_unseen_gt
     FROM tc GROUP BY source
     """,
 )
@@ -10284,11 +10170,8 @@ def q_doc_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
         .cast("long")
         .alias("n_dis_legomena"),
-        F.round(
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("p_unseen_gt"),
+        PAR.round6(F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")).alias("p_unseen_gt"),
     )
 
 
@@ -10311,9 +10194,9 @@ def q_doc_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY tf DESC, tok ASC) AS rk
       FROM v QUALIFY rk <= 20)
     SELECT tok AS token, tf, df,
-           CAST(ROUND(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS burstiness,
-           CAST(ROUND(CAST(df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6) AS DOUBLE)
+           CAST(FLOOR((CAST(df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS doc_coverage
     FROM top, nd
     """,
@@ -10351,12 +10234,10 @@ def q_vocab_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("token"),
         "tf",
         "df",
-        F.round(F.col("tf").cast("double") / F.col("df").cast("double"), 6).alias(
+        PAR.round6(F.col("tf").cast("double") / F.col("df").cast("double")).alias(
             "burstiness"
         ),
-        F.round(
-            F.col("df").cast("double") / F.col("n_docs").cast("double"), 6
-        ).alias("doc_coverage"),
+        PAR.round6(F.col("df").cast("double") / F.col("n_docs").cast("double")).alias("doc_coverage"),
     )
 
 
@@ -10388,17 +10269,17 @@ def q_vocab_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(CAST(mt.ct AS HUGEINT) * mp.cp) AS ce
       FROM mt JOIN mp ON mt.l = mp.l)
     SELECT tot.nn AS n_docs, agree.na AS n_agree,
-           CAST(ROUND(CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE), 6)
+           CAST(FLOOR((CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE)) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS accuracy,
-           CAST(ROUND(CAST(COALESCE(chance.ce, 0) AS DOUBLE)
-                      / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 6)
+           CAST(FLOOR((CAST(COALESCE(chance.ce, 0) AS DOUBLE)
+                      / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE))) * 1e6 + 0.5) / 1e6
                 AS DOUBLE) AS p_chance,
-           CAST(ROUND((CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+           CAST(FLOOR(((CAST(agree.na AS DOUBLE) / CAST(tot.nn AS DOUBLE)
                        - CAST(COALESCE(chance.ce, 0) AS DOUBLE)
                          / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)))
                       / (CAST(1 AS DOUBLE)
                          - CAST(COALESCE(chance.ce, 0) AS DOUBLE)
-                           / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE))), 6)
+                           / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)))) * 1e6 + 0.5) / 1e6
                 + CAST(0 AS DOUBLE) AS DOUBLE) AS cohens_kappa
     FROM tot, agree, chance
     """,
@@ -10455,9 +10336,9 @@ def q_eval_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("nn").alias("n_docs"),
         F.col("na").alias("n_agree"),
-        F.round(po, 6).alias("accuracy"),
-        F.round(pe, 6).alias("p_chance"),
-        (F.round((po - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0)).alias(
+        PAR.round6(po).alias("accuracy"),
+        PAR.round6(pe).alias("p_chance"),
+        (PAR.round6((po - pe) / (F.lit(1.0) - pe)) + F.lit(0.0)).alias(
             "cohens_kappa"
         ),
     )
@@ -10554,9 +10435,15 @@ def q_quality_pk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-bucketed pre-compaction file count) and expects the certification
     # bits = 1; the measured file sizes themselves are environment values the
     # engine certifies rather than reproduces — the H36 sketch pattern.
+    # files_before is DERIVED (16-bucket hash layout fills every bucket
+    # whenever the slice has at least that many distinct keys; an
+    # empty/dropped slice now reds the row instead of matching a literal —
+    # VERDICT r8 item 5: no magic constant the engine side also hardcodes;
+    # the engine MEASURES its file count, the oracle derives the expectation
+    # from the data).
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(16 AS BIGINT) AS files_before,
+           CAST(LEAST(16, COUNT(DISTINCT o_orderkey)) AS BIGINT) AS files_before,
            CAST(1 AS INT) AS files_reduced_ok,
            CAST(1 AS INT) AS rows_preserved_ok
     FROM orders WHERE o_orderkey % 4 = 0
@@ -10580,13 +10467,20 @@ def q_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_ = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
     n_rows = slice_.count()
     frag = tempfile.mkdtemp(prefix="compact_manifest_")
-    # 16 buckets: at sf0.001 the ~375-row slice still fills every bucket
-    # (P(empty) ~ 16*e^-23), so files_before is deterministic across SFs
-    slice_.repartition(16, "o_orderkey").write.mode("overwrite").parquet(frag)
-    files_before, _, _ = CP.file_stats(spark, frag)
-    CP.compact_dataset(spark, frag, target_file_bytes="128m")
-    files_after, _, _ = CP.file_stats(spark, frag)
-    n_after = spark.read.parquet(frag).count()
+    try:
+        # 16 buckets: at sf0.001 the ~375-row slice still fills every bucket
+        # (P(empty) ~ 16*e^-23), so files_before is deterministic across SFs
+        slice_.repartition(16, "o_orderkey").write.mode("overwrite").parquet(frag)
+        files_before, _, _ = CP.file_stats(spark, frag)
+        CP.compact_dataset(spark, frag, target_file_bytes="128m")
+        files_after, _, _ = CP.file_stats(spark, frag)
+        n_after = spark.read.parquet(frag).count()
+    finally:
+        # every output is a collected scalar by here; the returned DataFrame
+        # has no lineage into the staged dir (ADVICE r8: sweeps leaked it)
+        import shutil
+
+        shutil.rmtree(frag, ignore_errors=True)
     return spark.createDataFrame(
         [
             (
@@ -10604,10 +10498,13 @@ def q_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_observability",
     # Deterministic side: the replayed slice's total row count and the batch
-    # count forced by 3 staged files x maxFilesPerTrigger=1. Measured side
-    # (durations, rates): certified non-negative/populated bits.
+    # count forced by one staged file per present event_id%30 residue class
+    # x maxFilesPerTrigger=1. Measured side (durations, rates): certified
+    # non-negative/populated bits. n_batches is DERIVED from the data (the
+    # engine stages one file per class in {0,10,20} and the summary counts
+    # only batches with input rows), not the literal 3 — VERDICT r8 item 5.
     oracle="""
-    SELECT CAST(3 AS BIGINT) AS n_batches,
+    SELECT CAST(COUNT(DISTINCT event_id % 30) AS BIGINT) AS n_batches,
            CAST(COUNT(*) AS BIGINT) AS total_rows,
            CAST(1 AS INT) AS durations_ok
     FROM events WHERE event_id % 10 = 0
@@ -10632,53 +10529,67 @@ def q_stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     slice_ = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     stage = tempfile.mkdtemp(prefix="obs_stream_")
-    for i in range(3):
-        slice_.filter(F.pmod(F.col("event_id"), 30) == i * 10).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(stage, f"b{i}"))
-    in_dir = os.path.join(stage, "in")
-    os.makedirs(in_dir, exist_ok=True)
-    import shutil as _sh
-
-    for i in range(3):
-        src = os.path.join(stage, f"b{i}")
-        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
-        _sh.copy(os.path.join(src, part), os.path.join(in_dir, f"b{i}.parquet"))
-
-    rec = ProgressRecorder()
-    spark.streams.addListener(rec)
     try:
-        src = (
-            spark.readStream.schema(slice_.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
-        )
-        q = (
-            src.writeStream.foreachBatch(lambda df, bid: df.count())
-            .option("checkpointLocation", os.path.join(stage, "chk"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        qid = str(q.id)
-        q.awaitTermination()
-        # the listener bus is ASYNCHRONOUS: progress events can land after
-        # awaitTermination returns — wait (bounded) for the 3 data batches,
-        # counting only THIS query's rows (the recorder is session-global:
-        # a concurrent stream in the same session must not pollute the
-        # count or the result)
-        import time
+        n_staged = 0  # files with rows: the derived expected batch count
+        for i in range(3):
+            part_df = slice_.filter(F.pmod(F.col("event_id"), 30) == i * 10)
+            n_staged += 1 if part_df.limit(1).count() else 0
+            part_df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, f"b{i}")
+            )
+        in_dir = os.path.join(stage, "in")
+        os.makedirs(in_dir, exist_ok=True)
+        import shutil as _sh
 
-        deadline = time.monotonic() + 30
-        while (
-            sum(1 for r in rec.rows if r[0] == qid and (r[4] or 0) > 0) < 3
-            and time.monotonic() < deadline
-        ):
-            time.sleep(0.05)
+        for i in range(3):
+            src = os.path.join(stage, f"b{i}")
+            part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+            _sh.copy(
+                os.path.join(src, part), os.path.join(in_dir, f"b{i}.parquet")
+            )
+
+        rec = ProgressRecorder()
+        spark.streams.addListener(rec)
+        try:
+            src = (
+                spark.readStream.schema(slice_.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            q = (
+                src.writeStream.foreachBatch(lambda df, bid: df.count())
+                .option("checkpointLocation", os.path.join(stage, "chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            qid = str(q.id)
+            q.awaitTermination()
+            # the listener bus is ASYNCHRONOUS: progress events can land
+            # after awaitTermination returns — wait (bounded) for every
+            # staged data batch, counting only THIS query's rows (the
+            # recorder is session-global: a concurrent stream in the same
+            # session must not pollute the count or the result)
+            import time
+
+            deadline = time.monotonic() + 30
+            while (
+                sum(1 for r in rec.rows if r[0] == qid and (r[4] or 0) > 0)
+                < n_staged
+                and time.monotonic() < deadline
+            ):
+                time.sleep(0.05)
+        finally:
+            spark.streams.removeListener(rec)
+        progress = rec.to_df(spark).filter(
+            (F.col("query_id") == qid) & (F.col("num_input_rows") > 0)
+        )
     finally:
-        spark.streams.removeListener(rec)
-    progress = rec.to_df(spark).filter(
-        (F.col("query_id") == qid) & (F.col("num_input_rows") > 0)
-    )
+        # the stream has terminated and the recorder's rows live on the
+        # driver; nothing in the returned plan reads the staged dir
+        # (ADVICE r8: sweeps leaked checkpoint + staged files)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return throughput_summary(progress).select(
         F.col("n_batches"),
         F.col("total_rows"),

@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from plenario_mapper_spark.plans.registry import register
+from plenario_mapper_spark.functions import parity as PAR
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -191,11 +192,11 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentiles",
     oracle="""
     SELECT event_type,
-           CAST(ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p25,
-           CAST(ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p50,
-           CAST(ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS DOUBLE) AS p95,
-           CAST(ROUND(MIN(value), 6) AS DOUBLE) AS min_v,
-           CAST(ROUND(MAX(value), 6) AS DOUBLE) AS max_v
+           CAST(FLOOR((percentile_cont(0.25) WITHIN GROUP (ORDER BY value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p25,
+           CAST(FLOOR((percentile_cont(0.5)  WITHIN GROUP (ORDER BY value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p50,
+           CAST(FLOOR((percentile_cont(0.95) WITHIN GROUP (ORDER BY value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS p95,
+           CAST(FLOOR((MIN(value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS min_v,
+           CAST(FLOOR((MAX(value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS max_v
     FROM events GROUP BY event_type
     """,
 )
@@ -209,14 +210,14 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             pct.alias("p"),
-            F.round(F.min("value"), 6).alias("min_v"),
-            F.round(F.max("value"), 6).alias("max_v"),
+            PAR.round6(F.min("value")).alias("min_v"),
+            PAR.round6(F.max("value")).alias("max_v"),
         )
         .select(
             "event_type",
-            F.round(F.col("p")[0], 6).alias("p25"),
-            F.round(F.col("p")[1], 6).alias("p50"),
-            F.round(F.col("p")[2], 6).alias("p95"),
+            PAR.round6(F.col("p")[0]).alias("p25"),
+            PAR.round6(F.col("p")[1]).alias("p50"),
+            PAR.round6(F.col("p")[2]).alias("p95"),
             "min_v",
             "max_v",
         )
@@ -631,7 +632,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
-           CAST(ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS DOUBLE) AS value_delta
+           CAST(FLOOR((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS value_delta
     FROM events
     """,
 )
@@ -644,7 +645,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        PAR.round6(F.col("value") - F.lag("value").over(w)).alias("value_delta"),
     )
 
 
@@ -1277,8 +1278,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
-                      / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+           CAST(FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mkt_share
     FROM (
       SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
              CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
@@ -1343,9 +1344,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("o_year").agg(
-        F.round(
-            nation_vol.cast("double") / F.sum("volume").cast("double"), 6
-        ).alias("mkt_share")
+        PAR.round6(nation_vol.cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
     )
 
 
@@ -1381,12 +1380,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT CAST(ROUND(
-             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT CAST(FLOOR((100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-           6) AS DOUBLE) AS promo_revenue
+                   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1410,9 +1407,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double"), 6
-            ).alias("promo_revenue")
+            PAR.round6(F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double")).alias("promo_revenue")
         )
     )
 
@@ -1420,7 +1415,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS DOUBLE)
+    SELECT CAST(FLOOR((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS avg_yearly
     FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
@@ -1454,7 +1449,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cut, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
+            PAR.round6(F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias(
                 "avg_yearly"
             )
         )
@@ -2400,13 +2395,13 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle="""
     SELECT event_type,
-           CAST(ROUND(stddev_samp(value), 6) AS DOUBLE) AS sd_value,
-           CAST(ROUND(var_samp(value), 6) AS DOUBLE) AS var_value,
-           CAST(ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+           CAST(FLOOR((stddev_samp(value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS sd_value,
+           CAST(FLOOR((var_samp(value)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS var_value,
+           CAST(FLOOR((corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS corr_value_hour,
-           CAST(ROUND(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+           CAST(FLOOR((covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS covar_value_hour,
-           CAST(ROUND(regr_slope(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS DOUBLE)
+           CAST(FLOOR((regr_slope(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS DOUBLE)
              AS slope_value_on_hour
     FROM events GROUP BY event_type
     """,
@@ -2423,11 +2418,11 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     hr = F.hour("ts").cast("double")
     return e.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
-        F.round(F.var_samp("value"), 6).alias("var_value"),
-        F.round(F.corr(F.col("value"), hr), 6).alias("corr_value_hour"),
-        F.round(F.covar_samp(F.col("value"), hr), 6).alias("covar_value_hour"),
-        F.round(F.regr_slope(F.col("value"), hr), 6).alias("slope_value_on_hour"),
+        PAR.round6(F.stddev_samp("value")).alias("sd_value"),
+        PAR.round6(F.var_samp("value")).alias("var_value"),
+        PAR.round6(F.corr(F.col("value"), hr)).alias("corr_value_hour"),
+        PAR.round6(F.covar_samp(F.col("value"), hr)).alias("covar_value_hour"),
+        PAR.round6(F.regr_slope(F.col("value"), hr)).alias("slope_value_on_hour"),
     )
 
 
@@ -2492,8 +2487,8 @@ def q_scalar_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.event_type,
            CAST(h.h AS INT) AS horizon_h,
            CAST(f.last_bucket + h.h * INTERVAL 1 HOUR AS TIMESTAMP) AS bucket,
-           ROUND(f.icept + f.slope *
-                 (date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', f.last_bucket) + h.h), 6)
+           FLOOR((f.icept + f.slope *
+                 (date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', f.last_bucket) + h.h)) * 1e6 + 0.5) / 1e6
              AS yhat
     FROM fit f CROSS JOIN (SELECT unnest(range(1, 25)) AS h) h
     """,
@@ -2534,9 +2529,7 @@ def q_events_forecast_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("last_bucket")
                 + F.make_interval(hours=F.col("horizon_h"))
             ).alias("bucket"),
-            F.round(
-                F.col("icept") + F.col("slope") * (x_last + F.col("horizon_h")), 6
-            ).alias("yhat"),
+            PAR.round6(F.col("icept") + F.col("slope") * (x_last + F.col("horizon_h"))).alias("yhat"),
         )
     )
 
@@ -2590,9 +2583,9 @@ def q_events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type, median(abs(e.value - m.med)) AS mad
       FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
     SELECT e.event_id, e.event_type, e.value,
-           ROUND(d.med, 6) AS med,
-           ROUND(m.mad, 6) AS mad,
-           ROUND((e.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+           FLOOR((d.med) * 1e6 + 0.5) / 1e6 AS med,
+           FLOOR((m.mad) * 1e6 + 0.5) / 1e6 AS mad,
+           FLOOR(((e.value - d.med) / (1.4826 * m.mad)) * 1e6 + 0.5) / 1e6 AS robust_z
     FROM events e JOIN med d USING (event_type) JOIN mad m USING (event_type)
     WHERE abs(e.value - d.med) > 3 * 1.4826 * m.mad
     """,
@@ -2628,11 +2621,9 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            F.round(
-                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 6
-            ).alias("robust_z"),
+            PAR.round6("med").alias("med"),
+            PAR.round6("mad").alias("mad"),
+            PAR.round6((F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))).alias("robust_z"),
         )
     )
 
@@ -2734,7 +2725,7 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM filled f JOIN med m USING (event_type) GROUP BY 1)
     SELECT f.event_type, CAST(f.bucket AS TIMESTAMP) AS bucket,
            f.filled_value, f.is_gap,
-           ROUND((f.filled_value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+           FLOOR(((f.filled_value - d.med) / (1.4826 * m.mad)) * 1e6 + 0.5) / 1e6 AS robust_z
     FROM filled f JOIN med d USING (event_type) JOIN mad m USING (event_type)
     WHERE abs(f.filled_value - d.med) > 3 * 1.4826 * m.mad
     """,
@@ -2797,9 +2788,7 @@ def q_events_metrics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "filled_value",
             "is_gap",
-            F.round(
-                (F.col("filled_value") - F.col("med")) / (1.4826 * F.col("mad")), 6
-            ).alias("robust_z"),
+            PAR.round6((F.col("filled_value") - F.col("med")) / (1.4826 * F.col("mad"))).alias("robust_z"),
         )
     )
 
@@ -2884,7 +2873,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM j GROUP BY purchase_id)
     SELECT j.purchase_id, j.user_id, j.touch_event_id, j.touch_type, j.gap_us,
            n.n_touches,
-           CAST(ROUND(CAST(1.0 AS DOUBLE) / n.n_touches, 6) AS DOUBLE) AS credit
+           CAST(FLOOR((CAST(1.0 AS DOUBLE) / n.n_touches) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS credit
     FROM j JOIN n ON j.purchase_id = n.purchase_id
     UNION ALL
     SELECT p.purchase_id, p.user_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
@@ -2941,7 +2930,7 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited = j.join(n, "purchase_id").select(
         "purchase_id", "user_id", "touch_event_id", "touch_type", "gap_us",
         "n_touches",
-        F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("credit"),
+        PAR.round6(F.lit(1.0) / F.col("n_touches")).alias("credit"),
     )
     organic = p.join(n, "purchase_id", "left_anti").select(
         "purchase_id",
@@ -3002,7 +2991,7 @@ def q_events_throttle_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(length(p_name) AS INT) AS name_len, p_retailprice
                FROM part)
     SELECT p.p_partkey, p.p_size, p.name_len,
-           ROUND(p.p_retailprice, 6) AS retail_price
+           FLOOR((p.p_retailprice) * 1e6 + 0.5) / 1e6 AS retail_price
     FROM s p
     WHERE NOT EXISTS (
       SELECT 1 FROM s q
@@ -3036,5 +3025,5 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_size",
         "name_len",
-        F.round("p_retailprice", 6).alias("retail_price"),
+        PAR.round6("p_retailprice").alias("retail_price"),
     )

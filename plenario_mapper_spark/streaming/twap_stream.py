@@ -31,6 +31,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from plenario_mapper_spark.functions import parity as PAR
+
 STATE_SCHEMA = (
     "day date, event_type string, "
     "wv decimal(38,2), w long, "
@@ -111,8 +113,8 @@ class TwapStream:
         return s.filter(F.col("w") > 0).select(
             "day",
             "event_type",
-            F.round(
-                F.col("wv").cast("double") / F.col("w").cast("double"), 6
+            PAR.round6(
+                F.col("wv").cast("double") / F.col("w").cast("double")
             ).alias("twap"),
             F.col("w").alias("weight_us"),
         )

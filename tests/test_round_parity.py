@@ -79,3 +79,118 @@ def test_native_round_diverges_and_floor_recipe_agrees(spark):
     # step (a half-way case resolved in opposite directions, never garbage)
     for i in native_diffs:
         assert abs(sp_round[i] - duck_round[i]) == pytest.approx(1e-6, rel=1e-6)
+
+
+def test_floor_recipe_bit_identical_at_rank_grid_scales(spark):
+    """The registry's round-then-rank grids (scale 9: pagerank; scale 12:
+    A-ES priorities, RRF, Neyman fractions, Mahalanobis d2) migrated to the
+    same floor-scale recipe (functions/parity.round_at) — prove it
+    bit-identical on the straddle construction at those scales too."""
+    rng = np.random.default_rng(11)
+    con = duckdb.connect()
+    for digits in (9, 12):
+        grid = 10.0**-digits
+        vals = []
+        for k in rng.integers(0, 10_000_000, 400):
+            base = k * grid + 0.5 * grid
+            for eps in (0.0, grid * 1e-6, -grid * 1e-6, grid * 3e-7):
+                vals.append(float(base + eps))
+        vals += [-v for v in vals[:400]]
+        vals = sorted(set(vals))
+        con.execute("DROP TABLE IF EXISTS t")
+        con.register("tv", pd.DataFrame({"i": range(len(vals)), "x": vals}))
+        duck = dict(
+            con.execute(
+                f"SELECT i, FLOOR(x * 1e{digits} + 0.5) / 1e{digits} FROM tv"
+            ).fetchall()
+        )
+        from plenario_mapper_spark.functions import parity as PAR
+
+        rows = (
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)], "i long, x double"
+            )
+            .select("i", PAR.round_at(F.col("x"), digits).alias("fr"))
+            .collect()
+        )
+        diffs = [
+            r["i"]
+            for r in rows
+            if struct.pack("<d", r["fr"]) != struct.pack("<d", duck[r["i"]])
+        ]
+        assert diffs == [], f"scale {digits}: {len(diffs)} bit-diffs"
+
+
+def test_registry_has_no_native_round_in_divergence_position():
+    """VERDICT r8 item 3 'Done' criterion: no registry query uses native
+    ROUND on a double anywhere the driver hash (or a rank decision) can see.
+    Every oracle-side ROUND still present must be scale 0 or 2 on a
+    DECIMAL-typed expression — exact decimal arithmetic in both engines, no
+    scaled-double divergence class:
+
+    - scale 2: money presentation of DECIMAL(18,2) sums/columns (o_totalprice,
+      c_acctbal, rev CTE sums) — DECIMAL in the TPC-H schema and cast
+      explicitly in the value rollups.
+    - scale 0: integer cents (DECIMAL(18,2) * 100) for exact-integer-domain
+      membership decisions.
+
+    Engine-side F.round mirrors the same two patterns (audited by grep in
+    the r9 migration; streaming twins included)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from plenario_mapper_spark.plans import ORACLES
+
+    def last_scales(text):
+        out = []
+        for m in re.finditer(r"(?<![A-Za-z0-9_.])round\s*\(", text, re.I):
+            i = text.index("(", m.start())
+            depth, j = 0, i
+            while True:
+                c = text[j]
+                if c in "'\"":
+                    q = c
+                    j += 1
+                    while text[j] != q:
+                        j += 1
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = text[i + 1 : j]
+            depth, pos = 0, None
+            for k, ch in enumerate(inner):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    pos = k
+            out.append(
+                (inner[pos + 1 :].strip() if pos is not None else None, inner)
+            )
+        return out
+
+    offenders = []
+    for name, sql in ORACLES.items():
+        for scale, inner in last_scales(sql):
+            if scale not in ("0", "2"):
+                offenders.append((name, scale))
+                continue
+            # the rounded expression must be decimal-typed: either an
+            # explicit DECIMAL cast or a TPC-H DECIMAL column / decimal CTE
+            # alias (the named whitelist IS the zero-exposure argument)
+            expr = inner.rsplit(",", 1)[0]
+            if not (
+                re.search(r"DECIMAL\s*\(", expr, re.I)
+                or re.search(
+                    r"\b(o_totalprice|c_acctbal|rev|rev_sply|cum\.rev|r1 - r0|l_extendedprice)\b",
+                    expr,
+                )
+            ):
+                offenders.append((name, f"non-decimal scale-{scale}: {expr[:60]}"))
+    assert offenders == [], offenders
