@@ -57,7 +57,13 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     m/2) collapses the probes to fewer than k distinct bits, making the
     (1-e^(-kn/m))^k false-positive bound slightly optimistic (ADVICE r7).
     No-false-negatives is unaffected either way (build and probe share
-    these positions)."""
+    these positions). The coprimality argument NEEDS a power-of-two m —
+    callers bypassing sized_bits with an arbitrary width would silently
+    void the distinctness/FP bound, so it is asserted (ADVICE r8)."""
+    assert m_bits > 0 and m_bits & (m_bits - 1) == 0, (
+        f"m_bits must be a power of two (got {m_bits}): h2's oddness only "
+        f"guarantees distinct probes against a power-of-two modulus"
+    )
     h1 = F.pmod(F.xxhash64(key, F.lit(0x5BF0)), F.lit(m_bits))
     h2 = F.lit(2) * F.pmod(F.xxhash64(key, F.lit(0x1337)), F.lit(m_bits // 2)) + F.lit(1)
     return [F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(k)]

@@ -19,10 +19,15 @@ mid-overwrite mixed-generation window and no separate delete step for
 emptied buckets:
 
 1. stage: write every touched bucket's merged rows (possibly none, when the
-   bucket's every key was deleted) to `_<name>.merge-<uuid>/_bucket=N/`.
-2. journal: after staging is fully durable, write `<path>/_merge.journal`
-   (tmp + atomic rename) recording the staging dir and touched buckets. The
+   bucket's every key was deleted) to `_<name>.merge-<uuid>/_bucket=N/`,
+   then fsync every staged file and directory entry (durability of the DATA
+   the journal will point at, not just of the journal).
+2. journal: write `<path>/_merge.journal` (fsync'd tmp + atomic rename)
+   recording the merge id, staging dir, touched buckets, which of them had
+   a pre-existing live dir, and a {staged file: size} manifest. The
    `_`-prefixed name carries no `=`, so Spark's file index ignores it.
+   Recovery VALIDATES the manifest before rolling forward; a torn staged
+   file rolls the merge BACK to the complete old generation instead.
 3. swap, per touched bucket: rename the live `_bucket=N` out to
    `_merge-old-N` (invisible to readers — no `=`), then rename the staged
    `_bucket=N` in (absent for emptied buckets, which thereby disappear with
@@ -75,6 +80,87 @@ def _staged_buckets(staging: str) -> set[int]:
         return set()
 
 
+def _staged_files(staging: str) -> dict[str, int]:
+    """{relative path: size} for every file under the staging dir — the
+    manifest the journal records so recovery can tell durable staging from
+    staging torn by a power loss (sizes catch truncation; the staged files
+    are also fsync'd before the journal lands, so an intact journal implies
+    intact staging on a well-behaved filesystem — the manifest is the check
+    for filesystems that reorder data vs. metadata anyway)."""
+    out = {}
+    for root, _dirs, files in os.walk(staging):
+        for fn in files:
+            p = os.path.join(root, fn)
+            out[os.path.relpath(p, staging)] = os.path.getsize(p)
+    return out
+
+
+def _fsync_tree(staging: str) -> None:
+    """fsync every staged file and every directory entry under (and
+    including) the staging dir, so the journal's roll-forward promise is
+    backed by durable data — journal fsync alone orders the JOURNAL, not the
+    parquet it points at (ADVICE r8: intact journal + torn staging rolled
+    forward would install a truncated bucket as the new generation)."""
+    for root, dirs, files in os.walk(staging, topdown=False):
+        for fn in files:
+            fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def _validate_staging(journal: dict) -> bool:
+    """True iff every journaled staged file that is STILL in the staging dir
+    has its recorded size. Files already swapped into the table (their
+    bucket dir was renamed out of staging by a prior recovery attempt) are
+    exempt — they were validated by the attempt that installed them. A
+    journal without a manifest (written by a pre-manifest version) validates
+    trivially."""
+    manifest = journal.get("files")
+    if manifest is None:
+        return True
+    staging = journal["staging"]
+    for rel, size in manifest.items():
+        p = os.path.join(staging, rel)
+        bucket_dir = os.path.join(staging, rel.split(os.sep, 1)[0])
+        if not os.path.isdir(bucket_dir):
+            continue  # whole bucket already swapped in
+        if not os.path.isfile(p) or os.path.getsize(p) != size:
+            return False
+    return True
+
+
+def _rollback_merge(path: str, journal: dict) -> None:
+    """Undo an unswappable merge (staging failed validation): restore every
+    moved-out old bucket and remove every installed or staged new one, then
+    drop the journal and staging. Possible without an undo log because the
+    moved-out `_merge-old-N` dirs survive until _finish_merge (which only
+    runs after a successful roll-forward) and the journal records which
+    buckets HAD a live dir before the swap — distinguishing an installed
+    new-key bucket (delete it) from an untouched original (leave it)."""
+    had_live = set(journal.get("had_live", journal["buckets"]))
+    for b in journal["buckets"]:
+        live = os.path.join(path, f"_bucket={b}")
+        old = os.path.join(path, f"_merge-old-{b}")
+        if os.path.isdir(old):
+            shutil.rmtree(live, ignore_errors=True)  # installed new gen, if any
+            _rename_converging(old, live)
+        elif b not in had_live and os.path.isdir(live):
+            shutil.rmtree(live, ignore_errors=True)  # new-key bucket install
+    jpath = os.path.join(path, _JOURNAL)
+    try:
+        os.remove(jpath)
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(journal["staging"], ignore_errors=True)
+
+
 def _rename_converging(src: str, dst: str) -> None:
     """Rename that tolerates a CONCURRENT recoverer having already performed
     the same step (recovery-on-read can race another reader): on failure,
@@ -122,12 +208,24 @@ def _finish_merge(path: str, journal: dict) -> None:
     """Delete the journal (the commit point for cleanup), then the
     superseded bucket dirs and the staging dir. A crash inside this cleanup
     leaves garbage (stale old/staging dirs, no journal) — invisible to
-    readers and removed by _sweep_leftovers at the next merge."""
+    readers and removed by _sweep_leftovers at the next merge.
+
+    The journal is deleted only if its content still names THIS merge
+    (matching `id`): a lagging recoverer that loaded a stale journal must
+    not delete the journal a SUBSEQUENT merge has since written (ADVICE r8
+    — its emptied-bucket branch replaying against the newer generation is
+    fenced the same way, by re-checking the id before acting)."""
     jpath = os.path.join(path, _JOURNAL)
     try:
+        with open(jpath) as f:
+            current = json.load(f)
+        if current.get("id") != journal.get("id"):
+            # a subsequent merge's journal is live: its swap owns the
+            # _merge-old-* dirs now — touch nothing
+            return
         os.remove(jpath)
-    except FileNotFoundError:
-        pass  # a concurrent recoverer finished first
+    except (FileNotFoundError, ValueError, OSError):
+        pass  # journal already gone: a concurrent recoverer finished first
     for b in journal["buckets"]:
         shutil.rmtree(os.path.join(path, f"_merge-old-{b}"), ignore_errors=True)
     shutil.rmtree(journal["staging"], ignore_errors=True)
@@ -161,13 +259,23 @@ def _sweep_leftovers(path: str) -> None:
 
 def recover_merge(path: str) -> bool:
     """Roll an interrupted merge FORWARD from its journal; returns True if a
-    recovery ran. Safe to call any time — the journal only exists between the
-    staging write completing and the swap committing, every swap step is
-    idempotent, and concurrent recoverers converge (_rename_converging). A
-    journal that does not parse means the system crashed before the
+    recovery ran. Callable from any merge/read entry point — the journal
+    only exists between the staging write completing and the swap
+    committing, every swap step is idempotent, concurrent recoverers
+    converge (_rename_converging), and a recoverer that stalls past a
+    SUBSEQUENT merge is fenced by the journal id (_finish_merge). Readers
+    running CONCURRENTLY with a swap must still be fenced by the caller's
+    scheduler (see module docstring) — recovery-on-read closes the
+    crash-consistency gap, not the live-concurrency one.
+
+    A journal that does not parse means the system crashed before the
     journal's fsync'd data committed — no swap rename can have happened yet
     (they strictly follow the fsync), so the old generation is intact and
-    the journal is dropped."""
+    the journal is dropped. A journal that parses but whose staged-file
+    manifest does not validate (a file missing or size-torn despite the
+    pre-journal fsync — a filesystem that reordered data vs. metadata)
+    must NOT roll forward: the merge is rolled BACK to the complete old
+    generation instead of installing a truncated bucket as the new one."""
     jpath = os.path.join(path, _JOURNAL)
     if not os.path.isfile(jpath):
         return False
@@ -182,6 +290,9 @@ def recover_merge(path: str) -> bool:
         except FileNotFoundError:
             pass
         return False
+    if not _validate_staging(journal):
+        _rollback_merge(path, journal)
+        return True
     _apply_swap(path, journal)
     _finish_merge(path, journal)
     return True
@@ -253,17 +364,36 @@ def merge_into(
     # checkpoint is needed and the live table is untouched until the swap.
     parent = os.path.dirname(path.rstrip("/")) or "."
     name = os.path.basename(path.rstrip("/"))
-    staging = os.path.join(parent, f"_{name}.merge-{uuid.uuid4().hex[:8]}")
+    merge_id = uuid.uuid4().hex[:8]
+    staging = os.path.join(parent, f"_{name}.merge-{merge_id}")
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+
+    # Make the STAGED DATA durable before the journal can promise to install
+    # it: fsync every staged file and directory entry (journal fsync alone
+    # orders the journal, not the parquet it points at — intact journal over
+    # torn staging would roll a truncated bucket forward, ADVICE r8). The
+    # journal additionally records each staged file's size so recovery can
+    # validate instead of trust.
+    _fsync_tree(staging)
 
     # Journal AFTER staging is durable: its presence means "roll forward".
     # flush+fsync BEFORE the atomic rename so a system crash cannot commit
     # the rename's metadata without the journal's data (a torn journal is
     # then PROOF no swap rename has happened — recover_merge relies on it).
+    # `id` ties the journal to this merge (stale-recoverer fence); `had_live`
+    # records which touched buckets pre-existed, making a validation-failure
+    # rollback able to tell an installed new-key bucket from an original.
     journal = {
+        "id": merge_id,
         "staging": staging,
         "buckets": [int(b) for b in buckets],
         "staged": sorted(int(b) for b in _staged_buckets(staging)),
+        "files": _staged_files(staging),
+        "had_live": sorted(
+            int(b)
+            for b in buckets
+            if os.path.isdir(os.path.join(path, f"_bucket={b}"))
+        ),
     }
     jpath = os.path.join(path, _JOURNAL)
     tmp = jpath + ".tmp"
@@ -272,6 +402,12 @@ def merge_into(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, jpath)
+    # directory-entry durability for the rename itself
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
     _apply_swap(path, journal)
     _finish_merge(path, journal)

@@ -226,3 +226,153 @@ def test_merge_recovery_is_idempotent_and_completes(spark, tmp_path):
     leftovers = [d for d in os.listdir(path) if d.startswith("_merge")]
     assert leftovers == []
     assert not os.path.exists(staging)
+
+
+def _rows(spark, path):
+    return sorted(map(tuple, MG.read_table(spark, path).collect()))
+
+
+def _crash_before_swap(spark, path, changes, monkeypatch):
+    """Run merge_into up to the journal write, then 'crash' (raise) before
+    any swap rename — leaving an intact journal over the staged buckets."""
+    def _boom(p, j):
+        raise RuntimeError("simulated crash after journal, before swap")
+
+    monkeypatch.setattr(MG, "_apply_swap", _boom)
+    try:
+        MG.merge_into(spark, path, changes, "k", n_buckets=8)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert os.path.isfile(os.path.join(path, MG._JOURNAL))
+
+
+def test_torn_staging_rolls_back_not_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): an intact journal over power-loss-torn staged
+    parquet must NOT roll forward (installing a truncated bucket as the new
+    generation is silent data loss). The journal's {staged file: size}
+    manifest detects the tear and recovery rolls the merge BACK to the
+    complete old generation."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    before = _rows(spark, path)
+
+    changes = spark.createDataFrame([(2, "B"), (5, "e")], "k long, v string")
+    _crash_before_swap(spark, path, changes, monkeypatch)
+
+    # tear one staged parquet file (truncate to half its recorded size)
+    journal = __import__("json").load(open(os.path.join(path, MG._JOURNAL)))
+    rel, size = next(
+        (r, s) for r, s in journal["files"].items() if r.endswith(".parquet")
+    )
+    torn = os.path.join(journal["staging"], rel)
+    with open(torn, "r+b") as f:
+        f.truncate(size // 2)
+
+    assert MG.recover_merge(path) is True
+    # rolled BACK: old generation intact, journal and staging gone
+    assert _rows(spark, path) == before
+    assert not os.path.isfile(os.path.join(path, MG._JOURNAL))
+    assert not os.path.isdir(journal["staging"])
+    # and the table still merges cleanly afterwards
+    MG.merge_into(spark, path, changes, "k", n_buckets=8)
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_torn_staging_mid_swap_restores_moved_out_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """Rollback must also undo a PARTIALLY executed swap: buckets whose live
+    dir was already moved out (their _merge-old-N sibling exists) are
+    restored, and an installed new-key bucket is removed (the journal's
+    had_live list tells the two apart)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    before = _rows(spark, path)
+
+    changes = spark.createDataFrame([(2, "B"), (5, "e")], "k long, v string")
+    orig_swap = MG._apply_swap
+
+    def _partial(p, j):
+        # move ONE pre-existing touched bucket out, install its staged dir,
+        # then crash
+        b = j["had_live"][0]
+        os.rename(
+            os.path.join(p, f"_bucket={b}"), os.path.join(p, f"_merge-old-{b}")
+        )
+        os.rename(
+            os.path.join(j["staging"], f"_bucket={b}"),
+            os.path.join(p, f"_bucket={b}"),
+        )
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(MG, "_apply_swap", _partial)
+    try:
+        MG.merge_into(spark, path, changes, "k", n_buckets=8)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    journal = __import__("json").load(open(os.path.join(path, MG._JOURNAL)))
+    # tear a STILL-STAGED file (one whose bucket was not yet swapped in)
+    rel, size = next(
+        (r, s)
+        for r, s in journal["files"].items()
+        if r.endswith(".parquet")
+        and os.path.isfile(os.path.join(journal["staging"], r))
+    )
+    with open(os.path.join(journal["staging"], rel), "r+b") as f:
+        f.truncate(size // 2)
+
+    assert MG.recover_merge(path) is True
+    assert _rows(spark, path) == before  # moved-out bucket restored
+    assert not os.path.isfile(os.path.join(path, MG._JOURNAL))
+    assert MG._apply_swap is orig_swap
+
+
+def test_intact_staging_still_rolls_forward(spark, tmp_path, monkeypatch):
+    """The manifest must not turn crash recovery conservative: an intact
+    journal over INTACT staging still rolls forward to the new generation."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    changes = spark.createDataFrame(
+        [(2, "B", False), (6, "f", False)], "k long, v string, _deleted boolean"
+    )
+    _crash_before_swap(spark, path, changes, monkeypatch)
+    assert MG.recover_merge(path) is True
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (6, "f")]
+    assert not os.path.isfile(os.path.join(path, MG._JOURNAL))
+
+
+def test_stale_recoverer_cannot_delete_newer_journal(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (low): a lagging recoverer holding a SUPERSEDED journal must
+    not delete the journal a subsequent merge has since written, nor sweep
+    that merge's _merge-old-* dirs."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    changes = spark.createDataFrame([(2, "B")], "k long, v string")
+    _crash_before_swap(spark, path, changes, monkeypatch)
+    stale = _json.load(open(os.path.join(path, MG._JOURNAL)))
+
+    # a newer merge replaces the journal (different id)
+    newer = dict(stale, id="ffffffff")
+    _json.dump(newer, open(os.path.join(path, MG._JOURNAL), "w"))
+
+    MG._finish_merge(path, stale)  # the lagging recoverer's cleanup attempt
+    # the newer journal survives untouched
+    on_disk = _json.load(open(os.path.join(path, MG._JOURNAL)))
+    assert on_disk["id"] == "ffffffff"
+    # restore the real journal and let recovery complete normally
+    _json.dump(stale, open(os.path.join(path, MG._JOURNAL), "w"))
+    assert MG.recover_merge(path) is True
+    assert _rows(spark, path) == [(1, "a"), (2, "B")]
