@@ -79,17 +79,47 @@ def main() -> None:
     # Three timed iterations per query, report the min: a single local[N] run has
     # 2-3x noise from GC pauses, AQE re-planning, and page-cache state; the min
     # is the steady-state number a cluster would sustain.
+    #
+    # Self-diagnosis (VERDICT r8 item 4): alongside each wall, record a plan
+    # FINGERPRINT (md5 of the executed-plan node sequence, cached subtrees
+    # excluded) and the job/stage/task counts of one timed run. When a future
+    # round's walls move on untouched queries, identical fingerprints + counts
+    # prove environment variance mechanically; a changed fingerprint names the
+    # plan that actually changed.
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(3):
+        df = None
+        sc.setJobGroup(f"bench:{name}", name)
+        jobs_before = set(tracker.getJobIdsForGroup(f"bench:{name}") or [])
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        best = min(best, time.perf_counter() - t0)
+        group_jobs = [
+            j
+            for j in (tracker.getJobIdsForGroup(f"bench:{name}") or [])
+            if j not in jobs_before
+        ]
+        sc.setJobGroup("bench:untracked", "")
+        for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        plans[name] = _plan_facts(df, tracker, group_jobs)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows) "
+            f"plan={plans[name]['fingerprint'][:10]} "
+            f"jobs/stages/tasks={plans[name]['jobs']}/{plans[name]['stages']}/"
+            f"{plans[name]['tasks']}",
+            file=sys.stderr,
+        )
 
     # Bound cached-block lifetime: a few queries persist shared intermediates
     # (tf-idf counts, bigram relation, geo cells) with no per-query owner to
@@ -121,12 +151,71 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **extra,
             }
         )
     )
     spark.stop()
+
+
+def _plan_facts(df, tracker, job_ids: list[int]) -> dict:
+    """Executed-plan fingerprint + execution-shape counts for one bench run.
+
+    The fingerprint hashes the DFS sequence of physical node class names
+    (scan nodes annotated with their table), walking the JVM tree the same
+    way tools/plan_audit.outer_nodes does: descend AQE wrappers and query
+    stages, stop at InMemoryTableScan — cached subtrees ran at persist time,
+    and AQE string forms carry duplicate Final/Initial sections that a text
+    hash would double-count. Node METRICS (row counts, sizes) are excluded
+    on purpose: the fingerprint answers "same plan shape?", not "same data?".
+    """
+    import hashlib
+    import re as _re
+
+    names: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        tag = name
+        if "FileSourceScan" in name or "BatchScan" in name:
+            m = _re.search(r"(\w+)\.parquet", str(node.nodeName()) + str(node))
+            tag = f"{name}({m.group(1) if m else '?'})"
+        names.append(tag)
+        if "InMemoryTableScan" in name:
+            return
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    try:
+        walk(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        names = ["<plan-walk-failed>"]
+    stages = tasks = 0
+    for j in job_ids:
+        info = tracker.getJobInfo(j)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                stages += 1
+                tasks += sinfo.numTasks
+    return {
+        "fingerprint": hashlib.md5("|".join(names).encode()).hexdigest(),
+        "n_nodes": len(names),
+        "jobs": len(job_ids),
+        "stages": stages,
+        "tasks": tasks,
+    }
 
 
 def _stream_throughput(
