@@ -517,3 +517,62 @@ def kmeans_iterate(
             )
         )
     return _assign(cent).select(F.col("_id").alias(id_col), F.col("cid").alias("assigned_cid"))
+
+
+def semantic_dedup(
+    items: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    assign every item to its nearest centroid, then WITHIN each cluster drop
+    every item that has a smaller-id neighbor at cosine >= threshold — one
+    deterministic representative (the smallest id) survives per epsilon-ball.
+    Returns (id_col, assigned_cid, is_kept).
+
+    The keep rule is the deterministic, single-pass variant of the paper's
+    drop-all-but-one: "drop iff ANY smaller-id in-cluster neighbor clears
+    the threshold" — whether or not that neighbor itself survives — needs no
+    iteration order and is reproducible in plain SQL (the oracle's EXISTS).
+    It differs from sequential greedy-keep-first on chains: for a~b~c with
+    a~c below threshold, greedy re-keeps c after dropping b, while this rule
+    drops c too (b is a smaller-id neighbor regardless of b's own fate) — a
+    chain keeps only its smallest id, slightly MORE aggressive than greedy,
+    pinned by test_semantic_dedup_keep_rule. Transitive-closure clustering
+    proper is dedup.py's CC path.
+
+    Scale shape — the whole point of clustering first: the quadratic cosine
+    verify runs per cluster, never corpus-wide. One shuffle keyed
+    assigned_cid co-locates each cluster; the pair join is cluster-bounded,
+    so at 100 TB the knob is K (cluster count scales with the corpus,
+    holding cluster size ~constant) and a hot cluster is AQE skew-split.
+    The centroid scoring pass is a K-row broadcast (assign_to_centroids);
+    vectors cross the wire once, partitioned by cluster."""
+    a = assign_to_centroids(items, centroids, id_col=id_col, vec_col=vec_col)
+    withv = a.select(
+        F.col(id_col).alias("id"), "assigned_cid"
+    ).join(
+        items.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        "id",
+    )
+    l, r = withv.alias("l"), withv.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.assigned_cid") == F.col("r.assigned_cid"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(V.cosine(F.col("l.v"), F.col("r.v")) >= threshold)
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+    )
+    return withv.join(dropped.withColumn("_drop", F.lit(1)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "assigned_cid",
+        F.col("_drop").isNull().alias("is_kept"),
+    )

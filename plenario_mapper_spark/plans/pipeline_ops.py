@@ -1594,10 +1594,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows and the final agg."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact MICROSECOND gap: ts.cast(long) truncates to whole seconds, so a
+    # gap of 1800.3s collapses to exactly 1800 and fails the strict > where
+    # the oracle's INTERVAL comparison (micro-exact) breaks the session —
+    # found by fuzz_parity seed 202 (jittered stamps straddled the boundary)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sess = flagged.withColumn(
         "session_id",
@@ -8887,12 +8891,16 @@ def q_events_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered). Integer microsecond durations; two divisions per row at
     presentation."""
     wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact MICROSECOND gap — same boundary class as q_events_sessionize
+    # (second-truncated cast vs the oracle's micro-exact INTERVAL; fuzz
+    # seed 202)
     flagged = _events(spark, sf_dir).withColumn(
         "new_session",
         F.when(
             (
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wc)
-                > 1800
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(wc)
+                > 1800 * 1_000_000
             )
             | F.lag("ts").over(wc).isNull(),
             1,
@@ -10607,4 +10615,70 @@ def q_stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("durations_ok"),
+    )
+
+
+# --------------------------------------------------------------------------------
+# Round 9: registry growth unfrozen after the rotation debt cleared (VERDICT r8
+# item 1 done — every registered query has a driver row). New entries land MID
+# (behind the committed 50-slot window, candidates for the r10 rotation).
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_embed_semantic_dedup",
+    # The oracle mirrors the engine exactly: the q_embed_kmeans_assign
+    # centroid/assignment CTEs (label-mean centroids, squared-L2 argmin,
+    # smallest-cid tie-break), then the SemDeDup keep rule — drop iff a
+    # smaller-id in-cluster neighbor clears cosine >= 0.4 (threshold on the
+    # UNROUNDED cosine; the dot/(sqrt*sqrt) spelling is measured
+    # bit-identical to the engine's V.cosine fold, see q_embed_near_dup).
+    # 0.4 because the synthetic corpus holds no true near-dups (max pairwise
+    # cos ~0.51): the production 0.9+ epsilon would be a vacuously-empty
+    # sweep that exercises nothing.
+    oracle="""
+    WITH u AS (SELECT label, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+               FROM embeddings),
+    ci AS (SELECT label, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS c
+           FROM u GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(c ORDER BY i) AS centroid FROM ci GROUP BY label),
+    d AS (SELECT e.vec_id, cent.cid,
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.centroid[i])^2)) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT a2.vec_id
+      FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      JOIN v v1 ON v1.vec_id = a1.vec_id
+      JOIN v v2 ON v2.vec_id = a2.vec_id
+      WHERE list_sum([v1.v[j] * v2.v[j] FOR j IN generate_series(1, len(v1.v))])
+            / (sqrt(list_sum([v1.v[j] * v1.v[j] FOR j IN generate_series(1, len(v1.v))]))
+             * sqrt(list_sum([v2.v[j] * v2.v[j] FOR j IN generate_series(1, len(v2.v))])))
+            >= 0.4)
+    SELECT asg.cid AS assigned_cid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+    GROUP BY asg.cid
+    """,
+)
+def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540) over
+    the embeddings table: label-mean centroids -> nearest-centroid
+    assignment -> within-cluster cosine pruning at epsilon 0.4, keeping the
+    smallest id per epsilon-ball (operators/similarity.semantic_dedup; keep
+    rule and scale shape documented there — the quadratic verify is
+    cluster-bounded, never corpus-wide, the 100 TB knob being K). Reported
+    as the per-cluster (n_items, n_dropped) dedup pressure summary."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = SIM.label_centroids(e)
+    d = SIM.semantic_dedup(e, cent, threshold=0.4)
+    return d.groupBy("assigned_cid").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum((~F.col("is_kept")).cast("int")).cast("long").alias("n_dropped"),
     )

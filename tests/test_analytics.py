@@ -1178,3 +1178,37 @@ def test_term_burstiness_discriminates_function_vs_bursty(spark):
     assert got["the"]["burstiness"] == 1.0 and got["the"]["doc_coverage"] == 1.0
     assert got["spam"]["burstiness"] == 6.0
     assert abs(got["spam"]["doc_coverage"] - 1 / 6) < 1e-6
+
+
+def test_session_gap_boundary_is_microsecond_exact(spark):
+    """A gap of 1800.3s must BREAK the 30-min session, and a gap of exactly
+    1800.0s must NOT (strict >) — in whole-second arithmetic both truncate
+    to 1800 and merge, which diverged from the oracle's micro-exact INTERVAL
+    comparison on jittered timestamps (fuzz_parity seed 202, r9). Pins both
+    q_events_sessionize and q_events_session_quality's gap chain."""
+    import datetime, os, tempfile
+
+    from plenario_mapper_spark.plans.registry import QUERIES
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0, 500000)
+    rows = [
+        # user 1: 1800.3s gap -> two sessions
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=1800, microseconds=300000), 1, "view", 0.0, "{}"),
+        # user 2: exactly 1800.0s gap -> one session (strict >)
+        (3, t0, 2, "view", 0.0, "{}"),
+        (4, t0 + datetime.timedelta(seconds=1800), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        sess = QUERIES["q_events_sessionize"](spark, d).collect()
+        per_user = {}
+        for r in sess:
+            per_user.setdefault(r["user_id"], []).append(r)
+        assert len(per_user[1]) == 2  # 1800.3s gap broke the session
+        assert len(per_user[2]) == 1  # exactly 1800s did not (strict >)

@@ -1112,3 +1112,37 @@ def test_topk_near_tie_boundary_membership(spark):
     assert (got[0]["query_id"], got[0]["item_id"]) == want[0] == (0, 2)
     # and the reported rounded value crossed the boundary as constructed
     assert got[0]["cosine"] == pytest.approx(0.123457, abs=1e-9)
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keep rule (operators/similarity.semantic_dedup): within a
+    cluster, drop iff ANY smaller-id neighbor clears the threshold —
+    chains keep only their smallest id (more aggressive than sequential
+    greedy, which would re-keep the chain's far end); clusters isolate
+    (a high-cosine pair split across clusters is never compared)."""
+    # chain a~b, b~c at cos>=0.7 but a~c at cos 0: only a survives
+    one_centroid = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cid int, centroid array<double>"
+    )
+    chain = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.7071, 0.7071]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["is_kept"]
+        for r in SIM.semantic_dedup(chain, one_centroid, 0.7).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}
+
+    # cluster isolation: x~y at cos ~0.91 but x -> cluster 0, y -> cluster 1
+    two_centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, centroid array<double>"
+    )
+    split = spark.createDataFrame(
+        [(1, [1.0, 0.4]), (2, [0.75, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    d = SIM.semantic_dedup(split, two_centroids, 0.7)
+    rows = {r["vec_id"]: r for r in d.collect()}
+    assert rows[1]["assigned_cid"] == 0 and rows[2]["assigned_cid"] == 1
+    assert rows[1]["is_kept"] and rows[2]["is_kept"]
