@@ -10682,3 +10682,147 @@ def q_embed_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.sum((~F.col("is_kept")).cast("int")).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "q_doc_global_shuffle",
+    # Order is oracle-checked, not just membership: each shard's digest is
+    # md5 over its position-ordered doc_id list, so a shard assignment OR
+    # within-shard ordering drift reds the hash. md5 gate (not xxhash64) so
+    # the oracle reproduces membership exactly — operators/sampling._hash_u32
+    # discipline.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('shuf0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars, h, h % 8 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      FROM h)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY pos), ',')) AS order_digest
+    FROM s GROUP BY shard
+    """,
+)
+def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-training GLOBAL SHUFFLE, sharded the way it scales:
+    shard = md5-hash mod S (pure row function, no global sort), within-shard
+    order = (hash, id) — together a deterministic pseudo-random permutation
+    of the corpus that any worker can reproduce from the doc id alone. The
+    naive formulation (ROW_NUMBER over a global ORDER BY hash) funnels the
+    corpus through one partition; hash-sharding + per-shard local sort is
+    the same permutation with one shuffle keyed shard and a per-shard sort —
+    embarrassingly parallel at 100 TB, S scaling with the corpus. Emits the
+    shard manifest (doc count, char mass for balance audit, and an
+    order-pinning digest of the position-ordered ids)."""
+    from plenario_mapper_spark.operators.sampling import _hash_u32
+
+    d = _t(spark, sf_dir, "documents")
+    h = _hash_u32(F.col("doc_id"), "shuf0")
+    s = d.select("doc_id", "n_chars", h.alias("h")).withColumn(
+        "shard", (F.col("h") % 8).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    s = s.withColumn("pos", F.row_number().over(w))
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
+        lambda st: st["doc_id"].cast("string"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.md5(F.array_join(ordered_ids, ",").cast("binary")).alias("order_digest"),
+    )
+
+
+@register(
+    "q_doc_quality_yield_curve",
+    # Integer end to end: the score is centi-alpha-ratio by floor division
+    # (both operands positive -> Spark truncating div == DuckDB //), banded
+    # on a fixed 5-point grid; retention counts/char-mass accumulate over
+    # descending bands in a window. No float ever decides membership.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  // greatest(length(text), 1) AS BIGINT) AS score
+      FROM documents),
+    g AS (
+      SELECT (score // 5) * 5 AS band,
+             COUNT(*) AS n, SUM(n_chars) AS ch
+      FROM s GROUP BY band)
+    SELECT CAST(band AS BIGINT) AS threshold,
+           CAST(SUM(n) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_retained,
+           CAST(SUM(ch) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chars_retained
+    FROM g
+    """,
+)
+def q_doc_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold YIELD CURVE — the operating-point table a corpus
+    curator reads before fixing a filter threshold: for every occupied
+    5-point band of an integer quality score (centi alpha-character ratio),
+    how many documents and characters survive a >= band cut. Scale shape:
+    scoring is scan-stage expressions, the aggregate reduces the corpus to
+    <= 21 band rows, and the cumulative window runs on that reduced table —
+    the single-partition window the plan shows holds 21 rows, not the
+    corpus. Retention is cumulative-from-above (SUM over descending bands),
+    so the curve is monotone by construction."""
+    d = _t(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.floor(
+        (F.lit(100) * alpha) / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    g = (
+        d.select(
+            ((score / 5).cast("long") * 5).alias("band"), F.col("n_chars")
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("ch"))
+    )
+    wc = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.col("band").cast("long").alias("threshold"),
+        F.sum("n").over(wc).cast("long").alias("n_retained"),
+        F.sum("ch").over(wc).cast("long").alias("chars_retained"),
+    )
+
+
+@register(
+    "q_doc_length_histogram_log2",
+    # Power-of-two buckets via the MSB position = length of the base-2
+    # string — integer-exact in both engines, no libm log2 whose boundary
+    # values (exact powers of two) would be one float ulp from flipping
+    # buckets.
+    oracle="""
+    SELECT source,
+           CAST(length(bin(greatest(n_chars, 1))) AS INT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source, log2_bucket
+    """,
+)
+def q_doc_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram in power-of-two buckets — the
+    sequence-length planning table (how much of each source fits a 2^k
+    context without truncation). Bucket = MSB position of n_chars, computed
+    as the LENGTH OF THE BASE-2 STRING rather than floor(log2): at exact
+    powers of two a libm log2 sits one ulp from the boundary and the two
+    engines may bucket differently; string length of bin() is integer-exact
+    everywhere. Pure scan-stage expression + one grouped aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    return d.groupBy("source", bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
