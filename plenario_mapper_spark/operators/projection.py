@@ -91,3 +91,103 @@ def euclidean(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+def gram_matrix_exact(
+    items, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Gram matrix M = Σ_rows x xᵀ with a BIT-DETERMINISTIC entry fold: each
+    (i, j) entry is the left-to-right sum of per-row products ordered by row
+    id — the oracle-twin form (DuckDB's list_reduce over list(p ORDER BY id)
+    is the identical IEEE op sequence, the ANN-fold discipline). Per-row
+    products x_i·x_j are EXACT doubles (float32 mantissas multiply within
+    53 bits), so the whole matrix is bit-identical across engines by
+    construction and everything derived from it (power iteration, traces)
+    stays hash-comparable with no tolerance machinery.
+
+    Cost: one self-join co-partitioned on the row id (d² rows per vector)
+    and a d²-group aggregate that collects the per-entry product list — fine
+    at oracle scale, NOT the 100 TB form (the ordered fold serializes each
+    entry's sum). Production uses gram_matrix_partials below; the pytest
+    gate certifies the two agree to float-sum tolerance."""
+    u = items.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "xi"),
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pairs = a.join(b, "rid").select(
+        "rid",
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (F.col("a.xi") * F.col("b.xi")).alias("p"),
+    )
+    return pairs.groupBy("i", "j").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rid", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("mij")
+    )
+
+
+def gram_matrix_partials(items, vec_col: str = "embedding", dim: int = 64):
+    """The 100 TB Gram build: one mapInPandas pass accumulates a d×d numpy
+    partial XᵀX per partition (vectorized per Arrow batch; only d² doubles
+    leave each partition — the map-side-combine shape of MLlib's
+    computeGramianMatrix), then a d²-key sum folds partials. Returns
+    (i, j, mij). Entry values differ from gram_matrix_exact only by
+    float-summation order (~1e-13 relative); use the exact twin when
+    downstream must be cross-engine hash-comparable."""
+    import pandas as pd
+
+    def acc(batches):
+        import numpy as np
+
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(x):
+                g += x.T @ x
+        ii, jj = np.meshgrid(range(dim), range(dim), indexing="ij")
+        yield pd.DataFrame(
+            {"i": ii.ravel(), "j": jj.ravel(), "p": g.ravel()}
+        )
+
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    parts = spread_to_parallelism(items.select(vec_col)).mapInPandas(
+        acc, "i int, j int, p double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("p").alias("mij"))
+
+
+def power_iteration_top(M: list[list[float]], iters: int = 12):
+    """Top eigenpair of a small dense symmetric matrix by `iters` power-
+    iteration steps from e₁, every sum a LEFT-TO-RIGHT Python-float fold —
+    bit-identical to the DuckDB recursive-CTE mirror (list_reduce over the
+    same sequences) given the same M. Returns (eigval, v, trace). Driver-
+    side on purpose: M is d×d metadata (64×64 = 32 KB), the same
+    size-argued collect as the bloom word table; the DATA-proportional work
+    (the Gram build) already ran distributed."""
+    d = len(M)
+    v = [1.0] + [0.0] * (d - 1)
+    lam = 0.0
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            s = 0.0
+            row = M[i]
+            for j in range(d):
+                s = s + row[j] * v[j]
+            w.append(s)
+        nr = 0.0
+        for wi in w:
+            nr = nr + wi * wi
+        lam = math.sqrt(nr)
+        v = [wi / lam for wi in w]
+    tr = 0.0
+    for i in range(d):
+        tr = tr + M[i][i]
+    return lam, v, tr

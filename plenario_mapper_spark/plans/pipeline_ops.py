@@ -10826,3 +10826,97 @@ def q_doc_length_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "q_embed_pca_power",
+    # BIT-IDENTICAL cross-engine by construction, so no tolerance machinery:
+    # the Gram entries are ordered left-to-right folds of exact
+    # float32-product doubles (list_reduce over list(p ORDER BY vec_id) ==
+    # the engine's F.aggregate over the vec_id-sorted array), and every
+    # power-iteration sum mirrors the engine's Python left-to-right fold.
+    # Ranking therefore runs on raw |loading| (no round-then-rank needed);
+    # only the OUTPUT rounds, via the floor recipe.
+    oracle="""
+    WITH RECURSIVE u AS (
+      SELECT vec_id, CAST(z[2] AS INT) - 1 AS i, CAST(z[1] AS DOUBLE) AS xi
+      FROM (SELECT vec_id, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+            FROM embeddings)),
+    prods AS (
+      SELECT a.i AS i, b.i AS j, a.vec_id AS vec_id, a.xi * b.xi AS p
+      FROM u a JOIN u b ON a.vec_id = b.vec_id),
+    ment AS (
+      SELECT i, j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY vec_id)),
+                         (acc, x) -> acc + x) AS mij
+      FROM prods GROUP BY i, j),
+    mrow AS (SELECT i, list(mij ORDER BY j) AS r FROM ment GROUP BY i),
+    mat AS (SELECT list(r ORDER BY i) AS m FROM mrow),
+    pow AS (
+      SELECT 0 AS k,
+             list_transform(range(1, 65),
+               d -> CASE WHEN d = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v,
+             CAST(0 AS DOUBLE) AS lam
+      UNION ALL
+      SELECT k + 1, list_transform(w, x -> x / nrm), nrm
+      FROM (
+        SELECT k, w,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(w, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM (
+          SELECT p.k AS k,
+                 list_transform(mat.m, row ->
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 65), j -> row[j] * (p.v)[j])),
+                     (a, b) -> a + b)) AS w
+          FROM pow p, mat
+          WHERE p.k < 12) t1) t2),
+    fin AS (SELECT v, lam FROM pow WHERE k = 12),
+    tr AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(range(1, 65), d -> m[d][d])), (a, b) -> a + b) AS trace
+           FROM mat),
+    loads AS (
+      SELECT CAST(d - 1 AS INT) AS dim, abs(v[d]) AS al, lam,
+             ROW_NUMBER() OVER (ORDER BY abs(v[d]) DESC, d) AS rnk
+      FROM fin, (SELECT unnest(range(1, 65)) AS d))
+    SELECT CAST(rnk AS INT) AS rank, dim,
+           CAST(FLOOR((al) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS loading,
+           CAST(FLOOR((lam) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS eigval,
+           CAST(FLOOR((lam / tr.trace) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS explained
+    FROM loads, tr WHERE rnk <= 5
+    """,
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top component (uncentered: the leading right-singular
+    direction of the raw embedding matrix): Gram matrix built distributed in
+    the bit-deterministic oracle-twin form
+    (operators/projection.gram_matrix_exact — per-entry left-to-right folds
+    of exact float32-product doubles; the 100 TB build is
+    gram_matrix_partials' mapInPandas numpy partials, pytest-certified to
+    float-sum tolerance against this twin), then a 12-step power iteration
+    from e1 on the driver (M is 64x64 = 32 KB metadata — the bloom-words
+    size-argued collect). Emits the top-5 |loading| dims with the eigenvalue
+    and explained-variance share — the embedding-health number that says how
+    much of the corpus' variance one direction owns (a collapsed embedder
+    scores ~1.0)."""
+    import math as _math
+
+    from plenario_mapper_spark.operators import projection as PJ
+
+    e = _t(spark, sf_dir, "embeddings")
+    M = [[0.0] * 64 for _ in range(64)]
+    for r in PJ.gram_matrix_exact(e).collect():  # 4096 rows: d^2 metadata
+        M[r["i"]][r["j"]] = r["mij"]
+    lam, v, tr = PJ.power_iteration_top(M, iters=12)
+    ranked = sorted(range(64), key=lambda d: (-abs(v[d]), d))[:5]
+
+    def r6(x: float) -> float:
+        return _math.floor(x * 1e6 + 0.5) / 1e6
+
+    data = [
+        (k + 1, ranked[k], r6(abs(v[ranked[k]])), r6(lam), r6(lam / tr))
+        for k in range(5)
+    ]
+    return spark.createDataFrame(
+        data, "rank int, dim int, loading double, eigval double, explained double"
+    )

@@ -95,3 +95,30 @@ def test_euclidean_matches_numpy(spark):
     df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
     got = df.select(PJ.euclidean(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
     assert got == pytest.approx(float(np.linalg.norm(np.array(a) - np.array(b))))
+
+
+def test_gram_partials_matches_exact_twin_and_pca_sanity(spark):
+    """The 100 TB Gram build (mapInPandas numpy partials) must agree with the
+    bit-deterministic oracle-twin fold to float-summation tolerance, and the
+    power iteration must return the dominant eigenpair on a constructed
+    matrix with a known spectrum."""
+    from plenario_mapper_spark.operators import projection as PJ
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["i"], r["j"]): r["mij"] for r in PJ.gram_matrix_exact(e).collect()
+    }
+    fast = {
+        (r["i"], r["j"]): r["mij"]
+        for r in PJ.gram_matrix_partials(e).collect()
+    }
+    assert set(exact) == set(fast) and len(exact) == 64 * 64
+    for k, v in exact.items():
+        assert fast[k] == pytest.approx(v, rel=1e-9, abs=1e-9)
+
+    # known spectrum: diag(5, 2, 1) -> top eigenvalue 5 along dim 0
+    M = [[5.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 1.0]]
+    lam, vec, tr = PJ.power_iteration_top(M, iters=12)
+    assert lam == pytest.approx(5.0, rel=1e-9)
+    assert abs(vec[0]) == pytest.approx(1.0, rel=1e-9)
+    assert tr == 8.0
