@@ -38,6 +38,17 @@ def brute_force_topk(
     this materialization is the standard one-time preprocessing step of any
     vector-search index build. Items also spread to cluster parallelism — a
     single-split embedding file otherwise pins all scoring to one core."""
+    return _rank_topk(_exact_scored(items, queries, id_col, vec_col), k)
+
+
+def _exact_scored(
+    items: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """THE exact scoring pass brute_force_topk and hard_negative_topk share:
+    (query_id, item_id, 6-rounded cosine) for every (query, item != query)
+    pair — semantics and op order are oracle-pinned (see brute_force_topk's
+    docstring; the pre-normalized sequential dot fold is what the DuckDB
+    CTEs mirror bit-for-bit)."""
     from plenario_mapper_spark.operators.dedup import _spread
 
     q = (
@@ -83,11 +94,40 @@ def brute_force_topk(
         # (ADVICE r6).
         PAR.round6(V.dot(F.col("qu"), F.col("iu"))).alias("cosine"),
     )
+    return scored
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "item_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "rank", "cosine")
+    )
+
+
+def hard_negative_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    lo: float = 0.25,
+    hi: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    NEAR-BUT-NOT-DUPLICATE neighbors — rounded cosine in [lo, hi), ranked
+    descending (the hardest negatives first, item-id tie-break). Same exact
+    scoring pass as brute_force_topk (pre-normalized items materialized
+    once, broadcast queries); the band filter prunes BEFORE the one
+    query-keyed rank shuffle. Band membership and rank both decide on the
+    6-rounded cosine, so a pair within an ulp of a band edge cannot be a
+    negative on one engine only. This is the exact twin; at 100 TB
+    candidate generation goes through the LSH/IVF index and the band filter
+    runs on candidates."""
+    scored = _exact_scored(items, queries, id_col, vec_col)
+    return _rank_topk(
+        scored.filter((F.col("cosine") >= lo) & (F.col("cosine") < hi)), k
     )
 
 

@@ -10920,3 +10920,47 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         data, "rank int, dim int, loading double, eigval double, explained double"
     )
+
+
+@register(
+    "q_embed_hard_negatives",
+    # Band membership AND rank decide on the 6-rounded cosine (round-then-
+    # compare, ADVICE r6); the raw folds are bit-identical across engines
+    # (pre-normalized sequential dot, commit 15de797's measured 0/4990
+    # bit-diffs), so the rounded values agree exactly and the band edges
+    # (CAST to DOUBLE — bare literals are DECIMAL in DuckDB) cannot split.
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), v), (acc, t) -> acc + t * t))) AS u
+          FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             FLOOR((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [q.u[j] * i.u[j] FOR j IN generate_series(1, len(q.u))]),
+                 (acc, t) -> acc + t)) * 1e6 + 0.5) / 1e6 AS cosine
+      FROM n q JOIN n i ON i.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+    banded AS (
+      SELECT query_id, item_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, item_id) AS rank
+      FROM scored
+      WHERE cosine >= CAST(0.25 AS DOUBLE) AND cosine < CAST(0.45 AS DOUBLE))
+    SELECT query_id, item_id, CAST(rank AS INT) AS rank,
+           CAST(cosine AS DOUBLE) AS cosine
+    FROM banded WHERE rank <= 3
+    """,
+)
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query vector,
+    the 3 hardest NEAR-BUT-NOT-DUPLICATE neighbors — rounded cosine in
+    [0.25, 0.45), descending (similarity.hard_negative_topk; band chosen
+    under the corpus' ~0.51 max pairwise cosine so the band is the populated
+    near-miss region). Exact-twin form for the gate; the 100 TB path mines
+    candidates from the LSH/IVF index and band-filters those."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return SIM.hard_negative_topk(e, q, k=3, lo=0.25, hi=0.45)
