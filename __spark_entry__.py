@@ -267,8 +267,13 @@ _FRONT = [
 # _BACK: every query with at least one driver-green CORRECTNESS row across
 # r1-r8 (192 names: the 152 r8-era backs minus the 10 promoted to this
 # round's re-verify slots, plus the 50-name r8 window appended). Mid section
-# (names in neither list) is EMPTY by construction this round: 242 registered
-# = 50 front + 192 back.
+# (names in neither list) = the post-rotation round-9 additions, registered
+# AFTER the 50-slot window was committed and verified (growth unfrozen per
+# VERDICT r8 item 1 once the rotation debt cleared): q_embed_semantic_dedup,
+# q_doc_global_shuffle, q_doc_quality_yield_curve,
+# q_doc_length_histogram_log2, q_embed_pca_power, q_embed_hard_negatives —
+# the r10 rotation's first claimants, each t2-MATCH at sf0.001 + sf0.01 +
+# a fuzz-parity clone on landing.
 _BACK = [
     "q1_pricing_summary",
     "q_agg_distinct",
