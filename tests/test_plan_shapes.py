@@ -745,3 +745,43 @@ def test_persist_tracking_is_thread_scoped(spark):
         assert out.storageLevel == StorageLevel.NONE
     finally:
         foreign.unpersist()
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
+    """q_embed_semantic_dedup: the centroid scoring join must broadcast the
+    K-row centroid table, and the within-cluster pair join must be an
+    equi-join keyed on the cluster id — a CartesianProduct anywhere means
+    the quadratic verify escaped its cluster bound."""
+    df = QUERIES["q_embed_semantic_dedup"](spark, SF)
+    df.count()
+    nodes = _outer_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("BroadcastExchange" in n for n in nodes), nodes
+
+
+def test_hard_negatives_broadcast_queries_no_cartesian(spark):
+    """q_embed_hard_negatives: the scoring pass broadcasts the 10-row query
+    side (BroadcastNestedLoop on the != predicate is the intended constant-
+    small-side shape); the corpus side must never land in a cartesian
+    product, and ranking shuffles only banded survivors."""
+    df = QUERIES["q_embed_hard_negatives"](spark, SF)
+    df.count()
+    nodes = _outer_nodes(df)
+    assert not any("CartesianProduct" in n for n in nodes), nodes
+    assert any("BroadcastExchange" in n for n in nodes), nodes
+
+
+def test_pca_gram_partials_is_one_python_pass(spark):
+    """gram_matrix_partials: exactly one Python boundary (the mapInPandas
+    partial-Gram accumulator) and no join — the d^2-key sum is the only
+    shuffle. This is the 100 TB build shape; the ordered-fold twin is
+    allowed its heavier plan because it exists for oracle bit-parity."""
+    from plenario_mapper_spark.operators.projection import gram_matrix_partials
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = gram_matrix_partials(e)
+    df.count()
+    nodes = _outer_nodes(df)
+    py = [n for n in nodes if "MapInPandas" in n or "EvalPython" in n]
+    assert len(py) == 1, nodes
+    assert not any("Join" in n for n in nodes), nodes
