@@ -10964,3 +10964,67 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return SIM.hard_negative_topk(e, q, k=3, lo=0.25, hi=0.45)
+
+
+@register(
+    "q_embed_norm_audit",
+    # Per-row norms are bit-identical across engines (sequential square fold
+    # + IEEE sqrt); each norm then QUANTIZES to exact integer micro-units
+    # (floor recipe x 1e6, a bigint), so the cross-row moments accumulate as
+    # exact integers (HUGEINT -> BIGINT casts) and mean/std come from the
+    # N-scaled identity (N*sum_sq - sum^2) / N^2 with one division at the
+    # end — no float ever sums across rows. Integer magnitudes stay ~1e15
+    # < 2^53, so the final decimal->double casts are value-exact.
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(FLOOR(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                    (acc, t) -> acc + t * t)) * 1e6 + 0.5) AS BIGINT) AS mu
+      FROM embeddings),
+    g AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(mu) AS BIGINT) AS s1,
+             CAST(SUM(mu * mu) AS BIGINT) AS s2
+      FROM n GROUP BY label)
+    SELECT label, CAST(n AS BIGINT) AS n_vectors,
+           CAST(FLOOR((CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS mean_norm,
+           CAST(FLOOR((sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 1e6) * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS std_norm
+    FROM g
+    """,
+)
+def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm-health audit per label: vector count, mean and std of
+    the L2 norm — the fastest collapsed/degenerate-embedder signal (a
+    near-zero std with PCA's explained share near 1.0 is the classic
+    anisotropy failure; H132 names the direction, this names the spread).
+    Norms are scan-stage folds; each quantizes to exact integer micro-units
+    so the per-label moments are exact integer sums (the session-4 N-scaling
+    discipline) — one narrow shuffle on label, divisions only at
+    presentation."""
+    e = _t(spark, sf_dir, "embeddings")
+    from plenario_mapper_spark.functions import vector as V
+
+    mu = F.floor(
+        V.norm(F.col("embedding").cast("array<double>")) * 1e6 + 0.5
+    ).cast("long")
+    g = e.select("label", mu.alias("mu")).groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("mu").cast("long").alias("s1"),
+        F.sum(F.col("mu") * F.col("mu")).cast("long").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    return g.select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        PAR.round6(s1_d / (n_d * 1e6)).alias("mean_norm"),
+        PAR.round6(
+            F.sqrt((n_d * s2_d - s1_d * s1_d) / (n_d * n_d)) / 1e6
+        ).alias("std_norm"),
+    )
