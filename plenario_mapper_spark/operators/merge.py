@@ -126,6 +126,14 @@ def _validate_staging(journal: dict) -> bool:
     if manifest is None:
         return True
     staging = journal["staging"]
+    # The staging dir itself must exist while the journal does: _apply_swap
+    # renames bucket dirs OUT of it but the dir (and its committer metadata)
+    # survives until _finish_merge, which deletes the journal FIRST. A
+    # journal over a vanished staging dir is the power-loss anomaly the
+    # parent-entry fsync prevents — treat it as torn (roll back), never as
+    # 'every bucket already swapped in'.
+    if not os.path.isdir(staging):
+        return False
     for rel, size in manifest.items():
         p = os.path.join(staging, rel)
         bucket_dir = os.path.join(staging, rel.split(os.sep, 1)[0])
@@ -143,7 +151,11 @@ def _rollback_merge(path: str, journal: dict) -> None:
     moved-out `_merge-old-N` dirs survive until _finish_merge (which only
     runs after a successful roll-forward) and the journal records which
     buckets HAD a live dir before the swap — distinguishing an installed
-    new-key bucket (delete it) from an untouched original (leave it)."""
+    new-key bucket (delete it) from an untouched original (leave it).
+    Fenced on journal currency like _apply_swap: a stale recoverer must not
+    roll back a newer merge's generation."""
+    if not _journal_is_current(path, journal):
+        return
     had_live = set(journal.get("had_live", journal["buckets"]))
     for b in journal["buckets"]:
         live = os.path.join(path, f"_bucket={b}")
@@ -172,6 +184,25 @@ def _rename_converging(src: str, dst: str) -> None:
             raise
 
 
+def _journal_is_current(path: str, journal: dict) -> bool:
+    """True iff the on-disk journal still names `journal`'s merge. The
+    last-moment fence for a LAGGING recoverer: a recoverer that loaded the
+    journal then stalled past this merge's completion (and possibly past
+    SUBSEQUENT merges) must not replay renames against a newer generation —
+    in particular _apply_swap's emptied-bucket branch would move a newer
+    merge's live bucket out, and a fall-through cleanup would then delete
+    it. A journal that is GONE also fails the fence: whoever removed it owns
+    (or already finished) the cleanup. Residual TOCTOU between this check
+    and the following renames is microseconds against the stall-scale hazard
+    it fences; a hard guarantee needs a lease file, noted in the module
+    docstring's reader-fencing caveat."""
+    try:
+        with open(os.path.join(path, _JOURNAL)) as f:
+            return json.load(f).get("id") == journal.get("id")
+    except (OSError, ValueError):
+        return False
+
+
 def _apply_swap(path: str, journal: dict) -> None:
     """Idempotently complete the journaled bucket swap: every step is a
     presence-checked rename, so replaying after a crash at any point
@@ -181,7 +212,11 @@ def _apply_swap(path: str, journal: dict) -> None:
     replay must not move a freshly-installed bucket out as if it were old.
     Precondition (established by _sweep_leftovers before each journal write):
     any `_merge-old-N` dir present belongs to THIS journal's swap, never to a
-    previously committed merge whose cleanup crashed."""
+    previously committed merge whose cleanup crashed. Entry is fenced on the
+    journal still being current (_journal_is_current) — a stale recoverer
+    no-ops."""
+    if not _journal_is_current(path, journal):
+        return
     staging = journal["staging"]
     staged = set(journal["staged"])
     for b in journal["buckets"]:
@@ -212,20 +247,18 @@ def _finish_merge(path: str, journal: dict) -> None:
 
     The journal is deleted only if its content still names THIS merge
     (matching `id`): a lagging recoverer that loaded a stale journal must
-    not delete the journal a SUBSEQUENT merge has since written (ADVICE r8
-    — its emptied-bucket branch replaying against the newer generation is
-    fenced the same way, by re-checking the id before acting)."""
+    not delete the journal a SUBSEQUENT merge has since written, nor sweep
+    its in-flight dirs — and when the journal is GONE entirely, this
+    cleanup no-ops too (whoever removed it owns the cleanup; our rmtrees
+    here would race a newer merge's recovery). ADVICE r8; the same fence
+    guards _apply_swap's entry."""
+    if not _journal_is_current(path, journal):
+        return
     jpath = os.path.join(path, _JOURNAL)
     try:
-        with open(jpath) as f:
-            current = json.load(f)
-        if current.get("id") != journal.get("id"):
-            # a subsequent merge's journal is live: its swap owns the
-            # _merge-old-* dirs now — touch nothing
-            return
         os.remove(jpath)
-    except (FileNotFoundError, ValueError, OSError):
-        pass  # journal already gone: a concurrent recoverer finished first
+    except FileNotFoundError:
+        pass  # concurrent recoverer deleted it between the fence and here
     for b in journal["buckets"]:
         shutil.rmtree(os.path.join(path, f"_merge-old-{b}"), ignore_errors=True)
     shutil.rmtree(journal["staging"], ignore_errors=True)
@@ -373,8 +406,16 @@ def merge_into(
     # orders the journal, not the parquet it points at — intact journal over
     # torn staging would roll a truncated bucket forward, ADVICE r8). The
     # journal additionally records each staged file's size so recovery can
-    # validate instead of trust.
+    # validate instead of trust. The staging dir's PARENT entry syncs too:
+    # without it a power loss can commit the journal while the staging dir
+    # NAME vanishes, which recovery would misread as 'every bucket already
+    # swapped in' and half-apply the merge (deletes without upserts).
     _fsync_tree(staging)
+    pfd = os.open(parent, os.O_RDONLY)
+    try:
+        os.fsync(pfd)
+    finally:
+        os.close(pfd)
 
     # Journal AFTER staging is durable: its presence means "roll forward".
     # flush+fsync BEFORE the atomic rename so a system crash cannot commit

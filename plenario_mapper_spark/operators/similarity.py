@@ -599,7 +599,10 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("v"),
         ),
         "id",
-    )
+    ).persist()  # THREE consumers (both pair-join sides + the keep join):
+    withv.count()  # without eager materialization each leg replays the
+    # full-corpus centroid-scoring argmin (the minhash_near_dup_pairs
+    # eager-persist discipline)
     l, r = withv.alias("l"), withv.alias("r")
     dropped = (
         l.join(

@@ -185,18 +185,25 @@ class NearDupStream:
         ).distinct()
 
         # Locate candidate OLD ids' home partitions via the index (ids +
-        # batch_id only — never text), so the corpus-text read below
-        # PARTITION-PRUNES to the batches that actually hold candidates.
-        # collect() is size-argued: one bigint per TOUCHED ingest batch,
-        # bounded by the number of micro-batches ever run — KBs after years
-        # of 1-minute triggers, and usually just the handful of batches a
-        # near-dup family spans.
+        # batch_id only — never text), LATEST-WINS per id: an id re-ingested
+        # across batches leaves stale rows in earlier partitions (the logs
+        # are append-only; rewriting history per batch would be O(corpus)),
+        # so the locator takes max(batch_id) per candidate id and the text
+        # fetch joins on (id, batch_id) — exactly one text row per candidate,
+        # the precondition verify_jaccard_pairs documents. Stale band rows
+        # can still PROBE (superseded signatures generate extra candidates),
+        # which only costs bounded verify work against the winning text.
+        # The locator aggregate and collect are candidate-bounded; the
+        # collected batch list is one bigint per TOUCHED ingest batch — KBs
+        # after years of 1-minute triggers.
+        cand_locs = (
+            old_bands.join(F.broadcast(cand_ids), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.max("batch_id").alias("batch_id"))
+            .persist()  # two consumers: the touched list + the text join
+        )
         touched = [
-            r[0]
-            for r in old_bands.join(F.broadcast(cand_ids), "id", "left_semi")
-            .select("batch_id")
-            .distinct()
-            .collect()
+            r[0] for r in cand_locs.select("batch_id").distinct().collect()
         ]
         corpus_path = os.path.join(self.state_dir, "corpus")
         if touched:
@@ -206,8 +213,11 @@ class NearDupStream:
                 .join(new_ids.withColumnRenamed("id", self.id_col), self.id_col, "left_anti")
                 .select(
                     F.col(self.id_col).alias("id"),
+                    "batch_id",
                     F.col(self.text_col).alias("_txt"),
                 )
+                .join(F.broadcast(cand_locs), ["id", "batch_id"], "left_semi")
+                .select("id", "_txt")
             )
         else:
             old_texts = self.spark.createDataFrame([], "id long, _txt string")
@@ -273,6 +283,7 @@ class NearDupStream:
         new_pairs.unpersist()
         for df in batch_caches:
             df.unpersist()
+        cand_locs.unpersist()
         cand.unpersist()
         new_bands.unpersist()
         batch.unpersist()

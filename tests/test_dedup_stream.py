@@ -263,3 +263,32 @@ def test_band_index_layout_and_corrupt_pointer_recovery(spark, docs, tmp_path):
     assert _comp_map(stream.components()) == want
     ptr.write_text("not-a-number")
     assert _comp_map(stream.components()) == want
+
+
+def test_reingested_id_verifies_against_latest_text_exactly_once(spark, tmp_path):
+    """Cross-batch new-wins: an id re-ingested in a LATER batch leaves stale
+    rows in earlier append-only partitions; the verify must read exactly one
+    text row per candidate id — the latest batch's — never both versions
+    (duplicate sh_tab rows would emit conflicting duplicate pairs)."""
+    stream = NearDupStream(spark, str(tmp_path / "state"), threshold=0.5)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 0: doc 1 with text A (collides with nothing yet)
+    stream.process_batch(mk([(1, "completely unrelated filler text only")]), 0)
+    # batch 1: doc 1 REWRITTEN to the base text (supersedes batch 0's row)
+    stream.process_batch(mk([(1, base)]), 1)
+    # batch 2: doc 2 near-identical to doc 1's LATEST text
+    stream.process_batch(mk([(2, base + " tail")]), 2)
+    pairs = spark.read.parquet(str(tmp_path / "state" / "pairs")).collect()
+    keyed = {}
+    for r in pairs:
+        keyed.setdefault((r["id_a"], r["id_b"]), []).append(r["jaccard"])
+    assert (1, 2) in keyed, pairs
+    # exactly ONE evidence row for the pair, computed from the LATEST text
+    assert len(keyed[(1, 2)]) == 1, keyed
+    import plenario_mapper_spark.operators.dedup as DD2
+
+    want = DD2.minhash_near_dup_pairs(
+        mk([(1, base), (2, base + " tail")]), "doc_id", "text", 0.5
+    ).collect()
+    assert keyed[(1, 2)][0] == want[0]["jaccard"]

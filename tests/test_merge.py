@@ -376,3 +376,36 @@ def test_stale_recoverer_cannot_delete_newer_journal(spark, tmp_path, monkeypatc
     _json.dump(stale, open(os.path.join(path, MG._JOURNAL), "w"))
     assert MG.recover_merge(path) is True
     assert _rows(spark, path) == [(1, "a"), (2, "B")]
+
+
+def test_stale_recoverer_noops_when_journal_gone_or_replaced(
+    spark, tmp_path, monkeypatch
+):
+    """The last-moment currency fence (review r9): a recoverer holding a
+    LOADED journal whose on-disk twin has since been deleted (another
+    recoverer finished) or replaced (a newer merge) must no-op in
+    _apply_swap, _rollback_merge, AND _finish_merge — its emptied-bucket
+    rename would otherwise move a newer generation's live bucket out, and
+    its cleanup would delete it."""
+    import json as _json
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    before = _rows(spark, path)
+    changes = spark.createDataFrame([(2, "B")], "k long, v string")
+    _crash_before_swap(spark, path, changes, monkeypatch)
+    stale = _json.load(open(os.path.join(path, MG._JOURNAL)))
+
+    # journal GONE (another recoverer completed + cleaned): all three no-op
+    os.remove(os.path.join(path, MG._JOURNAL))
+    MG._apply_swap(path, stale)
+    MG._rollback_merge(path, stale)
+    MG._finish_merge(path, stale)
+    assert _rows(spark, path) == before  # live generation untouched
+    assert os.path.isdir(stale["staging"])  # staging not swept by the stale actor
+
+    # restore the journal: normal recovery still completes the merge
+    _json.dump(stale, open(os.path.join(path, MG._JOURNAL), "w"))
+    assert MG.recover_merge(path) is True
+    assert _rows(spark, path) == [(1, "a"), (2, "B")]

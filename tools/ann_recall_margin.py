@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
-FLOORS = {"lsh_topk": 0.25, "ivf_topk": 0.45, "near_dup": 0.35}
+# Keep in lockstep with the certification queries + pytest pins (the r9
+# re-justified floors: min observed across 4 datasets minus ~1 pool sd).
+FLOORS = {"lsh_topk": 0.20, "ivf_topk": 0.40, "near_dup": 0.30}
 
 
 def observed_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
