@@ -11028,3 +11028,57 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((n_d * s2_d - s1_d * s1_d) / (n_d * n_d)) / 1e6
         ).alias("std_norm"),
     )
+
+
+@register(
+    "q_doc_token_fertility",
+    # Per-language rollup of exact integer token/char sums; the two fertility
+    # ratios (BPE-ish pieces per whitespace word — the cost multiplier a
+    # tokenizer inflicts on a language — and chars per piece) are single
+    # divisions of exact integers at presentation, floor-recipe rounded.
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+             length(text) AS ch
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(ch) AS BIGINT) AS n_chars,
+           CAST(FLOOR((CAST(SUM(bpe) AS DOUBLE) / greatest(CAST(SUM(ws) AS DOUBLE), 1))
+                * 1e6 + 0.5) / 1e6 AS DOUBLE) AS fertility,
+           CAST(FLOOR((CAST(SUM(ch) AS DOUBLE) / greatest(CAST(SUM(bpe) AS DOUBLE), 1))
+                * 1e6 + 0.5) / 1e6 AS DOUBLE) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the table that prices a tokenizer's
+    language tax (a language whose words shatter into many pieces pays more
+    context budget per fact; fertility = BPE-ish pieces per whitespace word,
+    Rust/SentencePiece literature's standard metric) plus the compression
+    reading (chars per piece). Counts are scan-stage expressions
+    (functions/text.token_count / bpe_token_count — the oracle-pinned
+    pre-tokenization regex), sums exact integers, one lang-keyed shuffle,
+    ratios divided once at presentation."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.sum(TX.bpe_token_count(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    ws_d = F.greatest(F.col("n_ws_tokens").cast("double"), F.lit(1.0))
+    bpe_d = F.greatest(F.col("n_bpe_tokens").cast("double"), F.lit(1.0))
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        PAR.round6(F.col("n_bpe_tokens").cast("double") / ws_d).alias("fertility"),
+        PAR.round6(F.col("n_chars").cast("double") / bpe_d).alias("chars_per_token"),
+    )
