@@ -748,15 +748,29 @@ def test_persist_tracking_is_thread_scoped(spark):
 
 
 def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
-    """q_embed_semantic_dedup: the centroid scoring join must broadcast the
-    K-row centroid table, and the within-cluster pair join must be an
-    equi-join keyed on the cluster id — a CartesianProduct anywhere means
-    the quadratic verify escaped its cluster bound."""
+    """q_embed_semantic_dedup, each scale property pinned where it lives:
+    the within-cluster pair join must be a cluster-id EQUI-join over the
+    CACHED assignment (InMemoryTableScan — the r9 self-review persist: both
+    pair-join sides and the keep join read it without replaying the scoring
+    pass) and never a CartesianProduct; the centroid scoring join inside
+    that cached lineage must broadcast the K-row centroid table (asserted
+    on the operator's own plan — the cache build's subtree is invisible to
+    the outer walk by design)."""
+    from plenario_mapper_spark.operators import similarity as SIM2
+
     df = QUERIES["q_embed_semantic_dedup"](spark, SF)
     df.count()
     nodes = _outer_nodes(df)
     assert not any("CartesianProduct" in n for n in nodes), nodes
-    assert any("BroadcastExchange" in n for n in nodes), nodes
+    assert not any("BroadcastNestedLoop" in n for n in nodes), nodes
+    assert any("InMemoryTableScan" in n for n in nodes), nodes
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign = SIM2.assign_to_centroids(e, SIM2.label_centroids(e))
+    assign.count()
+    assert any("BroadcastExchange" in n for n in _outer_nodes(assign)), (
+        "centroid scoring join must broadcast the K-row centroid table"
+    )
 
 
 def test_hard_negatives_broadcast_queries_no_cartesian(spark):
