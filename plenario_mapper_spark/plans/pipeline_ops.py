@@ -11082,3 +11082,69 @@ def q_doc_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(F.col("n_bpe_tokens").cast("double") / ws_d).alias("fertility"),
         PAR.round6(F.col("n_chars").cast("double") / bpe_d).alias("chars_per_token"),
     )
+
+
+@register(
+    "q_events_theilsen_trend",
+    # Slopes are int/int divisions of exact integers (bit-identical raws in
+    # both engines); the MEDIAN is an exact-rank order statistic decided by
+    # row_number on the 12-rounded slope with (d1, d2) tie-break (the
+    # round-then-rank discipline — never an interpolated quantile), and only
+    # the OUTPUT rounds to the 6 grid.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1),
+    slopes AS (
+      SELECT a.d AS d1, b.d AS d2,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.d < b.d),
+    ranked AS (
+      SELECT s,
+             ROW_NUMBER() OVER (ORDER BY FLOOR((s) * 1e12 + 0.5) / 1e12, d1, d2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes)
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(FLOOR((s) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS median_slope
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume — the outlier-immune
+    slope (median of all pairwise day-slopes, 29.3% breakdown point)
+    completing the trend family: Holt smooths, the forecast-error battery
+    baselines, Theil–Sen survives the traffic spike that wrecks an OLS fit.
+    Scale shape: the corpus reduces to one row per DAY before anything
+    quadratic — the pair join is over the day-count relation (k days ->
+    k(k-1)/2 slope rows, thousands at a decade of days), so the 'quadratic'
+    stage is calendar-bounded, never event-bounded. Lower median at even
+    counts (exact-rank type-1, documented not interpolated)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(F.count("*").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("s"),
+    )
+    w = Window.orderBy(PAR.round_at(F.col("s"), 12), "d1", "d2")
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)  # positive: floor == //
+    ).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        PAR.round6(F.col("s")).alias("median_slope"),
+    ).crossJoin(
+        daily.agg(F.count("*").cast("long").alias("n_days"))
+    ).select("n_days", "n_pairs", "median_slope")
