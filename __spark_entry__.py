@@ -272,7 +272,8 @@ _FRONT = [
 # VERDICT r8 item 1 once the rotation debt cleared): q_embed_semantic_dedup,
 # q_doc_global_shuffle, q_doc_quality_yield_curve,
 # q_doc_length_histogram_log2, q_embed_pca_power, q_embed_hard_negatives,
-# q_embed_norm_audit, q_doc_token_fertility, q_events_theilsen_trend —
+# q_embed_norm_audit, q_doc_token_fertility, q_events_theilsen_trend,
+# q_doc_fit_transform_zscore —
 # the r10 rotation's first
 # claimants, each t2-MATCH at
 # sf0.001 + sf0.01 + at least one fuzz-parity clone on landing.

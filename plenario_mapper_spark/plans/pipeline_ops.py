@@ -11148,3 +11148,112 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         daily.agg(F.count("*").cast("long").alias("n_days"))
     ).select("n_days", "n_pairs", "median_slope")
+
+
+@register(
+    "q_doc_fit_transform_zscore",
+    # Leakage-free discipline, exact parity construction: the TRAIN split's
+    # moments (S1 = sum x, S2 = sum x^2 over n) are exact integer sums;
+    # every comparison stays in the integer domain — the |z| > 2 outlier
+    # bit is (n*x - S1)^2 > 4*(n*S2 - S1^2) with DECIMAL(38,0)/HUGEINT
+    # squares (never the float z) — and each group's mean-z is ONE division
+    # of an exact integer numerator by n_g * sqrt(n*S2 - S1^2), sqrt being
+    # IEEE-exact on the identical integer-valued double in both engines.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST(('0x' || substr(md5('fitz0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) < 3435973837 THEN 'train' ELSE 'val' END AS split
+      FROM documents),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM s WHERE split = 'train'),
+    z AS (
+      SELECT s.split, s.source,
+             m.n * s.n_chars - m.s1 AS num,
+             CASE WHEN CAST(m.n * s.n_chars - m.s1 AS HUGEINT)
+                       * CAST(m.n * s.n_chars - m.s1 AS HUGEINT)
+                       > 4 * (CAST(m.n AS HUGEINT) * CAST(m.s2 AS HUGEINT)
+                              - CAST(m.s1 AS HUGEINT) * CAST(m.s1 AS HUGEINT))
+                  THEN 1 ELSE 0 END AS is_outlier,
+             m.n AS n, m.s1 AS s1, m.s2 AS s2
+      FROM s, m)
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers,
+           CAST(FLOOR((CAST(SUM(num) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE)
+                          * sqrt(CAST(ANY_VALUE(n) AS DOUBLE) * CAST(ANY_VALUE(s2) AS DOUBLE)
+                                 - CAST(ANY_VALUE(s1) AS DOUBLE) * CAST(ANY_VALUE(s1) AS DOUBLE))))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_z
+    FROM z GROUP BY split, source
+    """,
+)
+def q_doc_fit_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-free FIT/TRANSFORM separation every feature pipeline must
+    get right: standardization moments fit on the TRAIN split ONLY (an
+    80/20 md5 gate, salt fitz0), then applied to every row — a val-split
+    distribution shift shows up as nonzero val mean-z, and fitting on all
+    data would hide it (the classic leakage bug this query exists to
+    catch). Per (split, source): doc count, |z| > 2 outlier count decided
+    ENTIRELY in the exact integer domain ((n·x−S1)² > 4(n·S2−S1²), decimal
+    squares — the float z never decides membership), and the group mean-z
+    as one division of exact-integer numerators. Scale shape: the fit is
+    one map-side integer aggregate, the transform a scan-stage expression
+    against the broadcast one-row moments, the report one narrow
+    (split, source) aggregate."""
+    from plenario_mapper_spark.operators.sampling import _hash_u32
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            _hash_u32(F.col("doc_id"), "fitz0") < 3435973837, "train"
+        ).otherwise("val").alias("split"),
+    )
+    m = (
+        s.filter(F.col("split") == "train")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+        )
+    )
+    z = s.crossJoin(F.broadcast(m)).select(
+        "split",
+        "source",
+        (F.col("n") * F.col("n_chars") - F.col("s1")).alias("num"),
+        F.when(
+            (F.col("n") * F.col("n_chars") - F.col("s1")).cast("decimal(19,0)")
+            * (F.col("n") * F.col("n_chars") - F.col("s1")).cast("decimal(19,0)")
+            > F.lit(4).cast("decimal(19,0)")
+            * (
+                F.col("n").cast("decimal(19,0)") * F.col("s2").cast("decimal(19,0)")
+                - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
+        "n",
+        "s1",
+        "s2",
+    )
+    return z.groupBy("split", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_outlier").cast("long").alias("n_outliers"),
+        PAR.round6(
+            F.sum("num").cast("double")
+            / (
+                F.count("*").cast("double")
+                * F.sqrt(
+                    F.any_value("n").cast("double") * F.any_value("s2").cast("double")
+                    - F.any_value("s1").cast("double") * F.any_value("s1").cast("double")
+                )
+            )
+        ).alias("mean_z"),
+    )
