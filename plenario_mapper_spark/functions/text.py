@@ -20,7 +20,7 @@ STOPWORDS = {
 TOKEN_PATTERN = r"[A-Za-z0-9_]+"
 # BPE-ish word-piece pattern: words, numbers, or single non-space symbols —
 # approximates subword tokenizer pre-splitting (GPT-2-style regex, public).
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"  # explicit Java-\s set: RE2 \s omits \x0B — oracles spell the same class
 
 
 def tokens(text: Column) -> Column:
@@ -32,7 +32,9 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
-    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    return F.size(
+        F.filter(F.split(text, r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
+    )  # explicit Java-\s set (see BPE_PATTERN note)
 
 
 def bpe_token_count(text: Column) -> Column:

@@ -252,9 +252,9 @@ def q_mapper_alerts_invalid_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_token_stats",
     oracle=f"""
     SELECT doc_id,
-           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS n_ws_tokens,
            len({_SQL_TOKENS}) AS n_word_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual
     FROM documents
     """,
@@ -278,7 +278,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source, doc_id,
-             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))
                AS n_tokens
       FROM documents),
     c AS (
@@ -323,7 +323,7 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
            CAST(FLOOR((SUM(FLOOR((CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS sum_punct_ratio
     FROM documents GROUP BY source
     """,
@@ -11039,8 +11039,8 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT lang,
-             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS bpe,
              length(text) AS ch
       FROM documents)
     SELECT lang,
@@ -11124,7 +11124,9 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     daily = e.groupBy(
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
-    ).agg(F.count("*").alias("c"))
+    ).agg(F.count("*").alias("c")).persist()  # THREE consumers (both pair-join
+    daily.count()  # sides + the n_days aggregate): each leg would replay the
+    # full events scan without eager materialization (lazy-lineage rule)
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
         F.col("a.d").alias("d1"),
@@ -11204,7 +11206,7 @@ def q_doc_fit_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side integer aggregate, the transform a scan-stage expression
     against the broadcast one-row moments, the report one narrow
     (split, source) aggregate."""
-    from plenario_mapper_spark.operators.sampling import _hash_u32
+    from plenario_mapper_spark.operators.sampling import _hash_u32, threshold_for
 
     d = _t(spark, sf_dir, "documents")
     s = d.select(
@@ -11212,7 +11214,9 @@ def q_doc_fit_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.when(
-            _hash_u32(F.col("doc_id"), "fitz0") < 3435973837, "train"
+            # threshold_for(0.8) == 3435973837, the literal the oracle pins
+            _hash_u32(F.col("doc_id"), "fitz0") < F.lit(threshold_for(0.8)),
+            "train",
         ).otherwise("val").alias("split"),
     )
     m = (
@@ -11247,7 +11251,10 @@ def q_doc_fit_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("is_outlier").cast("long").alias("n_outliers"),
         PAR.round6(
-            F.sum("num").cast("double")
+            # decimal(38,0) accumulation mirrors the oracle's HUGEINT: the
+            # per-group sum of num grows ~quadratically with train count and
+            # wraps int64 at corpus scale (the corpus-fingerprint rule)
+            F.sum(F.col("num").cast("decimal(38,0)")).cast("double")
             / (
                 F.count("*").cast("double")
                 * F.sqrt(
