@@ -209,7 +209,85 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows r4, three loader generations old, the oldest greens in the registry).
 # Demoted to _BACK: the whole r8 window (50/50 green, all first-time, in
 # CORRECTNESS_r08.json); tools/t2.py keeps mirroring them per-commit.
+# Round-10 rotation (VERDICT r9 items 2+3 — honor the committed claim): the 10
+# round-9 mid additions (H128-H137, registered after the r9 window was
+# committed, t2-green at two scales + fuzz clones, judge-re-verified 10/10)
+# lead, exactly as the r9 note promised. The 40 re-verify slots repay the
+# migration debt VERDICT r9 named: tools/migrate_round6.py (r9) rewrote the
+# presentation rounding of 208 oracle SQL + 173 engine sites to the
+# FLOOR(x*1eD+0.5)/1eD recipe, and 67 of the touched queries have had NO
+# driver row since. Ordered oldest-green first (computed from the
+# CORRECTNESS_r01-r09 artifacts): the 29 migrated queries last green r4-r7,
+# then two changed-code canaries — q_events_sessionize (its gap compare moved
+# to unix_micros in r9 AFTER its last driver row; its session_quality twin was
+# re-verified in-window, the sessionize base was not) and q_compaction_manifest
+# (oracle rewritten THIS round per ADVICE r9: files_before now counts distinct
+# occupied hash buckets, not distinct keys) — then 9 of the migrated r8
+# eval/events analytics (the family the verdict named first). Remaining
+# migration debt after this window: 29 r8-green migrated queries, the r11
+# window's first claimants. Demoted to _BACK: the whole r9 window.
 _FRONT = [
+    # -- the 10 r9 mid additions (H128-H137), never driver-verified --
+    "q_embed_semantic_dedup",
+    "q_doc_global_shuffle",
+    "q_doc_quality_yield_curve",
+    "q_doc_length_histogram_log2",
+    "q_embed_pca_power",
+    "q_embed_hard_negatives",
+    "q_embed_norm_audit",
+    "q_doc_token_fertility",
+    "q_events_theilsen_trend",
+    "q_doc_fit_transform_zscore",
+    # -- migration-debt re-verifies, oldest green first: r4 --
+    "q_scalar_case_math",
+    # -- r5 greens touched by the rounding migration --
+    "q_doc_bigram_logprob",
+    "q_doc_chi2_source_lang",
+    "q_doc_ks_length_drift",
+    "q_doc_sparse_cosine_topk",
+    "q_embed_quantize",
+    "q_events_anomaly_mad",
+    "q_events_forecast_trend",
+    "q_events_metrics_pipeline",
+    "q_graph_pagerank",
+    "q_profile_histogram",
+    # -- r6 greens touched by the rounding migration --
+    "q_agg_percentiles",
+    "q_agg_stats",
+    "q_doc_mixture_resample",
+    "q_doc_oov_rate",
+    "q_doc_pack_sequences",
+    "q_doc_psi_length_drift",
+    "q_doc_quality",
+    "q_doc_tfidf_top_terms",
+    "q_doc_unigram_logprob",
+    "q_events_attribution_linear",
+    "q_group_zscore",
+    "q_profile_drift",
+    # -- r7 greens touched by the rounding migration --
+    "q17_small_quantity_revenue",
+    "q_dedup_minhash",
+    "q_doc_gopher_repetition",
+    "q_group_geomean",
+    "q_ngram_jaccard_pairs",
+    "q_window_lag_lead",
+    # -- changed-code canaries --
+    "q_events_sessionize",
+    "q_compaction_manifest",
+    # -- r8 eval/events analytics touched by the rounding migration --
+    "q_eval_auc_ranksum",
+    "q_eval_calibration_bins",
+    "q_eval_welch_ttest",
+    "q_survival_kaplan_meier",
+    "q_events_acf_daily",
+    "q_events_cusum_changepoint",
+    "q_events_ewma_smooth",
+    "q_events_holt_trend",
+    "q_events_fano_burstiness",
+]
+# _BACK additions this round: the full r9 window (50/50 green in
+# CORRECTNESS_r09.json).
+_R9_WINDOW_NOW_BACK = [
     # -- the 40 never-driver-verified (registration order) --
     "q_nested_order_lines",
     "q_events_dow_profile",
@@ -264,20 +342,13 @@ _FRONT = [
     "q13_customer_distribution",
     "q14_promo_revenue",
 ]
-# _BACK: every query with at least one driver-green CORRECTNESS row across
-# r1-r8 (192 names: the 152 r8-era backs minus the 10 promoted to this
-# round's re-verify slots, plus the 50-name r8 window appended). Mid section
-# (names in neither list) = the post-rotation round-9 additions, registered
-# AFTER the 50-slot window was committed and verified (growth unfrozen per
-# VERDICT r8 item 1 once the rotation debt cleared): q_embed_semantic_dedup,
-# q_doc_global_shuffle, q_doc_quality_yield_curve,
-# q_doc_length_histogram_log2, q_embed_pca_power, q_embed_hard_negatives,
-# q_embed_norm_audit, q_doc_token_fertility, q_events_theilsen_trend,
-# q_doc_fit_transform_zscore —
-# the r10 rotation's first
-# claimants, each t2-MATCH at
-# sf0.001 + sf0.01 + at least one fuzz-parity clone on landing.
-_BACK = [
+# _BACK: every query with at least one driver-green CORRECTNESS row (the r9
+# window above, prepended, plus the long tail below), MINUS anything promoted
+# into this round's _FRONT (_ordered filters front names out of back). Mid
+# section (names in neither list) = queries registered this round after the
+# window was committed — the r11 rotation's first claimants alongside the 29
+# remaining migration-debt r8 greens.
+_BACK = _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",
     "q_agg_rollup",
@@ -475,7 +546,7 @@ _BACK = [
 
 def _ordered(names: list[str]) -> list[str]:
     front = [n for n in _FRONT if n in names]
-    back = [n for n in _BACK if n in names]
+    back = [n for n in _BACK if n in names and n not in set(front)]
     mid = [n for n in names if n not in set(front) | set(back)]
     return front + mid + back
 

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON
+line on stdout: {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+"sf": ...}. Plan fingerprints + full detail go to BENCH_DETAIL.json and stderr
+(the driver captures only the last ~2KB of stdout — see VERDICT r9 item 1).
 
 value = total wall seconds across the headline set (lower is better). Each query
 is fully materialized via a count-ish action so the measured time includes the
@@ -144,19 +146,38 @@ def main() -> None:
         print(f"# stream throughput skipped: {exc}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "plans": plans,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **extra,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extra,
+    }
+    # The driver records only the LAST ~2000 characters of stdout; r2 and r9
+    # both lost their round's headline record when a single oversized JSON
+    # line was truncated from the front (VERDICT r9 item 1). Contract:
+    #  - plan fingerprints (the r8 self-diagnosis detail, ~3KB) go to a side
+    #    file AND an earlier stdout line, where truncation costs nothing;
+    #  - the FINAL stdout line is the compact summary only (headline value,
+    #    per-query walls, stream numbers — measured ~1.1KB, hard-checked
+    #    below so a future field addition can't silently regress this).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**summary, "plans": plans}, fh, indent=1)
+    except OSError as exc:
+        print(f"# detail file write failed: {exc}", file=sys.stderr)
+    # stderr, not stdout: the driver's stdout tail must contain ONLY the
+    # compact summary line so even a whole-tail json.loads would succeed.
+    print(json.dumps({"metric": "plan_fingerprints", "plans": plans}), file=sys.stderr)
+    final_line = json.dumps(summary)
+    if len(final_line) > 1500:  # keep well under the ~2000-char capture
+        summary["queries"] = {"total_only": True, "n": len(timings)}
+        final_line = json.dumps(summary)
+    print(final_line)
     spark.stop()
 
 

@@ -59,11 +59,15 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     No-false-negatives is unaffected either way (build and probe share
     these positions). The coprimality argument NEEDS a power-of-two m —
     callers bypassing sized_bits with an arbitrary width would silently
-    void the distinctness/FP bound, so it is asserted (ADVICE r8)."""
-    assert m_bits > 0 and m_bits & (m_bits - 1) == 0, (
-        f"m_bits must be a power of two (got {m_bits}): h2's oddness only "
-        f"guarantees distinct probes against a power-of-two modulus"
-    )
+    void the distinctness/FP bound, so it is a hard ValueError — an assert
+    is stripped under `python -O`, silently voiding the invariant, and
+    m_bits=1 would pass it while making h2's modulus zero (ADVICE r8+r9)."""
+    if m_bits < 2 or m_bits & (m_bits - 1) != 0:
+        raise ValueError(
+            f"m_bits must be a power of two >= 2 (got {m_bits}): h2's oddness "
+            f"only guarantees distinct probes against a power-of-two modulus, "
+            f"and m_bits=1 makes h2's modulus m_bits//2 == 0"
+        )
     h1 = F.pmod(F.xxhash64(key, F.lit(0x5BF0)), F.lit(m_bits))
     h2 = F.lit(2) * F.pmod(F.xxhash64(key, F.lit(0x1337)), F.lit(m_bits // 2)) + F.lit(1)
     return [F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(k)]

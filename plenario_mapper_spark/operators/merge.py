@@ -115,13 +115,20 @@ def _fsync_tree(staging: str) -> None:
             os.close(fd)
 
 
-def _validate_staging(journal: dict) -> bool:
+def _validate_staging(path: str, journal: dict) -> bool:
     """True iff every journaled staged file that is STILL in the staging dir
     has its recorded size. Files already swapped into the table (their
     bucket dir was renamed out of staging by a prior recovery attempt) are
-    exempt — they were validated by the attempt that installed them. A
-    journal without a manifest (written by a pre-manifest version) validates
-    trivially."""
+    exempt — but ONLY with corroboration that a swap actually installed
+    them: the live `_bucket=N` must contain that manifest file at its
+    recorded size (parquet part names embed task UUIDs, so an old-generation
+    bucket can never alias a staged file). Without the corroboration, a
+    power loss that dropped the staging bucket's dir entry BEFORE any swap
+    rename — the exact data-vs-metadata reorder class this manifest exists
+    to catch — would validate, roll forward, and leave that bucket at the
+    old generation while installing the others: a silent mixed-generation
+    table (ADVICE r9). A journal without a manifest (written by a
+    pre-manifest version) validates trivially."""
     manifest = journal.get("files")
     if manifest is None:
         return True
@@ -138,7 +145,12 @@ def _validate_staging(journal: dict) -> bool:
         p = os.path.join(staging, rel)
         bucket_dir = os.path.join(staging, rel.split(os.sep, 1)[0])
         if not os.path.isdir(bucket_dir):
-            continue  # whole bucket already swapped in
+            # bucket dir gone from staging: corroborate the swap-in before
+            # exempting — the file must be live at its recorded size
+            live_p = os.path.join(path, rel)
+            if not os.path.isfile(live_p) or os.path.getsize(live_p) != size:
+                return False
+            continue
         if not os.path.isfile(p) or os.path.getsize(p) != size:
             return False
     return True
@@ -323,7 +335,7 @@ def recover_merge(path: str) -> bool:
         except FileNotFoundError:
             pass
         return False
-    if not _validate_staging(journal):
+    if not _validate_staging(path, journal):
         _rollback_merge(path, journal)
         return True
     _apply_swap(path, journal)

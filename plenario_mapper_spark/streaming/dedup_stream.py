@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from plenario_mapper_spark.operators import dedup as DD
@@ -120,27 +121,37 @@ class NearDupStream:
             os.path.join(self._components_root(), f"version={v}")
         ).select("node", "component")
 
+    def _read_state_parquet(self, subdir: str, empty: DataFrame) -> DataFrame:
+        """Read one state-store parquet dir, treating ONLY the two 'not
+        created yet' shapes as empty: the dir is absent, or present but holds
+        no committed parquet footer (AnalysisException from schema inference).
+        Any other failure — permissions, transient FS errors — propagates: a
+        bare except here silently disabled all old-corpus probing for the
+        micro-batch, turning an infrastructure error into missed near-dup
+        pairs with no surfaced error (ADVICE r9)."""
+        path = os.path.join(self.state_dir, subdir)
+        if not os.path.isdir(path):
+            return empty
+        try:
+            return self.spark.read.parquet(path)
+        except AnalysisException:
+            return empty  # dir exists but no committed parquet footer yet
+
     def pairs(self) -> DataFrame:
         """The accumulated near-dup evidence log (empty before any batch)."""
-        try:
-            return self.spark.read.parquet(
-                os.path.join(self.state_dir, "pairs")
-            ).select("id_a", "id_b", "jaccard")
-        except Exception:
-            return self.spark.createDataFrame(
-                [], "id_a long, id_b long, jaccard double"
-            )
+        empty = self.spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        return self._read_state_parquet("pairs", empty).select(
+            "id_a", "id_b", "jaccard"
+        )
 
     def band_index(self, exclude_batch: int | None = None) -> DataFrame:
         """The accumulated (id, bk, batch_id) band index (empty before any
         batch). `exclude_batch` drops one batch partition — a replayed
         micro-batch must not probe its own prior delivery."""
-        try:
-            idx = self.spark.read.parquet(os.path.join(self.state_dir, "bands"))
-        except Exception:
-            return self.spark.createDataFrame([], BAND_SCHEMA).withColumn(
-                "batch_id", F.lit(None).cast("long")
-            )
+        empty = self.spark.createDataFrame([], BAND_SCHEMA).withColumn(
+            "batch_id", F.lit(None).cast("long")
+        )
+        idx = self._read_state_parquet("bands", empty)
         if exclude_batch is not None:
             idx = idx.filter(F.col("batch_id") != exclude_batch)
         return idx.select("id", "bk", "batch_id")

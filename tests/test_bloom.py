@@ -33,6 +33,17 @@ def test_sized_bits_regime():
     assert m / 2_978 >= 16
 
 
+def test_non_power_of_two_width_is_hard_error(spark):
+    """ADVICE r9: the power-of-two guard must survive `python -O` (a bare
+    assert is stripped) and must reject m_bits=1 (h2's modulus would be 0)."""
+    import pytest
+
+    for bad in (0, 1, 3, 48, 1 << 20 | 1):
+        with pytest.raises(ValueError, match="power of two"):
+            BL._positions(F.lit("k"), bad, 4)
+    BL._positions(F.lit("k"), 2, 4)  # smallest legal width still works
+
+
 def test_no_false_negatives(spark, key_sets):
     universe, members = key_sets
     m = BL.sized_bits(members.count())

@@ -160,6 +160,36 @@ def test_ivf_ann_recall(spark, embeddings):
             assert r["cosine"] == pytest.approx(ex[key], abs=1e-6)
 
 
+def test_hard_negative_index_recall(spark, embeddings, tmp_path):
+    """hard_negatives_via_index vs the exact band twin (VERDICT r9 item 3:
+    the index-backed mining path, certified): 16 cells / 4 probed, band
+    [0.25, 0.45), k=3. Measured pooled band-recall@3 is 0.533/0.700/0.458/
+    0.704 across sf0.001, sf0.01, and two fuzz-parity clones
+    (tools/ann_recall_margin.py, pool n 24-30, 1 sd ~0.10); the 0.35 floor
+    (= min observed - 1 sd, one sd above the ~0.25 random-cells chance
+    level) is what the q_embed_hard_negatives_indexed certification oracle
+    asserts — keep the two in lockstep. Scores for pairs both paths report
+    must be the identical exact cosine, and every mined pair must respect
+    the band."""
+    idx = str(tmp_path / "hn_ivf_idx")
+    SIM.build_ivf_index(embeddings, idx, n_centroids=16)
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = SIM.hard_negative_topk(embeddings, queries, k=3)
+    approx = SIM.hard_negatives_via_index(spark, idx, queries, k=3, n_probe=4)
+    e = {(r["query_id"], r["item_id"]) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r["query_id"], r["item_id"]) for r in a_rows}
+    assert len(e) > 0, "band is empty — geometry no longer exercises the test"
+    assert len(a & e) / len(e) >= 0.35
+    for r in a_rows:  # band respected on the index path
+        assert 0.25 <= r["cosine"] < 0.45
+    ex = {(r["query_id"], r["item_id"]): r["cosine"] for r in exact.collect()}
+    for r in a_rows:
+        key = (r["query_id"], r["item_id"])
+        if key in ex:
+            assert r["cosine"] == pytest.approx(ex[key], abs=1e-6)
+
+
 def test_embedding_near_dup_self_consistency(spark, embeddings):
     pairs = SIM.embedding_near_dup_pairs(embeddings, threshold=0.5)
     rows = pairs.collect()

@@ -336,6 +336,72 @@ def test_torn_staging_mid_swap_restores_moved_out_buckets(
     assert MG._apply_swap is orig_swap
 
 
+def test_dropped_staging_bucket_dir_rolls_back_not_mixed(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (medium): a power loss that drops a staging BUCKET DIR entry
+    before any swap rename (the data-vs-metadata reorder class the manifest
+    exists to catch) must not be mistaken for 'that bucket already swapped
+    in'. Without live-side corroboration, validation passed, recovery rolled
+    forward, and _apply_swap silently left the vanished bucket at the OLD
+    generation while installing the others — a mixed-generation table with
+    no error. With it, the merge rolls BACK whole."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    before = _rows(spark, path)
+
+    # touch two DIFFERENT buckets so a mixed-generation outcome is possible
+    changes = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    _crash_before_swap(spark, path, changes, monkeypatch)
+
+    journal = __import__("json").load(open(os.path.join(path, MG._JOURNAL)))
+    assert len(journal["staged"]) >= 2, "need two staged buckets for the scenario"
+    # simulate the reordered power loss: one staged bucket dir vanishes
+    # entirely while the journal (fsync'd earlier) survives intact
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(journal["staging"], f"_bucket={journal['staged'][0]}"))
+
+    assert MG.recover_merge(path) is True
+    # rolled BACK whole: old generation intact — NOT (2,"b"),(3,"C") mixed
+    assert _rows(spark, path) == before
+    assert not os.path.isfile(os.path.join(path, MG._JOURNAL))
+    # and the table still merges cleanly afterwards
+    MG.merge_into(spark, path, changes, "k", n_buckets=8)
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (3, "C"), (4, "d")]
+
+
+def test_swapped_in_bucket_still_exempt_from_staging_validation(
+    spark, tmp_path, monkeypatch
+):
+    """The corroboration must not turn recovery conservative: a bucket that
+    a prior recovery attempt ALREADY renamed into the table (live dir holds
+    the manifest's files at recorded sizes) is exempt, and the replay rolls
+    forward to completion."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    MG.merge_into(spark, path, base, "k", n_buckets=8)
+    changes = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    _crash_before_swap(spark, path, changes, monkeypatch)
+
+    journal = __import__("json").load(open(os.path.join(path, MG._JOURNAL)))
+    # replay a PARTIAL prior recovery by hand: swap the first staged bucket
+    b = journal["staged"][0]
+    live = os.path.join(path, f"_bucket={b}")
+    if os.path.isdir(live):
+        os.rename(live, os.path.join(path, f"_merge-old-{b}"))
+    os.rename(os.path.join(journal["staging"], f"_bucket={b}"), live)
+
+    assert MG.recover_merge(path) is True  # rolls FORWARD
+    assert _rows(spark, path) == [(1, "a"), (2, "B"), (3, "C"), (4, "d")]
+    assert not os.path.isfile(os.path.join(path, MG._JOURNAL))
+
+
 def test_intact_staging_still_rolls_forward(spark, tmp_path, monkeypatch):
     """The manifest must not turn crash recovery conservative: an intact
     journal over INTACT staging still rolls forward to the new generation."""

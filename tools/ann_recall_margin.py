@@ -21,7 +21,10 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 # Keep in lockstep with the certification queries + pytest pins (the r9
 # re-justified floors: min observed across 4 datasets minus ~1 pool sd).
-FLOORS = {"lsh_topk": 0.20, "ivf_topk": 0.40, "near_dup": 0.30}
+# hard_neg_ivf (r10): band-recall@3 of hard_negatives_via_index vs the exact
+# band twin — band members sit farther from the query than top-k neighbors,
+# so at equal n_probe the recall is structurally lower than ivf_topk's.
+FLOORS = {"lsh_topk": 0.20, "ivf_topk": 0.40, "near_dup": 0.30, "hard_neg_ivf": 0.35}
 
 
 def observed_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -52,6 +55,33 @@ def observed_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ).collect()[0]
         out[name] = float(row["recall"])
     exact.unpersist()
+
+    # hard negatives via the persisted IVF index, the registry geometry
+    # (k=3, band [0.25, 0.45), 16 cells / 4 probed — the q_ann_ivf_topk geometry)
+    import shutil
+    import tempfile
+
+    ex_band = SIM.hard_negative_topk(e, q, k=3).persist()
+    ex_band.count()
+    index_dir = tempfile.mkdtemp(prefix="ann_margin_ivf_")
+    try:
+        SIM.build_ivf_index(e, index_dir)
+        ap_band = SIM.hard_negatives_via_index(spark, index_dir, q, k=3, n_probe=4)
+        j = ex_band.alias("x").join(
+            ap_band.alias("a"),
+            (F.col("x.query_id") == F.col("a.query_id"))
+            & (F.col("x.item_id") == F.col("a.item_id")),
+            "left",
+        )
+        row = j.agg(
+            (
+                F.sum(F.col("a.item_id").isNotNull().cast("int")) / F.count("*")
+            ).alias("recall")
+        ).collect()[0]
+        out["hard_neg_ivf"] = float(row["recall"])
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    ex_band.unpersist()
 
     sl = e.filter(F.col("vec_id") < 500)
     ex_pairs = SIM.exact_near_dup_pairs(sl, threshold=0.4).persist()
