@@ -667,3 +667,104 @@ def semantic_dedup(
         "assigned_cid",
         F.col("_drop").isNull().alias("is_kept"),
     )
+
+
+def _greedy_cluster_decisions(threshold: float):
+    """Per-cluster sequential greedy keep-first kernel for applyInPandas.
+
+    Input groups carry (id, cid, v, is_rep); `is_rep` rows are prior-kept
+    representatives (always kept, never re-emitted), non-rep rows are decided
+    in ascending-id order: keep iff max cosine against everything kept so far
+    (reps + earlier in-group keeps) is below the threshold. Python is
+    justified here the same way Holt/CUSUM are: the decision is INHERENTLY
+    sequential within a cluster (doc i's verdict depends on which of docs
+    < i survived), so no relational formulation exists; the boundary is
+    Arrow-batched, each group is one cluster (cluster-bounded by
+    construction — the SemDeDup scale argument), and the inner step is a
+    vectorized kept-matrix @ vector product, not per-element Python."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["is_rep", "id"], ascending=[False, True])
+        vs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vs, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = vs / norms[:, None]
+        kept_rows: list[int] = []
+        out_id, out_cid, out_keep = [], [], []
+        ids = pdf["id"].to_numpy()
+        cids = pdf["cid"].to_numpy()
+        reps = pdf["is_rep"].to_numpy()
+        for i in range(len(pdf)):
+            if reps[i]:
+                kept_rows.append(i)
+                continue
+            dup = bool(
+                kept_rows and float(np.max(u[kept_rows] @ u[i])) >= threshold
+            )
+            if not dup:
+                kept_rows.append(i)
+            out_id.append(int(ids[i]))
+            out_cid.append(int(cids[i]))
+            out_keep.append(not dup)
+        return pd.DataFrame(
+            {"id": out_id, "assigned_cid": out_cid, "is_kept": out_keep}
+        )
+
+    return fn
+
+
+def semantic_dedup_greedy(
+    items: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reps: DataFrame | None = None,
+) -> DataFrame:
+    """Sequential greedy-keep-first SemDeDup — the INCREMENTAL-friendly twin
+    of semantic_dedup: per cluster, walk items in ascending id order and keep
+    an item iff no ALREADY-KEPT item (prior representative or earlier
+    in-cluster keep) sits at cosine >= threshold. On chains a~b~c (a~c below
+    threshold) greedy RE-KEEPS c after dropping b, where semantic_dedup's
+    any-smaller-id rule drops the whole chain — greedy is what a stream can
+    maintain exactly, because a verdict never depends on a LATER arrival
+    (streaming/semantic_stream.SemanticDedupStream replays this function's
+    kernel batch by batch; stream == one-shot whenever ingest ids are
+    monotone across batches, the canonical log-ingest pattern).
+
+    `reps` (id, assigned_cid, v), if given, seeds each cluster's kept set
+    without re-deciding or re-emitting those rows — the stream's
+    prior-batches state. Returns (id_col, assigned_cid, is_kept) for `items`
+    rows only. Scale shape mirrors semantic_dedup: K-row broadcast
+    assignment, one shuffle keyed on the cluster, per-cluster work bounded
+    by cluster size (and by KEPT size for the probe side)."""
+    a = assign_to_centroids(items, centroids, id_col=id_col, vec_col=vec_col)
+    withv = (
+        a.select(F.col(id_col).alias("id"), "assigned_cid")
+        .join(
+            items.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ),
+            "id",
+        )
+        .select("id", F.col("assigned_cid").alias("cid"), "v", F.lit(False).alias("is_rep"))
+    )
+    if reps is not None:
+        withv = withv.unionByName(
+            reps.select(
+                F.col("id"),
+                F.col("assigned_cid").alias("cid"),
+                F.col("v").cast("array<double>").alias("v"),
+                F.lit(True).alias("is_rep"),
+            )
+        )
+    out = withv.groupBy("cid").applyInPandas(
+        _greedy_cluster_decisions(threshold),
+        schema="id long, assigned_cid long, is_kept boolean",
+    )
+    return out.select(F.col("id").alias(id_col), "assigned_cid", "is_kept")
