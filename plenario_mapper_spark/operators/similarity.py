@@ -635,9 +635,17 @@ def semantic_dedup(
     verify runs per cluster, never corpus-wide. One shuffle keyed
     assigned_cid co-locates each cluster; the pair join is cluster-bounded,
     so at 100 TB the knob is K (cluster count scales with the corpus,
-    holding cluster size ~constant) and a hot cluster is AQE skew-split.
-    The centroid scoring pass is a K-row broadcast (assign_to_centroids);
-    vectors cross the wire once, partitioned by cluster."""
+    holding cluster size ~constant) and a hot cluster is AQE skew-split —
+    two knobs for this operator's shape: forceOptimizeSkewedJoin=true (the
+    pair join's output feeds further shuffles — the distinct + keep join —
+    so default AQE declines the split as 'would add a shuffle') and
+    canChangeCachedPlanOutputPartitioning=false (the cached-plan
+    repartitioning flexibility defeats OptimizeSkewedJoin on joins fed by
+    the persisted assignment; measured both ways on planted data).
+    Both properties are pinned on a planted hot cluster
+    (tests/test_plan_shapes.test_semantic_dedup_pair_join_cluster_keyed_and_skew_splits):
+    the join is keyed on assigned_cid and carries isSkewJoin=true once a
+    cluster trips the skew thresholds."""
     a = assign_to_centroids(items, centroids, id_col=id_col, vec_col=vec_col)
     withv = a.select(
         F.col(id_col).alias("id"), "assigned_cid"

@@ -28,8 +28,18 @@ First full sweep earned its keep: found the add_months time-of-day
 truncation in q_scalar_calendar and the hard-coded group size in
 q_binary_phash_dedup's oracle (both fixed in r8).
 
+Text mutation (--mutate-text, VERDICT r9 item 5): the base generator emits
+ASCII-ish prose, so Java-vs-RE2 character-class divergences sit latent — the
+\\x0B class (Java \\s includes vertical tab, RE2's does not) survived 7
+rounds until a code audit found it, because no fuzz clone ever CONTAINED a
+vertical tab. This mode splices hostile codepoints into documents.text at
+seeded positions: vertical tab/form feed, NBSP/thin/ideographic spaces,
+zero-width space/joiner/ZWNBSP, a combining accent, U+FFFD, and astral-plane
+(surrogate-pair in UTF-16 engines) codepoints — then the text-family
+registry sweep on the clone decides whether both engines still agree.
+
 Usage:
-    python tools/fuzz_parity.py <out_dir> [seed] [src_sf_dir]
+    python tools/fuzz_parity.py <out_dir> [seed] [src_sf_dir] [--mutate-text]
     SF=<out_dir> python tools/t2.py <query...>
 """
 
@@ -50,7 +60,50 @@ TABLES = (
 VERBATIM = {"region", "nation"}
 
 
-def _perturb_table(src: str, dst: str, table: str, seed: int) -> None:
+# Hostile codepoints, one per divergence class: Java-vs-RE2 \s members,
+# unicode spaces outside BOTH engines' \s, zero-widths (length vs token
+# boundary), a combining sequence (grapheme vs codepoint counting), the
+# replacement char (encoding-audit fodder), and astral-plane codepoints
+# (UTF-16 length 2 in Java, 1 codepoint in DuckDB — any length() disparity
+# shows here).
+_TEXT_MUTATIONS = [
+    "\x0b",        # vertical tab: Java \\s yes, RE2 \\s no (the r9 class)
+    "\x0c",        # form feed: in both \\s classes
+    "\u00a0",      # NBSP
+    "\u2009",      # thin space
+    "\u3000",      # ideographic space
+    "\u200b",      # zero-width space
+    "\u200d",      # zero-width joiner
+    "\ufeff",      # ZWNBSP / BOM-as-content
+    "e\u0301",     # combining acute (grapheme of 2 codepoints)
+    "\ufffd",      # replacement character
+    "\U0001f600",  # astral: emoji (UTF-16 surrogate pair)
+    "\U00010348",  # astral: Gothic letter
+]
+
+
+def _mutate_text_array(col: pa.ChunkedArray, rng) -> pa.Array:
+    """Splice 1-3 hostile codepoints into ~30% of strings at seeded
+    positions. Insertion (never replacement) so every original token
+    survives — a mutation can only ADD boundary cases, making any
+    divergence attributable to the injected codepoint."""
+    texts = col.to_pylist()
+    out = []
+    for s in texts:
+        if s is None or rng.random() > 0.30:
+            out.append(s)
+            continue
+        for _ in range(int(rng.integers(1, 4))):
+            m = _TEXT_MUTATIONS[int(rng.integers(0, len(_TEXT_MUTATIONS)))]
+            pos = int(rng.integers(0, len(s) + 1)) if s else 0
+            s = s[:pos] + m + s[pos:]
+        out.append(s)
+    return pa.array(out, type=pa.string())
+
+
+def _perturb_table(
+    src: str, dst: str, table: str, seed: int, mutate_text: bool = False
+) -> None:
     import zlib
 
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
@@ -97,6 +150,11 @@ def _perturb_table(src: str, dst: str, table: str, seed: int) -> None:
             )
         else:
             cols[name] = col
+    if mutate_text and table == "documents":
+        # separate seeded stream so non-mutated clones of the same seed stay
+        # byte-identical to pre-r10 runs
+        trng = np.random.default_rng([seed, zlib.crc32(table.encode()), 0x7E47])
+        cols["text"] = _mutate_text_array(t.column("text"), trng)
     out = pa.table(cols)
     pq.write_table(out, os.path.join(dst, f"{table}.parquet"))
 
@@ -105,13 +163,18 @@ def main() -> None:
     if len(sys.argv) < 2:
         print(__doc__)
         sys.exit(2)
-    out_dir = sys.argv[1]
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--mutate-text"]
+    mutate_text = "--mutate-text" in sys.argv
+    out_dir = args[0]
+    seed = int(args[1]) if len(args) > 1 else 1
+    src = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
     os.makedirs(out_dir, exist_ok=True)
     for table in TABLES:
-        _perturb_table(src, out_dir, table, seed)
-    print(f"perturbed clone of {src} (seed={seed}) -> {out_dir}")
+        _perturb_table(src, out_dir, table, seed, mutate_text=mutate_text)
+    print(
+        f"perturbed clone of {src} (seed={seed}"
+        f"{', text-mutated' if mutate_text else ''}) -> {out_dir}"
+    )
 
 
 if __name__ == "__main__":

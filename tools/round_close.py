@@ -11,6 +11,13 @@ one command:
 artifact (the judge's methodology) next to the self-timed table.
 Each step's JSON line is echoed; the PERF_NOTES append happens only when all
 steps succeed, so a crashed run never writes a partial section.
+
+Quiet-box by construction (VERDICT r9 item 6 — the r9 close ran concurrently
+with a registry sweep and its soak number needed a hand-written concurrency
+asterisk): each step WAITS until 1-min loadavg drops below LOAD_CEILING
+(default 4.0, override via env; --force skips the gate), and the measured
+loadavg immediately before each step is recorded in the appended section —
+a contended number can no longer masquerade as a clean one.
 """
 
 from __future__ import annotations
@@ -19,8 +26,35 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOAD_CEILING = float(os.environ.get("LOAD_CEILING", "4.0"))
+LOAD_WAIT_MAX_SEC = int(os.environ.get("LOAD_WAIT_MAX_SEC", "900"))
+
+
+def _await_quiet(step: str, force: bool) -> float:
+    """Block until loadavg_1m < LOAD_CEILING (or the wait budget runs out,
+    which is a hard error — a silently contended number is exactly what this
+    gate exists to prevent). Returns the loadavg the step starts at."""
+    t0 = time.monotonic()
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_CEILING or force:
+            print(f"# {step}: starting at loadavg {load:.1f}", file=sys.stderr)
+            return round(load, 1)
+        if time.monotonic() - t0 > LOAD_WAIT_MAX_SEC:
+            raise RuntimeError(
+                f"box never quieted below {LOAD_CEILING} within "
+                f"{LOAD_WAIT_MAX_SEC}s (loadavg {load:.1f}) — close the "
+                f"competing run first, or pass --force to record a "
+                f"contended number WITH its loadavg annotation"
+            )
+        print(
+            f"# {step}: loadavg {load:.1f} >= {LOAD_CEILING}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
 
 
 def run_json(cmd: list[str]) -> dict:
@@ -38,11 +72,16 @@ def run_json(cmd: list[str]) -> dict:
 
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "?"
+    force = "--force" in sys.argv
+    loads: dict[str, float] = {}
+    loads["bench"] = _await_quiet("bench", force)
     bench = run_json([sys.executable, "bench.py"])
+    loads["soak"] = _await_quiet("soak", force)
     soak = run_json([sys.executable, "tools/stream_soak.py"])
     ratio_cmd = [sys.executable, "tools/duck_ratio.py"]
     if "--bench-json" in sys.argv:
         ratio_cmd += ["--bench-json", sys.argv[sys.argv.index("--bench-json") + 1]]
+    loads["duck_ratio"] = _await_quiet("duck_ratio", force)
     ratio = run_json(ratio_cmd)
 
     over = {n: r for n, r in ratio["ratios"].items() if r > 2}
@@ -75,6 +114,10 @@ def main() -> None:
         + "). The driver's standalone BENCH artifact remains authoritative "
         "for round-over-round comparison (local runs trail it ~25-40% under "
         "contention).",
+        "Per-step loadavg at start (gate: < "
+        f"{LOAD_CEILING}{', FORCED' if force else ''}): "
+        + ", ".join(f"{k} {v}" for k, v in loads.items())
+        + ".",
         "",
     ]
     with open(os.path.join(ROOT, "PERF_NOTES.md"), "a") as f:

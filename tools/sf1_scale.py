@@ -1,0 +1,78 @@
+"""The per-round data-proportional scaling datapoint (VERDICT r4 item 6,
+widened r10 per VERDICT r9 items 4+8): time a fixed query set at sf0.1 and at
+the 10x sf1 clone (tools/gen_sf1.py) on the same session, warm best-of-2, and
+print one JSON line per scale plus the x10-data wall ratios. A ratio well
+under 10 is the sub-linear evidence that the sf0.1 DuckDB-ratio weak spots
+are fixed overhead, not scaling defects; a ratio OVER ~10 names a genuine
+scale problem.
+
+Query set: the persistent >2x duck-ratio members (q3/q5/q9 since r7;
+q_mapper_split_events + q_window_rank added r10 — the two non-TPC-H members
+that never had a scale datapoint) plus the r9 embedding family additions
+(q_embed_semantic_dedup, q_embed_pca_power — VERDICT r9 item 4: heaviest new
+t2 rows, no scaled measurement until now).
+
+Usage: python tools/sf1_scale.py [sf1_dir]   (default .bench_data/sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_type_profit",
+    "q_mapper_split_events",
+    "q_window_rank",
+    "q_embed_semantic_dedup",
+    "q_embed_pca_power",
+]
+
+
+def time_set(spark, sf_dir: str) -> dict[str, float]:
+    from plenario_mapper_spark.plans import QUERIES as Q
+    from plenario_mapper_spark.plans.registry import release_query_caches
+
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        Q[name](spark, sf_dir).count()  # warm (codegen, file index, workers)
+        release_query_caches(spark)
+        best = float("inf")
+        for _ in range(2):  # warm best-of-2, the PERF_NOTES convention
+            t0 = time.perf_counter()
+            Q[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            release_query_caches(spark)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_data",
+        "sf1",
+    )
+    from plenario_mapper_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = time_set(spark, "/root/testdata/sf0.1")
+    print(json.dumps({"sf": 0.1, "walls": base}))
+    big = time_set(spark, sf1_dir)
+    print(json.dumps({"sf": 1, "walls": big}))
+    ratios = {
+        n: round(big[n] / base[n], 2) if base[n] > 0 else None for n in QUERIES
+    }
+    print(json.dumps({"metric": "x10_data_wall_ratio", "ratios": ratios}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
