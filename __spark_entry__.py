@@ -345,9 +345,14 @@ _R9_WINDOW_NOW_BACK = [
 # _BACK: every query with at least one driver-green CORRECTNESS row (the r9
 # window above, prepended, plus the long tail below), MINUS anything promoted
 # into this round's _FRONT (_ordered filters front names out of back). Mid
-# section (names in neither list) = queries registered this round after the
-# window was committed — the r11 rotation's first claimants alongside the 29
-# remaining migration-debt r8 greens.
+# section (names in neither list) = the r10 post-window additions, each
+# t2-MATCH at sf0.001 + sf0.01 + a float-fuzz clone + a TEXT-MUTATED fuzz
+# clone on landing: q_embed_hard_negatives_indexed (the H133 production-path
+# certification), q_search_bm25_topk (H138), q_doc_winnowing (H139),
+# q_embed_ivf_cell_balance (H140). They are the r11 rotation's first
+# claimants, alongside the 29 remaining migration-debt r8 greens (the
+# migrated r8-window queries not re-verified in this round's 9 analytics
+# slots).
 _BACK = _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",

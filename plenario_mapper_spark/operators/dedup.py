@@ -1217,3 +1217,93 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", PAR.round6("jaccard_raw").alias("jaccard"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram, slide a
+    w-window over the hash sequence, and select each window's minimum — the
+    guarantee is that any shared substring of length >= k+w-1 between two
+    documents yields at least one SHARED selected fingerprint, at an
+    expected density of 2/(w+1). The selected set is the copy-detection /
+    local-dedup index exact-substring pipelines build on when full suffix
+    indexing (span_dedup) is too heavy.
+
+    Tie rule (a winnowing implementation must fix one): the window minimum
+    is taken over (hash, position) lexicographically — rightmost-min-hash
+    positions never tie, so selection is deterministic and both engines
+    agree exactly. Encoded as one orderable integer key = h40 * 2^16 + pos
+    (40-bit md5-derived hash, position < 2^16 — enforced, not assumed: docs
+    longer than 65535 chars raise rather than silently corrupt the key
+    packing; shard longer docs upstream). md5 (not xxhash64) so the oracle
+    reproduces every hash — the sampling-gate discipline.
+
+    Returns one row per doc that has at least one COMPLETE window
+    (len >= k+w-1): (id_col, n_kgrams, n_windows, n_fingerprints, density),
+    density = fingerprints/windows, 6-rounded. Scale shape: the k-gram
+    explode and hashing are scan-stage; the window min and the per-doc
+    rollup are ONE doc-keyed shuffle (both window-function and groupBy key
+    on the doc id); nothing is ever corpus-pairwise."""
+    from pyspark.sql import Window
+
+    g = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        # guard BEFORE F.sequence: sequence(1, n) with n < 1 yields a
+        # DESCENDING [1..n], never empty (oracle-parity gotcha)
+        .filter(F.length("t") >= k)
+        .select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - k + 1)).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.substring(F.col("t"), F.col("pos").cast("int"), k).alias("gram"),
+        )
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    # the raise is load-bearing inside the key expression, so the optimizer
+    # cannot prune it: a >65535 position would silently alias another
+    # (hash, pos) pairing otherwise
+    pos_checked = F.when(F.col("pos") <= F.lit(65535), F.col("pos")).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: position exceeds the 2^16-1 key "
+                "packing — shard documents upstream"
+            )
+        ).cast("long")
+    )
+    keyed = g.select(
+        "id",
+        "pos",
+        (h40 * F.lit(65536) + pos_checked).alias("key"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    m = keyed.select("id", "pos", F.min("key").over(win).alias("mkey"))
+    # complete windows only: the window ending at pos has w k-grams iff
+    # pos >= w (k-gram positions are 1-based and dense); with dense
+    # positions, n_kgrams = n_windows + (w-1) exactly — no second pass
+    sel = m.filter(F.col("pos") >= w)
+    out = sel.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.count_distinct(F.col("mkey")).cast("long").alias("n_fingerprints"),
+    )
+    dens = F.col("n_fingerprints").cast("double") / F.col("n_windows").cast("double")
+    return out.select(
+        F.col("id").alias(id_col),
+        (F.col("n_windows") + F.lit(w - 1)).cast("long").alias("n_kgrams"),
+        "n_windows",
+        "n_fingerprints",
+        PAR.round6(dens).alias("density"),
+    )

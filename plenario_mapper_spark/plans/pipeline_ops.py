@@ -11355,3 +11355,179 @@ def q_doc_fit_transform_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mean_z"),
     )
+
+
+# --------------------------------------------------------------------------------
+# Round 10 post-window additions (mid-positioned by construction — the 50-slot
+# window was committed to the H128-H137 promotions + migration-debt re-verifies
+# before these registered; they are the r11 rotation's first claimants alongside
+# q_embed_hard_negatives_indexed and the 29 remaining migration-debt r8 greens).
+# --------------------------------------------------------------------------------
+
+@register(
+    "q_search_bm25_topk",
+    # Round-then-rank: idf is a libm ln, so raw doubles can differ by an ulp
+    # across engines — rank on the 12-rounded score with doc-id tie-break,
+    # output 6-rounded (the q_ann_* grid discipline). The per-doc score is a
+    # term-ORDERED sequential fold (list_reduce == F.aggregate): a groupBy
+    # SUM of doubles has nondeterministic addend order. All BM25 inputs (tf,
+    # df, dl, N, sum_dl) are exact integers; constants CAST via identical
+    # decimal literals.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM tk),
+    corpus AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, 
+                      (SELECT SUM(len(toks)) FROM tk) AS sum_dl
+               FROM d),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+           FROM d WHERE tok IN ('merge', 'scan', 'vector')
+           GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    s AS (
+      SELECT tf.doc_id, tf.tok,
+             ln(CAST(1.0 AS DOUBLE)
+                + (CAST(corpus.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE))
+                  / (CAST(dft.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(tf.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * CAST(tf.dl AS DOUBLE)
+                       / (CAST(corpus.sum_dl AS DOUBLE)
+                          / CAST(corpus.n_docs AS DOUBLE)))) AS s
+      FROM tf JOIN dft USING (tok) CROSS JOIN corpus),
+    folded AS (
+      SELECT doc_id,
+             FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                            list(s ORDER BY tok)),
+                               (acc, x) -> acc + x) * 1e12 + 0.5) / 1e12 AS score_r12
+      FROM s GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score_r12,
+             ROW_NUMBER() OVER (ORDER BY score_r12 DESC, doc_id) AS rank
+      FROM folded)
+    SELECT doc_id, CAST(rank AS INT) AS rank,
+           CAST(FLOOR(score_r12 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (H138) — top-10 documents for the OR-query
+    {merge, scan, vector} at the Okapi defaults k1=1.2, b=0.75 (Lucene
+    positive-idf form). The retrieval primitive of targeted curation /
+    decontamination / eval mining, composed relationally: scan-stage
+    tokenize, term-filtered tf (state ∝ matching docs x |terms|, never the
+    vocabulary), broadcast df + corpus stats, term-ordered per-doc fold,
+    TakeOrdered top-k — operators/search.bm25_topk, scale shape documented
+    there."""
+    d = _t(spark, sf_dir, "documents")
+    from plenario_mapper_spark.operators.search import bm25_topk
+
+    return bm25_topk(d, ["merge", "scan", "vector"], k=10)
+
+
+@register(
+    "q_doc_winnowing",
+    # Hashes are md5-derived 40-bit ints (oracle-reproducible, the sampling
+    # gate discipline); the window-min key packs (hash, pos) into one
+    # orderable integer so the tie rule is identical by construction; all
+    # outputs are exact integers except density (one division, 6-rounded).
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest([{'pos': i,
+                      'key': CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 10))
+                                  AS BIGINT) * 65536 + i
+                     } FOR i IN generate_series(1, length(text) - 4)]) AS z
+      FROM documents WHERE length(text) >= 5),
+    k AS (SELECT doc_id, z.pos AS pos, z.key AS key FROM g),
+    m AS (
+      SELECT doc_id, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mkey
+      FROM k)
+    SELECT doc_id,
+           CAST(COUNT(*) + 7 AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT mkey) AS BIGINT) AS n_fingerprints,
+           CAST(FLOOR((CAST(COUNT(DISTINCT mkey) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS density
+    FROM m WHERE pos >= 8 GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (H139, Schleimer-Wilkerson-Aiken/MOSS) over
+    every document: k=5 char-grams, w=8 windows, per-window (hash, pos)-min
+    selection — any shared substring of length >= 12 between two docs is
+    GUARANTEED a shared fingerprint, at expected density 2/(w+1) ~ 0.22.
+    The copy-detection index between hash-exact dedup (misses any edit) and
+    span dedup (full suffix machinery). Per-doc inventory row; selection
+    internals in operators/dedup.winnow_fingerprints (scan-stage hashing,
+    one doc-keyed shuffle, nothing pairwise)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(d, k=5, w=8)
+
+
+@register(
+    "q_embed_ivf_cell_balance",
+    # The oracle replays the q_embed_kmeans_assign centroid/assignment CTEs
+    # (label-mean centroids, squared-L2 argmin, smallest-cid ties) and
+    # aggregates the cell census; min/max/counts are exact integers,
+    # imbalance is one division, 6-rounded.
+    oracle="""
+    WITH u AS (SELECT label, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+               FROM embeddings),
+    ci AS (SELECT label, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS c
+           FROM u GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(c ORDER BY i) AS centroid FROM ci GROUP BY label),
+    d AS (SELECT e.vec_id, cent.cid,
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.centroid[i])^2)) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    a AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    cells AS (SELECT cid, COUNT(*) AS n FROM a WHERE rn = 1 GROUP BY cid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_items,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           CAST(FLOOR((CAST(MAX(n) AS DOUBLE)
+                       / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS imbalance
+    FROM cells
+    """,
+)
+def q_embed_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit (H140): the cell-size census of the
+    nearest-centroid assignment — n_cells, item count, min/max cell, and the
+    imbalance factor max/avg that prices both ANN probe tail latency (a
+    probe landing in a whale cell scans it all) and the semantic-dedup
+    skew-split pressure (H128's hot-cluster case). Completes the r9-r10
+    embedding family: build (IVF), serve (topk), mine (hard negatives),
+    dedup (SemDeDup), health (norms/PCA) — and now layout balance. One
+    K-row broadcast scoring pass + argmin + a K-row census; nothing
+    corpus-pairwise."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = SIM.label_centroids(e)
+    a = SIM.assign_to_centroids(e, cent)
+    cells = a.groupBy("assigned_cid").agg(F.count("*").cast("long").alias("n"))
+    avg = F.col("n_items").cast("double") / F.col("n_cells").cast("double")
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_items"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+    ).select(
+        "n_cells",
+        "n_items",
+        "min_cell",
+        "max_cell",
+        PAR.round6(F.col("max_cell").cast("double") / avg).alias("imbalance"),
+    )
