@@ -11531,3 +11531,302 @@ def q_embed_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cell",
         PAR.round6(F.col("max_cell").cast("double") / avg).alias("imbalance"),
     )
+
+
+@register(
+    "q_doc_mixture_temperature",
+    # T=0.5 means the weight is sqrt(share) — an IEEE sqrt, bit-identical
+    # across engines; the sqrt SUM is a source-ORDERED sequential fold
+    # (list_reduce == F.aggregate); shares and quotas integerize by the
+    # largest-remainder discipline with the 12-rounded grid (the
+    # irrational-weights rule: rank the r12 fractional part, never raw
+    # doubles). Conservation (sum quota == budget) is a theorem bit.
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                            list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+                               (acc, x) -> acc + x) AS ssum
+            FROM s),
+    sh AS (
+      SELECT source, n,
+             FLOOR((CAST(100000 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / tot.ssum)
+                   * 1e12 + 0.5) / 1e12 AS share_r12,
+             FLOOR((sqrt(CAST(n AS DOUBLE)) / tot.ssum) * 1e6 + 0.5) / 1e6 AS w6
+      FROM s CROSS JOIN tot),
+    base AS (
+      SELECT source, n, w6,
+             CAST(FLOOR(share_r12) AS BIGINT) AS q0,
+             share_r12 - FLOOR(share_r12) AS frac
+      FROM sh),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+             100000 - SUM(q0) OVER () AS leftover
+      FROM base)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(w6 AS DOUBLE) AS weight,
+           CAST(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota,
+           CAST(CASE WHEN SUM(q0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                          OVER () = 100000 THEN 1 ELSE 0 END AS INT) AS conserved
+    FROM ranked
+    """,
+)
+def q_doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (H141) — the multilingual/
+    multi-source upweighting trick (sample ∝ p^T, T=0.5): raw source shares
+    flatten toward uniform so low-resource sources are not drowned, then a
+    100k-sample budget integerizes by largest remainder (conservation
+    emitted as a theorem bit, the H91/H102 discipline). One source-keyed
+    count, a <=|sources|-row fold for the normalizer, window integerization
+    over |sources| rows — nothing scales with corpus size past the first
+    count."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    sq = F.sqrt(F.col("n").cast("double"))
+    tot = s.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", sq.alias("sq")))),
+                lambda st: st["sq"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ssum")
+    )
+    b = (
+        s.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n",
+            PAR.round_at(
+                F.lit(100000.0) * F.sqrt(F.col("n").cast("double")) / F.col("ssum"),
+                12,
+            ).alias("share_r12"),
+            PAR.round6(
+                F.sqrt(F.col("n").cast("double")) / F.col("ssum")
+            ).alias("w6"),
+        )
+        .select(
+            "source",
+            "n",
+            "w6",
+            F.floor("share_r12").cast("long").alias("q0"),
+            (F.col("share_r12") - F.floor("share_r12")).alias("frac"),
+        )
+    )
+    w_rk = Window.orderBy(F.desc("frac"), "source")
+    w_all = Window.partitionBy()
+    ranked = b.select(
+        "*",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(100000) - F.sum("q0").over(w_all)).alias("leftover"),
+    )
+    quota = F.col("q0") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("w6").alias("weight"),
+        quota.cast("long").alias("quota"),
+        F.when(F.sum(quota).over(w_all) == 100000, 1).otherwise(0)
+        .cast("int")
+        .alias("conserved"),
+    )
+
+
+@register(
+    "q_doc_padding_waste",
+    # Integer end to end: token counts, power-of-two bucket edges via
+    # length(bin(n)) (the H131 integer-exact log2 recipe), padded cells and
+    # waste numerators are exact integer sums (decimal accumulation — the
+    # padded sum grows with corpus x edge); the two ratios divide once at
+    # presentation.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                             x -> x <> '')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, tok,
+             CASE WHEN tok <= 1 THEN 1
+                  ELSE CAST(power(2, length(bin(CAST(tok - 1 AS BIGINT)))) AS BIGINT)
+             END AS edge
+      FROM t),
+    g AS (
+      SELECT edge, COUNT(*) AS n,
+             CAST(SUM(CAST(tok AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_tok,
+             (SELECT MAX(tok) FROM t) AS max_tok
+      FROM b GROUP BY edge)
+    SELECT CAST(edge AS BIGINT) AS bucket_edge,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(sum_tok AS BIGINT) AS sum_tokens,
+           CAST(n * edge AS BIGINT) AS padded_tokens,
+           CAST(FLOOR((CAST(1 AS DOUBLE)
+                       - CAST(sum_tok AS DOUBLE) / CAST(n * edge AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS bucket_waste,
+           CAST(FLOOR((CAST(1 AS DOUBLE)
+                       - CAST(sum_tok AS DOUBLE) / CAST(n * max_tok AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS flat_pad_waste
+    FROM g
+    """,
+)
+def q_doc_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-packing padding audit (H142): bucket every document by the
+    power-of-two sequence-length bucket it would pad to (the
+    bucketed-batching strategy), and report per bucket the padding waste
+    (1 - real/padded tokens) next to the waste the naive pad-everything-to-
+    global-max strategy pays — the table that justifies length bucketing
+    in a training dataloader. Bucket edges are INTEGER-exact via the bit-
+    length identity (length(bin(n-1)) == position of the MSB — the H131
+    recipe; floor(log2) sits one libm ulp from flipping at exact powers of
+    two). One scan + one |buckets|-row aggregate; a broadcast one-row max."""
+    d = _t(spark, sf_dir, "documents")
+    tok = TX.token_count(F.col("text"))
+    t = d.select(tok.alias("tok"))
+    edge = F.when(F.col("tok") <= 1, F.lit(1)).otherwise(
+        F.pow(
+            F.lit(2.0), F.length(F.bin((F.col("tok") - 1).cast("long")))
+        ).cast("long")
+    )
+    b = t.select("tok", edge.alias("edge"))
+    mx = b.agg(F.max("tok").cast("long").alias("max_tok"))
+    g = (
+        b.groupBy("edge")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("tok").cast("decimal(38,0)")).alias("sum_tok"),
+        )
+        .join(F.broadcast(mx))
+    )
+    one = F.lit(1.0)
+    return g.select(
+        F.col("edge").cast("long").alias("bucket_edge"),
+        F.col("n").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tokens"),
+        (F.col("n") * F.col("edge")).cast("long").alias("padded_tokens"),
+        PAR.round6(
+            one
+            - F.col("sum_tok").cast("double")
+            / (F.col("n") * F.col("edge")).cast("double")
+        ).alias("bucket_waste"),
+        PAR.round6(
+            one
+            - F.col("sum_tok").cast("double")
+            / (F.col("n") * F.col("max_tok")).cast("double")
+        ).alias("flat_pad_waste"),
+    )
+
+
+@register(
+    "q_embed_davies_bouldin",
+    # Per-member center distances are IEEE sqrt of the bit-identical
+    # assignment fold, quantized to integer micro-units so the per-cluster
+    # scatter is an EXACT integer sum (the H134 norm-audit discipline, wide
+    # decimal/HUGEINT); centroid separations are K^2 fold expressions; the
+    # R ratio is computed from identical doubles on both engines and the
+    # argmax-over-j is taken on the 12-rounded grid with a cid tie-break
+    # (round-then-rank).
+    oracle="""
+    WITH u AS (SELECT label, unnest(list_zip(embedding, range(1, len(embedding)+1))) AS z
+               FROM embeddings),
+    ci AS (SELECT label, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS c
+           FROM u GROUP BY label, i),
+    cent AS (SELECT label AS cid, list(c ORDER BY i) AS centroid FROM ci GROUP BY label),
+    d AS (SELECT e.vec_id, cent.cid,
+                 list_sum(list_transform(range(1, len(e.embedding)+1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - cent.centroid[i])^2)) AS dist
+          FROM embeddings e CROSS JOIN cent),
+    a AS (SELECT vec_id, cid, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d),
+    scat AS (
+      SELECT cid, COUNT(*) AS n,
+             SUM(CAST(CAST(FLOOR(sqrt(dist) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS smu
+      FROM a WHERE rn = 1 GROUP BY cid),
+    sep AS (
+      SELECT x.cid AS ci, y.cid AS cj,
+             sqrt(list_sum(list_transform(range(1, len(x.centroid)+1),
+                  i -> (x.centroid[i] - y.centroid[i])^2))) AS m
+      FROM cent x JOIN cent y ON x.cid <> y.cid),
+    r AS (
+      SELECT sep.ci, sep.cj,
+             FLOOR(((CAST(si.smu AS DOUBLE) / (CAST(si.n AS DOUBLE) * 1e6)
+                     + CAST(sj.smu AS DOUBLE) / (CAST(sj.n AS DOUBLE) * 1e6))
+                    / sep.m) * 1e12 + 0.5) / 1e12 AS r12
+      FROM sep JOIN scat si ON si.cid = sep.ci JOIN scat sj ON sj.cid = sep.cj),
+    best AS (
+      SELECT ci, cj, r12,
+             ROW_NUMBER() OVER (PARTITION BY ci ORDER BY r12 DESC, cj) AS rk
+      FROM r)
+    SELECT best.ci AS cid,
+           CAST(scat.n AS BIGINT) AS n_members,
+           CAST(FLOOR((CAST(scat.smu AS DOUBLE) / (CAST(scat.n AS DOUBLE) * 1e6))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS scatter,
+           best.cj AS nearest_cid,
+           CAST(FLOOR(best.r12 * 1e6 + 0.5) / 1e6 AS DOUBLE) AS r_max
+    FROM best JOIN scat ON scat.cid = best.ci
+    WHERE best.rk = 1
+    """,
+)
+def q_embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin clustering quality (H143) per cluster: scatter S_i
+    (mean member-to-centroid distance, exact integer micro-unit sums),
+    nearest confusable cluster argmax_j (S_i+S_j)/M_ij, and that worst
+    ratio R_max — the standard internal validity index (lower is better)
+    that decides whether the SemDeDup/IVF cluster geometry (H128/H2) is
+    sound or needs a different K. Mean of r_max over clusters is the DB
+    index proper. Shape: the one broadcast-assign pass (vectors never
+    shuffle), a K-row scatter aggregate, a K^2 broadcast self-join of
+    centroids (K tiny by construction), window argmax on the 12-rounded
+    grid."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = SIM.label_centroids(e)
+    a = SIM.assign_to_centroids(e, cent)
+    mu = F.floor(F.sqrt(F.col("dist")) * 1e6 + F.lit(0.5)).cast("long")
+    scat = (
+        a.select(F.col("assigned_cid").alias("cid"), mu.alias("mu"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("mu").cast("decimal(38,0)")).alias("smu"),
+        )
+    )
+    x, y = cent.alias("x"), cent.alias("y")
+    m = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("x.centroid"), F.col("y.centroid"), lambda p, q: (p - q) * (p - q)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sep = (
+        x.join(F.broadcast(y), F.col("x.cid") != F.col("y.cid"))
+        .select(F.col("x.cid").alias("ci"), F.col("y.cid").alias("cj"), m.alias("m"))
+    )
+    s_of = lambda pre: F.col(f"{pre}.smu").cast("double") / (
+        F.col(f"{pre}.n").cast("double") * F.lit(1e6)
+    )
+    si = scat.alias("si")
+    sj = scat.alias("sj")
+    r = (
+        sep.join(F.broadcast(si), F.col("si.cid") == F.col("ci"))
+        .join(F.broadcast(sj), F.col("sj.cid") == F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            PAR.round_at((s_of("si") + s_of("sj")) / F.col("m"), 12).alias("r12"),
+        )
+    )
+    w = Window.partitionBy("ci").orderBy(F.desc("r12"), "cj")
+    best = r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.join(scat, best["ci"] == scat["cid"]).select(
+        F.col("ci").alias("cid"),
+        F.col("n").alias("n_members"),
+        PAR.round6(
+            F.col("smu").cast("double") / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("scatter"),
+        F.col("cj").alias("nearest_cid"),
+        PAR.round6(F.col("r12")).alias("r_max"),
+    )
