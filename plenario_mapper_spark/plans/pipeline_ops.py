@@ -11830,3 +11830,130 @@ def q_embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cj").alias("nearest_cid"),
         PAR.round6(F.col("r12")).alias("r_max"),
     )
+
+
+@register(
+    "q_scan_csv_json_roundtrip",
+    # The oracle computes the slice summary from the PARQUET original (row
+    # count + a mod-prime checksum over md5-derived 48-bit row digests —
+    # integers and plain strings only, never a double->string format) and
+    # expects the four certification bits = 1; the engine computes the SAME
+    # summary from its CSV and JSONL roundtrips of the slice, so a quoting,
+    # newline, null, or type-mapping corruption anywhere in the
+    # writer/reader pair reds the driver hash (the H14 certification
+    # pattern). The hostile column embeds commas, doubled quotes, an
+    # embedded NEWLINE, and a NULL — the four classic CSV killers.
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) AS micros,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderstatus || ',"' || o_orderpriority || '"' || chr(10)
+                       || CAST(o_orderkey AS VARCHAR)
+             END AS hostile
+      FROM orders WHERE o_orderkey % 7 = 0),
+    h AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || CAST(cents AS VARCHAR) || '|' || CAST(micros AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority
+               || '|' || COALESCE(hostile, '<null>')), 1, 12)) AS BIGINT) AS h48
+      FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h48 AS DECIMAL(38,0))) % 1000000007 AS BIGINT) AS checksum,
+           CAST(1 AS INT) AS csv_rows_ok,
+           CAST(1 AS INT) AS csv_checksum_ok,
+           CAST(1 AS INT) AS json_rows_ok,
+           CAST(1 AS INT) AS json_checksum_ok
+    FROM h
+    """,
+)
+def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CSV + JSONL source certification (H144): stage an orders slice
+    (plus a hostile string column carrying commas, doubled quotes, an
+    embedded newline, and NULLs) to RFC-4180 CSV and to JSON Lines, read
+    both back with explicit schemas (sources/formats — the option sets that
+    actually roundtrip, incl. multiLine and quote-doubling escape), and
+    certify BOTH roundtrips preserve row count and a value checksum against
+    the parquet original. Summary + bits form, driver-hash decidable."""
+    import shutil
+    import tempfile
+
+    from plenario_mapper_spark.sources import formats as FMT
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    hostile = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit(',"'),
+            F.col("o_orderpriority"),
+            F.lit('"'),
+            F.lit("\n"),
+            F.col("o_orderkey").cast("string"),
+        )
+    )
+    staged = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.unix_micros(F.col("o_orderdate")).alias("micros"),
+        hostile.alias("hostile"),
+    )
+
+    def summary(df: DataFrame):
+        h48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("cents").cast("string"),
+                        F.col("micros").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_orderpriority"),
+                        F.coalesce(F.col("hostile"), F.lit("<null>")),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        row = df.select(h48.alias("h48")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.pmod(F.sum(F.col("h48").cast("decimal(38,0)")), F.lit(1000000007))
+            .cast("long")
+            .alias("c"),
+        ).collect()[0]
+        return int(row["n"]), int(row["c"])
+
+    n0, c0 = summary(staged)
+    work = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    try:
+        FMT.write_csv(staged, f"{work}/csv")
+        n_csv, c_csv = summary(FMT.read_csv(spark, f"{work}/csv", staged.schema))
+        FMT.write_jsonl(staged, f"{work}/jsonl")
+        n_j, c_j = summary(FMT.read_jsonl(spark, f"{work}/jsonl", staged.schema))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n0,
+                c0,
+                1 if n_csv == n0 else 0,
+                1 if c_csv == c0 else 0,
+                1 if n_j == n0 else 0,
+                1 if c_j == c0 else 0,
+            )
+        ],
+        "n_rows long, checksum long, csv_rows_ok int, csv_checksum_ok int, "
+        "json_rows_ok int, json_checksum_ok int",
+    )
