@@ -11957,3 +11957,212 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, checksum long, csv_rows_ok int, csv_checksum_ok int, "
         "json_rows_ok int, json_checksum_ok int",
     )
+
+
+# Poisson(1) CDF cutoffs scaled to the md5 48-bit uniform domain (floor(CDF_k
+# * 2^48), k = 0..8) — FIXED integer literals shared with the oracle text, so
+# replicate weights are decided entirely in the integer domain (the
+# calibration-bins membership rule; the irrational e^-1 never touches a
+# comparison).
+_POIS1_CUTS = [
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+    281474659994280,
+]
+
+
+@register(
+    "q_eval_poisson_bootstrap_ci",
+    # Poisson bootstrap (Chamandy et al. / Kleiner et al. lineage): the
+    # resampling scheme that works in ONE PASS over distributed data —
+    # per-replicate multiplicities are independent Poisson(1) draws derived
+    # from md5(id|b), so no sampling-with-replacement index is ever
+    # materialized. Everything driver-hash-relevant is exact: weights from
+    # integer cutoff comparisons, replicate means as integer-sum ratios,
+    # CI endpoints by exact rank over the 6-rounded replicate means
+    # (round-then-rank; grid 6 because cent-scale magnitudes overflow the
+    # finer grid's long-typed floor — the round_at magnitude bound).
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS id,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 11 = 0),
+    rep AS (
+      SELECT b, id, cents,
+             CAST(('0x' || substr(md5('boot|' || CAST(id AS VARCHAR) || '|'
+                                       || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) AS u48
+      FROM src CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS b)),
+    w AS (
+      SELECT b, cents,
+             CASE WHEN u48 < 103548857136060 THEN 0
+                  WHEN u48 < 207097714272121 THEN 1
+                  WHEN u48 < 258872142840152 THEN 2
+                  WHEN u48 < 276130285696162 THEN 3
+                  WHEN u48 < 280444821410164 THEN 4
+                  WHEN u48 < 281307728552965 THEN 5
+                  WHEN u48 < 281451546410098 THEN 6
+                  WHEN u48 < 281472091818260 THEN 7
+                  WHEN u48 < 281474659994280 THEN 8
+                  ELSE 9 END AS w
+      FROM rep),
+    means AS (
+      SELECT b,
+             FLOOR((CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                         AS DOUBLE)
+                    / CAST(SUM(w) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS m12
+      FROM w GROUP BY b HAVING SUM(w) > 0),
+    ranked AS (
+      SELECT m12, ROW_NUMBER() OVER (ORDER BY m12, b) AS rk, COUNT(*) OVER () AS nb
+      FROM means),
+    full_mean AS (
+      SELECT COUNT(*) AS n_rows,
+             FLOOR((CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_cents
+      FROM src)
+    SELECT CAST(full_mean.n_rows AS BIGINT) AS n_rows,
+           CAST(full_mean.mean_cents AS DOUBLE) AS mean_cents,
+           CAST((SELECT MAX(nb) FROM ranked) AS BIGINT) AS n_replicates,
+           CAST((SELECT m12 FROM ranked
+                 WHERE rk = CAST(ceil(0.025 * (SELECT MAX(nb) FROM ranked)) AS BIGINT))
+                AS DOUBLE) AS ci_lo,
+           CAST((SELECT m12 FROM ranked
+                 WHERE rk = CAST(ceil(0.975 * (SELECT MAX(nb) FROM ranked)) AS BIGINT))
+                AS DOUBLE) AS ci_hi
+    FROM full_mean
+    """,
+)
+def q_eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval (H145) for the mean order value
+    — THE bootstrap that scales: classic resampling-with-replacement needs a
+    global index per replicate; the Poisson approximation draws each row's
+    per-replicate multiplicity independently (Poisson(1), md5-derived), so
+    64 replicates cost one scan with a 64-group aggregate — no shuffle of
+    data rows beyond the replicate rollup, valid at any corpus size.
+    Replicate means are exact integer-sum ratios; the percentile CI picks
+    exact ranks over the 6-rounded means (never interpolates — the
+    session-4 order-statistics rule)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    src = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    B = 64
+    rep = src.select(
+        "id", "cents", F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b")
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("boot"), F.col("id").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(_POIS1_CUTS) - 1, -1, -1):
+        w = F.when(u48 < _POIS1_CUTS[k], F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.col("w").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+            ).alias("sw"),
+            F.sum("w").cast("long").alias("nw"),
+        )
+        .filter(F.col("nw") > 0)
+        .select(
+            "b",
+            # grid 6, not 12: replicate means are ~1e7 cents, and a 1e12
+            # grid overflows Spark's long-typed FLOOR (round_at magnitude
+            # bound); the division of identical exact integers is already
+            # bit-identical cross-engine, the grid is rank stability only
+            PAR.round6(
+                F.col("sw").cast("double") / F.col("nw").cast("double")
+            ).alias("m12"),
+        )
+    )
+    wrk = Window.orderBy("m12", "b")
+    ranked = means.select(
+        "m12",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("nb"),
+    )
+    import math as _math
+
+    nb_df = ranked.agg(F.max("nb").alias("nb")).collect()[0]
+    nb = int(nb_df["nb"])
+    lo_rk = _math.ceil(0.025 * nb)
+    hi_rk = _math.ceil(0.975 * nb)
+    ci = (
+        ranked.filter(F.col("rk").isin([lo_rk, hi_rk]))
+        .agg(
+            F.min(F.when(F.col("rk") == lo_rk, F.col("m12"))).alias("lo"),
+            F.min(F.when(F.col("rk") == hi_rk, F.col("m12"))).alias("hi"),
+        )
+    )
+    full = src.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        PAR.round6(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_cents"),
+    )
+    return (
+        full.join(F.broadcast(ci))
+        .select(
+            "n_rows",
+            "mean_cents",
+            F.lit(nb).cast("long").alias("n_replicates"),
+            F.col("lo").alias("ci_lo"),
+            F.col("hi").alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "q_events_click_purchase_pairs",
+    # Micro-exact INTERVAL arithmetic on both sides (the r9 sessionize rule:
+    # never compare second-truncated casts); value rounded for the hash.
+    oracle="""
+    SELECT c.user_id AS c_user,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(FLOOR(p.value * 1e6 + 0.5) / 1e6 AS DOUBLE) AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    """,
+)
+def q_events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution pairs within a 60-minute horizon (H146's
+    batch anchor): the bounded twin of the watermarked stream-stream join
+    (streaming/stream_join.attributed_pairs_stream — native two-stream
+    event-time join whose state is bounded by watermark + range condition;
+    stream == batch pinned in tests/test_stream_join.py). Shape: user-keyed
+    equi-join with a time-range residual — at scale both sides
+    hash-partition on user, and the per-user pair fan-out is bounded by the
+    horizon, never the history."""
+    from plenario_mapper_spark.streaming.stream_join import attributed_pairs_batch
+
+    e = _t(spark, sf_dir, "events")
+    return attributed_pairs_batch(e, 60).select(
+        "c_user",
+        "click_id",
+        "purchase_id",
+        PAR.round6(F.col("purchase_value")).alias("purchase_value"),
+    )
