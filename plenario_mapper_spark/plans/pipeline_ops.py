@@ -12166,3 +12166,120 @@ def q_events_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_id",
         PAR.round6(F.col("purchase_value")).alias("purchase_value"),
     )
+
+
+@register(
+    "q_events_kleinberg_bursts",
+    # The two-state cost DIFFERENCE recurrence d_i = a0*(g_i/1e6) - ln2 +
+    # clamp(d_{i-1}, 0, T) is pure IEEE arithmetic — no per-step libm call:
+    # with burst rate s = 2*base, the only logarithms are the ln2 LITERAL
+    # (both engines parse 0.6931471805599453 to the same double) and the
+    # transition cost T, built INTEGER-exactly as ln2 * bit_length(n_gaps)
+    # (a libm ln(n) here would risk a 1-ulp cross-engine straddle). The fold
+    # is step-identical: applyInPandas per user vs a recursive CTE, the
+    # Holt-trend discipline.
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    gaps AS (
+      SELECT user_id, rn - 1 AS gn,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY rn) AS g
+      FROM ev QUALIFY g IS NOT NULL),
+    prm AS (
+      SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS span_us,
+             CAST(COUNT(*) AS DOUBLE) / (CAST(SUM(g) AS DOUBLE) / 1e6) AS a0,
+             CAST(0.6931471805599453 AS DOUBLE)
+               * length(bin(CAST(COUNT(*) AS BIGINT))) AS t
+      FROM gaps GROUP BY user_id HAVING SUM(g) > 0),
+    fold AS (
+      SELECT g.user_id, g.gn,
+             p.a0 * (CAST(g.g AS DOUBLE) / 1e6) - CAST(0.6931471805599453 AS DOUBLE)
+               + LEAST(GREATEST(p.t, CAST(0 AS DOUBLE)), p.t) AS d,
+             p.a0, p.t
+      FROM gaps g JOIN prm p USING (user_id) WHERE g.gn = 1
+      UNION ALL
+      SELECT g.user_id, g.gn,
+             f.a0 * (CAST(g.g AS DOUBLE) / 1e6) - CAST(0.6931471805599453 AS DOUBLE)
+               + LEAST(GREATEST(f.d, CAST(0 AS DOUBLE)), f.t),
+             f.a0, f.t
+      FROM fold f JOIN gaps g ON g.user_id = f.user_id AND g.gn = f.gn + 1)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
+           CAST(FLOOR((CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                AS DOUBLE) AS burst_share,
+           CAST(FLOOR(MAX(CASE WHEN gn = (SELECT MAX(gn) FROM fold f2
+                                          WHERE f2.user_id = fold.user_id)
+                           THEN d END) * 1e6 + 0.5) / 1e6
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS d_final
+    FROM fold GROUP BY user_id
+    """,
+)
+def q_events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Kleinberg burst detection (H147; Kleinberg KDD'02, the 2-state
+    exponential-gap automaton) per user: the ONLINE variant — state = argmin
+    of running Viterbi costs so far, i.e. the decision a live monitor can
+    make without backward smoothing. With burst rate 2x base, the cost
+    difference d = c_burst - c_base follows one clamp recurrence (derivation
+    in the oracle comment): d < 0 means the burst state is currently
+    cheaper — a gap run faster than the user's own base rate. Emits per
+    user the gap count, burst-gap count/share, and the final d. Sequential
+    per user by nature (applyInPandas fold, one user-keyed shuffle —
+    parallel across the billions of users at 100 TB, tens of steps within);
+    oracle is the step-identical recursive CTE."""
+    import pandas as pd
+
+    e = _events(spark, sf_dir)
+    # unix_micros preserves the (ts, event_id) order exactly, so ordering by
+    # (us, event_id) == the oracle's (ts, event_id)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .withColumn("g", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("g").isNotNull())
+        .withColumn("gn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        ))
+        .select("user_id", "gn", "g")
+    )
+
+    LN2 = 0.6931471805599453
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("gn")
+        span = int(pdf["g"].sum())
+        n = len(pdf)
+        if span <= 0:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "n_burst", "burst_share", "d_final"]
+            )
+        a0 = float(n) / (float(span) / 1e6)
+        t = LN2 * n.bit_length()
+        d = t  # start in the base state: d_0 = T exactly
+        n_burst = 0
+        for g in pdf["g"]:
+            d = a0 * (float(g) / 1e6) - LN2 + min(max(d, 0.0), t)
+            if d < 0:
+                n_burst += 1
+        import math as _m
+
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["user_id"].iloc[0]),
+                    n,
+                    n_burst,
+                    _m.floor((n_burst / n) * 1e6 + 0.5) / 1e6,
+                    _m.floor(d * 1e6 + 0.5) / 1e6 + 0.0,
+                )
+            ],
+            columns=["user_id", "n_gaps", "n_burst", "burst_share", "d_final"],
+        )
+
+    return gaps.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, n_gaps long, n_burst long, burst_share double, d_final double",
+    )
