@@ -12283,3 +12283,106 @@ def q_events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold,
         "user_id long, n_gaps long, n_burst long, burst_share double, d_final double",
     )
+
+
+@register(
+    "q_eval_diff_in_diff",
+    # All four cell means are exact integer-sum ratios (value quantized to
+    # micro-units per row by the floor recipe, decimal/HUGEINT accumulation);
+    # the DiD estimate is three subtractions of identical doubles — the
+    # N-scaled moments discipline, one number rounded at presentation.
+    # Treatment = user parity (the q_eval_odds_ratio convention), period =
+    # first vs second half of the observed span, decided in INTEGER micros.
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treated,
+             CASE WHEN epoch_us(ts) - bounds.lo
+                       < CAST((bounds.hi - bounds.lo) / 2 AS BIGINT)
+                  THEN 0 ELSE 1 END AS post,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events CROSS JOIN bounds
+      WHERE event_type = 'purchase'),
+    g AS (
+      SELECT treated, post, COUNT(*) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s
+      FROM cells GROUP BY treated, post),
+    m AS (
+      SELECT treated, post, n,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mean
+      FROM g)
+    SELECT CAST(t1.n + t0.n + c1.n + c0.n AS BIGINT) AS n_obs,
+           CAST(FLOOR(t0.mean * 1e6 + 0.5) / 1e6 AS DOUBLE) AS treat_pre,
+           CAST(FLOOR(t1.mean * 1e6 + 0.5) / 1e6 AS DOUBLE) AS treat_post,
+           CAST(FLOOR(c0.mean * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ctrl_pre,
+           CAST(FLOOR(c1.mean * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ctrl_post,
+           CAST(FLOOR(((t1.mean - t0.mean) - (c1.mean - c0.mean)) * 1e6 + 0.5) / 1e6
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS did_estimate
+    FROM (SELECT * FROM m WHERE treated = 1 AND post = 0) t0,
+         (SELECT * FROM m WHERE treated = 1 AND post = 1) t1,
+         (SELECT * FROM m WHERE treated = 0 AND post = 0) c0,
+         (SELECT * FROM m WHERE treated = 0 AND post = 1) c1
+    """,
+)
+def q_eval_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (H148), the pre/post x treat/control
+    estimator that separates a treatment effect from a shared time trend —
+    completing the causal end of the eval family (odds ratio, Wilson,
+    covariate balance, uplift all measure the cross-section; DiD measures
+    the delta of deltas). Cells decided in integer domains (user parity,
+    micro-exact span midpoint); cell means are exact integer-sum ratios;
+    the estimate is three subtractions of identical doubles. One group-by
+    over four cells — embarrassingly parallel at any scale. +0.0
+    canonicalizes a -0.0 estimate on symmetric data."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    bounds = e.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    cells = (
+        e.join(F.broadcast(bounds))
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treated"),
+            F.when(
+                (us - F.col("lo"))
+                < ((F.col("hi") - F.col("lo")) / F.lit(2)).cast("long"),
+                0,
+            )
+            .otherwise(1)
+            .alias("post"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    g = cells.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+    )
+    mean = F.col("s").cast("double") / (F.col("n").cast("double") * F.lit(1e6))
+    m = g.select("treated", "post", "n", mean.alias("mean"))
+
+    def cell(tr, po, name):
+        return (
+            m.filter((F.col("treated") == tr) & (F.col("post") == po))
+            .select(F.col("n").alias(f"n_{name}"), F.col("mean").alias(name))
+        )
+
+    t0, t1 = cell(1, 0, "treat_pre"), cell(1, 1, "treat_post")
+    c0, c1 = cell(0, 0, "ctrl_pre"), cell(0, 1, "ctrl_post")
+    j = t0.join(F.broadcast(t1)).join(F.broadcast(c0)).join(F.broadcast(c1))
+    did = (F.col("treat_post") - F.col("treat_pre")) - (
+        F.col("ctrl_post") - F.col("ctrl_pre")
+    )
+    return j.select(
+        (
+            F.col("n_treat_pre")
+            + F.col("n_treat_post")
+            + F.col("n_ctrl_pre")
+            + F.col("n_ctrl_post")
+        ).cast("long").alias("n_obs"),
+        PAR.round6(F.col("treat_pre")).alias("treat_pre"),
+        PAR.round6(F.col("treat_post")).alias("treat_post"),
+        PAR.round6(F.col("ctrl_pre")).alias("ctrl_pre"),
+        PAR.round6(F.col("ctrl_post")).alias("ctrl_post"),
+        (PAR.round6(did) + F.lit(0.0)).alias("did_estimate"),
+    )
