@@ -12298,8 +12298,10 @@ def q_events_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
     cells AS (
       SELECT CAST(user_id % 2 AS INT) AS treated,
-             CASE WHEN epoch_us(ts) - bounds.lo
-                       < CAST((bounds.hi - bounds.lo) / 2 AS BIGINT)
+             -- 2*(t-lo) < (hi-lo): the midpoint test with NO division —
+             -- DuckDB CAST(x/2) ROUNDS while Spark's double->long cast
+             -- TRUNCATES, so a /2 here diverges on odd spans
+             CASE WHEN 2 * (epoch_us(ts) - bounds.lo) < (bounds.hi - bounds.lo)
                   THEN 0 ELSE 1 END AS post,
              CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
       FROM events CROSS JOIN bounds
@@ -12344,9 +12346,10 @@ def q_eval_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(bounds))
         .select(
             F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("treated"),
+            # integer midpoint test 2*(t-lo) < (hi-lo): no division, so no
+            # Spark-truncates-vs-DuckDB-rounds divergence on odd spans
             F.when(
-                (us - F.col("lo"))
-                < ((F.col("hi") - F.col("lo")) / F.lit(2)).cast("long"),
+                F.lit(2) * (us - F.col("lo")) < (F.col("hi") - F.col("lo")),
                 0,
             )
             .otherwise(1)

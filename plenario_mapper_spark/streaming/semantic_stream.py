@@ -78,11 +78,16 @@ class SemanticDedupStream:
         cdir = os.path.join(state_dir, "centroids")
         if os.path.isdir(cdir) and os.path.isfile(os.path.join(cdir, "_SUCCESS")):
             if centroids is not None:
-                persisted = {
-                    r["cid"] for r in self.spark.read.parquet(cdir).select("cid").collect()
-                }
-                offered = {r["cid"] for r in centroids.select("cid").collect()}
-                if persisted != offered:
+                # full-content comparison (cid AND vector): a same-cid table
+                # with moved centroids would silently re-cluster a
+                # half-deduped corpus — K rows, so the collect is metadata
+                def canon(df):
+                    return {
+                        (r["cid"], tuple(float(x) for x in r["centroid"]))
+                        for r in df.select("cid", "centroid").collect()
+                    }
+
+                if canon(self.spark.read.parquet(cdir)) != canon(centroids):
                     raise ValueError(
                         "state already holds a different centroid set; "
                         "a stream's cluster geometry is immutable"
