@@ -1012,7 +1012,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirically at sf0.001 and sf0.01 (pair sets identical) and pinned
     probabilistically by the pytest recall contract. A recall dip on future
     data would surface as a driver hash mismatch — a stronger check than
-    rows-only, which is the point."""
+    rows-only, which is the point.
+
+    Characterized margin (r10 text-mutation fuzz): splicing hostile
+    codepoints into 30% of docs dragged ONE true pair down to J = 0.651 —
+    inside the 16x4 s-curve knee (detect prob ~0.95 there) — and the clone's
+    run missed it, the expected ~1-in-20 event. That is the oracle equality
+    form's boundary, hit only under adversarial text perturbation: the
+    generator's pairs sit at J >= 0.9 every round (detect prob 1 - 5e-9),
+    and the knee math is now part of this contract's documentation rather
+    than an implicit assumption. A p95-recall certification band (the
+    q_ann_* pattern) is the fallback form if the driver's generator ever
+    starts emitting knee-zone pairs."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5)
 
@@ -1360,7 +1371,7 @@ def q_embed_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_binary_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            sha256(text) AS payload_sha256
     FROM documents WHERE doc_id < 50
     """,
@@ -1381,7 +1392,7 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_binary_frame_sample",
     oracle="""
-    WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n
                FROM documents WHERE doc_id < 20),
     f AS (SELECT doc_id, n, greatest(1, n // 4) AS step, i.generate_series AS frame_idx
           FROM d, generate_series(0, 3) i)
