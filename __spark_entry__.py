@@ -222,10 +222,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # to unix_micros in r9 AFTER its last driver row; its session_quality twin was
 # re-verified in-window, the sessionize base was not) and q_compaction_manifest
 # (oracle rewritten THIS round per ADVICE r9: files_before now counts distinct
-# occupied hash buckets, not distinct keys) — then 9 of the migrated r8
-# eval/events analytics (the family the verdict named first). Remaining
-# migration debt after this window: 29 r8-green migrated queries, the r11
-# window's first claimants. Demoted to _BACK: the whole r9 window.
+# occupied hash buckets, not distinct keys) plus q_binary_meta /
+# q_binary_frame_sample (oracles moved from CAST-AS-BLOB to encode() after
+# the text-mutation fuzz showed the BLOB cast crashes on non-ascii) — then
+# 7 of the migrated r8 eval/events analytics (the family the verdict named
+# first; ewma + fano ceded their slots to the changed-oracle canaries).
+# Remaining migration debt after this window: 31 r8-green migrated queries,
+# the r11 window's first claimants. Demoted to _BACK: the whole r9 window.
 _FRONT = [
     # -- the 10 r9 mid additions (H128-H137), never driver-verified --
     "q_embed_semantic_dedup",
@@ -271,19 +274,25 @@ _FRONT = [
     "q_group_geomean",
     "q_ngram_jaccard_pairs",
     "q_window_lag_lead",
-    # -- changed-code canaries --
+    # -- changed-code/changed-oracle canaries (the ADVICE discipline: a row
+    # whose engine or oracle text changed since its last driver green takes
+    # a slot; q_binary_meta / q_binary_frame_sample oracles moved from
+    # CAST(text AS BLOB) to encode(text) this round after the text-mutation
+    # fuzz showed the BLOB cast crashes on non-ascii) --
     "q_events_sessionize",
     "q_compaction_manifest",
-    # -- r8 eval/events analytics touched by the rounding migration --
+    "q_binary_meta",
+    "q_binary_frame_sample",
+    # -- r8 eval/events analytics touched by the rounding migration (ewma +
+    # fano ceded their slots to the two changed-oracle canaries above and
+    # rejoin the r11 migration-debt queue, now 31 names) --
     "q_eval_auc_ranksum",
     "q_eval_calibration_bins",
     "q_eval_welch_ttest",
     "q_survival_kaplan_meier",
     "q_events_acf_daily",
     "q_events_cusum_changepoint",
-    "q_events_ewma_smooth",
     "q_events_holt_trend",
-    "q_events_fano_burstiness",
 ]
 # _BACK additions this round: the full r9 window (50/50 green in
 # CORRECTNESS_r09.json).
