@@ -207,7 +207,14 @@ def geomean_udf():
 
     @pandas_udf("double")
     def geomean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.astype("float64")).mean()))
+        a = v.astype("float64")
+        if bool((a <= 0).any()):
+            # zero annihilates the product; negatives are out of the
+            # function's domain — explicit branch instead of trusting
+            # np.log's -inf/NaN to round-trip through exp (and DuckDB's
+            # LN(0) raises outright, so the oracle needs the same branch)
+            return 0.0
+        return float(np.exp(np.log(a).mean()))
 
     return geomean
 

@@ -2026,9 +2026,23 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_group_geomean",
+    # Zero annihilates a geometric mean (the product is 0), and DuckDB's
+    # LN(0) RAISES rather than returning -inf (the Kaplan-Meier gotcha) —
+    # the explicit any-nonpositive branch makes the function total on BOTH
+    # engines instead of relying on numpy's -inf happening to exp() to 0.
+    # The LN argument is ALSO sanitized (CASE inside the aggregate): an
+    # outer CASE cannot short-circuit an aggregate — DuckDB still evaluates
+    # AVG(LN(value)) over every row before the branch is chosen.
+    # Found live by the r10 sf0.1 window sweep: the regenerated sf0.1 data
+    # carries six value=0.0 rows that sf0.01 happens to lack.
     oracle="""
     SELECT event_type,
-           CAST(FLOOR((EXP(AVG(LN(value)))) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS geomean
+           CAST(CASE WHEN SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) > 0
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE FLOOR((EXP(AVG(LN(CASE WHEN value <= 0
+                                                 THEN 1 ELSE value END))))
+                                * 1e6 + 0.5) / 1e6
+                END AS DOUBLE) AS geomean
     FROM events GROUP BY event_type
     """,
 )
@@ -2036,7 +2050,10 @@ def q_group_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF surface (functions/pandas_sigs.geomean_udf):
     geometric mean of event values per type, hash-checked against the algebraic
     SQL form exp(avg(ln(x))). The docstring there explains why the algebraic
-    form is the 100 TB path (grouped-agg UDFs skip partial aggregation)."""
+    form is the 100 TB path (grouped-agg UDFs skip partial aggregation).
+    A group containing any non-positive value reports 0 (zero annihilates
+    the product; the branch is explicit on both engines — see the oracle
+    comment)."""
     from plenario_mapper_spark.functions.pandas_sigs import geomean_udf
 
     e = _events(spark, sf_dir)
