@@ -12417,3 +12417,125 @@ def q_eval_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(F.col("ctrl_post")).alias("ctrl_post"),
         (PAR.round6(did) + F.lit(0.0)).alias("did_estimate"),
     )
+
+
+@register(
+    "q_eval_cuped_adjusted",
+    # CUPED (Deng et al., WSDM'13): variance-reduce the experiment metric
+    # with a pre-period covariate. Everything hash-relevant is exact: per-
+    # user pre/post sums quantize to micro-units (integer), theta's
+    # numerator/denominator are N-scaled integer moments in decimal/HUGEINT
+    # (covariance and variance never touch a float mean), the zero-variance
+    # guard is an INTEGER comparison, and the adjusted means are a fixed
+    # sequence of divisions/subtractions of identical doubles. Period split
+    # and variant reuse the DiD conventions (midpoint test without
+    # division; user parity).
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) < (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) >= (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    mo AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+      FROM pu),
+    th AS (
+      SELECT n, sx,
+             CASE WHEN n * sxx = sx * sx THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta
+      FROM mo),
+    v AS (
+      SELECT variant, COUNT(*) AS nv,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sxv,
+             SUM(CAST(y AS DECIMAL(38,0))) AS syv
+      FROM pu GROUP BY variant)
+    SELECT variant,
+           CAST(nv AS BIGINT) AS n_users,
+           CAST(FLOOR((CAST(syv AS DOUBLE) / (CAST(nv AS DOUBLE) * 1e6))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS y_mean,
+           CAST(FLOOR(((CAST(syv AS DOUBLE) / (CAST(nv AS DOUBLE) * 1e6))
+                       - th.theta * ((CAST(sxv AS DOUBLE) / (CAST(nv AS DOUBLE) * 1e6))
+                                     - (CAST(th.sx AS DOUBLE)
+                                        / (CAST(th.n AS DOUBLE) * 1e6))))
+                      * 1e6 + 0.5) / 1e6
+                + CAST(0 AS DOUBLE) AS DOUBLE) AS y_adjusted,
+           CAST(FLOOR(th.theta * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) AS DOUBLE) AS theta
+    FROM v CROSS JOIN th
+    """,
+)
+def q_eval_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (H149; Deng-Xu-Kohavi-Walker WSDM'13) — the
+    estimator modern experimentation platforms run by default: adjust each
+    variant's post-period mean with theta x (its pre-period covariate
+    deviation from the pooled mean), where theta = cov(x,y)/var(x). Shrinks
+    the metric's variance by the squared pre/post correlation, so the same
+    experiment decides in a fraction of the time — the completion of the
+    eval family's causal end next to DiD (H148). One user-keyed rollup, one
+    4-number moment row broadcast, exact integer moments throughout; a
+    zero-variance pre-period degrades gracefully to the unadjusted mean via
+    an integer-compared guard."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    v_micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    pre = F.lit(2) * (us - F.col("lo")) < (F.col("hi") - F.col("lo"))
+    pu = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            F.when(pre, v_micro).otherwise(F.lit(0)).alias("xm"),
+            F.when(~pre, v_micro).otherwise(F.lit(0)).alias("ym"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.sum("xm").alias("x"), F.sum("ym").alias("y"))
+        .persist()  # two consumers: the pooled moments and the variant rollup
+    )
+    pu.count()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mo = pu.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    theta = F.when(
+        mo["n"] * F.col("sxx") == F.col("sx") * F.col("sx"), F.lit(0.0)
+    ).otherwise(
+        (mo["n"] * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (mo["n"] * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    th = mo.select(
+        F.col("n"), F.col("sx"), theta.alias("theta")
+    )
+    v = pu.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum(dec("x")).alias("sxv"),
+        F.sum(dec("y")).alias("syv"),
+    )
+    ymean = F.col("syv").cast("double") / (F.col("nv").cast("double") * F.lit(1e6))
+    xmean_v = F.col("sxv").cast("double") / (F.col("nv").cast("double") * F.lit(1e6))
+    xmean_all = F.col("sx").cast("double") / (F.col("n").cast("double") * F.lit(1e6))
+    return (
+        v.join(F.broadcast(th))
+        .select(
+            "variant",
+            F.col("nv").alias("n_users"),
+            PAR.round6(ymean).alias("y_mean"),
+            (PAR.round6(ymean - F.col("theta") * (xmean_v - xmean_all)) + F.lit(0.0)).alias(
+                "y_adjusted"
+            ),
+            (PAR.round6(F.col("theta")) + F.lit(0.0)).alias("theta"),
+        )
+    )
