@@ -363,7 +363,7 @@ _R9_WINDOW_NOW_BACK = [
 # q_scan_csv_json_roundtrip (H144), q_eval_poisson_bootstrap_ci (H145),
 # q_events_click_purchase_pairs (H146's batch anchor),
 # q_events_kleinberg_bursts (H147), q_eval_diff_in_diff (H148),
-# q_eval_cuped_adjusted (H149). They are the
+# q_eval_cuped_adjusted (H149), q_eval_stratified_ate (H150). They are the
 # r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

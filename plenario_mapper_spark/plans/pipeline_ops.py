@@ -12539,3 +12539,112 @@ def q_eval_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (PAR.round6(F.col("theta")) + F.lit(0.0)).alias("theta"),
         )
     )
+
+
+@register(
+    "q_eval_stratified_ate",
+    # Stratified (post-stratification) treatment effect: quintile strata on
+    # the pre-period covariate via INTEGER exact-rank cuts (5*(rank-1) div n
+    # + 1 — the RFM discipline; membership never decided on a float), cell
+    # means as exact integer-sum ratios, the pooled ATE a weight-ordered
+    # fixed op sequence (strata summed in stratum order via the final
+    # ORDER-stable 5-row rollup). Deterministic rank tie-break (x, user_id).
+    # Period/variant conventions shared with H148/H149.
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) < (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) >= (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY x, user_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM pu),
+    st AS (
+      SELECT variant, y, CAST(5 * (r - 1) // n + 1 AS INT) AS stratum FROM rk),
+    cells AS (
+      SELECT stratum, variant, COUNT(*) AS nc,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy
+      FROM st GROUP BY stratum, variant),
+    w AS (
+      SELECT stratum,
+             SUM(nc) AS n_stratum,
+             MAX(CASE WHEN variant = 1 THEN CAST(sy AS DOUBLE) / (CAST(nc AS DOUBLE) * 1e6) END) AS m1,
+             MAX(CASE WHEN variant = 0 THEN CAST(sy AS DOUBLE) / (CAST(nc AS DOUBLE) * 1e6) END) AS m0,
+             MIN(nc) AS min_cell
+      FROM cells GROUP BY stratum)
+    SELECT CAST(stratum AS INT) AS stratum,
+           CAST(n_stratum AS BIGINT) AS n_users,
+           CAST(CASE WHEN min_cell > 0 AND m1 IS NOT NULL AND m0 IS NOT NULL
+                THEN FLOOR((m1 - m0) * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) END
+                AS DOUBLE) AS stratum_effect,
+           CAST(CASE WHEN m1 IS NOT NULL AND m0 IS NOT NULL THEN 1 ELSE 0 END
+                AS INT) AS both_arms_present
+    FROM w
+    """,
+)
+def q_eval_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment effect (H150) — the third member of the
+    causal trio (DiD removes the time trend, CUPED shrinks variance,
+    stratification removes covariate imbalance): users cut into quintile
+    strata of the pre-period covariate by integer exact-rank cuts, each
+    stratum's treated-minus-control mean reported with a both-arms-present
+    bit (a stratum missing an arm cannot estimate; the bit makes the
+    degradation driver-visible instead of silent). One user rollup, one
+    global rank (at 100 TB: rank via distributed sort — the 5-quantile cut
+    only needs rank boundaries, so approx_percentile boundaries + broadcast
+    is the constant-memory variant; the exact-rank form is the
+    oracle-decidable one), a 10-cell aggregate."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    v_micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    pre = F.lit(2) * (us - F.col("lo")) < (F.col("hi") - F.col("lo"))
+    pu = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+            F.when(pre, v_micro).otherwise(F.lit(0)).alias("xm"),
+            F.when(~pre, v_micro).otherwise(F.lit(0)).alias("ym"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.sum("xm").alias("x"), F.sum("ym").alias("y"))
+    )
+    wrk = Window.orderBy("x", "user_id")
+    rk = pu.select(
+        "variant",
+        "y",
+        F.row_number().over(wrk).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    stratum = (
+        F.lit(5) * (F.col("r") - 1) - F.pmod(F.lit(5) * (F.col("r") - 1), F.col("n"))
+    ) / F.col("n") + 1
+    st = rk.select("variant", "y", stratum.cast("int").alias("stratum"))
+    cells = st.groupBy("stratum", "variant").agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    mean = F.col("sy").cast("double") / (F.col("nc").cast("double") * F.lit(1e6))
+    w = cells.groupBy("stratum").agg(
+        F.sum("nc").cast("long").alias("n_users"),
+        F.max(F.when(F.col("variant") == 1, mean)).alias("m1"),
+        F.max(F.when(F.col("variant") == 0, mean)).alias("m0"),
+        F.min("nc").alias("min_cell"),
+    )
+    both = F.col("m1").isNotNull() & F.col("m0").isNotNull()
+    return w.select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "n_users",
+        F.when(
+            both & (F.col("min_cell") > 0),
+            PAR.round6(F.col("m1") - F.col("m0")) + F.lit(0.0),
+        ).alias("stratum_effect"),
+        both.cast("int").alias("both_arms_present"),
+    )
