@@ -363,8 +363,12 @@ _R9_WINDOW_NOW_BACK = [
 # q_scan_csv_json_roundtrip (H144), q_eval_poisson_bootstrap_ci (H145),
 # q_events_click_purchase_pairs (H146's batch anchor),
 # q_events_kleinberg_bursts (H147), q_eval_diff_in_diff (H148),
-# q_eval_cuped_adjusted (H149), q_eval_stratified_ate (H150). They are the
-# r11 rotation's first
+# q_eval_cuped_adjusted (H149), q_eval_stratified_ate (H150),
+# q_eval_wilcoxon_signed_rank (H151), q_eval_ipw_ate (H152),
+# q_eval_cmh_odds (H153), q_eval_sprt_decision (H154),
+# q_sample_group_kfold (H155), q_eval_jackknife_ratio_ci (H156),
+# q_doc_heldout_perplexity (H157), q_embed_pair_cosine_histogram (H158).
+# They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics
 # slots).

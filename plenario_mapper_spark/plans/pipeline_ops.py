@@ -12648,3 +12648,945 @@ def q_eval_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stratum_effect"),
         both.cast("int").alias("both_arms_present"),
     )
+
+
+@register(
+    "q_eval_wilcoxon_signed_rank",
+    # Paired nonparametric test on per-user pre/post purchase micro-sums
+    # (the H148/H150 period conventions): zero differences dropped (the
+    # classic Wilcoxon convention), |d| ranked with AVERAGE ranks kept as
+    # exact integers by working in the doubled domain (2*avgrank =
+    # 2*low + t - 1), the tie-corrected normal z a fixed op sequence on the
+    # quadrupled integer statistic D4 = 2*(2W+) - n(n+1) so no halving ever
+    # leaves the integer domain before the final double. Significance
+    # decided on the 12-rounded |z| (round-then-compare).
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    pu AS (
+      SELECT user_id,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) < (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) >= (bounds.hi - bounds.lo)
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (SELECT y - x AS d FROM pu WHERE y <> x),
+    g AS (SELECT abs(d) AS ad, COUNT(*) AS t,
+                 SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+          FROM d GROUP BY 1),
+    r AS (SELECT ad, t, pos,
+                 1 + COALESCE(SUM(t) OVER (ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS low
+          FROM g),
+    s AS (SELECT SUM(t) AS n,
+                 SUM(CAST(pos AS HUGEINT) * (2 * low + t - 1)) AS sw2,
+                 SUM(CAST(t AS HUGEINT) * t * t - t) AS tie
+          FROM r),
+    z AS (SELECT n, sw2,
+                 2 * sw2 - CAST(n AS HUGEINT) * (n + 1) AS d4,
+                 2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tie AS var48
+          FROM s)
+    SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs,
+           CAST(sw2 AS DOUBLE) / 2 AS w_plus,
+           CASE WHEN n > 0 AND var48 > 0 THEN
+             FLOOR((CAST(d4 AS DOUBLE)
+                    / (4 * sqrt(CAST(var48 AS DOUBLE) / 48))) * 1e6 + 0.5) / 1e6
+           END AS z_stat,
+           CASE WHEN n > 0 AND var48 > 0 THEN
+             CAST(FLOOR(abs(CAST(d4 AS DOUBLE)
+                    / (4 * sqrt(CAST(var48 AS DOUBLE) / 48))) * 1e12 + 0.5) / 1e12
+                  > CAST(1.96 AS DOUBLE) AS INT)
+           END AS significant
+    FROM z
+    """,
+)
+def q_eval_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (H151) — the paired nonparametric
+    counterpart of the rank-sum AUC (H60 is two-sample; this is
+    within-user pre/post): per-user purchase micro-sums differenced across
+    the period midpoint, zero differences dropped, |d| ranked with average
+    ranks, tie-corrected normal approximation. Exactness: average ranks and
+    the variance live entirely in integers (doubled/quadrupled statistics
+    D4 = 4W+ - n(n+1), var48 = 2n(n+1)(2n+1) - sum(t^3 - t); decimal/
+    HUGEINT twins), z one fixed double op sequence, significance decided on
+    the 12-rounded |z| (round-then-compare). Scale shape: the corpus
+    reduces to one row per user, then one row per DISTINCT |d| before the
+    single-partition rank window (at 100 TB: the cumulative count is a
+    distributed sort + running total; distinct-|d| cardinality bounds the
+    window input, not event count)."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    v_micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    pre = F.lit(2) * (us - F.col("lo")) < (F.col("hi") - F.col("lo"))
+    pu = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(pre, v_micro).otherwise(F.lit(0)).alias("xm"),
+            F.when(~pre, v_micro).otherwise(F.lit(0)).alias("ym"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xm").alias("x"), F.sum("ym").alias("y"))
+    )
+    d = pu.filter(F.col("y") != F.col("x")).select(
+        (F.col("y") - F.col("x")).alias("d")
+    )
+    g = d.groupBy(F.abs("d").alias("ad")).agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_prev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "t",
+        "pos",
+        (F.lit(1) + F.coalesce(F.sum("t").over(w_prev), F.lit(0))).alias("low"),
+    )
+    dec = "decimal(38,0)"
+    s = r.agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("pos").cast(dec) * (F.lit(2) * F.col("low") + F.col("t") - 1)
+        ).alias("sw2"),
+        F.sum(F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie"
+        ),
+    )
+    n = F.col("n")
+    d4 = F.lit(2) * F.col("sw2") - n.cast(dec) * (n + 1)
+    var48 = F.lit(2) * n.cast(dec) * (n + 1) * (F.lit(2) * n + 1) - F.col("tie")
+    z = d4.cast("double") / (
+        F.lit(4) * F.sqrt(var48.cast("double") / F.lit(48))
+    )
+    ok = (n > 0) & (var48 > 0)
+    return s.select(
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_pairs"),
+        (F.col("sw2").cast("double") / F.lit(2)).alias("w_plus"),
+        F.when(ok, PAR.round6(z)).alias("z_stat"),
+        F.when(ok, (PAR.round_at(F.abs(z), 12) > F.lit(1.96)).cast("int")).alias(
+            "significant"
+        ),
+    )
+
+
+@register(
+    "q_eval_ipw_ate",
+    # Inverse-propensity-weighted ATE with cell-exact propensities and the
+    # positivity diagnostic IPW lives or dies by: covariate cell = the
+    # integer-exact power-of-two bucket of the user's PRE-period event
+    # count (the H131 bit-length identity), propensity = n_treated/n per
+    # cell, cells missing an arm DROPPED and counted (the overlap
+    # violation made driver-visible). With cell-constant propensities the
+    # Hajek denominator is exactly sum(n) over estimable cells, so the
+    # estimate is a ratio of a cell-ORDERED double fold over an integer.
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS t,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) < (bounds.hi - bounds.lo)
+                      THEN 1 ELSE 0 END) AS pre_cnt,
+             SUM(CASE WHEN 2 * (epoch_us(ts) - bounds.lo) >= (bounds.hi - bounds.lo)
+                       AND event_type = 'purchase'
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      FROM events CROSS JOIN bounds GROUP BY user_id),
+    cg AS (
+      SELECT LEAST(4, length(bin(pre_cnt))) AS cell,
+             COUNT(*) AS n, SUM(t) AS n1,
+             SUM(CASE WHEN t = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy1,
+             SUM(CASE WHEN t = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy0
+      FROM pu GROUP BY 1),
+    est AS (SELECT *, n - n1 AS n0 FROM cg WHERE n1 > 0 AND n - n1 > 0),
+    f AS (
+      SELECT SUM(n) AS big_n, COUNT(*) AS n_cells_est,
+             MIN(CAST(n1 AS DOUBLE) / n) AS pmin,
+             MAX(CAST(n1 AS DOUBLE) / n) AS pmax,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(CAST(n AS HUGEINT) * sy1 AS DOUBLE) / n1 ORDER BY cell)),
+               (a, x) -> a + x) AS num1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(CAST(n AS HUGEINT) * sy0 AS DOUBLE) / n0 ORDER BY cell)),
+               (a, x) -> a + x) AS num0
+      FROM est),
+    tot AS (SELECT COUNT(*) AS n_users,
+                   (SELECT COUNT(*) FROM cg) AS n_cells_all FROM pu)
+    SELECT CAST(tot.n_users AS BIGINT) AS n_users,
+           CAST(COALESCE(f.n_cells_est, 0) AS INT) AS n_cells_est,
+           CAST(tot.n_cells_all - COALESCE(f.n_cells_est, 0) AS INT) AS n_cells_dropped,
+           FLOOR(f.pmin * 1e6 + 0.5) / 1e6 AS prop_min,
+           FLOOR(f.pmax * 1e6 + 0.5) / 1e6 AS prop_max,
+           CASE WHEN f.big_n > 0 THEN
+             FLOOR((((f.num1 - f.num0) / CAST(f.big_n AS DOUBLE)) / 1e6)
+                   * 1e6 + 0.5) / 1e6
+           END AS ate_ipw
+    FROM f, tot
+    """,
+)
+def q_eval_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect (H152) — the causal
+    family's fourth member (DiD removes the time trend, CUPED shrinks
+    variance, stratification balances by rank cuts; IPW reweights by the
+    propensity itself and carries the POSITIVITY diagnostic the others
+    lack): cells with an arm missing are dropped AND counted, and the
+    min/max propensity over estimable cells is emitted — a prop near 0/1
+    is the overlap violation that makes IPW variance explode. Cell-exact
+    propensities collapse Hajek's denominator to an exact integer, so the
+    estimate is one cell-ordered double fold over integer cell sums
+    (nothing scales past the user rollup; <=4 cells thereafter)."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    v_micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    pre = F.lit(2) * (us - F.col("lo")) < (F.col("hi") - F.col("lo"))
+    dec = "decimal(38,0)"
+    pu = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("t"),
+            F.when(pre, 1).otherwise(0).alias("is_pre"),
+            F.when(
+                ~pre & (F.col("event_type") == "purchase"), v_micro
+            ).otherwise(F.lit(0)).alias("ym"),
+        )
+        .groupBy("user_id", "t")
+        .agg(F.sum("is_pre").alias("pre_cnt"), F.sum("ym").alias("y"))
+    )
+    cg = pu.groupBy(
+        F.least(F.lit(4), F.length(F.bin("pre_cnt"))).cast("int").alias("cell")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0).cast(dec)).alias(
+            "sy1"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0).cast(dec)).alias(
+            "sy0"
+        ),
+    )
+    est = cg.withColumn("n0", F.col("n") - F.col("n1")).filter(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    )
+
+    def fold(term, key="cell"):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key, term.alias("v")))),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    p = F.col("n1").cast("double") / F.col("n")
+    f = est.agg(
+        F.sum("n").alias("big_n"),
+        F.count("*").cast("int").alias("n_cells_est"),
+        F.min(p).alias("pmin"),
+        F.max(p).alias("pmax"),
+        fold((F.col("n").cast(dec) * F.col("sy1")).cast("double") / F.col("n1")).alias(
+            "num1"
+        ),
+        fold((F.col("n").cast(dec) * F.col("sy0")).cast("double") / F.col("n0")).alias(
+            "num0"
+        ),
+    )
+    tot = pu.agg(F.count("*").cast("long").alias("n_users")).crossJoin(
+        cg.agg(F.count("*").cast("long").alias("n_cells_all"))
+    )
+    ate = ((F.col("num1") - F.col("num0")) / F.col("big_n").cast("double")) / F.lit(
+        1e6
+    )
+    return f.crossJoin(F.broadcast(tot)).select(
+        "n_users",
+        F.coalesce(F.col("n_cells_est"), F.lit(0)).cast("int").alias("n_cells_est"),
+        (F.col("n_cells_all") - F.coalesce(F.col("n_cells_est"), F.lit(0)))
+        .cast("int")
+        .alias("n_cells_dropped"),
+        PAR.round6(F.col("pmin")).alias("prop_min"),
+        PAR.round6(F.col("pmax")).alias("prop_max"),
+        F.when(F.col("big_n") > 0, PAR.round6(ate)).alias("ate_ipw"),
+    )
+
+
+@register(
+    "q_eval_cmh_odds",
+    # Cochran-Mantel-Haenszel pooled odds ratio + chi-square across 2x2
+    # strata: per-stratum terms are integer products (HUGEINT/decimal
+    # before any cast) divided once into doubles, the four cross-stratum
+    # sums stratum-ORDERED folds (list_reduce == F.aggregate). Stratum and
+    # exposure are independent residues of user_id (CRT coordinates), the
+    # outcome an integer-count threshold — nothing decided on a float.
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(user_id % 5 AS INT) AS stratum,
+             CAST((user_id // 5) % 2 AS INT) AS t,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 2
+                  THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id),
+    tab AS (
+      SELECT stratum,
+             SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+      FROM pu GROUP BY stratum),
+    terms AS (
+      SELECT stratum, a + b + c + d AS n,
+             CAST(CAST(a AS HUGEINT) * d AS DOUBLE) / (a + b + c + d) AS ad_n,
+             CAST(CAST(b AS HUGEINT) * c AS DOUBLE) / (a + b + c + d) AS bc_n,
+             CAST(a AS DOUBLE)
+               - CAST(CAST(a + b AS HUGEINT) * (a + c) AS DOUBLE)
+                 / (a + b + c + d) AS dev,
+             CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+               / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+                  * (a + b + c + d - 1)) AS v
+      FROM tab WHERE a + b + c + d >= 2),
+    f AS (
+      SELECT COUNT(*) AS n_strata, SUM(n) AS n_users,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(ad_n ORDER BY stratum)), (x, y) -> x + y) AS s_ad,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(bc_n ORDER BY stratum)), (x, y) -> x + y) AS s_bc,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(dev ORDER BY stratum)), (x, y) -> x + y) AS s_dev,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(v ORDER BY stratum)), (x, y) -> x + y) AS s_v
+      FROM terms)
+    SELECT CAST(COALESCE(n_strata, 0) AS INT) AS n_strata,
+           CAST(COALESCE(n_users, 0) AS BIGINT) AS n_users,
+           CASE WHEN s_bc > 0 THEN FLOOR((s_ad / s_bc) * 1e6 + 0.5) / 1e6 END
+             AS cmh_or,
+           CASE WHEN s_v > 0 THEN
+             FLOOR((s_dev * s_dev / s_v) * 1e6 + 0.5) / 1e6 END AS cmh_chi2
+    FROM f
+    """,
+)
+def q_eval_cmh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio (H153) — the stratified
+    2x2 companion to the single-table odds ratio (H106) and the
+    stratified-means ATE (H150): five pseudo-site strata, exposure an
+    independent user_id residue, outcome 'user made >=2 purchases'. The
+    CMH estimator pools per-stratum cross-product ratios sum(ad/n) /
+    sum(bc/n) — robust to strata too sparse for their own OR — and the
+    chi-square (sum(a - E))^2 / sum(V) with hypergeometric V. All
+    per-stratum terms are single divisions of exact integer products;
+    cross-stratum sums are stratum-ordered folds over <=5 elements. One
+    user rollup + a 5-row aggregate; parallel at any scale."""
+    e = _events(spark, sf_dir)
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch")
+        )
+        .select(
+            F.pmod(F.col("user_id"), F.lit(5)).cast("int").alias("stratum"),
+            F.expr("CAST((user_id DIV 5) % 2 AS INT)").alias("t"),
+            (F.col("n_purch") >= 2).cast("int").alias("y"),
+        )
+    )
+    tab = pu.groupBy("stratum").agg(
+        F.sum(F.when((F.col("t") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("t") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("t") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    dec = "decimal(38,0)"
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    n_d = n.cast("double")
+    terms = tab.filter(n >= 2).select(
+        "stratum",
+        n.alias("n"),
+        ((F.col("a").cast(dec) * F.col("d")).cast("double") / n).alias("ad_n"),
+        ((F.col("b").cast(dec) * F.col("c")).cast("double") / n).alias("bc_n"),
+        (
+            F.col("a").cast("double")
+            - ((F.col("a") + F.col("b")).cast(dec) * (F.col("a") + F.col("c"))).cast(
+                "double"
+            )
+            / n
+        ).alias("dev"),
+        (
+            (
+                (F.col("a") + F.col("b")).cast(dec)
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+            ).cast("double")
+            / (n_d * n_d * (n_d - 1))
+        ).alias("v"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("stratum", F.col(col).alias("v")))),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    f = terms.agg(
+        F.count("*").cast("int").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_users"),
+        fold("ad_n").alias("s_ad"),
+        fold("bc_n").alias("s_bc"),
+        fold("dev").alias("s_dev"),
+        fold("v").alias("s_v"),
+    )
+    return f.select(
+        F.coalesce(F.col("n_strata"), F.lit(0)).cast("int").alias("n_strata"),
+        F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+        F.when(
+            F.col("s_bc") > 0, PAR.round6(F.col("s_ad") / F.col("s_bc"))
+        ).alias("cmh_or"),
+        F.when(
+            F.col("s_v") > 0,
+            PAR.round6(F.col("s_dev") * F.col("s_dev") / F.col("s_v")),
+        ).alias("cmh_chi2"),
+    )
+
+
+@register(
+    "q_eval_sprt_decision",
+    # Wald SPRT as a PURE INTEGER random walk: testing p0=1/3 vs p1=2/3
+    # makes both likelihood ratios exact powers of two, so the LLR is
+    # (2s-n)*ln2 and the A=32 boundary (alpha ~ 1/33) is the integer walk
+    # condition |2s-n| >= 5 — zero libm in the decision (the Kleinberg-ln2
+    # discipline, H147). Success decided in the micro-integer domain.
+    oracle="""
+    WITH w AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 2
+                                ORDER BY ts, event_id) AS rn,
+             SUM(CASE WHEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) >= 150000000
+                      THEN 1 ELSE -1 END)
+               OVER (PARTITION BY user_id % 2 ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS walk
+      FROM events WHERE event_type = 'purchase'),
+    hit AS (
+      SELECT variant, rn, walk,
+             ROW_NUMBER() OVER (PARTITION BY variant ORDER BY rn) AS hit_rank
+      FROM w WHERE walk >= 5 OR walk <= -5),
+    fin AS (
+      SELECT variant, MAX(rn) AS n_obs,
+             MAX(CASE WHEN rn = m.max_rn THEN walk END) AS walk_final
+      FROM w JOIN (SELECT variant AS v2, MAX(rn) AS max_rn FROM w GROUP BY 1) m
+        ON w.variant = m.v2 GROUP BY variant)
+    SELECT f.variant,
+           CAST(f.n_obs AS BIGINT) AS n_obs,
+           CAST(f.walk_final AS BIGINT) AS walk_final,
+           CASE WHEN h.rn IS NULL THEN 'continue'
+                WHEN h.walk >= 5 THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+           CAST(h.rn AS BIGINT) AS n_at_decision
+    FROM fin f LEFT JOIN (SELECT * FROM hit WHERE hit_rank = 1) h
+      ON f.variant = h.variant
+    """,
+)
+def q_eval_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test (H154) — the always-valid
+    sequential companion to the fixed-horizon tests (H62/H90/H106): per
+    variant, purchases stream in event-time order and the test stops at
+    the FIRST boundary crossing instead of a fixed n. Choosing p0=1/3 vs
+    p1=2/3 makes both likelihood ratios exact powers of two, so the log
+    walk is (2s-n)*ln2 and the Wald A=32 boundary is the INTEGER condition
+    |2s-n| >= 5 — the decision never touches a float (the H147 ln2
+    discipline). Scale shape: one partition-by-variant ordered running sum
+    (distributed sort per variant at 100 TB), the crossing pick a 1-row
+    window per variant."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    variant = F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    succ = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long") >= F.lit(
+        150000000
+    )
+    w_ord = Window.partitionBy("variant").orderBy("ts", "event_id")
+    w = e.select(
+        variant.alias("variant"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(succ, 1).otherwise(-1).alias("step"),
+    ).select(
+        "variant",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("step")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("walk"),
+    )
+    crossed = (F.col("walk") >= 5) | (F.col("walk") <= -5)
+    hit = (
+        w.filter(crossed)
+        .withColumn(
+            "hit_rank",
+            F.row_number().over(Window.partitionBy("variant").orderBy("rn")),
+        )
+        .filter(F.col("hit_rank") == 1)
+        .select("variant", F.col("rn").alias("hit_rn"), F.col("walk").alias("hit_walk"))
+    )
+    w_var = Window.partitionBy("variant")
+    fin = (
+        w.select(
+            "variant",
+            "rn",
+            "walk",
+            F.max("rn").over(w_var).alias("max_rn"),
+        )
+        .filter(F.col("rn") == F.col("max_rn"))
+        .select("variant", F.col("rn").alias("n_obs"), F.col("walk").alias("walk_final"))
+    )
+    return fin.join(hit, "variant", "left").select(
+        "variant",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("walk_final").cast("long").alias("walk_final"),
+        F.when(F.col("hit_rn").isNull(), F.lit("continue"))
+        .when(F.col("hit_walk") >= 5, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.col("hit_rn").cast("long").alias("n_at_decision"),
+    )
+
+
+@register(
+    "q_sample_group_kfold",
+    # Group-aware k-fold: the fold is a pure function of the GROUP key
+    # (md5-gate on user_id, the sampling-family discipline), so all of a
+    # user's events land in one fold BY CONSTRUCTION — the property plain
+    # row-hashed folds violate and the one that makes CV estimates honest
+    # on user-correlated data. Shares on the 6-grid; the cross-fold
+    # integrity bit recomputed from the data, not assumed.
+    oracle="""
+    WITH f AS (
+      SELECT CAST(CAST(('0x' || substr(md5('gkf0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 AS INT) AS fold,
+             user_id,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events),
+    per AS (
+      SELECT fold, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+             SUM(CAST(vm AS HUGEINT)) AS sv
+      FROM f GROUP BY fold),
+    chk AS (
+      SELECT CASE WHEN COUNT(*) = COUNT(DISTINCT user_id) THEN 1 ELSE 0 END AS ok
+      FROM (SELECT DISTINCT user_id, fold FROM f)),
+    tot AS (SELECT SUM(n_events) AS ne, SUM(n_users) AS nu FROM per)
+    SELECT p.fold,
+           CAST(p.n_users AS BIGINT) AS n_users,
+           CAST(p.n_events AS BIGINT) AS n_events,
+           FLOOR((CAST(p.n_events AS DOUBLE) / tot.ne) * 1e6 + 0.5) / 1e6
+             AS event_share,
+           FLOOR((CAST(p.sv AS DOUBLE) / (p.n_events * 1e6)) * 1e6 + 0.5) / 1e6
+             AS mean_value,
+           CAST(chk.ok AS INT) AS groups_intact
+    FROM per p, tot, chk
+    """,
+)
+def q_sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (H155) — the cross-validation split
+    that keeps all of a group's rows in ONE fold (row-hashed folds leak a
+    user's behavior across train and validation; group-keyed folds are the
+    leakage-safe-split discipline, H6, applied to CV): fold =
+    md5(salt|user_id) % 5, stable under repartitioning and reproducible by
+    any external system. Emits per-fold user/event counts, the event
+    share, the fold's mean value (exact integer-sum ratio), and a
+    groups-intact bit RECOMPUTED from the assignment (count of distinct
+    (user, fold) pairs == count of distinct users). Scale: one scan + one
+    fold-keyed aggregate; the integrity check one distinct over (user,
+    fold) — group-count cardinality, not event cardinality."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    f = e.select(
+        F.pmod(SP._hash_u32(F.col("user_id"), "gkf0"), F.lit(5))
+        .cast("int")
+        .alias("fold"),
+        "user_id",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    per = f.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("vm").cast(dec)).alias("sv"),
+    )
+    chk = (
+        f.select("user_id", "fold")
+        .distinct()
+        .agg(
+            (F.count("*") == F.countDistinct("user_id")).cast("int").alias("ok")
+        )
+    )
+    tot = per.agg(
+        F.sum("n_events").alias("ne"), F.sum("n_users").alias("nu")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chk))
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            PAR.round6(
+                F.col("n_events").cast("double") / F.col("ne")
+            ).alias("event_share"),
+            PAR.round6(
+                F.col("sv").cast("double") / (F.col("n_events") * F.lit(1e6))
+            ).alias("mean_value"),
+            F.col("ok").cast("int").alias("groups_intact"),
+        )
+    )
+
+
+@register(
+    "q_eval_jackknife_ratio_ci",
+    # Delete-one-BUCKET jackknife for a ratio metric (mean purchase value):
+    # 20 md5-gate user buckets (delete-a-cluster, honest under user
+    # correlation), leave-one-out estimates and pseudo-values from EXACT
+    # integer sums (single divisions into doubles), mean and squared-
+    # deviation sums both bucket-ORDERED folds over the materialized
+    # pseudo-value list (two folds, the second referencing the first's
+    # result from a prior projection). Replicates are buckets with
+    # n_i < N; the multiplier uses that count, not the raw bucket count.
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(('0x' || substr(md5('jk0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 20 AS INT) AS bkt,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase'),
+    per AS (SELECT bkt, COUNT(*) AS n_i, SUM(CAST(vm AS HUGEINT)) AS s_i
+            FROM b GROUP BY bkt),
+    tot AS (SELECT SUM(n_i) AS n, SUM(s_i) AS s FROM per),
+    ok AS (SELECT per.*, tot.n, tot.s FROM per, tot WHERE tot.n > per.n_i),
+    ge AS (SELECT COUNT(*) AS g FROM ok),
+    ps AS (
+      SELECT bkt,
+             g * (CAST(s AS DOUBLE) / n)
+               - (g - 1) * (CAST(s - s_i AS DOUBLE) / (n - n_i)) AS p
+      FROM ok, ge),
+    arr AS (SELECT (SELECT g FROM ge) AS g,
+                   (SELECT CAST(s AS DOUBLE) / n FROM tot) AS theta_micro,
+                   list(p ORDER BY bkt) AS pl FROM ps),
+    m AS (SELECT g, theta_micro, pl,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), pl),
+                             (a, x) -> a + x) / g AS pbar
+          FROM arr),
+    v AS (SELECT g, theta_micro, pbar,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(pl, x -> (x - pbar) * (x - pbar))),
+                   (a, x) -> a + x) AS sq
+          FROM m),
+    se AS (SELECT g, theta_micro, pbar,
+                  CASE WHEN g >= 2 THEN
+                    sqrt(sq / (CAST(g AS DOUBLE) * (g - 1))) END AS se_m
+           FROM v)
+    SELECT CAST(g AS INT) AS g_buckets,
+           FLOOR((theta_micro / 1e6) * 1e6 + 0.5) / 1e6 AS theta,
+           FLOOR((pbar / 1e6) * 1e6 + 0.5) / 1e6 AS theta_jack,
+           FLOOR((se_m / 1e6) * 1e6 + 0.5) / 1e6 AS se_jack,
+           FLOOR(((pbar - CAST(1.96 AS DOUBLE) * se_m) / 1e6) * 1e6 + 0.5) / 1e6
+             AS ci_lo,
+           FLOOR(((pbar + CAST(1.96 AS DOUBLE) * se_m) / 1e6) * 1e6 + 0.5) / 1e6
+             AS ci_hi
+    FROM se
+    """,
+)
+def q_eval_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife CI (H156) — the deterministic sibling of
+    the Poisson bootstrap (H145): where the bootstrap draws md5-derived
+    multiplicities, the jackknife deletes one of 20 md5-gate USER buckets
+    at a time (delete-a-cluster — honest when a user's purchases are
+    correlated, which row-level resampling is not) and reads the variance
+    off the pseudo-value spread. One scan + a 20-row bucket rollup; every
+    leave-one-out estimate is a single division of exact integer sums, so
+    the whole statistic is reproducible bit-for-bit at any scale. The
+    bias-corrected estimate (mean pseudo-value) and the 95% CI come from
+    two bucket-ordered folds."""
+    from plenario_mapper_spark.operators import sampling as SP
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dec = "decimal(38,0)"
+    b = e.select(
+        F.pmod(SP._hash_u32(F.col("user_id"), "jk0"), F.lit(20))
+        .cast("int")
+        .alias("bkt"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    per = b.groupBy("bkt").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum(F.col("vm").cast(dec)).alias("s_i"),
+    )
+    tot = per.agg(F.sum("n_i").alias("n"), F.sum("s_i").alias("s"))
+    ok = per.crossJoin(F.broadcast(tot)).filter(F.col("n") > F.col("n_i"))
+    ge = ok.agg(F.count("*").cast("long").alias("g"))
+    p = F.col("g") * (F.col("s").cast("double") / F.col("n")) - (
+        F.col("g") - 1
+    ) * ((F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i")))
+    arr = (
+        ok.crossJoin(F.broadcast(ge))
+        .select("bkt", p.alias("p"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bkt", F.col("p").alias("v")))),
+                lambda st: st["v"],
+            ).alias("pl")
+        )
+        .crossJoin(F.broadcast(ge))
+        .crossJoin(
+            F.broadcast(
+                tot.select(
+                    (F.col("s").cast("double") / F.col("n")).alias("theta_micro")
+                )
+            )
+        )
+    )
+    m = arr.select(
+        "g",
+        "theta_micro",
+        "pl",
+        (
+            F.aggregate("pl", F.lit(0.0), lambda a, x: a + x) / F.col("g")
+        ).alias("pbar"),
+    )
+    v = m.select(
+        "g",
+        "theta_micro",
+        "pbar",
+        F.aggregate(
+            F.transform("pl", lambda x: (x - F.col("pbar")) * (x - F.col("pbar"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sq"),
+    )
+    se_m = F.when(
+        F.col("g") >= 2,
+        F.sqrt(F.col("sq") / (F.col("g").cast("double") * (F.col("g") - 1))),
+    )
+    return v.select(
+        F.col("g").cast("int").alias("g_buckets"),
+        PAR.round6(F.col("theta_micro") / F.lit(1e6)).alias("theta"),
+        PAR.round6(F.col("pbar") / F.lit(1e6)).alias("theta_jack"),
+        PAR.round6(se_m / F.lit(1e6)).alias("se_jack"),
+        PAR.round6((F.col("pbar") - F.lit(1.96) * se_m) / F.lit(1e6)).alias("ci_lo"),
+        PAR.round6((F.col("pbar") + F.lit(1.96) * se_m) / F.lit(1e6)).alias("ci_hi"),
+    )
+
+
+@register(
+    "q_doc_heldout_perplexity",
+    # Held-out add-one bigram perplexity: the LM-quality number computed
+    # the leakage-aware way (fit on an 80% md5-gate train split, score the
+    # held 20% — q_doc_bigram_logprob scores in-corpus and needs no
+    # smoothing; this one must smooth because held bigrams can be unseen).
+    # Per-bigram ln is libm; the cross-row AVG's order sensitivity sits in
+    # the 16th digit, far below the 6-grid (the bigram_logprob contract);
+    # exp amplifies by the perplexity magnitude, still sub-grid.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             CAST(('0x' || substr(md5('ppl0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 < 4 AS is_train
+      FROM documents),
+    bg AS (
+      SELECT doc_id, is_train, toks[i+1] AS w1, toks[i+2] AS w2
+      FROM (SELECT doc_id, is_train, toks, unnest(range(0, len(toks) - 1)) AS i
+            FROM docs WHERE len(toks) >= 2)),
+    cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bg WHERE is_train GROUP BY 1, 2),
+    cp AS (SELECT w1, SUM(nb) AS np FROM cb GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             (SELECT unnest(toks) AS tok FROM docs WHERE is_train)),
+    held AS (
+      SELECT b.doc_id,
+             LN(CAST(COALESCE(cb.nb, 0) + 1 AS DOUBLE)
+                / (COALESCE(cp.np, 0) + vv.v)) AS lp
+      FROM bg b
+        LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        LEFT JOIN cp ON cp.w1 = b.w1
+        CROSS JOIN vv
+      WHERE NOT b.is_train),
+    agg AS (
+      SELECT COUNT(*) AS n_held_bigrams, AVG(lp) AS mean_lp FROM held),
+    cnt AS (
+      SELECT SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train_docs,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_held_docs
+      FROM docs)
+    SELECT CAST(cnt.n_train_docs AS BIGINT) AS n_train_docs,
+           CAST(cnt.n_held_docs AS BIGINT) AS n_held_docs,
+           CAST(agg.n_held_bigrams AS BIGINT) AS n_held_bigrams,
+           CAST(vv.v AS BIGINT) AS vocab_v,
+           FLOOR((-agg.mean_lp) * 1e6 + 0.5) / 1e6 AS mean_nll,
+           FLOOR(exp(-agg.mean_lp) * 1e6 + 0.5) / 1e6 AS perplexity
+    FROM agg, cnt, vv
+    """,
+)
+def q_doc_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity (H157) — the LM-quality filter computed
+    WITHOUT leakage: an add-one-smoothed bigram model fit on an 80%
+    md5-gate train split and scored on the held 20% (fitting and scoring
+    on the same corpus — q_doc_bigram_logprob's shape — overstates model
+    quality; the held-out form is what a perplexity-filtering pipeline
+    must use, and smoothing becomes load-bearing because held bigrams can
+    be unseen). Scale shape: the bigram explode happens once per split
+    side; train counts join the held probes on (w1, w2) and (w1) —
+    vocabulary-scale relations left un-hinted for AQE (the bigram_logprob
+    policy); the final statistic is one global average."""
+    d = _t(spark, sf_dir, "documents")
+    from plenario_mapper_spark.operators import sampling as SP
+
+    toked = d.select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("toks"),
+        (F.pmod(SP._hash_u32(F.col("doc_id"), "ppl0"), F.lit(5)) < 4).alias(
+            "is_train"
+        ),
+    )
+    n = F.size("toks")
+    zipped = toked.filter(n >= 2).select(
+        "doc_id",
+        "is_train",
+        F.arrays_zip(
+            F.slice("toks", 1, n - 1).alias("w1"),
+            F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+        ).alias("z"),
+    )
+    bg = zipped.select(
+        "doc_id", "is_train", F.explode("z").alias("p")
+    ).select(
+        "doc_id", "is_train", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).persist()
+    cb = bg.filter("is_train").groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("nb")
+    )
+    cp = cb.groupBy("w1").agg(F.sum("nb").alias("np"))
+    vv = (
+        toked.filter("is_train")
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    held = (
+        bg.filter(~F.col("is_train"))
+        .join(cb, ["w1", "w2"], "left")
+        .join(cp, "w1", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.log(
+                (F.coalesce(F.col("nb"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("np"), F.lit(0)) + F.col("v"))
+            ).alias("lp")
+        )
+    )
+    agg = held.agg(
+        F.count("*").cast("long").alias("n_held_bigrams"),
+        F.avg("lp").alias("mean_lp"),
+    )
+    cnt = toked.agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_docs"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_held_docs"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(cnt))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "n_train_docs",
+            "n_held_docs",
+            "n_held_bigrams",
+            F.col("v").alias("vocab_v"),
+            PAR.round6(-F.col("mean_lp")).alias("mean_nll"),
+            PAR.round6(F.exp(-F.col("mean_lp"))).alias("perplexity"),
+        )
+    )
+
+
+@register(
+    "q_embed_pair_cosine_histogram",
+    # Corpus isotropy audit: a deterministic rank-derangement pairing (each
+    # vector paired with the one half-a-corpus away in vec_id rank order —
+    # n pairs, no sampling state, no quadratic blowup) scored with the
+    # bit-exact pre-normalized sequential-dot cosine (the ANN-family
+    # recipe), banded on the 6-rounded value (round-then-band).
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   list_transform(v, x -> x / sqrt(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE), v), (acc, t) -> acc + t * t))) AS u
+            FROM e),
+    r AS (SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk,
+                 COUNT(*) OVER () AS cnt
+          FROM nrm),
+    p AS (SELECT FLOOR((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [a.u[j] * b.u[j] FOR j IN generate_series(1, len(a.u))]),
+                   (acc, t) -> acc + t)) * 1e6 + 0.5) / 1e6 AS c6
+          FROM r a JOIN r b ON b.rk = (a.rk + a.cnt // 2) % a.cnt)
+    SELECT CAST(FLOOR(c6 * 10) AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()) * 1e6 + 0.5)
+             / 1e6 AS share
+    FROM p GROUP BY 1
+    """,
+)
+def q_embed_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine isotropy histogram (H158) — the corpus-geometry
+    audit between the norm audit (H134: vector LENGTHS healthy?) and PCA
+    (H132: one direction dominant?): the distribution of cosines between
+    UNRELATED vectors. An isotropic embedder concentrates near 0; a
+    collapsed/anisotropic one piles mass in high bands — the cheap test
+    that explains bad ANN recall and SemDeDup over-merging. Pairing is a
+    deterministic rank derangement (partner = half-a-corpus away in
+    vec_id rank), so the audit is n pairs — no sampling state, never
+    quadratic; cosines use the bit-exact pre-normalized sequential-dot
+    recipe shared with the ANN certifications. At 100 TB the rank comes
+    from the vec_id sort the layout already has (or zipWithIndex); the
+    self-join is one co-partitioned shuffle on the derived rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    u = F.transform(
+        v,
+        lambda x: x
+        / F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, t: acc + t * t)),
+    )
+    nrm = e.select("vec_id", u.alias("u"))
+    w_rk = Window.orderBy("vec_id")
+    w_all = Window.partitionBy()
+    r = nrm.select(
+        "vec_id",
+        "u",
+        (F.row_number().over(w_rk) - 1).alias("rk"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    partner = F.pmod(
+        F.col("a.rk") + F.expr("a.cnt DIV 2"), F.col("a.cnt")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    p = a.join(b, F.col("b.rk") == partner).select(
+        PAR.round6(dot).alias("c6")
+    )
+    g = p.groupBy(
+        F.floor(F.col("c6") * 10).cast("int").alias("band")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    return g.select(
+        "band",
+        "n_pairs",
+        PAR.round6(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all)
+        ).alias("share"),
+    )
