@@ -367,7 +367,10 @@ _R9_WINDOW_NOW_BACK = [
 # q_eval_wilcoxon_signed_rank (H151), q_eval_ipw_ate (H152),
 # q_eval_cmh_odds (H153), q_eval_sprt_decision (H154),
 # q_sample_group_kfold (H155), q_eval_jackknife_ratio_ci (H156),
-# q_doc_heldout_perplexity (H157), q_embed_pair_cosine_histogram (H158).
+# q_doc_heldout_perplexity (H157), q_embed_pair_cosine_histogram (H158),
+# q_eval_isotonic_calibration (H159), q_part_abc_class (H160),
+# q_eval_ucb1_arms (H161), q_doc_rendezvous_shards (H162),
+# q_events_segmented_trend (H163).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

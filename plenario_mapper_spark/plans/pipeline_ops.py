@@ -13590,3 +13590,496 @@ def q_embed_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all)
         ).alias("share"),
     )
+
+
+@register(
+    "q_eval_isotonic_calibration",
+    # Isotonic (PAVA) calibration over the H74 score bins, computed in the
+    # ORDER-FREE minimax form instead of the sequential pool-merge loop:
+    # iso_k = max_{i<=k} min_{j>=k} avg(pos, n over bins i..j) — the two
+    # forms are provably equal, and minimax is pure joins/aggregates over
+    # the B-bounded bin relation (B=10 here; B^3 interval-position rows),
+    # so both engines replay it exactly: interval averages are single
+    # divisions of exact integer prefix-sum differences, min/max of
+    # identical doubles. No recursion, no driver loop.
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y,
+             (CAST(('0x' || substr(md5('cal|' || CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 * 2
+              + CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END * 1000) // 3 AS p_m
+      FROM embeddings),
+    b AS (
+      SELECT p_m // 100 AS bin, COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY p_m // 100),
+    c AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(pos) OVER (ORDER BY bin) AS cp
+      FROM b),
+    iv AS (
+      SELECT i.bin AS bi, j.bin AS bj,
+             CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+               / (j.cn - (i.cn - i.n)) AS avg_ij
+      FROM c i JOIN c j ON i.bin <= j.bin),
+    mk AS (
+      SELECT iv.bi, k.bin AS bk, MIN(iv.avg_ij) AS m_ik
+      FROM iv JOIN c k ON iv.bi <= k.bin AND iv.bj >= k.bin
+      GROUP BY iv.bi, k.bin),
+    iso AS (SELECT bk AS bin, MAX(m_ik) AS r_iso FROM mk GROUP BY bk),
+    fit AS (
+      SELECT c.bin, c.n, c.pos,
+             CAST(c.pos AS DOUBLE) / c.n AS r_raw, iso.r_iso,
+             CASE WHEN iso.r_iso >= COALESCE(LAG(iso.r_iso)
+                    OVER (ORDER BY c.bin), iso.r_iso)
+                  THEN 1 ELSE 0 END AS mono_step
+      FROM c JOIN iso ON c.bin = iso.bin)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS n_pos,
+           FLOOR(r_raw * 1e6 + 0.5) / 1e6 AS rate_raw,
+           FLOOR(r_iso * 1e6 + 0.5) / 1e6 AS rate_iso,
+           CAST(MIN(mono_step) OVER () AS INT) AS monotone_ok
+    FROM fit
+    """,
+)
+def q_eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (H159) — the nonparametric recalibration step
+    after the H74 diagnosis (calibration bins SHOW miscalibration; the
+    isotonic fit REPAIRS it with the weighted monotone regression every
+    score-calibration stack ships): PAVA computed in its order-free
+    minimax form iso_k = max_{i<=k} min_{j>=k} avg(i..j) — equal to the
+    sequential pool-adjacent-violators fit but expressible as joins over
+    the B-bounded bin relation, so it distributes trivially and the
+    DuckDB oracle replays it exactly (the Holt/Kleinberg recursion
+    discipline avoided entirely). Interval averages are single divisions
+    of exact integer prefix-sum differences; a monotone_ok bit recomputed
+    from the fit certifies the defining property. Corpus work is one
+    scan + a 10-row bin rollup; everything after is B^3 = 1000 rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    y = F.when(F.pmod(F.col("label"), F.lit(2)) == 1, 1).otherwise(0)
+    p_m = F.expr(
+        "(CAST(conv(substring(md5(concat_ws('|', 'cal', CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000 * 2"
+        " + CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END * 1000) DIV 3"
+    )
+    scored = e.select(y.alias("y"), p_m.alias("p_m"))
+    b = scored.groupBy(F.expr("p_m DIV 100").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_cum = Window.orderBy("bin")
+    c = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+    )
+    i, j, k = c.alias("i"), c.alias("j"), c.alias("k")
+    iv = i.join(j, F.col("i.bin") <= F.col("j.bin")).select(
+        F.col("i.bin").alias("bi"),
+        F.col("j.bin").alias("bj"),
+        (
+            (F.col("j.cp") - (F.col("i.cp") - F.col("i.pos"))).cast("double")
+            / (F.col("j.cn") - (F.col("i.cn") - F.col("i.n")))
+        ).alias("avg_ij"),
+    )
+    mk = (
+        iv.join(
+            k,
+            (F.col("bi") <= F.col("k.bin")) & (F.col("bj") >= F.col("k.bin")),
+        )
+        .groupBy("bi", F.col("k.bin").alias("bk"))
+        .agg(F.min("avg_ij").alias("m_ik"))
+    )
+    iso = mk.groupBy(F.col("bk").alias("bin")).agg(F.max("m_ik").alias("r_iso"))
+    w_lag = Window.orderBy("bin")
+    fit = c.join(iso, "bin").select(
+        "bin",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n")).alias("r_raw"),
+        "r_iso",
+    ).select(
+        "*",
+        F.when(
+            F.col("r_iso")
+            >= F.coalesce(F.lag("r_iso").over(w_lag), F.col("r_iso")),
+            1,
+        )
+        .otherwise(0)
+        .alias("mono_step"),
+    )
+    w_all = Window.partitionBy()
+    return fit.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").alias("n"),
+        F.col("pos").alias("n_pos"),
+        PAR.round6(F.col("r_raw")).alias("rate_raw"),
+        PAR.round6(F.col("r_iso")).alias("rate_iso"),
+        F.min("mono_step").over(w_all).cast("int").alias("monotone_ok"),
+    )
+
+
+@register(
+    "q_part_abc_class",
+    # ABC inventory classification: parts ranked by exact integer revenue
+    # (micro-quantized), class membership decided on EXCLUSIVE cumulative
+    # revenue in the pure integer domain (5*cum < 4*tot for A, 20*cum <
+    # 19*tot for B — no percentage float ever compared), deterministic
+    # (revenue desc, partkey) tie-break.
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                 AS HUGEINT)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT l_partkey, rev,
+             COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume,
+             SUM(rev) OVER () AS tot
+      FROM pr),
+    cls AS (
+      SELECT CASE WHEN 5 * cume < 4 * tot THEN 'A'
+                  WHEN 20 * cume < 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, tot
+      FROM r)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR((CAST(SUM(rev) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS revenue,
+           FLOOR((CAST(SUM(rev) AS DOUBLE) / MAX(CAST(tot AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_part_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (H160) — the concentration cut every
+    supply/merchandising layer runs (A = the parts carrying the first 80%
+    of revenue, B the next 15%, C the tail; the decision-rule sibling of
+    the descriptive Pareto deciles, H86): parts ranked by exact integer
+    revenue, class decided on the EXCLUSIVE cumulative total entirely in
+    the integer domain — 5*cum < 4*tot and 20*cum < 19*tot — so the first
+    part is always A and no float percentage ever decides membership.
+    One lineitem scan to a part-domain rollup, one distributed sort +
+    running total over the part domain (never lineitem rows), a 3-row
+    class aggregate out."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    rev_m = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 1e6
+        + F.lit(0.5)
+    ).cast(dec)
+    pr = li.groupBy("l_partkey").agg(F.sum(rev_m).alias("rev"))
+    w_prev = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    r = pr.select(
+        "rev",
+        F.coalesce(F.sum("rev").over(w_prev), F.lit(0).cast(dec)).alias("cume"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    cls = r.select(
+        F.when(F.lit(5) * F.col("cume") < F.lit(4) * F.col("tot"), "A")
+        .when(F.lit(20) * F.col("cume") < F.lit(19) * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        PAR.round6(F.sum("rev").cast("double") / F.lit(1e6)).alias("revenue"),
+        PAR.round6(
+            F.sum("rev").cast("double") / F.max(F.col("tot").cast("double"))
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "q_eval_ucb1_arms",
+    # UCB1 bandit snapshot: per-arm mean reward (exact integer micro sums,
+    # normalized by a FIXED literal reward bound) plus the exploration
+    # bonus sqrt(2 ln N / n). ln is libm on the identical integer-derived
+    # double, so the argmax decides on the 12-rounded score with an arm
+    # tie-break (round-then-rank).
+    oracle="""
+    WITH arms AS (
+      SELECT event_type AS arm, COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) AS s
+      FROM events GROUP BY event_type),
+    tot AS (SELECT SUM(n) AS big_n FROM arms),
+    sc AS (
+      SELECT arm, n,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(350 AS DOUBLE) * 1e6)
+               AS mean_r,
+             CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(350 AS DOUBLE) * 1e6)
+               + sqrt(2 * LN(CAST(big_n AS DOUBLE)) / n) AS ucb
+      FROM arms, tot),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY FLOOR(ucb * 1e12 + 0.5) / 1e12 DESC, arm) AS pick
+      FROM sc)
+    SELECT arm, CAST(n AS BIGINT) AS n_pulls,
+           FLOOR(mean_r * 1e6 + 0.5) / 1e6 AS mean_reward,
+           FLOOR(ucb * 1e6 + 0.5) / 1e6 AS ucb_score,
+           CAST(CASE WHEN pick = 1 THEN 1 ELSE 0 END AS INT) AS chosen
+    FROM rk
+    """,
+)
+def q_eval_ucb1_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 arm-selection snapshot (H161) — the deterministic bandit
+    allocator (Auer et al. 2002) completing the experimentation family's
+    adaptive end (SPRT stops a test early; UCB1 says which arm the NEXT
+    pull should explore): per-arm mean reward from exact integer micro
+    sums normalized by the fixed literal reward bound, plus the
+    sqrt(2 ln N / n) exploration bonus that guarantees logarithmic regret.
+    The pick decides on the 12-rounded score with an arm tie-break — the
+    only libm call is one ln of the identical global count. One scan +
+    an |arms|-row aggregate; parallel at any scale."""
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    arms = e.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").cast(dec)
+        ).alias("s"),
+    )
+    tot = arms.agg(F.sum("n").alias("big_n"))
+    mean_r = F.col("s").cast("double") / (
+        F.col("n").cast("double") * F.lit(350).cast("double") * F.lit(1e6)
+    )
+    ucb = mean_r + F.sqrt(
+        F.lit(2) * F.log(F.col("big_n").cast("double")) / F.col("n")
+    )
+    sc = arms.crossJoin(F.broadcast(tot)).select(
+        "arm", "n", mean_r.alias("mean_r"), ucb.alias("ucb")
+    )
+    w_pick = Window.orderBy(F.desc(PAR.round_at(F.col("ucb"), 12)), "arm")
+    return sc.select(
+        "arm",
+        F.col("n").alias("n_pulls"),
+        PAR.round6(F.col("mean_r")).alias("mean_reward"),
+        PAR.round6(F.col("ucb")).alias("ucb_score"),
+        (F.row_number().over(w_pick) == 1).cast("int").alias("chosen"),
+    )
+
+
+@register(
+    "q_doc_rendezvous_shards",
+    # Rendezvous (highest-random-weight) sharding: every doc goes to the
+    # shard whose md5('hrw|'|shard|'|'|doc) score is highest — then the
+    # 8->7 shard removal is REPLAYED and the minimal-disruption theorem
+    # (only the dropped shard's docs move) is recomputed from the two
+    # assignments, not assumed. 60-bit scores make ties measure-zero;
+    # the (score, shard) order breaks them deterministically anyway.
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents),
+    sc AS (
+      SELECT doc_id, s.shard,
+             CAST(('0x' || substr(md5('hrw|' || CAST(s.shard AS VARCHAR)
+                   || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+      FROM docs CROSS JOIN (SELECT unnest(range(0, 8)) AS shard) s),
+    a8 AS (
+      SELECT doc_id, shard AS s8 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, shard) AS rk
+        FROM sc) WHERE rk = 1),
+    a7 AS (
+      SELECT doc_id, shard AS s7 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, shard) AS rk
+        FROM sc WHERE shard < 7) WHERE rk = 1),
+    j AS (SELECT a8.doc_id, s8, s7 FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id),
+    chk AS (
+      SELECT CASE WHEN COUNT(*) = 0 THEN 1
+                  ELSE MIN(CASE WHEN s8 = 7 THEN 1 ELSE 0 END) END AS ok
+      FROM j WHERE s8 <> s7)
+    SELECT CAST(s.shard AS INT) AS shard,
+           CAST(COUNT(CASE WHEN j.s8 = s.shard THEN 1 END) AS BIGINT) AS n_before,
+           CAST(COUNT(CASE WHEN j.s7 = s.shard THEN 1 END) AS BIGINT) AS n_after,
+           CAST(COUNT(CASE WHEN j.s7 = s.shard AND j.s8 <> j.s7 THEN 1 END)
+                AS BIGINT) AS moved_in,
+           CAST(MAX(chk.ok) AS INT) AS minimal_disruption
+    FROM (SELECT unnest(range(0, 8)) AS shard) s
+      LEFT JOIN j ON j.s8 = s.shard OR j.s7 = s.shard
+      CROSS JOIN chk
+    GROUP BY s.shard
+    """,
+)
+def q_doc_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard assignment (H162) — the stateless layout
+    primitive for elastic clusters (mod-N sharding, H129's global
+    shuffle, reshuffles ~everything when N changes; rendezvous/HRW moves
+    ONLY the removed shard's keys — Thaler-Ravishankar '96, the algorithm
+    under most cache/shard routers): each doc scores all 8 shards with
+    md5('hrw|shard|doc') and takes the argmax, then the 8->7 removal is
+    replayed and the minimal-disruption theorem recomputed from the two
+    assignments (a bit, not an assumption). Scale shape: scoring is a
+    scan-stage explode by the CONSTANT shard count (8 rows per doc, never
+    data-dependent), the argmax a per-doc window; nothing pairwise."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sc = d.select(
+        "doc_id", F.explode(F.array([F.lit(s) for s in range(8)])).alias("shard")
+    ).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("hrw"),
+                        F.col("shard").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("score"), "shard")
+    a8 = (
+        sc.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("shard").alias("s8"))
+    )
+    a7 = (
+        sc.filter(F.col("shard") < 7)
+        .withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("shard").alias("s7"))
+    )
+    j = a8.join(a7, "doc_id")
+    chk = j.filter(F.col("s8") != F.col("s7")).agg(
+        F.coalesce(
+            F.min(F.when(F.col("s8") == 7, 1).otherwise(0)), F.lit(1)
+        ).alias("ok")
+    )
+    shards = spark.range(8).select(F.col("id").cast("int").alias("shard"))
+    per = shards.join(
+        j, (F.col("s8") == F.col("shard")) | (F.col("s7") == F.col("shard")), "left"
+    ).groupBy("shard").agg(
+        F.count(F.when(F.col("s8") == F.col("shard"), 1)).cast("long").alias(
+            "n_before"
+        ),
+        F.count(F.when(F.col("s7") == F.col("shard"), 1)).cast("long").alias(
+            "n_after"
+        ),
+        F.count(
+            F.when((F.col("s7") == F.col("shard")) & (F.col("s8") != F.col("s7")), 1)
+        )
+        .cast("long")
+        .alias("moved_in"),
+    )
+    return per.crossJoin(F.broadcast(chk)).select(
+        "shard",
+        "n_before",
+        "n_after",
+        "moved_in",
+        F.col("ok").cast("int").alias("minimal_disruption"),
+    )
+
+
+@register(
+    "q_events_segmented_trend",
+    # Broken-stick trend: per-segment OLS slope over daily counts with the
+    # segment cut at the integer midpoint DAY (epoch-day arithmetic, never
+    # a float boundary); each slope is the textbook (n*Sxy - Sx*Sy) /
+    # (n*Sxx - Sx^2) on EXACT integer day/count sums (decimal/HUGEINT
+    # products), one division into a double per segment.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    seg AS (
+      SELECT CASE WHEN 2 * (d - bounds.lo) < (bounds.hi - bounds.lo)
+                  THEN 0 ELSE 1 END AS seg,
+             d - bounds.lo AS x, y
+      FROM daily CROSS JOIN bounds),
+    m AS (
+      SELECT seg, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM seg GROUP BY seg),
+    sl AS (
+      SELECT seg, n,
+             CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+      FROM m)
+    SELECT CAST(a.n AS BIGINT) AS n_days_pre,
+           CAST(b.n AS BIGINT) AS n_days_post,
+           FLOOR(a.slope * 1e6 + 0.5) / 1e6 AS slope_pre,
+           FLOOR(b.slope * 1e6 + 0.5) / 1e6 AS slope_post,
+           CASE WHEN a.slope IS NOT NULL AND b.slope IS NOT NULL THEN
+             FLOOR((b.slope - a.slope) * 1e6 + 0.5) / 1e6 END AS slope_delta
+    FROM (SELECT * FROM sl WHERE seg = 0) a, (SELECT * FROM sl WHERE seg = 1) b
+    """,
+)
+def q_events_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented (broken-stick) trend (H163) — the 'did the slope CHANGE
+    at the cut?' reader completing the trend family (Holt smooths, CUSUM
+    finds WHERE the level moved, Theil-Sen survives outliers; this one
+    quantifies the before/after slope delta a deploy review wants):
+    daily event counts split at the integer midpoint day, per-segment OLS
+    slope from exact integer moments (the CUPED N-scaling discipline — no
+    float mean feeds the covariance), the delta one subtraction of
+    identical doubles. The corpus reduces to one row per DAY before
+    anything quadratic; two segment aggregates, one row out."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").alias("y"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dec = "decimal(38,0)"
+    seg = daily.join(F.broadcast(bounds)).select(
+        F.when(
+            F.lit(2) * (F.col("d") - F.col("lo")) < (F.col("hi") - F.col("lo")), 0
+        )
+        .otherwise(1)
+        .alias("seg"),
+        (F.col("d") - F.col("lo")).alias("x"),
+        "y",
+    )
+    m = seg.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double"),
+    )
+    sl = m.select("seg", "n", slope.alias("slope"))
+    a = sl.filter(F.col("seg") == 0).select(
+        F.col("n").alias("n_days_pre"), F.col("slope").alias("slope_pre")
+    )
+    b = sl.filter(F.col("seg") == 1).select(
+        F.col("n").alias("n_days_post"), F.col("slope").alias("slope_post")
+    )
+    return a.crossJoin(b).select(
+        "n_days_pre",
+        "n_days_post",
+        PAR.round6(F.col("slope_pre")).alias("slope_pre"),
+        PAR.round6(F.col("slope_post")).alias("slope_post"),
+        F.when(
+            F.col("slope_pre").isNotNull() & F.col("slope_post").isNotNull(),
+            PAR.round6(F.col("slope_post") - F.col("slope_pre")),
+        ).alias("slope_delta"),
+    )
