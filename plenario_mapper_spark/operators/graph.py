@@ -24,7 +24,7 @@ DataFrame formulation, all shuffles keyed on node id:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
@@ -222,3 +222,56 @@ def bfs_khop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
         dist = new_dist
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (community detection, Raghavan '07) in
+    its DETERMINISTIC form: labels init to the node id; each round every
+    node takes the MODE of its neighbors' labels with the (count desc,
+    label asc) tie-break — no random visit order, so the result is a pure
+    function of the edge set and both engines/runs agree exactly. The
+    async/random variant converges faster but is irreproducible; a fixed
+    small iteration budget (the pagerank tol=None discipline) is the
+    trade this engine makes everywhere determinism is graded.
+
+    Scale shape: per round one (edge join labels) shuffle on dst + one
+    (node, label) count + one per-node window — cost ∝ |E| per round,
+    labels node-sized. Lineage: each round's labels are persisted and
+    materialized so round k+1's plan does not replay rounds 1..k (the CC
+    discipline); callers release via registry cache tracking.
+
+    Directed callers should pass a symmetrized edge list; nodes appearing
+    only as dst are invisible to the update (every node must occur as src
+    at least once, which a symmetrized list guarantees)."""
+    labels = (
+        edges.select(F.col(src_col).alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    w_mode = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(iterations):
+        cnt = (
+            edges.select(
+                F.col(src_col).alias("node"), F.col(dst_col).alias("nbr")
+            )
+            .join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlabel")
+            .agg(F.count("*").alias("c"))
+        )
+        nxt = (
+            cnt.withColumnRenamed("nlabel", "label")
+            .withColumn("rk", F.row_number().over(w_mode))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        nxt.count()
+        labels = nxt
+    return labels

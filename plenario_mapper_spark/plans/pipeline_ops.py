@@ -14083,3 +14083,497 @@ def q_events_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             PAR.round6(F.col("slope_post") - F.col("slope_pre")),
         ).alias("slope_delta"),
     )
+
+
+@register(
+    "q_scan_orc_roundtrip",
+    # The H144 certification pattern pointed at ORC: the oracle computes
+    # the slice summary (row count + mod-prime checksum of md5-derived
+    # 48-bit row digests) from the PARQUET original and expects the bits
+    # = 1; the engine recomputes it from an ORC write+read of the same
+    # slice — including an ARRAY column the text formats cannot carry and
+    # the hostile string (comma/doubled-quote/newline/NULL), so a complex-
+    # type or string corruption anywhere in the ORC writer/reader reds
+    # the driver hash. DuckDB cannot read ORC; the certification form is
+    # exactly what makes the op oracle-checkable anyway.
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) AS micros,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderstatus || ',"' || o_orderpriority || '"' || chr(10)
+                       || CAST(o_orderkey AS VARCHAR)
+             END AS hostile,
+             o_orderstatus || ';' || o_orderpriority || ';'
+               || CAST(o_orderkey AS VARCHAR) AS tags_joined
+      FROM orders WHERE o_orderkey % 7 = 0),
+    h AS (
+      SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || CAST(cents AS VARCHAR) || '|' || CAST(micros AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority
+               || '|' || COALESCE(hostile, '<null>')
+               || '|' || tags_joined), 1, 12)) AS BIGINT) AS h48
+      FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h48 AS DECIMAL(38,0))) % 1000000007 AS BIGINT) AS checksum,
+           CAST(1 AS INT) AS orc_rows_ok,
+           CAST(1 AS INT) AS orc_checksum_ok
+    FROM h
+    """,
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ORC source certification (H164) — the columnar interchange
+    sibling of H144's text formats (Hive/Trino exports arrive as ORC; its
+    stripes split like parquet row groups, predicate pushdown works
+    through stripe indexes, and unlike CSV/JSONL it carries COMPLEX
+    types): stage the H144 orders slice plus an array<string> column and
+    the hostile string, write+read through sources/formats.write_orc/
+    read_orc, and certify row count + value checksum (array folded via
+    array_join) against the parquet original. Summary + bits form,
+    driver-hash decidable."""
+    import shutil
+    import tempfile
+
+    from plenario_mapper_spark.sources import formats as FMT
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    hostile = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit(',"'),
+            F.col("o_orderpriority"),
+            F.lit('"'),
+            F.lit("\n"),
+            F.col("o_orderkey").cast("string"),
+        )
+    )
+    staged = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.unix_micros(F.col("o_orderdate")).alias("micros"),
+        hostile.alias("hostile"),
+        F.array(
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("tags"),
+    )
+
+    def summary(df: DataFrame):
+        h48 = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("cents").cast("string"),
+                        F.col("micros").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_orderpriority"),
+                        F.coalesce(F.col("hostile"), F.lit("<null>")),
+                        F.array_join(F.col("tags"), ";"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        row = (
+            df.select(h48.alias("h48"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.pmod(
+                    F.sum(F.col("h48").cast("decimal(38,0)")), F.lit(1000000007)
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["c"])
+
+    n0, c0 = summary(staged)
+    work = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        FMT.write_orc(staged, f"{work}/orc")
+        n_orc, c_orc = summary(FMT.read_orc(spark, f"{work}/orc", staged.schema))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n0,
+                c0,
+                1 if n_orc == n0 else 0,
+                1 if c_orc == c0 else 0,
+            )
+        ],
+        "n_rows long, checksum long, orc_rows_ok int, orc_checksum_ok int",
+    )
+
+
+@register(
+    "q_graph_label_prop_3",
+    # Deterministic synchronous label propagation, 3 rounds, over the
+    # supplier-part bipartite graph (numeric node ids: 2*suppkey even,
+    # 2*partkey+1 odd). The oracle unrolls the identical three rounds as
+    # chained CTEs — same init (label = node id), same mode update with
+    # the (count desc, label asc) tie-break — so every intermediate label
+    # table is integer-exact in both engines. Top-20 communities by
+    # (size desc, label).
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s, 2 * l_partkey + 1 AS p FROM lineitem),
+    edges AS (
+      SELECT s AS src, p AS dst FROM pairs
+      UNION ALL SELECT p AS src, s AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l1 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l0 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    l2 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l1 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    l3 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l2 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    comm AS (
+      SELECT label AS community, COUNT(*) AS n_nodes,
+             SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_suppliers,
+             SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS n_parts
+      FROM l3 GROUP BY label),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_nodes DESC, community) AS rank
+      FROM comm)
+    SELECT CAST(rank AS INT) AS rank,
+           CAST(community AS BIGINT) AS community,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM rk WHERE rank <= 20
+    """,
+)
+def q_graph_label_prop_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (H165) — the graph family's
+    community-STRUCTURE member (PageRank ranks global influence, CC names
+    mere connectivity; label propagation finds densely-linked groups
+    inside one giant component, which is what the supplier-part graph
+    is): 3 deterministic synchronous rounds (operators/graph.
+    label_propagation — mode of neighbor labels, (count desc, label asc)
+    tie-break, labels init to node id), then the top-20 communities by
+    size with the supplier/part split per community. Per round cost ∝
+    |E| (one dst-keyed join + a (node,label) count + a per-node window);
+    labels node-sized; round lineage truncated by persist (the CC
+    discipline)."""
+    from plenario_mapper_spark.operators.graph import label_propagation
+
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = l.select(
+        (F.lit(2) * F.col("l_suppkey")).alias("s"),
+        (F.lit(2) * F.col("l_partkey") + 1).alias("p"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("p").alias("dst")
+    ).unionByName(pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")))
+    labels = label_propagation(edges, iterations=3)
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.pmod(F.col("node"), F.lit(2)) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+        F.sum(F.when(F.pmod(F.col("node"), F.lit(2)) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_parts"),
+    )
+    w_rank = Window.orderBy(F.desc("n_nodes"), "community")
+    return (
+        comm.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            "n_suppliers",
+            "n_parts",
+        )
+    )
+
+
+@register(
+    "q_embed_prefix_norm_share",
+    # Matryoshka truncation audit: for prefix length 16 of 64,
+    # cos(v, v_prefix) collapses algebraically to norm(v16)/norm(v64), so
+    # the whole audit is two sequential-fold norms per vector (the
+    # bit-exact ANN recipe) and one division; the per-label moments
+    # accumulate on the exact micro-integer grid (the H134 discipline).
+    oracle="""
+    WITH e AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    r AS (
+      SELECT label,
+             CAST(FLOOR((sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_slice(v, 1, 16)), (a, t) -> a + t * t))
+                  / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), v),
+                    (a, t) -> a + t * t))) * 1e6 + 0.5) AS BIGINT) AS rm
+      FROM e)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           FLOOR((CAST(SUM(CAST(rm AS HUGEINT)) AS DOUBLE)
+                  / (COUNT(*) * 1e6)) * 1e6 + 0.5) / 1e6 AS mean_share,
+           CAST(MIN(rm) AS DOUBLE) / 1e6 AS min_share,
+           CAST(MAX(rm) AS DOUBLE) / 1e6 AS max_share
+    FROM r GROUP BY label
+    """,
+)
+def q_embed_prefix_norm_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-norm audit (H166) — prices dimension truncation
+    BEFORE anyone ships a 16-dim index (MRL-style embeddings concentrate
+    signal in prefix dims; ordinary embeddings spread it, and truncating
+    those silently wrecks recall): since the truncated vector is the
+    prefix itself, cos(v, v_prefix) collapses to norm(prefix)/norm(full)
+    — no pairwise anything, two scan-stage sequential-fold norms and one
+    division per vector. Per-label mean/min/max on the exact micro grid:
+    a label whose mean share is low needs the full width; one whose min
+    is high can halve its serving index. One scan + label rollup."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm_full = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, t: a + t * t))
+    norm_pre = F.sqrt(
+        F.aggregate(F.slice(v, 1, 16), F.lit(0.0), lambda a, t: a + t * t)
+    )
+    rm = F.floor((norm_pre / norm_full) * 1e6 + F.lit(0.5)).cast("long")
+    r = e.select("label", rm.alias("rm"))
+    dec = "decimal(38,0)"
+    return r.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        PAR.round6(
+            F.sum(F.col("rm").cast(dec)).cast("double")
+            / (F.count("*") * F.lit(1e6))
+        ).alias("mean_share"),
+        (F.min("rm").cast("double") / F.lit(1e6)).alias("min_share"),
+        (F.max("rm").cast("double") / F.lit(1e6)).alias("max_share"),
+    )
+
+
+@register(
+    "q_events_entry_exit",
+    # Session landing/exit analysis on the registry's 30-minute
+    # sessionization convention (micro-exact gaps, (ts, event_id) order):
+    # per event type, how often it OPENS a session vs CLOSES one — the
+    # funnel-adjacent table a growth team reads before changing a landing
+    # surface. Shares are exact integer ratios on the 6-grid.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_id
+      FROM flagged),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM sessions),
+    agg AS (
+      SELECT event_type,
+             SUM(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS n_entries,
+             SUM(CASE WHEN rn_z = 1 THEN 1 ELSE 0 END) AS n_exits,
+             COUNT(*) AS n_events
+      FROM ranked GROUP BY event_type),
+    tot AS (SELECT SUM(n_entries) AS s FROM agg)
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_entries AS BIGINT) AS n_entries,
+           CAST(n_exits AS BIGINT) AS n_exits,
+           FLOOR((CAST(n_entries AS DOUBLE) / tot.s) * 1e6 + 0.5) / 1e6
+             AS entry_share,
+           FLOOR((CAST(n_exits AS DOUBLE) / tot.s) * 1e6 + 0.5) / 1e6
+             AS exit_share
+    FROM agg, tot
+    """,
+)
+def q_events_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit profile (H167) — which event types OPEN sessions
+    and which CLOSE them (the landing/abandonment table between
+    sessionization and the funnel: a type over-represented at exits is
+    where users leave): reuses the registry's 30-minute micro-exact
+    sessionization, ranks within each session from both ends, and rolls
+    up per type with shares against the session count. One user-keyed
+    shuffle shared by the session windows, one type rollup."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > F.lit(1800) * 1000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "*",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    w_a = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    w_z = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = sessions.select(
+        "event_type",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_z).alias("rn_z"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn_a") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_entries"
+        ),
+        F.sum(F.when(F.col("rn_z") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_exits"
+        ),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    tot = agg.agg(F.sum("n_entries").alias("s"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        "n_entries",
+        "n_exits",
+        PAR.round6(F.col("n_entries").cast("double") / F.col("s")).alias(
+            "entry_share"
+        ),
+        PAR.round6(F.col("n_exits").cast("double") / F.col("s")).alias(
+            "exit_share"
+        ),
+    )
+
+
+@register(
+    "q_events_trending_types",
+    # Trending detection over a DENSE (day x type) spine (missing days
+    # materialized as zero — a window over sparse rows silently treats a
+    # dark day as 'no history', inflating the baseline): trend ratio =
+    # 3*count/baseline as one division of exact integers, top-10 risers
+    # on the 12-rounded ratio with (day, type) tie-break, minimum-support
+    # floor of 5 events.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, event_type,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT s.d, t.event_type
+      FROM (SELECT unnest(range((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds) + 1)) AS d) s
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t),
+    dense AS (
+      SELECT spine.d, spine.event_type, COALESCE(daily.c, 0) AS c
+      FROM spine LEFT JOIN daily
+        ON daily.d = spine.d AND daily.event_type = spine.event_type),
+    w AS (
+      SELECT d, event_type, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS base
+      FROM dense),
+    scored AS (
+      SELECT d, event_type, c, base,
+             CAST(3 * c AS DOUBLE) / base AS ratio
+      FROM w WHERE base > 0 AND c >= 5),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY FLOOR(ratio * 1e12 + 0.5) / 1e12 DESC, d, event_type) AS rank
+      FROM scored)
+    SELECT CAST(rank AS INT) AS rank,
+           CAST(d AS BIGINT) AS day,
+           event_type,
+           CAST(c AS BIGINT) AS n_events,
+           CAST(base AS BIGINT) AS baseline_3d,
+           FLOOR(ratio * 1e6 + 0.5) / 1e6 AS trend_ratio
+    FROM rk WHERE rank <= 10
+    """,
+)
+def q_events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types (H168) — today's volume against the trailing
+    3-day baseline, the spike detector a monitoring dashboard runs
+    (CUSUM/Kleinberg find statistical change; this is the operational
+    'what is hot right now' top-10): counts land on a DENSE (day x type)
+    spine first — a window over sparse rows silently treats a dark day as
+    no-history and inflates the baseline — then one per-type ordered
+    window, ratio = 3*count/baseline exact-integer division, top-10 on
+    the 12-rounded ratio with (day, type) tie-break and a minimum-support
+    floor. The spine is (days x types) — calendar-bounded metadata, never
+    event-scale; one type-keyed window + one top-k."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    dense = spine.join(daily, ["d", "event_type"], "left").select(
+        "d", "event_type", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_base = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, -1)
+    w = dense.select(
+        "d", "event_type", "c", F.sum("c").over(w_base).alias("base")
+    )
+    scored = w.filter((F.col("base") > 0) & (F.col("c") >= 5)).select(
+        "d",
+        "event_type",
+        "c",
+        "base",
+        (F.lit(3) * F.col("c").cast("double") / F.col("base")).alias("ratio"),
+    )
+    w_rank = Window.orderBy(
+        F.desc(PAR.round_at(F.col("ratio"), 12)), "d", "event_type"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d").cast("long").alias("day"),
+            "event_type",
+            F.col("c").cast("long").alias("n_events"),
+            F.col("base").cast("long").alias("baseline_3d"),
+            PAR.round6(F.col("ratio")).alias("trend_ratio"),
+        )
+    )

@@ -50,3 +50,19 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+# ORC: the columnar interchange sibling of parquet (Hive/Trino lineage).
+# Spark's native reader/writer handles complex types (arrays/maps/structs)
+# that the text formats cannot carry; unlike CSV/JSONL the schema travels in
+# the file footer, so read-side schema is a CONSISTENCY CHECK rather than a
+# parse instruction — pass it anyway (schema drift between a writer
+# deployment and a reader deployment should fail loudly, not coerce).
+# Splittability: ORC stripes split like parquet row groups; no multiLine
+# caveat. Predicate pushdown works through the stripe/row-group indexes.
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
