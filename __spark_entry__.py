@@ -372,7 +372,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_eval_ucb1_arms (H161), q_doc_rendezvous_shards (H162),
 # q_events_segmented_trend (H163), q_scan_orc_roundtrip (H164),
 # q_graph_label_prop_3 (H165), q_embed_prefix_norm_share (H166),
-# q_events_entry_exit (H167), q_events_trending_types (H168).
+# q_events_entry_exit (H167), q_events_trending_types (H168),
+# q_link_fs_u_weights (H169), q_events_lifecycle_states (H170),
+# q_eval_power_mde (H171).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

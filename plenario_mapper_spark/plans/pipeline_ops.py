@@ -14577,3 +14577,320 @@ def q_events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             PAR.round6(F.col("ratio")).alias("trend_ratio"),
         )
     )
+
+
+@register(
+    "q_link_fs_u_weights",
+    # Fellegi-Sunter record-linkage bootstrap, the step that needs NO
+    # labels: u-probabilities (P(field agrees | non-match)) estimated from
+    # a deterministic rank-derangement pairing (the H158 device — at
+    # corpus scale a random pair is a non-match with probability ~1), m
+    # fixed literals from the published defaults; agreement weights
+    # log2(m/u) and log2((1-m)/(1-u)). Field agreement decided on exact
+    # integers/strings; log2 is libm on identical exact-ratio doubles.
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM customer),
+    p AS (
+      SELECT a.c_nationkey = b.c_nationkey AS ag_nation,
+             a.c_mktsegment = b.c_mktsegment AS ag_segment,
+             a.bal_bucket = b.bal_bucket AS ag_balance
+      FROM c a JOIN c b ON b.rk = (a.rk + a.cnt // 2) % a.cnt),
+    u AS (
+      SELECT 'nationkey' AS field, CAST(0.95 AS DOUBLE) AS m,
+             CAST(SUM(CASE WHEN ag_nation THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS u, COUNT(*) AS n_pairs FROM p
+      UNION ALL
+      SELECT 'mktsegment', CAST(0.9 AS DOUBLE),
+             CAST(SUM(CASE WHEN ag_segment THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), COUNT(*) FROM p
+      UNION ALL
+      SELECT 'bal_bucket', CAST(0.85 AS DOUBLE),
+             CAST(SUM(CASE WHEN ag_balance THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), COUNT(*) FROM p)
+    SELECT field,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           FLOOR(u * 1e6 + 0.5) / 1e6 AS u_prob,
+           CASE WHEN u > 0 THEN
+             FLOOR((LN(m / u) / LN(CAST(2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 END
+             AS w_agree,
+           CASE WHEN u < 1 THEN
+             FLOOR((LN((1 - m) / (1 - u)) / LN(CAST(2 AS DOUBLE))) * 1e6 + 0.5)
+               / 1e6 END AS w_disagree
+    FROM u
+    """,
+)
+def q_link_fs_u_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage weights, unsupervised bootstrap (H169) — the
+    probabilistic record-linkage layer above the mechanical fuzzy join
+    (H24 finds candidate pairs; FS says how much each field's agreement is
+    WORTH): u-probabilities (chance agreement among non-matches) estimated
+    from a deterministic rank-derangement pairing — at corpus scale a
+    random pair is a non-match with probability ~1, so the derangement IS
+    the u-sample and no labels are needed; m-probabilities are the
+    published defaults as fixed literals. Emits per-field u and the
+    log2 agreement/disagreement weights a linkage scorer sums. One sort
+    + one rank-shifted self-join (n pairs, never quadratic), a 3-row
+    union out."""
+    c = _t(spark, sf_dir, "customer")
+    w_rk = Window.orderBy("c_custkey")
+    w_all = Window.partitionBy()
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.row_number().over(w_rk) - 1).alias("rk"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    partner = F.pmod(F.col("a.rk") + F.expr("a.cnt DIV 2"), F.col("a.cnt"))
+    p = a.join(b, F.col("b.rk") == partner).select(
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("ag_nation"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("ag_segment"),
+        (F.col("a.bal_bucket") == F.col("b.bal_bucket")).alias("ag_balance"),
+    )
+    agg = p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        *[
+            (
+                F.sum(F.when(F.col(col), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias(col.replace("ag_", "u_"))
+            for col in ["ag_nation", "ag_segment", "ag_balance"]
+        ],
+    )
+    ln2 = F.log(F.lit(2).cast("double"))
+
+    def row(field, m, ucol):
+        u = F.col(ucol)
+        return agg.select(
+            F.lit(field).alias("field"),
+            "n_pairs",
+            PAR.round6(u).alias("u_prob"),
+            F.when(u > 0, PAR.round6(F.log(F.lit(m) / u) / ln2)).alias("w_agree"),
+            F.when(
+                u < 1, PAR.round6(F.log((F.lit(1) - F.lit(m)) / (F.lit(1) - u)) / ln2)
+            ).alias("w_disagree"),
+        )
+
+    return (
+        row("nationkey", 0.95, "u_nation")
+        .unionByName(row("mktsegment", 0.9, "u_segment"))
+        .unionByName(row("bal_bucket", 0.85, "u_balance"))
+    )
+
+
+@register(
+    "q_events_lifecycle_states",
+    # Growth accounting over weekly activity: every (user, week) cell
+    # classified new / retained / resurrected from pure integer week
+    # arithmetic (lag over the user's distinct active weeks), churn
+    # attributed to the week AFTER the last consecutive active week, all
+    # landed on a dense week spine so silent weeks still report their
+    # churn; the quick ratio (new+resurrected)/churned one exact-integer
+    # division on the 6-grid.
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+      FROM events),
+    lagd AS (
+      SELECT user_id, w,
+             LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+             LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS nw,
+             MIN(w) OVER (PARTITION BY user_id) AS w0
+      FROM uw),
+    states AS (
+      SELECT w,
+             SUM(CASE WHEN w = w0 THEN 1 ELSE 0 END) AS n_new,
+             SUM(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS n_retained,
+             SUM(CASE WHEN pw IS NOT NULL AND pw < w - 1 THEN 1 ELSE 0 END)
+               AS n_resurrected
+      FROM lagd GROUP BY w),
+    churn AS (
+      SELECT w + 1 AS w, COUNT(*) AS n_churned
+      FROM lagd WHERE nw IS NULL OR nw > w + 1
+      GROUP BY w + 1),
+    bounds AS (SELECT MIN(w) AS lo, MAX(w) AS hi FROM uw),
+    spine AS (
+      SELECT unnest(range((SELECT lo FROM bounds),
+                          (SELECT hi FROM bounds) + 1)) AS w)
+    SELECT CAST(spine.w AS BIGINT) AS week,
+           CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(s.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(s.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN COALESCE(c.n_churned, 0) > 0 THEN
+             FLOOR((CAST(COALESCE(s.n_new, 0) + COALESCE(s.n_resurrected, 0)
+                    AS DOUBLE) / c.n_churned) * 1e6 + 0.5) / 1e6 END
+             AS quick_ratio
+    FROM spine LEFT JOIN states s ON s.w = spine.w
+               LEFT JOIN churn c ON c.w = spine.w
+    """,
+)
+def q_events_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly lifecycle growth accounting (H170) — the new/retained/
+    resurrected/churned table (and its quick ratio) every growth review
+    opens with (stickiness H93 and rolling actives H107 say HOW MANY;
+    this says WHO MOVED and in which direction): states decided by pure
+    integer week arithmetic over each user's distinct active weeks, churn
+    attributed to the week after the last consecutive active week, weeks
+    landed on a dense spine so a silent week still reports the churn
+    that produced it. One distinct (user, week) pass + per-user ordered
+    windows (user-keyed shuffle), a week-sized rollup out."""
+    e = _events(spark, sf_dir)
+    uw = e.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 604800000000 AS BIGINT)").alias("w"),
+    ).distinct()
+    w_ord = Window.partitionBy("user_id").orderBy("w")
+    w_u = Window.partitionBy("user_id")
+    lagd = uw.select(
+        "user_id",
+        "w",
+        F.lag("w").over(w_ord).alias("pw"),
+        F.lead("w").over(w_ord).alias("nw"),
+        F.min("w").over(w_u).alias("w0"),
+    )
+    states = lagd.groupBy("w").agg(
+        F.sum(F.when(F.col("w") == F.col("w0"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("pw") == F.col("w") - 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("pw").isNotNull() & (F.col("pw") < F.col("w") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        lagd.filter(F.col("nw").isNull() | (F.col("nw") > F.col("w") + 1))
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    bounds = uw.agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("w")
+    )
+    out = (
+        spine.join(states, "w", "left")
+        .join(churn, "w", "left")
+        .select(
+            F.col("w").cast("long").alias("week"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.coalesce(F.col("n_resurrected"), F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_churned") > 0,
+            PAR.round6(
+                (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                / F.col("n_churned")
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
+@register(
+    "q_eval_power_mde",
+    # Experiment power planning: minimum detectable effect at literal
+    # candidate sizes from the observed outcome variance — sigma^2 off
+    # exact integer micro moments (the CUPED N-scaling discipline), the
+    # z quantiles identical 16-digit literals in both engines, mde =
+    # (z_a + z_b) * sqrt(2 sigma^2 / n) one fixed double op sequence.
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(y AS HUGEINT)) AS s1,
+             SUM(CAST(y AS HUGEINT) * y) AS s2
+      FROM pu),
+    v AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / (n * 1e6) AS mean_y,
+             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) AS var_y
+      FROM m),
+    grid AS (SELECT unnest([100, 1000, 10000, 100000]) AS n_per_arm)
+    SELECT CAST(grid.n_per_arm AS BIGINT) AS n_per_arm,
+           CAST(v.n AS BIGINT) AS n_users_observed,
+           FLOOR(v.mean_y * 1e6 + 0.5) / 1e6 AS mean_outcome,
+           FLOOR(((CAST(1.959963984540054 AS DOUBLE)
+                   + CAST(0.8416212335729143 AS DOUBLE))
+                  * sqrt(2 * v.var_y / grid.n_per_arm)) * 1e6 + 0.5) / 1e6
+             AS mde_abs,
+           CASE WHEN v.mean_y > 0 THEN
+             FLOOR((((CAST(1.959963984540054 AS DOUBLE)
+                      + CAST(0.8416212335729143 AS DOUBLE))
+                     * sqrt(2 * v.var_y / grid.n_per_arm)) / v.mean_y)
+                   * 1e6 + 0.5) / 1e6 END AS mde_rel
+    FROM grid, v
+    """,
+)
+def q_eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power / minimum-detectable-effect planning (H171) — the experiment-
+    design step BEFORE the family's during- and after-test members (SPRT
+    stops a live test; DiD/CUPED/IPW read a finished one; this says what
+    arm size a PLANNED test needs): the observed per-user outcome variance
+    (exact integer micro moments, no float mean feeding the quadratic)
+    drives mde = (z_0.975 + z_0.8) * sqrt(2 sigma^2 / n) across a literal
+    grid of candidate arm sizes, absolute and relative to the mean.
+    The z quantiles are identical 16-digit literals in both engines —
+    no inverse-CDF libm call exists to diverge. One user rollup + a
+    4-row literal grid; parallel at any scale."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dec = "decimal(38,0)"
+    pu = e.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")).alias("y")
+    )
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("s1"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    v = m.select(
+        "n",
+        (F.col("s1").cast("double") / (F.col("n") * F.lit(1e6))).alias("mean_y"),
+        (
+            (n_d * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / (n_d * n_d * F.lit(1e12))
+        ).alias("var_y"),
+    )
+    grid = spark.createDataFrame(
+        [(100,), (1000,), (10000,), (100000,)], "n_per_arm long"
+    )
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = z * F.sqrt(F.lit(2) * F.col("var_y") / F.col("n_per_arm"))
+    return grid.crossJoin(F.broadcast(v)).select(
+        "n_per_arm",
+        F.col("n").alias("n_users_observed"),
+        PAR.round6(F.col("mean_y")).alias("mean_outcome"),
+        PAR.round6(mde).alias("mde_abs"),
+        F.when(F.col("mean_y") > 0, PAR.round6(mde / F.col("mean_y"))).alias(
+            "mde_rel"
+        ),
+    )
