@@ -374,7 +374,10 @@ _R9_WINDOW_NOW_BACK = [
 # q_graph_label_prop_3 (H165), q_embed_prefix_norm_share (H166),
 # q_events_entry_exit (H167), q_events_trending_types (H168),
 # q_link_fs_u_weights (H169), q_events_lifecycle_states (H170),
-# q_eval_power_mde (H171).
+# q_eval_power_mde (H171),
+# q_customer_gini (H172), q_supplier_hhi (H173),
+# q_events_spearman_corr (H174), q_eval_lift_deciles (H175),
+# q_doc_target_encode_loo (H176), q_survival_nelson_aalen (H177).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

@@ -14894,3 +14894,538 @@ def q_eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mde_rel"
         ),
     )
+
+
+@register(
+    "q_customer_gini",
+    # Revenue-concentration Gini per market segment: per-customer revenue
+    # in exact integer micro-dollars, the rank-sum identity
+    # G = (2*sum(i*r_i) - (n+1)*sum(r)) / (n*sum(r)) on ascending ranks
+    # (tie order cannot move the sum: equal r swap i's), all moments in
+    # HUGEINT/decimal(38,0), ONE double division at the end.
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey AS c, c.c_mktsegment AS seg,
+             SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS BIGINT)) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment),
+    rk AS (
+      SELECT seg, r,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r, c) AS i
+      FROM rev),
+    m AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(r AS HUGEINT)) AS s,
+             SUM(CAST(i AS HUGEINT) * r) AS t
+      FROM rk GROUP BY seg)
+    SELECT seg AS mktsegment, n AS n_customers,
+           FLOOR((CAST(s AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS total_revenue,
+           FLOOR((CAST(2 * t - (n + 1) * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS gini
+    FROM m
+    """,
+)
+def q_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment (H172) —
+    the inequality summary behind "how concentrated is our revenue"
+    (Pareto deciles H86 show the curve's coarse shape; Gini is its
+    scalar): per-customer revenue in exact integer micro-dollars, then
+    the rank-sum identity G = (2*sum(i*r_i) - (n+1)*S) / (n*S) over
+    ascending ranks — tie order is irrelevant because equal values
+    exchange ranks without moving the weighted sum, so row_number needs
+    no cross-engine tie pact. All moments accumulate in decimal(38,0)
+    (rank*revenue reaches ~1e18 at sf1 and wraps int64 silently in
+    non-ANSI Spark); one double division at presentation. Shape: one
+    customer rollup (custkey-keyed shuffle), one segment-partitioned
+    rank window, a 5-row output. At 100 TB the rank window is the cost —
+    per-segment sort, the same shape Spark uses for any percentile."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("r")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("r", "o_custkey")
+    rk = rev.select(
+        F.col("c_mktsegment").alias("seg"), "r", F.row_number().over(w).alias("i")
+    )
+    m = rk.groupBy("seg").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("r").cast(dec)).alias("s"),
+        F.sum(F.col("i").cast(dec) * F.col("r")).alias("t"),
+    )
+    s_d = F.col("s").cast("double")
+    return m.select(
+        F.col("seg").alias("mktsegment"),
+        F.col("n").alias("n_customers"),
+        PAR.round6(s_d / F.lit(1e6)).alias("total_revenue"),
+        PAR.round6(
+            (F.lit(2) * F.col("t") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n").cast("double") * s_d)
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_supplier_hhi",
+    # Market concentration per nation: Herfindahl-Hirschman index over
+    # supplier revenue shares, computed WITHOUT per-share float division
+    # (sum of squared shares = sum(r^2)/R^2 — quadratic integer moments
+    # in HUGEINT, one double division); effective competitor count is
+    # the reciprocal.
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                            + 0.5) AS BIGINT)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    m AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(CAST(r AS HUGEINT)) AS big_r,
+             SUM(CAST(r AS HUGEINT) * r) AS q
+      FROM rev GROUP BY nk)
+    SELECT n.n_name AS nation, m.n_suppliers,
+           FLOOR((1e4 * CAST(q AS DOUBLE)
+                  / (CAST(big_r AS DOUBLE) * CAST(big_r AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS hhi,
+           FLOOR((CAST(big_r AS DOUBLE) * CAST(big_r AS DOUBLE)
+                  / CAST(q AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS effective_n
+    FROM m JOIN nation n ON n.n_nationkey = m.nk
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation (H173) — the
+    antitrust-grade "how monopolized is this market" scalar over supplier
+    revenue: HHI = sum(share^2)*10000. The trap is per-share division —
+    sum((r_i/R)^2) is a float sum whose accumulation order differs between
+    engines; the identity sum(r^2)/R^2 keeps both moments exact integers
+    (decimal(38,0): r^2 reaches ~1e25) and spends exactly one double
+    division. effective_n = 1/sum(share^2) is the equivalent-equal-firms
+    count. Shape: one (nation, supplier) rollup riding the suppkey join,
+    one nation rollup, 25 rows; every stage is a partial-aggregable sum,
+    so the plan is map-side-combine-friendly at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("r")
+        )
+    )
+    m = rev.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum(F.col("r").cast(dec)).alias("big_r"),
+        F.sum(F.col("r").cast(dec) * F.col("r")).alias("q"),
+    )
+    r_d = F.col("big_r").cast("double")
+    q_d = F.col("q").cast("double")
+    return m.join(F.broadcast(n), m.s_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        PAR.round6(F.lit(1e4) * q_d / (r_d * r_d)).alias("hhi"),
+        PAR.round6(r_d * r_d / q_d).alias("effective_n"),
+    )
+
+
+@register(
+    "q_events_spearman_corr",
+    # Rank correlation between daily click and purchase volumes: tie-aware
+    # average ranks doubled into integers (2*avgrank = 2*rank + ties - 1),
+    # Pearson on the integer rank pairs with every moment exact
+    # (HUGEINT/decimal), one sqrt+division at the end — alongside the raw
+    # Pearson for the monotone-vs-linear contrast.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY d),
+    rked AS (
+      SELECT x, y,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+      FROM daily),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy,
+             SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+             SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+             SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+             SUM(CAST(x AS HUGEINT)) AS rsx, SUM(CAST(y AS HUGEINT)) AS rsy,
+             SUM(CAST(x AS HUGEINT) * x) AS rsxx,
+             SUM(CAST(y AS HUGEINT) * y) AS rsyy,
+             SUM(CAST(x AS HUGEINT) * y) AS rsxy
+      FROM rked)
+    SELECT n AS n_days,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS spearman,
+           FLOOR((CAST(n * rsxy - rsx * rsy AS DOUBLE)
+                  / sqrt(CAST(n * rsxx - rsx * rsx AS DOUBLE)
+                         * CAST(n * rsyy - rsy * rsy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS pearson
+    FROM m
+    """,
+)
+def q_events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily click and purchase volumes
+    (H174) — the monotone-association twin of the Pearson matrix (H98):
+    rank correlation survives outlier days and nonlinear (but monotone)
+    coupling that crushes Pearson toward zero. Tie-aware average ranks
+    are kept integral by doubling (2*avgrank = 2*rank + tie_count - 1 —
+    rank() gives the tie group's min rank, the tie count recenters to its
+    mean), then Pearson runs on the integer rank pairs with every moment
+    exact in decimal(38,0) and exactly one sqrt+division pair at the end;
+    the raw-count Pearson rides along for the monotone-vs-linear
+    contrast. Shape: one day rollup, two global rank windows over the
+    DAY domain (tiny — days, not events), a 1-row output."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    rked = daily.select(
+        "x",
+        "y",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    dec = "decimal(38,0)"
+
+    def moments(a, b, prefix):
+        return [
+            F.sum(F.col(a).cast(dec)).alias(f"{prefix}sx"),
+            F.sum(F.col(b).cast(dec)).alias(f"{prefix}sy"),
+            F.sum(F.col(a).cast(dec) * F.col(a)).alias(f"{prefix}sxx"),
+            F.sum(F.col(b).cast(dec) * F.col(b)).alias(f"{prefix}syy"),
+            F.sum(F.col(a).cast(dec) * F.col(b)).alias(f"{prefix}sxy"),
+        ]
+
+    m = rked.agg(
+        F.count("*").cast("long").alias("n"),
+        *moments("rx2", "ry2", ""),
+        *moments("x", "y", "r"),
+    )
+
+    def corr(prefix):
+        n = F.col("n")
+        sx, sy = F.col(f"{prefix}sx"), F.col(f"{prefix}sy")
+        sxx, syy = F.col(f"{prefix}sxx"), F.col(f"{prefix}syy")
+        sxy = F.col(f"{prefix}sxy")
+        return (n * sxy - sx * sy).cast("double") / F.sqrt(
+            (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+        )
+
+    return m.select(
+        F.col("n").alias("n_days"),
+        PAR.round6(corr("")).alias("spearman"),
+        PAR.round6(corr("r")).alias("pearson"),
+    )
+
+
+@register(
+    "q_eval_lift_deciles",
+    # Gains/lift table: documents ranked by length (proxy score) against
+    # the lang='en' label, NTILE(10) on a fully deterministic
+    # (score DESC, doc_id) order, cumulative gains and lift as exact
+    # integer ratios with one double division each.
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY decile),
+    cum AS (
+      SELECT decile, n, n_pos,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_pos
+      FROM per)
+    SELECT CAST(decile AS INT) AS decile, n, n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+           FLOOR((CAST(cum_pos AS DOUBLE) / tot_pos) * 1e6 + 0.5) / 1e6
+             AS cum_gain,
+           FLOOR((CAST(cum_pos * tot_n AS DOUBLE)
+                  / CAST(cum_n * tot_pos AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS cum_lift
+    FROM cum
+    """,
+)
+def q_eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table (H175) — the targeting-model readout every
+    campaign review wants next to calibration (H74 says "are the
+    probabilities honest"; this says "how much better than random is
+    acting on the top k%"): rows ranked by a score (document length
+    proxying an English-ness model against the lang='en' label), split
+    into NTILE(10) deciles on a FULLY deterministic (score DESC, id)
+    order — NTILE on a tie-broken total order is the one place both
+    engines agree bucket-for-bucket — then cumulative gains
+    (share of all positives captured) and lift ((cum_pos/cum_n) /
+    (tot_pos/tot_n), kept as ONE exact-integer cross-ratio per row with
+    a single double division). Shape: one global sort (the same shape as
+    any top-k certification), a 10-row rollup + running sums on 10 rows."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        PAR.round6(F.col("cum_pos").cast("double") / F.col("tot_pos")).alias(
+            "cum_gain"
+        ),
+        PAR.round6(
+            (F.col("cum_pos") * F.col("tot_n")).cast("double")
+            / (F.col("cum_n") * F.col("tot_pos")).cast("double")
+        ).alias("cum_lift"),
+    )
+
+
+@register(
+    "q_doc_target_encode_loo",
+    # Leave-one-out target encoding of source -> P(lang='en'): per-row
+    # encoding (S - y_i) / (n - 1) from exact integer group sums (the
+    # self-exclusion that stops the encoded feature leaking its own
+    # label), singleton groups fall back to the global prior; per-source
+    # audit row carries a 1e6-grid checksum over all encoded values.
+    oracle="""
+    WITH lab AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    g AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS gs, CAST(COUNT(*) AS BIGINT) AS gn
+      FROM lab),
+    enc AS (
+      SELECT source, y,
+             CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+                  THEN CAST(SUM(y) OVER (PARTITION BY source) - y AS DOUBLE)
+                       / (COUNT(*) OVER (PARTITION BY source) - 1)
+                  ELSE CAST((SELECT gs FROM g) AS DOUBLE)
+                       / (SELECT gn FROM g) END AS e
+      FROM lab)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
+             AS pos_rate,
+           FLOOR(MIN(e) * 1e6 + 0.5) / 1e6 AS enc_min,
+           FLOOR(MAX(e) * 1e6 + 0.5) / 1e6 AS enc_max,
+           CAST(SUM(CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS enc_checksum
+    FROM enc GROUP BY source
+    """,
+)
+def q_doc_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (H176) — the high-cardinality
+    categorical featurizer that one-hot can't afford and naive mean
+    encoding LEAKS (a row's own label inflates its own feature; LOO
+    subtracts self: enc_i = (S - y_i)/(n - 1), singletons fall back to
+    the global prior): encodings derive from exact integer group sums
+    via one partition window (no re-join), and each per-source audit row
+    pins the full encoded column with a 1e6-grid integer checksum —
+    value-level cross-engine agreement without shipping every row through
+    the driver hash. Shape: one source-partitioned window + one source
+    rollup; the global prior is a 1-row broadcast. Encoding stays a
+    row-local expression at any corpus size."""
+    lab = _t(spark, sf_dir, "documents").select(
+        "source", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    g = lab.agg(
+        F.sum("y").cast("long").alias("gs"), F.count("*").cast("long").alias("gn")
+    )
+    w_src = Window.partitionBy("source")
+    enc = (
+        lab.join(F.broadcast(g))
+        .select(
+            "source",
+            "y",
+            F.when(
+                F.count("*").over(w_src) > 1,
+                (F.sum("y").over(w_src) - F.col("y")).cast("double")
+                / (F.count("*").over(w_src) - 1),
+            )
+            .otherwise(F.col("gs").cast("double") / F.col("gn"))
+            .alias("e"),
+        )
+    )
+    return enc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        PAR.round6(F.sum("y").cast("double") / F.count("*")).alias("pos_rate"),
+        PAR.round6(F.min("e")).alias("enc_min"),
+        PAR.round6(F.max("e")).alias("enc_max"),
+        F.sum(F.floor(F.col("e") * 1e6 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("enc_checksum"),
+    )
+
+
+@register(
+    "q_survival_nelson_aalen",
+    # Nelson-Aalen cumulative hazard over the SAME censored ordering-spell
+    # framing as Kaplan-Meier (q_survival_kaplan_meier): H(t) =
+    # sum_{len<=t} d/n_risk, a left-to-right running double sum in both
+    # engines (same association), with the Fleming-Harrington survival
+    # exp(-H) riding along.
+    oracle="""
+    WITH cm AS (
+      SELECT DISTINCT o_custkey AS c,
+             year(o_orderdate) * 12 + month(o_orderdate) AS mi
+      FROM orders),
+    mx AS (SELECT MAX(mi) AS max_mi FROM cm),
+    seq AS (
+      SELECT c, mi,
+             CASE WHEN mi - lag(mi) OVER (PARTITION BY c ORDER BY mi) > 1
+                  OR lag(mi) OVER (PARTITION BY c ORDER BY mi) IS NULL
+                  THEN 1 ELSE 0 END AS new_spell
+      FROM cm),
+    sp AS (
+      SELECT c, mi,
+             SUM(new_spell) OVER (PARTITION BY c ORDER BY mi) AS spell_id
+      FROM seq),
+    spells AS (
+      SELECT c, spell_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(CASE WHEN MAX(mi) = mx.max_mi THEN 1 ELSE 0 END AS INT)
+               AS censored
+      FROM sp, mx GROUP BY c, spell_id, mx.max_mi),
+    km AS (
+      SELECT len, CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c_cnt
+      FROM spells GROUP BY len),
+    at_risk AS (
+      SELECT len, d, c_cnt,
+             CAST(SUM(d + c_cnt) OVER (ORDER BY len DESC) AS BIGINT) AS n_risk
+      FROM km)
+    SELECT CAST(len AS BIGINT) AS spell_months, n_risk AS n_at_risk,
+           d AS n_churned,
+           FLOOR((CAST(d AS DOUBLE) / n_risk) * 1e6 + 0.5) / 1e6
+             AS hazard_step,
+           FLOOR(SUM(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY len)
+                 * 1e6 + 0.5) / 1e6 AS cum_hazard,
+           FLOOR(exp(-SUM(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY len))
+                 * 1e6 + 0.5) / 1e6 AS fh_survival
+    FROM at_risk
+    """,
+)
+def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (H177) — Kaplan-Meier's (H100)
+    estimator sibling: where KM multiplies survival factors, NA SUMS the
+    discrete hazards H(t) = sum d/n_risk, which is the quantity you test
+    and band (log-rank statistics, hazard-ratio eyeballing) and is more
+    stable in small risk sets; exp(-H) (Fleming-Harrington) rides along
+    as the survival twin. Framing (censored consecutive-month ordering
+    spells) is IDENTICAL to q_survival_kaplan_meier — same integer month
+    index, same censoring-at-corpus-edge rule — so the pair is directly
+    comparable row-for-row. The running hazard sum is a left-to-right
+    ordered window in both engines (same association; the per-step d/n
+    divisions are identical IEEE ops). Shape: everything after the spell
+    rollup runs on the spell-length domain (<= corpus months)."""
+    cm = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .distinct()
+    )
+    mx = cm.agg(F.max("mi").alias("max_mi"))
+    wc = Window.partitionBy("c").orderBy("mi")
+    seq = cm.withColumn(
+        "new_spell",
+        F.when(
+            (F.col("mi") - F.lag("mi").over(wc) > 1)
+            | F.lag("mi").over(wc).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sp = seq.withColumn(
+        "spell_id",
+        F.sum("new_spell").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spells = (
+        sp.crossJoin(F.broadcast(mx))
+        .groupBy("c", "spell_id")
+        .agg(
+            F.count("*").cast("long").alias("len"),
+            F.when(F.max("mi") == F.max(F.col("max_mi")), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    km = spells.groupBy("len").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c_cnt"),
+    )
+    w_desc = Window.orderBy(F.col("len").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = km.select(
+        "len",
+        "d",
+        F.sum(F.col("d") + F.col("c_cnt")).over(w_desc).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    step = F.col("d").cast("double") / F.col("n_risk")
+    w_asc = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    return at_risk.select(
+        F.col("len").cast("long").alias("spell_months"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        PAR.round6(step).alias("hazard_step"),
+        PAR.round6(F.sum(step).over(w_asc)).alias("cum_hazard"),
+        PAR.round6(F.exp(-F.sum(step).over(w_asc))).alias("fh_survival"),
+    )
