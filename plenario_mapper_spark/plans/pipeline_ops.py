@@ -15429,3 +15429,243 @@ def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(F.sum(step).over(w_asc)).alias("cum_hazard"),
         PAR.round6(F.exp(-F.sum(step).over(w_asc))).alias("fh_survival"),
     )
+
+
+@register(
+    "q_link_sorted_neighborhood",
+    # Sorted-neighborhood record linkage (Hernandez & Stolfo SIGMOD'95):
+    # one global sort on the blocking key, each record compared to its w=3
+    # successors via lead() (a single window pass — the classic self-join
+    # on rank offsets collapses into per-row expressions), Levenshtein
+    # <= 2 decides a match; per-(offset, distance) candidate accounting.
+    oracle="""
+    WITH srt AS (
+      SELECT c_custkey, lower(c_name) AS k,
+             lead(lower(c_name), 1) OVER w AS k1,
+             lead(lower(c_name), 2) OVER w AS k2,
+             lead(lower(c_name), 3) OVER w AS k3
+      FROM customer
+      WINDOW w AS (ORDER BY lower(c_name), c_custkey)),
+    pairs AS (
+      SELECT 1 AS nbr_offset, levenshtein(k, k1) AS dist FROM srt WHERE k1 IS NOT NULL
+      UNION ALL
+      SELECT 2, levenshtein(k, k2) FROM srt WHERE k2 IS NOT NULL
+      UNION ALL
+      SELECT 3, levenshtein(k, k3) FROM srt WHERE k3 IS NOT NULL)
+    SELECT CAST(nbr_offset AS INT) AS nbr_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS dist_total
+    FROM pairs GROUP BY nbr_offset
+    """,
+)
+def q_link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (H178) — the OTHER classic
+    blocking discipline next to the fuzzy blocked join (H24) and the
+    Fellegi-Sunter weights (H169): instead of hashing into blocks, SORT
+    on a key and compare each record only to its w successors
+    (Hernandez & Stolfo SIGMOD'95) — near-duplicates with small spelling
+    drift land adjacent after sorting, so a window of 3 catches what a
+    coarse hash block would scatter. The window form matters: the
+    textbook rank self-join is a shuffle join on row_number; lead(k, i)
+    turns the whole candidate generation into ONE window pass over the
+    sorted order with zero joins. Levenshtein is built-in on BOTH engines
+    (identical edit-distance definition). Shape: one global sort (range
+    partition at scale — the same shape as any total-order certification)
+    + per-row expressions; per-offset accounting keeps the result
+    O(w) rows. At 100 TB you'd pre-block then sort within blocks; the
+    window form is unchanged under partitionBy(block)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.lower("c_name"), "c_custkey")
+    srt = c.select(
+        F.lower(F.col("c_name")).alias("k"),
+        *[F.lead(F.lower(F.col("c_name")), i).over(w).alias(f"k{i}") for i in (1, 2, 3)],
+    )
+    pairs = None
+    for i in (1, 2, 3):
+        p = srt.filter(F.col(f"k{i}").isNotNull()).select(
+            F.lit(i).cast("int").alias("nbr_offset"),
+            F.levenshtein("k", f"k{i}").alias("dist"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.groupBy("nbr_offset").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matches"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.sum(F.col("dist").cast("long")).cast("long").alias("dist_total"),
+    )
+
+
+@register(
+    "q_events_lagged_xcorr",
+    # Lead-lag diagnostics: Pearson between clicks on day d and purchases
+    # on day d+lag for lag 0..7 — the cross-correlation function that says
+    # WHICH DIRECTION and HOW FAR one series leads the other. Integer
+    # daily counts, all five moments exact per lag (HUGEINT/decimal),
+    # one sqrt+division pair per lag row.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY d),
+    lags AS (SELECT unnest(range(0, 8)) AS lag),
+    m AS (
+      SELECT lags.lag AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(a.x AS HUGEINT)) AS sx, SUM(CAST(b.y AS HUGEINT)) AS sy,
+             SUM(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+             SUM(CAST(b.y AS HUGEINT) * b.y) AS syy,
+             SUM(CAST(a.x AS HUGEINT) * b.y) AS sxy
+      FROM lags, daily a JOIN daily b ON b.d = a.d + lags.lag
+      GROUP BY lags.lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+             FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 END AS xcorr
+    FROM m
+    """,
+)
+def q_events_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation function (H179) — the lead-lag member of
+    the time-series family (ACF H75 correlates a series with ITSELF;
+    this correlates clicks with purchases k days LATER, the "does
+    engagement lead conversion and by how much" question): for each lag
+    0..7, Pearson between x_t and y_{t+lag} over the aligned day pairs,
+    every moment exact in decimal(38,0) on integer daily counts, one
+    sqrt+division per lag, NULL when either aligned series is constant
+    (zero variance). Shape: one day rollup, then an 8-row literal lag
+    grid broadcast against the DAY domain (join cost 8x days, not
+    events), one 8-key rollup. The day table is metadata-sized at any
+    corpus scale."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    lags = spark.createDataFrame([(i,) for i in range(8)], "lag long")
+    a = daily.alias("a")
+    b = daily.alias("b")
+    dec = "decimal(38,0)"
+    joined = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("b.d") == F.col("a.d") + F.col("lag")
+    )
+    m = joined.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("a.x").cast(dec)).alias("sx"),
+        F.sum(F.col("b.y").cast(dec)).alias("sy"),
+        F.sum(F.col("a.x").cast(dec) * F.col("a.x")).alias("sxx"),
+        F.sum(F.col("b.y").cast(dec) * F.col("b.y")).alias("syy"),
+        F.sum(F.col("a.x").cast(dec) * F.col("b.y")).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.when(
+            (vx * vy) > 0,
+            PAR.round6(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ),
+        ).alias("xcorr"),
+    )
+
+
+@register(
+    "q_events_seasonal_decomp",
+    # Classical multiplicative decomposition of daily volume: trend via
+    # the centered 7-day moving SUM on an integer RANGE frame (value
+    # range, not rows — calendar gaps must not slide the window), ratio
+    # y*7/S one double division, per-DOW seasonal indices from 1e6-grid
+    # integer ratio sums normalized by the GRAND ratio mean as a single
+    # exact cross-product quotient (never a float mean-of-means).
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    tr AS (
+      SELECT d, y,
+             SUM(y) OVER w AS s7, COUNT(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY d RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ratio AS (
+      SELECT (d + 4) % 7 AS dow,
+             CAST(FLOOR((CAST(y AS DOUBLE) * 7 / s7) * 1e6 + 0.5) AS BIGINT)
+               AS r6
+      FROM tr WHERE c7 = 7 AND s7 > 0),
+    per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(CAST(r6 AS HUGEINT)) AS sr
+      FROM ratio GROUP BY dow),
+    tot AS (
+      SELECT SUM(CAST(n_days AS HUGEINT)) AS tn, SUM(sr) AS ts FROM per)
+    SELECT CAST(per.dow AS INT) AS dow, per.n_days,
+           FLOOR((CAST(per.sr AS DOUBLE) / (per.n_days * 1e6)) * 1e6 + 0.5)
+             / 1e6 AS mean_ratio,
+           FLOOR((CAST(per.sr * tot.tn AS DOUBLE)
+                  / CAST(per.n_days * tot.ts AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS seasonal_index
+    FROM per, tot
+    """,
+)
+def q_events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition (H180) — the
+    trend/seasonal split underneath the DOW profile (H89 reports raw
+    per-DOW averages, which CONFLATE trend growth with weekly shape;
+    detrending by a centered 7-day moving average isolates the pure
+    seasonal factor): trend is the centered moving SUM on an integer
+    RANGE frame (calendar gaps must not slide the window; a rows-frame
+    would), interior days only (exactly 7 present), ratio y*7/S spends
+    one double division per day, and per-DOW indices accumulate ratios
+    on the 1e6 integer grid — the float mean-of-means trap (a 7-term
+    double sum whose order differs across engines) is replaced by ONE
+    exact cross-product quotient (S_d*N)/(n_d*T). Shape: one day rollup,
+    one range window and two 7-key rollups on the day domain — all
+    metadata-sized beyond the first scan."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    w = Window.orderBy("d").rangeBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.sum("y").over(w).alias("s7"),
+        F.count("*").over(w).alias("c7"),
+    )
+    ratio = tr.filter((F.col("c7") == 7) & (F.col("s7") > 0)).select(
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"),
+        F.floor((F.col("y").cast("double") * 7 / F.col("s7")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("r6"),
+    )
+    dec = "decimal(38,0)"
+    per = ratio.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("r6").cast(dec)).alias("sr"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_days").cast(dec)).alias("tn"), F.sum("sr").alias("ts")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("int").alias("dow"),
+        "n_days",
+        PAR.round6(
+            F.col("sr").cast("double") / (F.col("n_days") * F.lit(1e6))
+        ).alias("mean_ratio"),
+        PAR.round6(
+            (F.col("sr") * F.col("tn")).cast("double")
+            / (F.col("n_days") * F.col("ts")).cast("double")
+        ).alias("seasonal_index"),
+    )
