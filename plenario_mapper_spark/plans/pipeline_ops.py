@@ -15669,3 +15669,312 @@ def q_events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_days") * F.col("ts")).cast("double")
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "q_graph_link_prediction",
+    # Link prediction over the part co-purchase graph: for non-adjacent
+    # pairs sharing neighbors, common-neighbor count, Jaccard, and
+    # Adamic-Adar 1/ln(deg) — the AA sum accumulated on the 1e6 integer
+    # grid per shared neighbor (a float sum over an unordered neighbor
+    # set is the cross-engine divergence class), top-20 deterministic.
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (
+      SELECT a AS s, b AS d FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY s),
+    wedge AS (
+      SELECT e1.d AS a, e2.d AS b, e1.s AS z
+      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d),
+    cand AS (
+      SELECT w.a, w.b,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             SUM(CAST(FLOOR(1e6 / ln(CAST(dz.dg AS DOUBLE)) + 0.5)
+                 AS BIGINT)) AS aa6
+      FROM wedge w JOIN deg dz ON dz.s = w.z
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.a = w.a AND e.b = w.b)
+      GROUP BY w.a, w.b)
+    SELECT c.a AS part_a, c.b AS part_b, c.cn AS common_neighbors,
+           FLOOR((CAST(c.cn AS DOUBLE) / (da.dg + db.dg - c.cn))
+                 * 1e6 + 0.5) / 1e6 AS jaccard,
+           FLOOR((CAST(c.aa6 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             AS adamic_adar
+    FROM cand c JOIN deg da ON da.s = c.a JOIN deg db ON db.s = c.b
+    ORDER BY c.cn DESC, c.aa6 DESC, c.a, c.b
+    LIMIT 20
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (H182) — the graph family's FORWARD-looking member
+    (PageRank/triangles/CC/BFS describe the graph that exists; this ranks
+    the edges most likely to appear next — recommendation candidates on
+    the co-purchase graph): for non-adjacent part pairs sharing neighbors,
+    common-neighbor count, Jaccard overlap, and Adamic-Adar (rare shared
+    neighbors weigh 1/ln(degree) — a shared niche part is stronger
+    evidence than a shared bestseller, Adamic & Adar 2003). The AA sum
+    runs over an UNORDERED neighbor set, so each neighbor's contribution
+    snaps to the 1e6 integer grid first and the sum is exact — the float
+    accumulation-order divergence never happens. Shape: the triangles
+    wedge join (cost ~ sum deg^2 — degree-cap or sample at 100 TB, same
+    caveat as q_graph_triangles' oracle), one anti-join against the edge
+    set, top-20 on a fully deterministic key. Cites app/mapper.js only
+    for table parity — the operator is public-graph-theory."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = edges.persist()
+    und = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    und = und.persist()
+    deg = und.groupBy("s").agg(F.count("*").cast("long").alias("dg"))
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedge = e1.join(
+        e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.d") < F.col("e2.d"))
+    ).select(
+        F.col("e1.d").alias("a"), F.col("e2.d").alias("b"), F.col("e1.s").alias("z")
+    )
+    dz = deg.alias("dz")
+    cand = (
+        wedge.join(edges, ["a", "b"], "left_anti")
+        .join(dz, F.col("dz.s") == F.col("z"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(
+                F.floor(F.lit(1e6) / F.log(F.col("dz.dg").cast("double")) + F.lit(0.5))
+                .cast("long")
+            ).alias("aa6"),
+        )
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    out = (
+        cand.join(da, F.col("da.s") == F.col("a"))
+        .join(db, F.col("db.s") == F.col("b"))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            PAR.round6(
+                F.col("cn").cast("double")
+                / (F.col("da.dg") + F.col("db.dg") - F.col("cn"))
+            ).alias("jaccard"),
+            PAR.round6(F.col("aa6").cast("double") / F.lit(1e6)).alias(
+                "adamic_adar"
+            ),
+            F.col("aa6"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("aa6").desc(), "part_a", "part_b"
+        )
+        .limit(20)
+        .drop("aa6")
+    )
+    return out
+
+
+@register(
+    "q_eval_ndcg",
+    # Ranking-quality NDCG@10 per source: a length-ranked retrieval scored
+    # against lang='en' relevance. Every DCG term 1/log2(position+1) snaps
+    # to the 1e6 integer grid BEFORE summing (group sums are unordered —
+    # the float-accumulation divergence class), ideal DCG from the
+    # relevance-first re-ranking, one double division per source.
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS pos,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY CASE WHEN lang = 'en' THEN 1 ELSE 0 END DESC,
+                                         n_chars DESC, doc_id) AS ipos
+      FROM documents),
+    terms AS (
+      SELECT source, rel,
+             CASE WHEN pos <= 10 THEN
+               rel * CAST(FLOOR(1e6 / log2(CAST(pos + 1 AS DOUBLE)) + 0.5)
+                     AS BIGINT) ELSE 0 END AS dcg6,
+             CASE WHEN ipos <= 10 THEN
+               rel * CAST(FLOOR(1e6 / log2(CAST(ipos + 1 AS DOUBLE)) + 0.5)
+                     AS BIGINT) ELSE 0 END AS idcg6
+      FROM ranked)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant,
+           FLOOR((CAST(SUM(dcg6) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             AS dcg_at_10,
+           CASE WHEN SUM(idcg6) > 0 THEN
+             FLOOR((CAST(SUM(dcg6) AS DOUBLE) / SUM(idcg6)) * 1e6 + 0.5) / 1e6
+           END AS ndcg_at_10
+    FROM terms GROUP BY source
+    """,
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking quality per source (H183) — the eval family's
+    RANKING metric (AUC H60 scores pairwise order over the whole list;
+    NDCG scores the top of the list, where retrieval and recommendation
+    live, with position-discounted gains): a document-length retrieval
+    proxy scored against lang='en' relevance. Two ranks per source (the
+    system ranking and the relevance-ideal re-ranking), each DCG term
+    1/log2(pos+1) snapped to the 1e6 integer grid BEFORE the group sum —
+    group sums are unordered, so raw float terms are the
+    accumulation-order divergence class — and one double division yields
+    NDCG, NULL when a source has no relevant docs. Shape: two
+    source-partitioned windows + one source rollup; never a global
+    structure."""
+    d = _t(spark, sf_dir, "documents")
+    rel = F.when(F.col("lang") == "en", 1).otherwise(0)
+    w_sys = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    w_ideal = Window.partitionBy("source").orderBy(
+        rel.desc(), F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = d.select(
+        "source",
+        rel.alias("rel"),
+        F.row_number().over(w_sys).alias("pos"),
+        F.row_number().over(w_ideal).alias("ipos"),
+    )
+
+    def term(pos_col):
+        return F.when(
+            F.col(pos_col) <= 10,
+            F.col("rel")
+            * F.floor(
+                F.lit(1e6) / F.log2((F.col(pos_col) + 1).cast("double")) + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    terms = ranked.select(
+        "source", "rel", term("pos").alias("dcg6"), term("ipos").alias("idcg6")
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("rel").cast("long").alias("n_relevant"),
+        PAR.round6(F.sum("dcg6").cast("double") / F.lit(1e6)).alias("dcg_at_10"),
+        F.when(
+            F.sum("idcg6") > 0,
+            PAR.round6(F.sum("dcg6").cast("double") / F.sum("idcg6")),
+        ).alias("ndcg_at_10"),
+    )
+
+
+@register(
+    "q_part_abc_migration",
+    # ABC class MIGRATION between the two calendar halves of the shipping
+    # range: per-half classes by the same exclusive-integer-cumulative
+    # rule as q_part_abc_class, halves split on the integer midpoint
+    # epoch day, full-outer matrix with 'N' (absent) rows — the
+    # assortment-churn readout a static ABC cut hides.
+    oracle="""
+    WITH days AS (
+      SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS dd,
+             l_partkey,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+               AS BIGINT) AS rm
+      FROM lineitem),
+    mid AS (SELECT (MIN(dd) + MAX(dd)) // 2 AS m FROM days),
+    pr AS (
+      SELECT CASE WHEN dd <= (SELECT m FROM mid) THEN 1 ELSE 2 END AS half,
+             l_partkey, SUM(CAST(rm AS HUGEINT)) AS rev
+      FROM days GROUP BY 1, 2),
+    r AS (
+      SELECT half, l_partkey, rev,
+             COALESCE(SUM(rev) OVER (PARTITION BY half
+               ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume,
+             SUM(rev) OVER (PARTITION BY half) AS tot
+      FROM pr),
+    cls AS (
+      SELECT half, l_partkey,
+             CASE WHEN 5 * cume < 4 * tot THEN 'A'
+                  WHEN 20 * cume < 19 * tot THEN 'B'
+                  ELSE 'C' END AS c
+      FROM r)
+    SELECT COALESCE(c1.c, 'N') AS class_from, COALESCE(c2.c, 'N') AS class_to,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM (SELECT l_partkey, c FROM cls WHERE half = 1) c1
+    FULL OUTER JOIN (SELECT l_partkey, c FROM cls WHERE half = 2) c2
+      ON c1.l_partkey = c2.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def q_part_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC class migration matrix (H184) — the assortment-CHURN readout a
+    static ABC cut (H160) hides: the same exclusive-integer-cumulative
+    classification run independently on the two calendar halves of the
+    shipping range (split at the integer midpoint epoch day — no float
+    date arithmetic), full-outer joined into a from->to matrix with 'N'
+    rows for parts absent from a half (new listings / delistings). An A->C
+    cell is demand collapse; C->A is a breakout; the N column is assortment
+    turnover. Shape: one lineitem scan to (half, part) rollups, one
+    per-half rank window over the part domain, a matrix-sized output."""
+    li = _t(spark, sf_dir, "lineitem")
+    days = li.select(
+        F.expr("CAST(unix_micros(l_shipdate) DIV 86400000000 AS BIGINT)").alias(
+            "dd"
+        ),
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rm"),
+    )
+    mid = days.agg(
+        F.expr("CAST((MIN(dd) + MAX(dd)) DIV 2 AS BIGINT)").alias("m")
+    )
+    dec = "decimal(38,0)"
+    pr = (
+        days.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("dd") <= F.col("m"), 1).otherwise(2).alias("half"),
+            "l_partkey",
+            "rm",
+        )
+        .groupBy("half", "l_partkey")
+        .agg(F.sum(F.col("rm").cast(dec)).alias("rev"))
+    )
+    w_cume = (
+        Window.partitionBy("half")
+        .orderBy(F.col("rev").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_half = Window.partitionBy("half")
+    r = pr.select(
+        "half",
+        "l_partkey",
+        F.coalesce(F.sum("rev").over(w_cume), F.lit(0).cast(dec)).alias("cume"),
+        F.sum("rev").over(w_half).alias("tot"),
+    )
+    cls = r.select(
+        "half",
+        "l_partkey",
+        F.when(5 * F.col("cume") < 4 * F.col("tot"), "A")
+        .when(20 * F.col("cume") < 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("c"),
+    )
+    c1 = cls.filter(F.col("half") == 1).select("l_partkey", F.col("c").alias("c1"))
+    c2 = cls.filter(F.col("half") == 2).select("l_partkey", F.col("c").alias("c2"))
+    return (
+        c1.join(c2, "l_partkey", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("c1"), F.lit("N")).alias("class_from"),
+            F.coalesce(F.col("c2"), F.lit("N")).alias("class_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
