@@ -15978,3 +15978,59 @@ def q_part_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_parts"))
     )
+
+
+@register(
+    "q_join_bucketed_colocated",
+    # Bucketed-layout certification: orders and lineitem rewritten as
+    # 8-bucket tables on the order key (sources/bucketed.py), then the
+    # fact-fact join runs WITHOUT an Exchange on either side (plan-pinned
+    # in tests/test_plan_shapes.py). The oracle replays the same join on
+    # the raw parquet — bucketing must change the PLAN, never the result.
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                      * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                  / 1e6) * 1e6 + 0.5) / 1e6 AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join (H181) — the WRITE-TIME shuffle:
+    at 100 TB the nightly orders-lineitem join's dominant cost is
+    hash-partitioning both sides at query time, every time; bucketBy(8,
+    key) + sortBy(key) pays that partitioning ONCE at ingest, and every
+    subsequent join on the key is a zero-Exchange SortMergeJoin (each
+    executor merges bucket i of both tables locally — the Spark-native
+    equivalent of the co-located join every MPP warehouse builds its
+    nightly pipelines on). The result must be byte-identical to the
+    unbucketed join — the oracle replays it on raw parquet; the
+    shuffle-free property is pinned by plan test, the bucket-file
+    discipline (8 files per table, not tasks x 8) by the writer's
+    pre-repartition. Revenue in exact integer micro-dollars."""
+    from plenario_mapper_spark.sources.bucketed import ensure_bucketed_pair
+
+    o_name, l_name = ensure_bucketed_pair(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    dec = "decimal(38,0)"
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            PAR.round6(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                        + F.lit(0.5)
+                    ).cast(dec)
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("revenue"),
+        )
+    )

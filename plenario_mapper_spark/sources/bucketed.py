@@ -1,57 +1,76 @@
-"""Bucketed (co-located) tables: pre-shuffled storage for repeated fact-fact joins.
+"""Bucketed table layout: the shuffle-free co-located join.
 
-At 100 TB the dominant recurring cost is shuffling the same fact tables on the
-same keys for every join (lineitem⋈orders on orderkey, events⋈sessions on
-user_id, ...). Bucketing pays that shuffle ONCE at write time: both tables are
-hash-partitioned into the same number of buckets on the join key and sorted
-within buckets, so Catalyst plans the join with ZERO Exchange on either side
-(SortMergeJoin reads bucket i against bucket i) — asserted by
-tests/test_bucketed.py on the physical plan.
+At 100 TB the most expensive operator in a fact-to-fact join is the shuffle
+that hash-partitions BOTH sides on the join key at query time. Spark's
+bucketed tables move that shuffle to WRITE time, once: `bucketBy(N, key)`
+hash-partitions rows into N bucket files per table using the same Murmur3
+bucketing both the writer and every future reader agree on, and
+`sortBy(key)` pre-sorts within each bucket. Two tables bucketed the same way
+(same N, same key semantics) then join with a SortMergeJoin that has ZERO
+Exchange on either side — every executor reads bucket i of both tables and
+merges locally. This is the standing answer to "this nightly fact-fact join
+shuffles 40 TB every run": pay the partitioning once at ingest, never per
+query. (AQE/broadcast still win for genuinely small sides; bucketing is for
+the big-big case.)
 
-Rules for the layout to pay off:
-- same bucket count AND same key on both tables (mismatch ⇒ one side re-shuffles);
-- bucket count chosen for the TARGET cluster's parallelism (e.g. 4096 at 100 TB,
-  a multiple of executor cores), not the current input size;
-- `spark.sql.sources.bucketing.enabled` (default on) and
-  `spark.sql.legacy.bucketedTableScan.outputOrdering=true` to also elide the Sort.
-
-Spark bucketing requires the session catalog (saveAsTable) — plain
-`.parquet(path)` writes carry no bucket metadata.
+Bucket metadata lives in the session catalog, so unlike the Hive-partitioned
+layout (sources/partitioned.py, directory-visible) a bucketed table must be
+(re)registered per session via saveAsTable. The writer repartitions ON the
+bucket key first so each bucket receives one writer task's output (N files,
+not tasks x N) — the compaction discipline q_compaction_manifest certifies.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+N_BUCKETS = 8
 
 
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_cols: list[str],
-    num_buckets: int,
-    sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
-    path: str | None = None,
-) -> None:
-    """Persist `df` as a bucketed (and bucket-sorted) catalog table. With
-    `path`, an external table at that location (warehouse.dir is a static
-    conf — an explicit location sidesteps it)."""
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
-    w = w.sortBy(*(sort_cols or bucket_cols))
-    if path is not None:
-        w = w.option("path", path)
-    w.format("parquet").saveAsTable(table)
+def _ident(sf_dir: str) -> str:
+    """Content identity of the (orders, lineitem) pair: regenerated testdata
+    must never reuse a stale layout or a stale catalog entry."""
+    parts = []
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(p)
+    return hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
 
 
-def colocated_join(
-    spark: SparkSession,
-    left_table: str,
-    right_table: str,
-    on: list[str],
-    how: str = "inner",
-) -> DataFrame:
-    """Join two identically-bucketed catalog tables on their bucket key.
+def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders and lineitem as 8-bucket tables on the order key
+    and return their catalog names. Per-(session, source-version)
+    idempotent: the table name carries the source identity, so a catalog
+    hit means both the files and the registration are current; a fresh
+    session re-registers (and mode("overwrite") replaces any torn files
+    from a crashed prior writer)."""
+    from plenario_mapper_spark.plans.relational import _t
 
-    With matching bucketing this is a shuffle-free sort-merge join; Spark
-    verifies via the catalog's bucket spec, nothing to hint."""
-    return spark.table(left_table).join(spark.table(right_table), on, how)
+    suffix = _ident(sf_dir)
+    o_name = f"orders_bkt_{suffix}"
+    l_name = f"lineitem_bkt_{suffix}"
+    if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(l_name):
+        return o_name, l_name
+    root = os.path.join(tempfile.gettempdir(), f"bucketed_{suffix}")
+    for name, table, key in (
+        (o_name, "orders", "o_orderkey"),
+        (l_name, "lineitem", "l_orderkey"),
+    ):
+        df = _t(spark, sf_dir, table)
+        (
+            df.repartition(N_BUCKETS, key)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    return o_name, l_name

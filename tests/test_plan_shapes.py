@@ -914,3 +914,46 @@ def test_pca_gram_partials_is_one_python_pass(spark):
     py = [n for n in nodes if "MapInPandas" in n or "EvalPython" in n]
     assert len(py) == 1, nodes
     assert not any("Join" in n for n in nodes), nodes
+
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark):
+    """The whole point of sources/bucketed.py: both fact sides pre-bucketed on
+    the join key means the SortMergeJoin runs with ZERO Exchange under it —
+    the only shuffle in the query is the aggregate's. Broadcast is disabled so
+    the small sf can't hide a missing-bucketing regression behind a
+    BroadcastHashJoin; a second ensure call must hit the session catalog, not
+    rewrite."""
+    from pyspark.sql import functions as F
+
+    from plenario_mapper_spark.sources.bucketed import ensure_bucketed_pair
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        o_name, l_name = ensure_bucketed_pair(spark, SF)
+        o, li = spark.table(o_name), spark.table(l_name)
+        j = (
+            o.join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = _plan(j)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert "SortMergeJoin" in plan, plan
+    # no shuffle on either JOIN key — the single Exchange belongs to the agg
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # idempotence: the second call is a catalog hit (same names, no rewrite)
+    assert ensure_bucketed_pair(spark, SF) == (o_name, l_name)
