@@ -16034,3 +16034,401 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_events_kendall_tau",
+    # Kendall tau-b between daily click and purchase volumes: concordant /
+    # discordant / tied pair counts from an ordered self-join on the DAY
+    # domain (O(days^2) pairs of a metadata-sized series, never events),
+    # the tie-corrected denominator from exact integer pair counts, one
+    # sqrt+division at the end.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY d),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.d < b.d),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(conc) AS BIGINT) AS c, CAST(SUM(disc) AS BIGINT) AS dd,
+             CAST(SUM(tx) AS BIGINT) AS n1, CAST(SUM(ty) AS BIGINT) AS n2
+      FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           c AS n_concordant, dd AS n_discordant,
+           CASE WHEN (n0 - n1) * (n0 - n2) > 0 THEN
+             FLOOR((CAST(c - dd AS DOUBLE)
+                    / sqrt(CAST((n0 - n1) AS DOUBLE) * (n0 - n2)))
+                   * 1e6 + 0.5) / 1e6 END AS tau_b
+    FROM m
+    """,
+)
+def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (H185) — the third member of the correlation trio
+    (Pearson H98 = linear, Spearman H174 = monotone-by-ranks, Kendall =
+    monotone-by-PAIRS): tau counts concordant vs discordant day pairs
+    directly, is even more outlier-proof than Spearman, and its tie
+    correction (tau-b) is exact integer arithmetic — concordant,
+    discordant, and per-axis tied pair counts are all integers, the
+    denominator sqrt((n0-n1)(n0-n2)) the only float op. The quadratic
+    pair join runs on the DAY domain (a metadata-sized series at any
+    corpus scale — the same argument as the Theil-Sen pair join, H136);
+    NULL when either axis is fully tied. One day rollup + one bounded
+    self-join + one global aggregate."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    daily = daily.persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("n1"),
+        F.sum("ty").cast("long").alias("n2"),
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    den = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))
+    return m.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("c").alias("n_concordant"),
+        F.col("dd").alias("n_discordant"),
+        F.when(
+            den > 0,
+            PAR.round6(
+                (F.col("c") - F.col("dd")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2"))
+                )
+            ),
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "q_supplier_rca",
+    # Balassa revealed comparative advantage per (nation, part category):
+    # RCA = (x_ns/x_n)/(x_s/x_tot) collapsed to ONE exact cross-product
+    # quotient x_ns*x_tot / (x_n*x_s) — four exact integer revenue sums,
+    # one double division; top-20 on the bit-identical rounded grid.
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk,
+             split_part(p.p_type, ' ', 1) AS cat,
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                            + 0.5) AS HUGEINT)) AS x
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nk, cat, x,
+             SUM(x) OVER (PARTITION BY nk) AS xn,
+             SUM(x) OVER (PARTITION BY cat) AS xs,
+             SUM(x) OVER () AS xt
+      FROM rev)
+    SELECT n.n_name AS nation, t.cat AS category,
+           FLOOR((CAST(t.x AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS revenue,
+           FLOOR((CAST(t.x * t.xt AS DOUBLE) / CAST(t.xn * t.xs AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS rca
+    FROM tot t JOIN nation n ON n.n_nationkey = t.nk
+    ORDER BY rca DESC, nation, category
+    LIMIT 20
+    """,
+)
+def q_supplier_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa revealed comparative advantage (H186) — the trade-economics
+    specialization index next to HHI's concentration scalar (H173 asks
+    "is this market monopolized"; RCA asks "is this nation OVERWEIGHT in
+    this category relative to the world", the assortment-strategy
+    question): RCA_ns = (x_ns/x_n)/(x_s/x_tot), collapsed to ONE exact
+    cross-product quotient x_ns*x_tot/(x_n*x_s) so no intermediate share
+    float ever exists — the four revenue sums are exact decimal(38,0)
+    micro-dollars (products reach ~1e50, which decimal multiplication
+    handles by double-casting AFTER the exact sums). Top-20 ordered on
+    the bit-identical 1e6-grid value (ties broken by name). Shape: one
+    (nation, category) rollup riding two dimension joins, three window
+    sums over the cell domain (25 nations x ~6 categories), top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("cat"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                    + F.lit(0.5)
+                ).cast(dec)
+            ).alias("x")
+        )
+    )
+    tot = rev.select(
+        "nk",
+        "cat",
+        "x",
+        F.sum("x").over(Window.partitionBy("nk")).alias("xn"),
+        F.sum("x").over(Window.partitionBy("cat")).alias("xs"),
+        F.sum("x").over(Window.partitionBy()).alias("xt"),
+    )
+    return (
+        tot.join(F.broadcast(n), tot.nk == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("cat").alias("category"),
+            PAR.round6(F.col("x").cast("double") / F.lit(1e6)).alias("revenue"),
+            PAR.round6(
+                (F.col("x") * F.col("xt")).cast("double")
+                / (F.col("xn") * F.col("xs")).cast("double")
+            ).alias("rca"),
+        )
+        .orderBy(F.col("rca").desc(), "nation", "category")
+        .limit(20)
+    )
+
+
+@register(
+    "q_part_price_elasticity",
+    # Log-log demand regression across parts: per-part ln(avg price) and
+    # ln(total quantity) snapped to the 1e6 grid BEFORE the moment sums
+    # (the unordered-float-sum divergence class), OLS slope = elasticity
+    # from exact integer moments (grid scale cancels in the slope), plus
+    # intercept and r^2.
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                 AS HUGEINT)) AS rev,
+             SUM(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS HUGEINT)) AS qty
+      FROM lineitem GROUP BY l_partkey),
+    lg AS (
+      SELECT CAST(FLOOR(ln(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS lp6,
+             CAST(FLOOR(ln(CAST(qty AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)
+               AS lq6
+      FROM pp WHERE rev > 0 AND qty > 0),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(lp6 AS HUGEINT)) AS sx, SUM(CAST(lq6 AS HUGEINT)) AS sy,
+             SUM(CAST(lp6 AS HUGEINT) * lp6) AS sxx,
+             SUM(CAST(lq6 AS HUGEINT) * lq6) AS syy,
+             SUM(CAST(lp6 AS HUGEINT) * lq6) AS sxy
+      FROM lg)
+    SELECT n AS n_parts,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS elasticity,
+           FLOOR(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1e6)) * 1e6 + 0.5) / 1e6
+             AS log_intercept,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS r2
+    FROM m
+    """,
+)
+def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand (H187) — the econometric
+    regression behind every pricing review (a 1% price increase moves
+    quantity by elasticity %): across parts, OLS of ln(quantity) on
+    ln(average realized price). Both log terms snap to the 1e6 integer
+    grid BEFORE the five moment sums (per-part floats summed in unordered
+    group order are the divergence class; the grid scale cancels in the
+    slope, and the intercept divides it back out), moments exact in
+    decimal(38,0), three double divisions at the end (slope, intercept,
+    r^2). Shape: one part rollup from the lineitem scan, one global
+    aggregate — fully partial-aggregable, no window, no sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                + F.lit(0.5)
+            ).cast(dec)
+        ).alias("rev"),
+        F.sum(F.floor(F.col("l_quantity") * 1e6 + F.lit(0.5)).cast(dec)).alias(
+            "qty"
+        ),
+    )
+    lg = pp.filter((F.col("rev") > 0) & (F.col("qty") > 0)).select(
+        F.floor(
+            F.log(F.col("rev").cast("double") / F.col("qty").cast("double")) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp6"),
+        F.floor(F.log(F.col("qty").cast("double") / F.lit(1e6)) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("lq6"),
+    )
+    m = lg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("lp6").cast(dec)).alias("sx"),
+        F.sum(F.col("lq6").cast(dec)).alias("sy"),
+        F.sum(F.col("lp6").cast(dec) * F.col("lp6")).alias("sxx"),
+        F.sum(F.col("lq6").cast(dec) * F.col("lq6")).alias("syy"),
+        F.sum(F.col("lp6").cast(dec) * F.col("lq6")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return m.select(
+        F.col("n").alias("n_parts"),
+        PAR.round6(slope).alias("elasticity"),
+        PAR.round6(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (n.cast("double") * F.lit(1e6))
+        ).alias("log_intercept"),
+        PAR.round6(cov * cov / (varx * vary)).alias("r2"),
+    )
+
+
+@register(
+    "q_customer_theil",
+    # Theil T inequality with between/within-nation decomposition:
+    # T = sum_g s_g*T_g + sum_g s_g*ln(s_g/(N_g/N)). Every entropy term
+    # r*ln(r) snaps to the 1e6 grid before its unordered group sum; the
+    # group-level shares come from exact integer revenue sums.
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey AS c, cu.c_nationkey AS nk,
+             SUM(CAST(FLOOR(o.o_totalprice * 1e6 + 0.5) AS BIGINT)) AS x
+      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS big_n,
+             SUM(CAST(x AS HUGEINT)) AS big_x
+      FROM rev),
+    pre AS (
+      SELECT nk, x,
+             COUNT(*) OVER (PARTITION BY nk) AS ngw,
+             SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY nk) AS xgw
+      FROM rev),
+    terms AS (
+      SELECT nk, x,
+             CAST(FLOOR((CAST(x AS DOUBLE) * ngw / CAST(xgw AS DOUBLE))
+                  * ln(CAST(x AS DOUBLE) * ngw / CAST(xgw AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS t6
+      FROM pre),
+    grp AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng, SUM(CAST(x AS HUGEINT)) AS xg,
+             SUM(CAST(t6 AS HUGEINT)) AS tw6
+      FROM terms GROUP BY nk)
+    SELECT n.n_name AS nation, g.ng AS n_customers,
+           FLOOR((CAST(g.xg AS DOUBLE) / CAST(t.big_x AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS revenue_share,
+           FLOOR((CAST(g.tw6 AS DOUBLE) / (g.ng * 1e6)) * 1e6 + 0.5) / 1e6
+             AS theil_within,
+           FLOOR(((CAST(g.xg AS DOUBLE) / CAST(t.big_x AS DOUBLE))
+                  * ln((CAST(g.xg AS DOUBLE) / CAST(t.big_x AS DOUBLE))
+                       / (CAST(g.ng AS DOUBLE) / t.big_n))) * 1e6 + 0.5) / 1e6
+             AS between_term
+    FROM grp g, tot t JOIN nation n ON n.n_nationkey = g.nk
+    """,
+)
+def q_customer_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality decomposition (H188) — what Gini (H172) can't
+    do: Theil's entropy form decomposes ADDITIVELY into within-group and
+    between-group inequality (T = sum s_g*T_g + sum s_g*ln(s_g/n_g-share)),
+    answering "is revenue inequality driven by spread INSIDE nations or
+    differences BETWEEN them". Per-customer entropy terms r*ln(r)
+    (r = x*N_g/X_g, the within-group relative revenue) snap to the 1e6
+    grid before their unordered group sum; group shares come from exact
+    integer micro-dollar sums, each between-term spending two double
+    divisions and one ln. Shape: one customer rollup, one nation-window
+    pass for the group moments, a 25-row output (per-nation within +
+    between terms; the global T is their weighted sum)."""
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    nn = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    rev = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("x")
+        )
+    )
+    tot = rev.agg(
+        F.count("*").cast("long").alias("big_n"),
+        F.sum(F.col("x").cast(dec)).alias("big_x"),
+    )
+    w_nk = Window.partitionBy("nk")
+    r_within = (
+        F.col("x").cast("double")
+        * F.count("*").over(w_nk)
+        / F.sum(F.col("x").cast(dec)).over(w_nk).cast("double")
+    )
+    grp = (
+        rev.select(
+            "nk",
+            "x",
+            F.floor(r_within * F.log(r_within) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("t6"),
+        )
+        .groupBy("nk")
+        .agg(
+            F.count("*").cast("long").alias("ng"),
+            F.sum(F.col("x").cast(dec)).alias("xg"),
+            F.sum(F.col("t6").cast(dec)).alias("tw6"),
+        )
+    )
+    share = F.col("xg").cast("double") / F.col("big_x").cast("double")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(nn), grp.nk == nn.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").alias("n_customers"),
+            PAR.round6(share).alias("revenue_share"),
+            PAR.round6(
+                F.col("tw6").cast("double") / (F.col("ng") * F.lit(1e6))
+            ).alias("theil_within"),
+            PAR.round6(
+                share
+                * F.log(share / (F.col("ng").cast("double") / F.col("big_n")))
+            ).alias("between_term"),
+        )
+    )
