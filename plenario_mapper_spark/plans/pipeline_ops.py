@@ -16432,3 +16432,388 @@ def q_customer_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+@register(
+    "q_graph_modularity",
+    # Newman modularity of the 3-round label-propagation partition
+    # (H165's assignment, recomputed identically here): Q = sum_c
+    # (4*m*m_c - d_c^2) / (4*m^2) with every term an exact integer —
+    # within-community edge counts, degree sums, and edge total never
+    # touch a float until the single final division.
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 2 * l_suppkey AS s, 2 * l_partkey + 1 AS p FROM lineitem),
+    edges AS (
+      SELECT s AS src, p AS dst FROM pairs
+      UNION ALL SELECT p AS src, s AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l1 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l0 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    l2 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l1 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    l3 AS (SELECT node, label FROM (
+      SELECT e.src AS node, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, l.label) AS rk
+      FROM edges e JOIN l2 l ON e.dst = l.node
+      GROUP BY e.src, l.label) WHERE rk = 1),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM pairs),
+    within AS (
+      SELECT ls.label, CAST(COUNT(*) AS HUGEINT) AS mc
+      FROM pairs pr
+      JOIN l3 ls ON ls.node = pr.s
+      JOIN l3 lp ON lp.node = pr.p
+      WHERE ls.label = lp.label
+      GROUP BY ls.label),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS dg
+            FROM edges GROUP BY src),
+    dsum AS (
+      SELECT l.label, SUM(d.dg) AS dc
+      FROM l3 l JOIN deg d ON d.node = l.node
+      GROUP BY l.label),
+    terms AS (
+      SELECT ds.label, COALESCE(w.mc, 0) AS mc, ds.dc
+      FROM dsum ds LEFT JOIN within w ON w.label = ds.label)
+    SELECT (SELECT CAST(m AS BIGINT) FROM m) AS m_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(CAST(mc AS BIGINT)) AS BIGINT) AS m_within,
+           FLOOR((CAST(SUM(4 * (SELECT m FROM m) * mc - dc * dc) AS DOUBLE)
+                  / CAST(4 * (SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS modularity
+    FROM terms
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (H189) — the partition-QUALITY metric the
+    community family was missing (label propagation H165 produces a
+    partition; modularity says whether it is BETTER THAN CHANCE — the
+    community structure's effect size, Newman 2004): Q = sum_c (m_c/m -
+    (d_c/2m)^2), algebraically collapsed to sum(4*m*m_c - d_c^2)/(4m^2)
+    so within-community edge counts, degree sums, and the edge total all
+    stay exact integers (decimal(38,0) — d_c^2 wraps int64 on hub
+    communities) and exactly ONE double division happens. Same 3-round
+    deterministic assignment as q_graph_label_prop_3 (operators/graph.
+    label_propagation), so the two rows read together. Shape: the
+    label-prop rounds (cost ∝ |E| each) + two edge-sized joins + a
+    community rollup; one global row out."""
+    from plenario_mapper_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            (2 * F.col("l_suppkey")).alias("s"),
+            (2 * F.col("l_partkey") + 1).alias("p"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    l3 = G.label_propagation(edges, iterations=3).persist()
+    dec = "decimal(38,0)"
+    m = pairs.agg(F.count("*").cast(dec).alias("m"))
+    ls, lp = l3.alias("ls"), l3.alias("lp")
+    within = (
+        pairs.join(ls, F.col("ls.node") == F.col("s"))
+        .join(lp, F.col("lp.node") == F.col("p"))
+        .filter(F.col("ls.label") == F.col("lp.label"))
+        .groupBy(F.col("ls.label").alias("label"))
+        .agg(F.count("*").cast(dec).alias("mc"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast(dec).alias("dg")
+    )
+    dsum = (
+        l3.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("dg").alias("dc"))
+    )
+    terms = dsum.join(within, "label", "left").select(
+        "label",
+        F.coalesce(F.col("mc"), F.lit(0).cast(dec)).alias("mc"),
+        "dc",
+    )
+    agg = terms.crossJoin(F.broadcast(m)).agg(
+        F.max(F.col("m")).alias("m"),
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(F.col("mc").cast("long")).cast("long").alias("m_within"),
+        F.sum(
+            F.lit(4).cast(dec) * F.col("m") * F.col("mc")
+            - F.col("dc") * F.col("dc")
+        ).alias("num"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("m_edges"),
+        "n_communities",
+        "m_within",
+        PAR.round6(
+            F.col("num").cast("double")
+            / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+        ).alias("modularity"),
+    )
+
+
+@register(
+    "q_embed_silhouette",
+    # Sampled silhouette score per label cluster: deterministic 1-in-50
+    # id-gate sample, all pairwise L2 distances snapped to the 1e6 grid
+    # (unordered mean-distance sums), a(i) = own-cluster mean (self
+    # excluded), b(i) = min other-cluster mean, s = (b-a)/max(a,b)
+    # grid-snapped per point before the label rollup.
+    oracle="""
+    WITH samp AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    pd AS (
+      SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+             CAST(FLOOR(sqrt(list_sum(list_transform(
+                    range(1, len(a.embedding) + 1),
+                    k -> (CAST(a.embedding[k] AS DOUBLE)
+                          - CAST(b.embedding[k] AS DOUBLE))
+                         * (CAST(a.embedding[k] AS DOUBLE)
+                            - CAST(b.embedding[k] AS DOUBLE)))))
+                  * 1e6 + 0.5) AS BIGINT) AS d6
+      FROM samp a JOIN samp b ON a.vec_id <> b.vec_id),
+    md AS (
+      SELECT i, li, lj,
+             CAST(SUM(d6) AS DOUBLE) / (COUNT(*) * 1e6) AS m
+      FROM pd GROUP BY i, li, lj),
+    ab AS (
+      SELECT i, li,
+             MAX(CASE WHEN lj = li THEN m END) AS a_own,
+             MIN(CASE WHEN lj <> li THEN m END) AS b_other
+      FROM md GROUP BY i, li),
+    s AS (
+      SELECT li,
+             CAST(FLOOR(((b_other - a_own) / GREATEST(a_own, b_other))
+                  * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM ab
+      WHERE a_own IS NOT NULL AND b_other IS NOT NULL
+        AND GREATEST(a_own, b_other) > 0)
+    SELECT li AS label, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           FLOOR((CAST(SUM(s6) AS DOUBLE) / (COUNT(*) * 1e6)) * 1e6 + 0.5)
+             / 1e6 AS mean_silhouette
+    FROM s GROUP BY li
+    """,
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled silhouette score (H190) — the cluster-quality metric read
+    NEXT TO Davies-Bouldin (H143 compares centroid geometry; silhouette
+    asks each POINT whether it sits closer to its own cluster than to the
+    best rival — the member-level verdict DB's centroid view can miss):
+    per point, a = own-cluster mean distance (self excluded), b = best
+    other-cluster mean distance, s = (b-a)/max(a,b); per-label means.
+    Silhouette is quadratic by definition, so the engine computes it on a
+    deterministic 1-in-50 id-gate sample (the reproducible-sample
+    discipline; at 100 TB the knob is the gate modulus — cost is
+    (n/50)^2 pairs regardless of corpus growth). Every pair distance
+    snaps to the 1e6 grid before the unordered mean sums; per-point s
+    snaps again before the label rollup. JVM zip_with/aggregate fold for
+    the distances — no Python, vectors never shuffle past the sample
+    projection."""
+    e = _t(spark, sf_dir, "embeddings")
+    samp = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .persist()
+    )
+    a, b = samp.alias("a"), samp.alias("b")
+    fold = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pd_ = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("a.label").alias("li"),
+        F.col("b.label").alias("lj"),
+        F.floor(F.sqrt(fold) * 1e6 + F.lit(0.5)).cast("long").alias("d6"),
+    )
+    md = pd_.groupBy("i", "li", "lj").agg(
+        (F.sum("d6").cast("double") / (F.count("*") * F.lit(1e6))).alias("m")
+    )
+    ab = md.groupBy("i", "li").agg(
+        F.max(F.when(F.col("lj") == F.col("li"), F.col("m"))).alias("a_own"),
+        F.min(F.when(F.col("lj") != F.col("li"), F.col("m"))).alias("b_other"),
+    )
+    s = ab.filter(
+        F.col("a_own").isNotNull()
+        & F.col("b_other").isNotNull()
+        & (F.greatest("a_own", "b_other") > 0)
+    ).select(
+        "li",
+        F.floor(
+            (F.col("b_other") - F.col("a_own"))
+            / F.greatest("a_own", "b_other")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s6"),
+    )
+    return s.groupBy(F.col("li").alias("label")).agg(
+        F.count("*").cast("long").alias("n_scored"),
+        PAR.round6(F.sum("s6").cast("double") / (F.count("*") * F.lit(1e6))).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+@register(
+    "q_quality_freshness",
+    # Data-freshness / arrival-health audit per event type: last-seen day,
+    # staleness vs the corpus clock, active-span daily rate, and the
+    # final-week arrival ratio vs that rate — the "did a source silently
+    # stop or surge" readout, exact-integer except two final divisions.
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+    clock AS (SELECT MAX(d) AS now_d FROM ev),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(d) AS first_d, MAX(d) AS last_d,
+             CAST(SUM(CASE WHEN d > (SELECT now_d FROM clock) - 7
+                           THEN 1 ELSE 0 END) AS BIGINT) AS last7
+      FROM ev GROUP BY event_type)
+    SELECT event_type,
+           n_events,
+           CAST((SELECT now_d FROM clock) - last_d AS BIGINT) AS days_stale,
+           CAST(last_d - first_d + 1 AS BIGINT) AS span_days,
+           FLOOR((CAST(n_events AS DOUBLE) / (last_d - first_d + 1))
+                 * 1e6 + 0.5) / 1e6 AS daily_rate,
+           FLOOR((CAST(last7 * (last_d - first_d + 1) AS DOUBLE)
+                  / CAST(7 * n_events AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS last_week_vs_rate
+    FROM per
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / arrival-health audit (H191) — the data-quality family's
+    CLOCK member (constraints H15 check values, FK audits H55 check
+    references, drift H40 checks distributions; this checks ARRIVAL: did
+    a source silently stop, stall, or surge): per event type, last-seen
+    day and staleness against the corpus clock (max day over ALL types —
+    a stale type can't hide by being its own clock), the active-span
+    daily rate, and the final-week arrival ratio vs that rate as one
+    exact cross-product quotient (last7*span)/(7*n). A ratio near 0 is a
+    dying source; near 1, steady; above 1, surging. One scan, one
+    type rollup, a 1-row broadcast clock."""
+    e = _events(spark, sf_dir)
+    ev = e.select(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d"),
+    )
+    clock = ev.agg(F.max("d").alias("now_d"))
+    per = (
+        ev.crossJoin(F.broadcast(clock))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+            F.sum(
+                F.when(F.col("d") > F.col("now_d") - 7, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("last7"),
+            F.max("now_d").alias("now_d"),
+        )
+    )
+    span = F.col("last_d") - F.col("first_d") + 1
+    return per.select(
+        "event_type",
+        "n_events",
+        (F.col("now_d") - F.col("last_d")).cast("long").alias("days_stale"),
+        span.cast("long").alias("span_days"),
+        PAR.round6(F.col("n_events").cast("double") / span).alias("daily_rate"),
+        PAR.round6(
+            (F.col("last7") * span).cast("double")
+            / (F.lit(7) * F.col("n_events")).cast("double")
+        ).alias("last_week_vs_rate"),
+    )
+
+
+@register(
+    "q_orders_backlog_aging",
+    # Open-order backlog aging: non-finished orders bucketed by integer
+    # age (days against the corpus clock) into 30/60/90/90+ bands per
+    # priority, with exact micro-dollar value per cell — the AR-style
+    # aging schedule every operations review opens with.
+    oracle="""
+    WITH clock AS (
+      SELECT MAX(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS now_d
+      FROM orders),
+    open_o AS (
+      SELECT o_orderpriority AS priority,
+             (SELECT now_d FROM clock)
+               - CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS age,
+             CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM orders WHERE o_orderstatus <> 'F'),
+    bucketed AS (
+      SELECT priority,
+             CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             vm
+      FROM open_o)
+    SELECT priority, age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR((CAST(SUM(CAST(vm AS HUGEINT)) AS DOUBLE) / 1e6) * 1e6 + 0.5)
+             / 1e6 AS value
+    FROM bucketed GROUP BY priority, age_bucket
+    """,
+)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging schedule (H192) — the operational twin of
+    the churn/survival analytics (those read CLOSED history; this reads
+    the OPEN book — what is stuck, how stale, how much money is sitting
+    in it, the accounts-receivable aging pattern applied to fulfillment):
+    non-finished orders aged in integer days against the corpus clock,
+    banded 0-30/31-60/61-90/90+ per priority, exact micro-dollar value
+    per cell. Integer day arithmetic end to end (no date_diff float
+    forms); one scan + a 1-row broadcast clock + a ~20-key rollup."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr("CAST(unix_micros(o_orderdate) DIV 86400000000 AS BIGINT)")
+    clock = o.agg(F.max(day).alias("now_d"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(clock))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("now_d") - day).alias("age"),
+            F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    dec = "decimal(38,0)"
+    bucketed = open_o.select(
+        "priority",
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        "vm",
+    )
+    return bucketed.groupBy("priority", "age_bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        PAR.round6(F.sum(F.col("vm").cast(dec)).cast("double") / F.lit(1e6)).alias(
+            "value"
+        ),
+    )
