@@ -15678,18 +15678,33 @@ def q_events_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Adamic-Adar 1/ln(deg) — the AA sum accumulated on the 1e6 integer
     # grid per shared neighbor (a float sum over an unordered neighbor
     # set is the cross-engine divergence class), top-20 deterministic.
+    # Wedge enumeration runs on TRUNCATED adjacency: each shared neighbor
+    # contributes only its 24 strongest ties (co-occurrence weight desc,
+    # id tie-break — identical in both engines), bounding the wedge join
+    # at n*24^2 instead of sum(deg^2). The co-purchase graph is dense
+    # (median degree ~100 at every sf — the uncapped join OOMs at sf0.1);
+    # truncating to strongest ties is the standard item-CF neighborhood
+    # discipline, and AA/Jaccard still weight by the FULL degrees.
     oracle="""
-    WITH edges AS (
-      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    WITH wedges_w AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem x JOIN lineitem y
-        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT a, b FROM wedges_w),
     und AS (
-      SELECT a AS s, b AS d FROM edges
-      UNION ALL SELECT b, a FROM edges),
+      SELECT a AS s, b AS d, w FROM wedges_w
+      UNION ALL SELECT b, a, w FROM wedges_w),
     deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY s),
+    undl AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                       ORDER BY w DESC, d) AS rk
+        FROM und) WHERE rk <= 24),
     wedge AS (
       SELECT e1.d AS a, e2.d AS b, e1.s AS z
-      FROM und e1 JOIN und e2 ON e1.s = e2.s AND e1.d < e2.d),
+      FROM undl e1 JOIN undl e2 ON e1.s = e2.s AND e1.d < e2.d),
     cand AS (
       SELECT w.a, w.b,
              CAST(COUNT(*) AS BIGINT) AS cn,
@@ -15719,29 +15734,42 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence than a shared bestseller, Adamic & Adar 2003). The AA sum
     runs over an UNORDERED neighbor set, so each neighbor's contribution
     snaps to the 1e6 integer grid first and the sum is exact — the float
-    accumulation-order divergence never happens. Shape: the triangles
-    wedge join (cost ~ sum deg^2 — degree-cap or sample at 100 TB, same
-    caveat as q_graph_triangles' oracle), one anti-join against the edge
-    set, top-20 on a fully deterministic key. Cites app/mapper.js only
-    for table parity — the operator is public-graph-theory."""
+    accumulation-order divergence never happens. Scale: wedges enumerate
+    on TRUNCATED adjacency — each shared neighbor contributes only its
+    24 strongest ties (co-occurrence weight, deterministic tie-break;
+    same truncation in the oracle). The co-purchase graph is DENSE
+    (median degree ~100 at every sf), so the full wedge join is
+    sum(deg^2) ~ 288M at sf0.1 and OOMs; truncation bounds it at n*24^2
+    (linear in nodes at any corpus size) and is the standard item-CF
+    neighborhood discipline — weak ties carry the least AA evidence by
+    the weighting's own logic, while AA/Jaccard still use FULL degrees.
+    One anti-join against the edge set, top-20 on a deterministic key."""
     li = _t(spark, sf_dir, "lineitem")
     x, y = li.alias("x"), li.alias("y")
-    edges = (
+    edges_w = (
         x.join(
             y,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
             & (F.col("x.l_partkey") < F.col("y.l_partkey")),
         )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
-        .distinct()
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .agg(F.count("*").cast("long").alias("w"))
     )
-    edges = edges.persist()
-    und = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
-        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    )
+    edges_w = edges_w.persist()
+    edges = edges_w.select("a", "b")
+    und = edges_w.select(
+        F.col("a").alias("s"), F.col("b").alias("d"), "w"
+    ).unionByName(edges_w.select(F.col("b").alias("s"), F.col("a").alias("d"), "w"))
     und = und.persist()
     deg = und.groupBy("s").agg(F.count("*").cast("long").alias("dg"))
-    e1, e2 = und.alias("e1"), und.alias("e2")
+    deg = deg.persist()
+    w_top = Window.partitionBy("s").orderBy(F.col("w").desc(), "d")
+    und_low = (
+        und.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= 24)
+        .select("s", "d")
+    )
+    e1, e2 = und_low.alias("e1"), und_low.alias("e2")
     wedge = e1.join(
         e2, (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.d") < F.col("e2.d"))
     ).select(
