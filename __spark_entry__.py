@@ -385,7 +385,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_events_kendall_tau (H185), q_supplier_rca (H186),
 # q_part_price_elasticity (H187), q_customer_theil (H188),
 # q_graph_modularity (H189), q_embed_silhouette (H190),
-# q_quality_freshness (H191), q_orders_backlog_aging (H192).
+# q_quality_freshness (H191), q_orders_backlog_aging (H192),
+# q_events_holt_winters (H193), q_doc_byte_entropy (H194),
+# q_agg_mode_exact (H195), q_eval_mrr (H196).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

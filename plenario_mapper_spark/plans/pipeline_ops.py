@@ -16845,3 +16845,334 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
+
+
+@register(
+    "q_events_holt_winters",
+    # Holt-Winters additive triple smoothing, season m=7, alpha=beta=
+    # gamma=0.5 (dyadic - every step is the same short IEEE op sequence
+    # in both engines), initialized from the first full week (l = week
+    # mean, b = 0, s_i = x_i - l). The oracle carries the 7 seasonal
+    # factors as a rotating LIST through the recursive CTE; the engine
+    # folds per-series in Arrow-batched applyInPandas. Output: final
+    # state + the 7 k-step-ahead forecasts l + k*b + s[k].
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS et,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT et, d, CAST(x AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY d) AS rn
+      FROM daily),
+    tmax AS (SELECT et, MAX(rn) AS t_end FROM seq GROUP BY et),
+    init0 AS (
+      SELECT et, SUM(x) / 7.0 AS l,
+             list(x ORDER BY rn) AS xs
+      FROM seq WHERE rn <= 7 GROUP BY et HAVING COUNT(*) = 7),
+    hw AS (
+      SELECT et, 7 AS rn, l, CAST(0 AS DOUBLE) AS b,
+             list_transform(xs, v -> v - l) AS sea
+      FROM init0
+      UNION ALL
+      SELECT s.et, s.rn,
+             0.5 * (s.x - h.sea[1]) + 0.5 * (h.l + h.b),
+             0.5 * ((0.5 * (s.x - h.sea[1]) + 0.5 * (h.l + h.b)) - h.l)
+               + 0.5 * h.b,
+             list_append(h.sea[2:7],
+               0.5 * (s.x - (0.5 * (s.x - h.sea[1]) + 0.5 * (h.l + h.b)))
+                 + 0.5 * h.sea[1])
+      FROM hw h JOIN seq s ON s.et = h.et AND s.rn = h.rn + 1),
+    final AS (
+      SELECT h.et, h.l, h.b, h.sea
+      FROM hw h JOIN tmax t ON t.et = h.et AND h.rn = t.t_end)
+    SELECT f.et AS event_type, CAST(g.k AS INT) AS step_ahead,
+           FLOOR(f.l * 1e6 + 0.5) / 1e6 AS level,
+           FLOOR(f.b * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE) AS trend,
+           FLOOR(f.sea[g.k] * 1e6 + 0.5) / 1e6 + CAST(0 AS DOUBLE)
+             AS seasonal,
+           FLOOR((f.l + g.k * f.b + f.sea[g.k]) * 1e6 + 0.5) / 1e6
+             + CAST(0 AS DOUBLE) AS forecast
+    FROM final f, (SELECT unnest(range(1, 8)) AS k) g
+    """,
+)
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (H193) — the
+    top of the smoothing ladder (EWMA H53 tracks level, Holt H114 adds
+    trend, HW adds the WEEKLY SEASONAL the DOW profile H89 shows these
+    series have — a forecaster that can't see weekday shape mis-plans
+    every weekend): season m=7, alpha=beta=gamma=0.5 (dyadic — each step
+    is the same short IEEE op sequence in both engines), initialized
+    from the first full week (l = mean, b = 0, s_i = x_i - l, the
+    classical convention), series shorter than one season dropped.
+    The recursion carries (level, trend, 7 rotating seasonal factors) —
+    genuinely sequential state, so the engine folds per-series in
+    Arrow-batched applyInPandas (one shuffle on the series key, the Holt
+    machinery with a season buffer) while the oracle threads the factor
+    LIST through a recursive CTE. Output: the final state and all seven
+    k-step-ahead forecasts l + k*b + s[k]."""
+    import pandas as pd
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        if len(pdf) < 7:
+            return pd.DataFrame(
+                columns=["event_type", "step_ahead", "level", "trend",
+                         "seasonal", "forecast"]
+            )
+        xs = [float(v) for v in pdf["x"]]
+        l = sum(xs[:7]) / 7.0
+        b = 0.0
+        sea = [v - l for v in xs[:7]]
+        for x in xs[7:]:
+            s_old = sea[0]
+            l_new = 0.5 * (x - s_old) + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            s_new = 0.5 * (x - l_new) + 0.5 * s_old
+            l = l_new
+            sea = sea[1:] + [s_new]
+        et = pdf["event_type"].iloc[0]
+        rows = [
+            (et, k, l, b, sea[k - 1], l + k * b + sea[k - 1])
+            for k in range(1, 8)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "step_ahead", "level", "trend",
+                     "seasonal", "forecast"],
+        )
+
+    folded = daily.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, step_ahead int, level double, trend double,"
+        " seasonal double, forecast double",
+    )
+    return folded.select(
+        "event_type",
+        "step_ahead",
+        PAR.round6("level").alias("level"),
+        (PAR.round6("trend") + F.lit(0.0)).alias("trend"),
+        (PAR.round6("seasonal") + F.lit(0.0)).alias("seasonal"),
+        (PAR.round6("forecast") + F.lit(0.0)).alias("forecast"),
+    )
+
+
+@register(
+    "q_doc_byte_entropy",
+    # Byte-level Shannon entropy per document (the analyzable twin of the
+    # zlib compression-ratio quality filter): text -> UTF-8 -> hex ->
+    # 2-char byte tokens (codepoint-safe in BOTH engines — no '.' regex
+    # over astral chars), per-doc entropy from grid-snapped terms, then
+    # per-source mean and the low-entropy (repetitive/degenerate) share.
+    oracle="""
+    WITH by AS (
+      SELECT doc_id, source, unnest(regexp_extract_all(hex(encode(text)),
+             '..')) AS b
+      FROM documents),
+    cnts AS (
+      SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM by GROUP BY doc_id, source, b),
+    ent AS (
+      SELECT doc_id, source,
+             SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                            * log2(CAST(c AS DOUBLE) / n) * 1e6 + 0.5)
+                 AS BIGINT)) AS e6
+      FROM cnts GROUP BY doc_id, source)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((CAST(SUM(e6) AS DOUBLE) / (COUNT(*) * 1e6)) * 1e6 + 0.5)
+             / 1e6 AS mean_entropy_bits,
+           CAST(SUM(CASE WHEN e6 < 3000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def q_doc_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy (H194) — the quality family's
+    COMPRESSIBILITY member (Gopher-style filters use zlib ratio to catch
+    degenerate/repetitive text; byte entropy is its closed-form twin —
+    boilerplate and mojibake sit at the distribution's two ends where
+    token-level stats, Simpson H81 / lexicon H59, can look normal): text
+    to UTF-8 bytes via hex + 2-char tokens — the ONE codepoint-safe
+    tokenization both engines agree on (a '.' regex walks UTF-16 units in
+    Java but codepoints in RE2 — the astral divergence class the r9 fuzz
+    hunt documented), per-doc entropy from 1e6-grid-snapped -p*log2(p)
+    terms (unordered sums), per-source mean plus the <3-bit
+    low-entropy count. One explode + two rollups; the byte domain caps
+    every per-doc group at 256 rows."""
+    d = _t(spark, sf_dir, "documents")
+    by = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(hex(encode(text, 'UTF-8')), '..', 0)")
+        ).alias("b"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    cnts = by.groupBy("doc_id", "source", "b").agg(
+        F.count("*").cast("long").alias("c")
+    ).withColumn("n", F.sum("c").over(w_doc).cast("long"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = cnts.groupBy("doc_id", "source").agg(
+        F.sum(F.floor(-p * F.log2(p) * 1e6 + F.lit(0.5)).cast("long")).alias("e6")
+    )
+    return ent.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        PAR.round6(F.sum("e6").cast("double") / (F.count("*") * F.lit(1e6))).alias(
+            "mean_entropy_bits"
+        ),
+        F.sum(F.when(F.col("e6") < 3000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_entropy"),
+    )
+
+
+@register(
+    "q_agg_mode_exact",
+    # Exact mode / antimode per group with the (count desc, value asc) /
+    # (count asc, value asc) tie pacts spelled out — the deterministic
+    # form of a surface where engine-native mode() functions differ on
+    # ties, plus the mode's support share as an exact ratio.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT grp, v, c,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, v) AS rk_mode,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c ASC, v) AS rk_anti,
+             SUM(c) OVER (PARTITION BY grp) AS n
+      FROM c)
+    SELECT grp AS returnflag,
+           MAX(CASE WHEN rk_mode = 1 THEN v END) AS mode_qty,
+           MAX(CASE WHEN rk_mode = 1 THEN c END) AS mode_count,
+           FLOOR((CAST(MAX(CASE WHEN rk_mode = 1 THEN c END) AS DOUBLE)
+                  / MAX(n)) * 1e6 + 0.5) / 1e6 AS mode_share,
+           MAX(CASE WHEN rk_anti = 1 THEN v END) AS antimode_qty,
+           MAX(CASE WHEN rk_anti = 1 THEN c END) AS antimode_count
+    FROM r GROUP BY grp
+    """,
+)
+def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode / antimode per group (H195) — the aggregate-surface
+    member native mode() functions get WRONG across engines (Spark's
+    mode() and DuckDB's mode() both pick an arbitrary value on tied
+    counts; this form pins the tie pacts — (count desc, value asc) for
+    the mode, (count asc, value asc) for the antimode — so the answer is
+    a pure function of the data): per return flag, the most and least
+    common integer quantity, the mode's support count, and its share of
+    the group as one exact integer ratio. One (group, value) rollup +
+    two rank windows over the value domain (50 quantities — tiny), a
+    3-row output. The counted-domain pattern means no row-level sort at
+    any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    w_mode = Window.partitionBy("grp").orderBy(F.col("c").desc(), "v")
+    w_anti = Window.partitionBy("grp").orderBy(F.col("c").asc(), "v")
+    w_grp = Window.partitionBy("grp")
+    r = c.select(
+        "grp",
+        "v",
+        "c",
+        F.row_number().over(w_mode).alias("rk_mode"),
+        F.row_number().over(w_anti).alias("rk_anti"),
+        F.sum("c").over(w_grp).alias("n"),
+    )
+    return r.groupBy(F.col("grp").alias("returnflag")).agg(
+        F.max(F.when(F.col("rk_mode") == 1, F.col("v"))).alias("mode_qty"),
+        F.max(F.when(F.col("rk_mode") == 1, F.col("c"))).alias("mode_count"),
+        PAR.round6(
+            F.max(F.when(F.col("rk_mode") == 1, F.col("c"))).cast("double")
+            / F.max("n")
+        ).alias("mode_share"),
+        F.max(F.when(F.col("rk_anti") == 1, F.col("v"))).alias("antimode_qty"),
+        F.max(F.when(F.col("rk_anti") == 1, F.col("c"))).alias("antimode_count"),
+    )
+
+
+@register(
+    "q_eval_mrr",
+    # Mean reciprocal rank per source on the same length-ranked retrieval
+    # as NDCG (H183): 1/rank of the FIRST relevant document, reciprocals
+    # snapped to the 1e6 grid before the unordered source mean, plus the
+    # hit@1/hit@10 counts that bracket it.
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS pos
+      FROM documents),
+    firsts AS (
+      SELECT source, MIN(pos) AS first_pos
+      FROM ranked WHERE rel = 1 GROUP BY source),
+    per AS (
+      SELECT r.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MAX(f.first_pos) AS first_pos
+      FROM ranked r LEFT JOIN firsts f ON f.source = r.source
+      GROUP BY r.source)
+    SELECT source, n_docs,
+           CAST(first_pos AS BIGINT) AS first_relevant_rank,
+           CASE WHEN first_pos IS NOT NULL THEN
+             FLOOR((1.0 / first_pos) * 1e6 + 0.5) / 1e6
+           ELSE CAST(0 AS DOUBLE) END AS reciprocal_rank,
+           CAST(CASE WHEN first_pos = 1 THEN 1 ELSE 0 END AS INT) AS hit_at_1,
+           CAST(CASE WHEN first_pos <= 10 THEN 1 ELSE 0 END AS INT)
+             AS hit_at_10
+    FROM per
+    """,
+)
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank (H196) — NDCG's (H183) first-hit sibling,
+    the metric for single-answer retrieval (NDCG grades the whole top-10
+    shape; MRR only asks WHERE THE FIRST RIGHT ANSWER SITS — the
+    question-answering and known-item-search readout): on the same
+    length-ranked retrieval proxy, 1/rank of the first relevant doc per
+    source, with hit@1 and hit@10 bracketing it; sources with no
+    relevant doc score an explicit 0 (never silently dropped). One
+    source-partitioned rank window + a min + a source rollup."""
+    d = _t(spark, sf_dir, "documents")
+    rel = F.when(F.col("lang") == "en", 1).otherwise(0)
+    w_sys = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select("source", rel.alias("rel"), F.row_number().over(w_sys).alias("pos"))
+    firsts = (
+        ranked.filter(F.col("rel") == 1)
+        .groupBy("source")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    per = (
+        ranked.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(firsts, "source", "left")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        F.col("first_pos").cast("long").alias("first_relevant_rank"),
+        F.when(
+            F.col("first_pos").isNotNull(),
+            PAR.round6(F.lit(1.0) / F.col("first_pos")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reciprocal_rank"),
+        F.when(F.col("first_pos") == 1, 1).otherwise(0).cast("int").alias("hit_at_1"),
+        F.when(F.col("first_pos") <= 10, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hit_at_10"),
+    )
