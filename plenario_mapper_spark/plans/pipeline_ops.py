@@ -17045,7 +17045,8 @@ def q_doc_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ties, plus the mode's support share as an exact ratio.
     oracle="""
     WITH c AS (
-      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+      SELECT l_returnflag AS grp,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS v,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM lineitem GROUP BY 1, 2),
     r AS (
@@ -17077,9 +17078,12 @@ def q_agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row output. The counted-domain pattern means no row-level sort at
     any scale."""
     li = _t(spark, sf_dir, "lineitem")
+    # FLOOR before the integer cast: double->int casts DIVERGE across
+    # engines (DuckDB rounds, Spark truncates) — invisible on clean
+    # integer-valued doubles, found by the seed-77 float-fuzz clone.
     c = li.groupBy(
         F.col("l_returnflag").alias("grp"),
-        F.col("l_quantity").cast("long").alias("v"),
+        F.floor(F.col("l_quantity")).cast("long").alias("v"),
     ).agg(F.count("*").cast("long").alias("c"))
     w_mode = Window.partitionBy("grp").orderBy(F.col("c").desc(), "v")
     w_anti = Window.partitionBy("grp").orderBy(F.col("c").asc(), "v")
