@@ -387,7 +387,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_graph_modularity (H189), q_embed_silhouette (H190),
 # q_quality_freshness (H191), q_orders_backlog_aging (H192),
 # q_events_holt_winters (H193), q_doc_byte_entropy (H194),
-# q_agg_mode_exact (H195), q_eval_mrr (H196).
+# q_agg_mode_exact (H195), q_eval_mrr (H196),
+# q_eval_conformal_interval (H197), q_graph_assortativity (H198),
+# q_eval_brier_decomposition (H199).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

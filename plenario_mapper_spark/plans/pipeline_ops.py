@@ -17180,3 +17180,382 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("hit_at_10"),
     )
+
+
+@register(
+    "q_eval_conformal_interval",
+    # Split-conformal prediction interval for the DOW-mean daily-count
+    # forecaster: md5-gated calibration/eval day split, integer micro
+    # residuals |1e6*y - pred6|, the conformal quantile as the exact
+    # ceil((n+1)*0.9)-th order statistic, and the EMPIRICAL coverage of
+    # pred +/- q_hat measured on the held-out days.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    split AS (
+      SELECT d, y, (d + 4) % 7 AS dow,
+             CAST(('0x' || substr(md5('conf|' || CAST(d AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 AS s
+      FROM daily),
+    pred AS (
+      SELECT dow,
+             CAST(FLOOR(1e6 * SUM(y) / COUNT(*) + 0.5) AS BIGINT) AS p6
+      FROM split WHERE s = 0 GROUP BY dow),
+    resid AS (
+      SELECT abs(1000000 * c.y - p.p6) AS r6
+      FROM split c JOIN pred p ON p.dow = c.dow WHERE c.s = 0),
+    nq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k
+      FROM resid),
+    qh AS (
+      SELECT n_cal, k, r6 AS q6
+      FROM (SELECT r6, ROW_NUMBER() OVER (ORDER BY r6) AS rn FROM resid), nq
+      WHERE rn = k),
+    ev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN abs(1000000 * e.y - p.p6) <= qh.q6
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM split e JOIN pred p ON p.dow = e.dow, qh WHERE e.s = 1)
+    SELECT qh.n_cal, ev.n_eval,
+           FLOOR((CAST(qh.q6 AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS q_hat,
+           FLOOR((CAST(ev.n_covered AS DOUBLE) / ev.n_eval) * 1e6 + 0.5) / 1e6
+             AS coverage
+    FROM qh, ev
+    """,
+)
+def q_eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (H197) — the
+    distribution-free uncertainty wrapper modern forecasting evals
+    demand (the forecast-error baselines H105 score POINT accuracy; the
+    planning question is "give me a band that provably covers 90%", and
+    conformal delivers that with NO distributional assumption): days
+    md5-gated into calibration/eval halves (the leakage-safe-split
+    discipline), the DOW-mean forecaster fit on calibration only,
+    conformal q_hat = the exact ceil((n+1)*0.9)-th order statistic of
+    integer micro residuals, and the guarantee AUDITED as empirical
+    coverage on the held-out half. Residuals and the quantile are pure
+    integers; two double divisions at presentation. Shape: one day
+    rollup, a 7-row broadcast predictor, one rank over the calibration
+    residuals (day-domain sized)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    split = daily.select(
+        "d",
+        "y",
+        F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("conf|"), F.col("d").cast("string"))), 1, 8), 16, 10).cast("long")
+            % 2
+        ).alias("s"),
+    )
+    split = split.persist()
+    pred = (
+        split.filter(F.col("s") == 0)
+        .groupBy("dow")
+        .agg(
+            F.floor(F.lit(1e6) * F.sum("y") / F.count("*") + F.lit(0.5))
+            .cast("long")
+            .alias("p6")
+        )
+    )
+    resid = (
+        split.filter(F.col("s") == 0)
+        .join(F.broadcast(pred), "dow")
+        .select(F.abs(F.lit(1000000) * F.col("y") - F.col("p6")).alias("r6"))
+    )
+    resid = resid.persist()
+    nq = resid.agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.ceil((F.count("*") + 1) * F.lit(0.9)).cast("long").alias("k"),
+    )
+    ranked = resid.select(
+        "r6", F.row_number().over(Window.orderBy("r6")).alias("rn")
+    )
+    qh = ranked.crossJoin(F.broadcast(nq)).filter(
+        F.col("rn") == F.col("k")
+    ).select("n_cal", F.col("r6").alias("q6"))
+    ev = (
+        split.filter(F.col("s") == 1)
+        .join(F.broadcast(pred), "dow")
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.sum(
+                F.when(
+                    F.abs(F.lit(1000000) * F.col("y") - F.col("p6"))
+                    <= F.col("q6"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("q6").alias("q6"),
+        )
+    )
+    return ev.select(
+        "n_cal",
+        "n_eval",
+        PAR.round6(F.col("q6").cast("double") / F.lit(1e6)).alias("q_hat"),
+        PAR.round6(F.col("n_covered").cast("double") / F.col("n_eval")).alias(
+            "coverage"
+        ),
+    )
+
+
+@register(
+    "q_graph_assortativity",
+    # Degree assortativity of the part co-purchase graph: Pearson of
+    # (deg(u), deg(v)) over all directed edge endpoints — every moment an
+    # exact integer in HUGEINT/decimal, one sqrt+division; cost linear in
+    # |E| (no wedge enumeration anywhere).
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY s),
+    ed AS (
+      SELECT du.dg AS x, dv.dg AS y
+      FROM und u JOIN deg du ON du.s = u.s JOIN deg dv ON dv.s = u.d),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM ed)
+    SELECT n AS n_endpoints,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+             FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (H198) — the graph family's MIXING-pattern
+    scalar (Newman 2002: do hubs link to hubs, r > 0 — social-network
+    shape — or to leaves, r < 0 — hub-and-spoke/technological shape?
+    the single number that says which failure modes and which sampling
+    biases to expect): Pearson correlation of endpoint degrees over all
+    directed edges, every moment an exact integer (decimal(38,0) — the
+    quadratic sums wrap int64 on dense graphs), one sqrt+division, NULL
+    on degree-regular graphs (zero variance). Cost LINEAR in |E| — two
+    broadcast-able degree joins, no wedge enumeration — so unlike the
+    path-dependent metrics this one runs on the full 100 TB graph
+    as-is."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    und = und.persist()
+    deg = und.groupBy("s").agg(F.count("*").cast("long").alias("dg"))
+    du = deg.alias("du")
+    dv = deg.select(F.col("s").alias("d2"), F.col("dg").alias("dg2")).alias("dv")
+    ed = (
+        und.join(du, "s")
+        .join(dv, F.col("d") == F.col("d2"))
+        .select(F.col("dg").alias("x"), F.col("dg2").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    m = ed.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_endpoints"),
+        F.when(
+            (vx * vy) > 0,
+            PAR.round6(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ),
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "q_eval_brier_decomposition",
+    # Brier score with the Murphy decomposition (reliability - resolution
+    # + uncertainty), on the SAME md5-synthetic milli-probability score
+    # as q_eval_calibration_bins: the total and every per-bin term are
+    # exact-integer cross-ratios with one double division each, snapped
+    # to the grid before the unordered bin sums.
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y,
+             (CAST(('0x' || substr(md5('cal|' || CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000 * 2
+              + CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END * 1000) // 3 AS p_m
+      FROM embeddings),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM((p_m - 1000 * y) * (p_m - 1000 * y)) AS HUGEINT) AS se
+      FROM scored),
+    b AS (
+      SELECT p_m, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(p_m) AS BIGINT) AS spm, CAST(SUM(y) AS BIGINT) AS npos
+      FROM scored GROUP BY p_m),
+    terms AS (
+      SELECT
+        CAST(FLOOR((CAST((spm - 1000 * npos) AS DOUBLE)
+                    * (spm - 1000 * npos)
+                    / (CAST(nk AS DOUBLE) * 1e6)) * 1e6 + 0.5) AS BIGINT)
+          AS rel6,
+        CAST(FLOOR((CAST(npos * (SELECT n FROM tot)
+                          - nk * (SELECT pos FROM tot) AS DOUBLE)
+                    * CAST(npos * (SELECT n FROM tot)
+                           - nk * (SELECT pos FROM tot) AS DOUBLE)
+                    / (CAST(nk AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE)
+                       * (SELECT n FROM tot))) * 1e6 + 0.5) AS BIGINT) AS res6
+      FROM b)
+    SELECT t.n AS n_scored,
+           FLOOR((CAST(t.se AS DOUBLE) / (t.n * 1e6)) * 1e6 + 0.5) / 1e6
+             AS brier,
+           FLOOR((CAST(SUM(terms.rel6) AS DOUBLE) / (t.n * 1e6)) * 1e6 + 0.5)
+             / 1e6 AS reliability,
+           FLOOR((CAST(SUM(terms.res6) AS DOUBLE) / (t.n * 1e6)) * 1e6 + 0.5)
+             / 1e6 AS resolution,
+           FLOOR((CAST(t.pos AS DOUBLE) * (t.n - t.pos)
+                  / (CAST(t.n AS DOUBLE) * t.n)) * 1e6 + 0.5) / 1e6
+             AS uncertainty
+    FROM terms, tot t
+    GROUP BY t.n, t.se, t.pos
+    """,
+)
+def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition (H199) — what the reliability
+    diagram (H74) shows as a PICTURE, decomposed into the three numbers
+    that say WHY a probabilistic model scores what it scores: brier =
+    reliability - resolution + uncertainty (miscalibration penalty,
+    discrimination credit, irreducible base-rate noise) — a model can be
+    perfectly calibrated and still useless (zero resolution), which ECE
+    alone cannot see. Same md5-synthetic milli-probability score as the
+    calibration query so the rows read together. Decomposition bins are
+    the EXACT milli-score values (<=1001-point domain), not coarse
+    deciles: the 3-term Murphy identity is exact only when conditioning
+    on the forecast value itself — decile bins leak the within-bin
+    prediction variance into the identity (~1e-3, measured), a wrong
+    answer no rounding explains. Every per-value term is an
+    exact-integer cross-ratio with one double division, grid-snapped
+    before the unordered sums. One scan + a value-domain rollup + a
+    1-row broadcast total."""
+    emb = _t(spark, sf_dir, "embeddings")
+    y = F.when(F.col("label") % 2 == 1, 1).otherwise(0)
+    # integer DIV 3 via floor (the // in the oracle; operands non-negative):
+    scored = emb.select(
+        y.alias("y"),
+        F.floor(
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("cal|"), F.col("vec_id").cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1000
+                )
+                * 2
+                + y * 1000
+            )
+            / 3
+        )
+        .cast("long")
+        .alias("p_m"),
+    )
+    dec = "decimal(38,0)"
+    err = F.col("p_m") - 1000 * F.col("y")
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum((err * err).cast(dec)).alias("se"),
+    )
+    b = scored.groupBy("p_m").agg(
+        F.count("*").cast("long").alias("nk"),
+        F.sum("p_m").cast("long").alias("spm"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    bt = b.crossJoin(F.broadcast(tot))
+    rel_num = (F.col("spm") - 1000 * F.col("npos")).cast("double")
+    res_num = (
+        F.col("npos") * F.col("n") - F.col("nk") * F.col("pos")
+    ).cast("double")
+    terms = bt.select(
+        F.floor(
+            rel_num * rel_num / (F.col("nk").cast("double") * F.lit(1e6)) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rel6"),
+        F.floor(
+            res_num
+            * res_num
+            / (
+                F.col("nk").cast("double")
+                * F.col("n").cast("double")
+                * F.col("n")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("res6"),
+        "n",
+        "se",
+        "pos",
+    )
+    agg = terms.groupBy("n", "se", "pos").agg(
+        F.sum("rel6").cast("long").alias("rel6"),
+        F.sum("res6").cast("long").alias("res6"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_scored"),
+        PAR.round6(F.col("se").cast("double") / (F.col("n") * F.lit(1e6))).alias(
+            "brier"
+        ),
+        PAR.round6(
+            F.col("rel6").cast("double") / (F.col("n") * F.lit(1e6))
+        ).alias("reliability"),
+        PAR.round6(
+            F.col("res6").cast("double") / (F.col("n") * F.lit(1e6))
+        ).alias("resolution"),
+        PAR.round6(
+            F.col("pos").cast("double") * (F.col("n") - F.col("pos")) / (n_d * F.col("n"))
+        ).alias("uncertainty"),
+    )
