@@ -389,7 +389,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_events_holt_winters (H193), q_doc_byte_entropy (H194),
 # q_agg_mode_exact (H195), q_eval_mrr (H196),
 # q_eval_conformal_interval (H197), q_graph_assortativity (H198),
-# q_eval_brier_decomposition (H199).
+# q_eval_brier_decomposition (H199),
+# q_events_mann_kendall (H200), q_eval_brown_forsythe (H201),
+# q_doc_cramers_v (H202), q_doc_semantic_decontaminate (H203).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

@@ -17559,3 +17559,491 @@ def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("double") * (F.col("n") - F.col("pos")) / (n_d * F.col("n"))
         ).alias("uncertainty"),
     )
+
+
+@register(
+    "q_events_mann_kendall",
+    # Mann-Kendall nonparametric trend test on the daily series: S =
+    # sum of pair signs (exact integer, day-domain pair join), the
+    # tie-corrected variance [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 exact,
+    # continuity-corrected z the only float.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.d > a.d),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(SUM(CAST(t * (t - 1) * (2 * t + 5) AS HUGEINT)), 0) AS tc
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+      WHERE t > 1),
+    v AS (
+      SELECT (CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5) - ties.tc)
+               AS var18
+      FROM n, ties)
+    SELECT n.n AS n_days, s.s AS s_statistic,
+           FLOOR((CAST(v.var18 AS DOUBLE) / 18) * 1e6 + 0.5) / 1e6
+             AS var_s,
+           CASE WHEN v.var18 > 0 THEN
+             FLOOR(((CASE WHEN s.s > 0 THEN s.s - 1
+                          WHEN s.s < 0 THEN s.s + 1
+                          ELSE 0 END)
+                    / sqrt(CAST(v.var18 AS DOUBLE) / 18)) * 1e6 + 0.5) / 1e6
+             + CAST(0 AS DOUBLE) END AS z_score
+    FROM s, n, v
+    """,
+)
+def q_events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (H200) — the hypothesis-TEST companion to
+    the Theil-Sen slope (H136 estimates HOW FAST the series moves; MK
+    says whether the monotone trend is REAL, with no normality or
+    linearity assumption — the standard pairing in environmental and
+    ops monitoring): S = sum of sign(y_j - y_i) over ordered day pairs
+    (exact integer from the day-domain pair join — the Kendall/Theil-Sen
+    quadratic-on-metadata argument), the tie-corrected variance exact in
+    decimal, and the continuity-corrected z = (S -/+ 1)/sigma as the
+    single float op. One day rollup + one bounded self-join + three
+    1-row aggregates."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    daily = daily.persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("b.d") > F.col("a.d")).agg(
+        F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    n = daily.agg(F.count("*").cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast(dec)
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tc")
+        )
+    )
+    v = n.crossJoin(F.broadcast(ties)).select(
+        "n",
+        (
+            F.col("n").cast(dec) * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tc")
+        ).alias("var18"),
+    )
+    sigma = F.sqrt(F.col("var18").cast("double") / F.lit(18))
+    cc = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.crossJoin(F.broadcast(v))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_statistic"),
+            PAR.round6(F.col("var18").cast("double") / F.lit(18)).alias("var_s"),
+            F.when(
+                F.col("var18") > 0, PAR.round6(cc.cast("double") / sigma) + F.lit(0.0)
+            ).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "q_eval_brown_forsythe",
+    # Brown-Forsythe robust variance-equality test across order
+    # priorities: absolute deviations from the GROUP MEDIAN (the exact
+    # floor((n+1)/2)-th order statistic on micro ints), then the one-way
+    # ANOVA F on those deviations — between/within sums as per-group
+    # exact cross-ratios grid-snapped before summing.
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS v
+      FROM orders),
+    med AS (
+      SELECT g, v AS m FROM (
+        SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM x) WHERE rn = (n + 1) // 2),
+    z AS (
+      SELECT x.g, abs(x.v - med.m) AS z
+      FROM x JOIN med ON med.g = x.g),
+    grp AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(z AS HUGEINT)) AS sg,
+             SUM(CAST(z AS HUGEINT) * z) AS sq
+      FROM z GROUP BY g),
+    tot AS (
+      SELECT CAST(SUM(ng) AS HUGEINT) AS n, SUM(sg) AS t,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM grp),
+    terms AS (
+      SELECT
+        CAST(FLOOR((CAST(sg * (SELECT n FROM tot)
+                         - ng * (SELECT t FROM tot) AS DOUBLE)
+                    * CAST(sg * (SELECT n FROM tot)
+                           - ng * (SELECT t FROM tot) AS DOUBLE)
+                    / (CAST(ng AS DOUBLE)
+                       * CAST((SELECT n FROM tot) AS DOUBLE)
+                       * CAST((SELECT n FROM tot) AS DOUBLE))) / 1e12 + 0.5)
+          AS BIGINT) AS btw6,
+        CAST(FLOOR((CAST(sq AS DOUBLE)
+                    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                      / CAST(ng AS DOUBLE)) / 1e12 + 0.5) AS BIGINT) AS wth6
+      FROM grp)
+    SELECT (SELECT CAST(k AS BIGINT) FROM tot) AS n_groups,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_total,
+           CASE WHEN SUM(wth6) > 0 THEN
+             FLOOR(((CAST((SELECT n FROM tot) AS DOUBLE)
+                     - (SELECT k FROM tot))
+                    / ((SELECT k FROM tot) - 1)
+                    * CAST(SUM(btw6) AS DOUBLE) / SUM(wth6)) * 1e6 + 0.5)
+               / 1e6 END AS f_stat
+    FROM terms
+    """,
+)
+def q_eval_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test (H201) — the PRECONDITION
+    check the mean-comparison family quietly assumes away (Welch H62
+    tolerates unequal variances; but "ARE the variances unequal" is
+    itself the finding in risk/volatility reviews, and Levene's
+    median-based Brown-Forsythe form is the robust standard): absolute
+    deviations from each group's exact floor((n+1)/2)-th-order-statistic
+    median (integer micro-dollars — no float median interpolation), then
+    the one-way ANOVA F on those deviations, between/within sums built
+    from exact integer group moments with one double division per group,
+    grid-snapped at the whole-dollar-squared grid (micro-dollar deviations
+    SQUARED are ~1e22 per group — a 1e6 grid leaves ~1e19 integers that
+    overflow int64 under ANSI, found at sf0.01; the F ratio is
+    scale-invariant, so only the snap grid changes) before the unordered
+    sums. One rollup +
+    one median-rank window per group + a k-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 1e6 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w_rn = Window.partitionBy("g").orderBy("v")
+    w_g = Window.partitionBy("g")
+    med = (
+        x.select(
+            "g",
+            "v",
+            F.row_number().over(w_rn).alias("rn"),
+            F.count("*").over(w_g).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("g", F.col("v").alias("m"))
+    )
+    z = x.join(med, "g").select("g", F.abs(F.col("v") - F.col("m")).alias("z"))
+    dec = "decimal(38,0)"
+    grp = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.sum(F.col("z").cast(dec)).alias("sg"),
+        F.sum(F.col("z").cast(dec) * F.col("z")).alias("sq"),
+    )
+    tot = grp.agg(
+        F.sum(F.col("ng").cast(dec)).alias("n"),
+        F.sum("sg").alias("t"),
+        F.count("*").cast("long").alias("k"),
+    )
+    gt = grp.crossJoin(F.broadcast(tot))
+    btw_num = (F.col("sg") * F.col("n") - F.col("ng") * F.col("t")).cast("double")
+    n_d = F.col("n").cast("double")
+    terms = gt.select(
+        F.floor(
+            btw_num * btw_num / (F.col("ng").cast("double") * n_d * n_d) / 1e12
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("btw6"),
+        F.floor(
+            (
+                F.col("sq").cast("double")
+                - F.col("sg").cast("double")
+                * F.col("sg").cast("double")
+                / F.col("ng").cast("double")
+            )
+            / 1e12
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wth6"),
+        "n",
+        "k",
+    )
+    agg = terms.groupBy("n", "k").agg(
+        F.sum("btw6").cast("long").alias("btw6"),
+        F.sum("wth6").cast("long").alias("wth6"),
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").cast("long").alias("n_total"),
+        F.when(
+            F.col("wth6") > 0,
+            PAR.round6(
+                (F.col("n").cast("double") - F.col("k"))
+                / (F.col("k") - 1)
+                * F.col("btw6").cast("double")
+                / F.col("wth6")
+            ),
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q_doc_cramers_v",
+    # Cramer's V effect size for the source x lang contingency table:
+    # chi2 assembled from per-cell exact cross-ratios (o*N - r*c)^2 /
+    # (N*r*c), grid-snapped before the unordered cell sum, then
+    # V = sqrt(chi2 / (N * min(R-1, C-1))).
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang),
+    margins AS (
+      SELECT source, lang, o,
+             SUM(o) OVER (PARTITION BY source) AS r,
+             SUM(o) OVER (PARTITION BY lang) AS c,
+             SUM(o) OVER () AS n
+      FROM cells),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+      FROM documents),
+    terms AS (
+      SELECT n,
+             CAST(FLOOR((CAST(o * n - r * c AS DOUBLE)
+                         * CAST(o * n - r * c AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                            * CAST(c AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+               AS chi6,
+             CAST(FLOOR((CAST(r * c AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT)
+               AS e6
+      FROM margins)
+    SELECT (SELECT nr FROM dims) AS n_sources,
+           (SELECT nc FROM dims) AS n_langs,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           FLOOR((CAST(SUM(chi6) + MAX(n) * 1000000 - SUM(e6) AS DOUBLE)
+                  / 1e6) * 1e6 + 0.5) / 1e6 AS chi2,
+           FLOOR(sqrt(CAST(SUM(chi6) + MAX(n) * 1000000 - SUM(e6) AS DOUBLE)
+                      / 1e6
+                      / (CAST(MAX(n) AS DOUBLE)
+                         * LEAST((SELECT nr FROM dims) - 1,
+                                 (SELECT nc FROM dims) - 1))) * 1e6 + 0.5)
+             / 1e6 AS cramers_v
+    FROM terms
+    """,
+)
+def q_doc_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size (H202) — the MAGNITUDE the chi-squared
+    drift table (H-family's q_doc_chi2_source_lang) doesn't report: chi2
+    grows with N, so at corpus scale EVERYTHING is "significant"; V =
+    sqrt(chi2/(N*min(R-1,C-1))) normalizes to [0,1] and is the number
+    you can compare across corpora and rounds. Per-cell terms are exact
+    integer cross-ratios (o*N - r*c)^2/(N*r*c) with one double division
+    each, grid-snapped before the unordered cell sum (cells only —
+    sources x langs, a metadata-sized domain); observed-ZERO cells are
+    NOT dropped: an absent cell's term is exactly its expectation
+    e = r*c/N, and sum(absent e) = N - sum(present e), so the full-table
+    chi2 is present_terms + N - present_e — without this correction a
+    perfect 2x2 association scores V = 0.707 instead of 1 (caught by the
+    test pin). One rollup + margin windows on the cell domain."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").cast("long").alias("o"))
+    margins = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("r"),
+        F.sum("o").over(Window.partitionBy("lang")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dims = d.agg(
+        F.countDistinct("source").cast("long").alias("nr"),
+        F.countDistinct("lang").cast("long").alias("nc"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    terms = margins.select(
+        "n",
+        F.floor(
+            num
+            * num
+            / (
+                F.col("n").cast("double")
+                * F.col("r").cast("double")
+                * F.col("c").cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("chi6"),
+        F.floor(
+            (F.col("r") * F.col("c")).cast("double") / F.col("n") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("e6"),
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("chi6").cast("long").alias("chi6"),
+        F.sum("e6").cast("long").alias("e6"),
+    )
+    full6 = F.col("chi6") + F.col("n_docs") * F.lit(1000000) - F.col("e6")
+    return agg.crossJoin(F.broadcast(dims)).select(
+        F.col("nr").alias("n_sources"),
+        F.col("nc").alias("n_langs"),
+        "n_docs",
+        PAR.round6(full6.cast("double") / F.lit(1e6)).alias("chi2"),
+        PAR.round6(
+            F.sqrt(
+                full6.cast("double")
+                / F.lit(1e6)
+                / (
+                    F.col("n_docs").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                )
+            )
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_doc_semantic_decontaminate",
+    # SEMANTIC decontamination: where H8 (q_doc_decontaminate) catches
+    # n-gram overlap, this catches PARAPHRASED benchmark leakage — an
+    # md5-gated ~3% "benchmark" slice of the embedding space, every
+    # corpus vector scored against it with the bit-exact pre-normalized
+    # cosine fold, flag counts reported across a threshold ladder.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CAST(('0x' || substr(md5('sdc|' || CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 32 = 0 AS is_bench
+      FROM embeddings),
+    n AS (SELECT vec_id, is_bench,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), v),
+                     (acc, t) -> acc + t * t))) AS u
+          FROM e),
+    mx AS (
+      SELECT c.vec_id,
+             MAX(CAST(FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [c.u[j] * b.u[j] FOR j IN generate_series(1, len(c.u))]),
+                 (acc, t) -> acc + t) * 1e6 + 0.5) AS BIGINT)) AS mc6
+      FROM n c JOIN n b ON b.is_bench AND NOT c.is_bench
+      GROUP BY c.vec_id),
+    counts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM mx),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bench FROM n WHERE is_bench),
+    ladder AS (SELECT unnest([800000, 900000, 950000, 990000]) AS thr)
+    SELECT CAST(ladder.thr AS BIGINT) AS threshold_micro,
+           counts.n_corpus, nb.n_bench,
+           CAST((SELECT COUNT(*) FROM mx WHERE mx.mc6 >= ladder.thr)
+             AS BIGINT) AS n_flagged,
+           FLOOR((CAST((SELECT COUNT(*) FROM mx WHERE mx.mc6 >= ladder.thr)
+                  AS DOUBLE) / counts.n_corpus) * 1e6 + 0.5) / 1e6
+             AS flag_rate
+    FROM ladder, counts, nb
+    """,
+)
+def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (H203) — the embedding-space
+    sibling of n-gram decontamination (H8 catches verbatim and
+    near-verbatim leakage; PARAPHRASED benchmark items share no 8-gram
+    and sail through — cosine against the benchmark's embeddings is the
+    standard second line): an md5-gated ~3% benchmark slice, every
+    corpus vector scored with the bit-exact pre-normalized cosine fold
+    (the q_embed_cosine_topk IEEE discipline), max-cosine per doc on the
+    1e6 grid, and flag counts across a 0.80/0.90/0.95/0.99 threshold
+    ladder — the curve a data steward reads before picking the cut. At
+    100 TB the benchmark side is the SMALL side by construction
+    (broadcast); production swaps the exact scan for the IVF index probe
+    (H2) with this exact form as its recall oracle. One broadcast join +
+    a per-doc max + a 4-row ladder."""
+    e = _t(spark, sf_dir, "embeddings")
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sdc|"), F.col("vec_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 32
+        == 0
+    )
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = e.select(
+        "vec_id",
+        gate.alias("is_bench"),
+        F.transform(v, lambda x: x / norm).alias("u"),
+    )
+    bench = base.filter(F.col("is_bench")).select(
+        F.col("vec_id").alias("b_id"), F.col("u").alias("bu")
+    )
+    corpus = base.filter(~F.col("is_bench"))
+    cos = F.aggregate(
+        F.zip_with(F.col("u"), F.col("bu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mx = (
+        corpus.join(F.broadcast(bench))
+        .select(
+            "vec_id",
+            F.floor(cos * 1e6 + F.lit(0.5)).cast("long").alias("c6"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c6").alias("mc6"))
+    )
+    mx = mx.persist()
+    counts = mx.agg(F.count("*").cast("long").alias("n_corpus"))
+    nb = bench.agg(F.count("*").cast("long").alias("n_bench"))
+    ladder = spark.createDataFrame(
+        [(800000,), (900000,), (950000,), (990000,)], "threshold_micro long"
+    )
+    flags = (
+        mx.crossJoin(F.broadcast(ladder))
+        .groupBy("threshold_micro")
+        .agg(
+            F.sum(F.when(F.col("mc6") >= F.col("threshold_micro"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged")
+        )
+    )
+    return (
+        ladder.join(flags, "threshold_micro", "left")
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "threshold_micro",
+            "n_corpus",
+            "n_bench",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+            PAR.round6(
+                F.coalesce(F.col("n_flagged"), F.lit(0)).cast("double")
+                / F.col("n_corpus")
+            ).alias("flag_rate"),
+        )
+    )
