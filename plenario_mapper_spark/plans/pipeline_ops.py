@@ -18047,3 +18047,280 @@ def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flag_rate"),
         )
     )
+
+
+@register(
+    "q_events_active_coverage",
+    # Interval-UNION aggregation (the other half of the interval family:
+    # H29 joins overlapping intervals; this MERGES them): each event
+    # opens a 5-minute activity window, per-user overlapping windows
+    # fuse via the running-max gaps-and-islands pass, and the answer is
+    # the exact union length in integer microseconds — double-counting
+    # overlaps is the classic "total active time" bug this op exists to
+    # avoid.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775807) THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    grp AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e)
+               AS island
+      FROM marked),
+    islands AS (
+      SELECT user_id, island,
+             MIN(s) AS isl_s, MAX(e) AS isl_e
+      FROM grp GROUP BY user_id, island),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(SUM(isl_e - isl_s) AS BIGINT) AS covered_us
+      FROM islands GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_islands) AS BIGINT) AS n_islands,
+           CAST(SUM(covered_us) AS BIGINT) AS covered_us_total,
+           CAST(MAX(covered_us) AS BIGINT) AS covered_us_max,
+           FLOOR((CAST(SUM(covered_us) AS DOUBLE) / (COUNT(*) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS mean_covered_sec
+    FROM per_user
+    """,
+)
+def q_events_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union active-time coverage (H204) — the MERGE half of the
+    interval family (the overlap JOIN H29 pairs intervals up; this fuses
+    them — "how long was each user actually active", where naively
+    summing window lengths double-counts every overlap): each event
+    opens a 5-minute window, per-user islands detected by the
+    running-max gaps-and-islands pass (an interval starts a new island
+    iff it begins after the max end seen so far — the ORDERED prefix max
+    is the whole trick), union length summed exactly in integer
+    microseconds. One user-keyed sort window + two rollups; the island
+    pass is a single shuffle on user_id at any scale."""
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("s"),
+        (F.expr("unix_micros(ts)") + F.lit(300000000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-9223372036854775807)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = marked.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("s").alias("isl_s"), F.max("e").alias("isl_e")
+    )
+    per_user = islands.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("isl_e") - F.col("isl_s")).cast("long").alias("covered_us"),
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_islands").cast("long").alias("n_islands"),
+        F.sum("covered_us").cast("long").alias("covered_us_total"),
+        F.max("covered_us").cast("long").alias("covered_us_max"),
+        PAR.round6(
+            F.sum("covered_us").cast("double") / (F.count("*") * F.lit(1e6))
+        ).alias("mean_covered_sec"),
+    )
+
+
+@register(
+    "q_events_max_drawdown",
+    # Maximum drawdown of the cumulative daily net-value series: running
+    # sum of exact micro values, running peak, drawdown = peak - cum —
+    # every step integer, the answer exact micro-dollars plus its peak
+    # and trough days.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)
+                      * CASE WHEN event_type = 'purchase' THEN 1
+                             WHEN event_type = 'error' THEN -1
+                             ELSE 0 END) AS BIGINT) AS net
+      FROM events GROUP BY d),
+    cum AS (
+      SELECT d, SUM(net) OVER (ORDER BY d) AS c
+      FROM daily),
+    dd AS (
+      SELECT d, c,
+             MAX(c) OVER (ORDER BY d) AS peak,
+             MAX(c) OVER (ORDER BY d) - c AS drawdown
+      FROM cum),
+    worst AS (
+      SELECT d AS trough_day, c, peak, drawdown,
+             ROW_NUMBER() OVER (ORDER BY drawdown DESC, d) AS rk
+      FROM dd)
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           FLOOR((CAST(drawdown AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             AS max_drawdown,
+           CAST(trough_day AS BIGINT) AS trough_day,
+           FLOOR((CAST(peak AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             AS peak_value,
+           FLOOR((CAST(c AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             AS trough_value
+    FROM worst WHERE rk = 1
+    """,
+)
+def q_events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (H205) — the finance-grade worst-case-slide
+    metric applied to the cumulative daily net-value series (purchases
+    credit, errors debit): peak-to-trough loss of the running total,
+    which volatility summaries (MAD H-family, winsorized stats) can't
+    see because drawdown is a PATH property, not a distribution property.
+    Everything is exact integers: micro-value running sum, running peak
+    (ordered prefix max), drawdown = peak - cum; the single worst day
+    picked on the (drawdown desc, day) deterministic key. One day
+    rollup + two ordered windows on the DAY domain."""
+    e = _events(spark, sf_dir)
+    sign = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+    )
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long") * sign
+        )
+        .cast("long")
+        .alias("net")
+    )
+    w_ord = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("d", F.sum("net").over(w_ord).alias("c"))
+    dd = cum.select(
+        "d",
+        "c",
+        F.max("c").over(w_ord).alias("peak"),
+        (F.max("c").over(w_ord) - F.col("c")).alias("drawdown"),
+    )
+    worst = dd.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("drawdown").desc(), "d"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    n = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return worst.crossJoin(F.broadcast(n)).select(
+        "n_days",
+        PAR.round6(F.col("drawdown").cast("double") / F.lit(1e6)).alias(
+            "max_drawdown"
+        ),
+        F.col("d").cast("long").alias("trough_day"),
+        PAR.round6(F.col("peak").cast("double") / F.lit(1e6)).alias("peak_value"),
+        PAR.round6(F.col("c").cast("double") / F.lit(1e6)).alias("trough_value"),
+    )
+
+
+@register(
+    "q_events_ar1_meanreversion",
+    # AR(1) fit of the daily-count series: OLS of y_t on y_{t-1} over
+    # consecutive-day pairs (exact integer moments), rho plus the
+    # mean-reversion half-life -ln2/ln(rho) when 0 < rho < 1 — the
+    # "how sticky is a shock" readout.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    pairs AS (
+      SELECT a.y AS x, b.y AS y
+      FROM daily a JOIN daily b ON b.d = a.d + 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs)
+    SELECT n AS n_pairs,
+           FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS rho,
+           FLOOR(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6
+             AS intercept,
+           CASE WHEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) > 0
+                 AND (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) < 1 THEN
+             FLOOR((-ln(2) / ln(CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 END AS half_life_days
+    FROM m
+    """,
+)
+def q_events_ar1_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reversion fit (H206) — the PERSISTENCE readout between
+    the ACF (H75 reports correlations at fixed lags) and the smoothing
+    forecasters (H53/H114/H193 track the series): OLS of today's count
+    on yesterday's over consecutive-day pairs gives rho (how much of a
+    shock survives a day) and the half-life -ln2/ln(rho) (how many days
+    until half the shock has decayed — defined only for 0 < rho < 1,
+    NULL otherwise). All five moments exact integers from the day-domain
+    lag join; two double divisions + one log pair at the end. One day
+    rollup + a self-join on d+1."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") == F.col("a.d") + 1).select(
+        F.col("a.y").alias("x"), F.col("b.y").alias("y")
+    )
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        PAR.round6(rho).alias("rho"),
+        PAR.round6(
+            (F.col("sy").cast("double") - rho * F.col("sx").cast("double")) / n
+        ).alias("intercept"),
+        F.when(
+            (rho > 0) & (rho < 1),
+            PAR.round6(-F.log(F.lit(2.0)) / F.log(rho)),
+        ).alias("half_life_days"),
+    )
