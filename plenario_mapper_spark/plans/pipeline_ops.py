@@ -18324,3 +18324,223 @@ def q_events_ar1_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             PAR.round6(-F.log(F.lit(2.0)) / F.log(rho)),
         ).alias("half_life_days"),
     )
+
+
+@register(
+    "q_eval_qini_uplift",
+    # Qini / uplift curve by engagement decile: the H148-family variant
+    # convention (user_id % 2), conversion = any purchase, targeting
+    # score = click volume; per cumulative decile the incremental
+    # conversions Q = cum_ct - cum_cc * (cum_nt / cum_nc) collapsed to
+    # the exact cross-ratio (ct*nc - cc*nt)/nc, and the uplift RATE as
+    # (ct*nc - cc*nt)/(nt*nc) — no intermediate rate float exists.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    dec AS (
+      SELECT variant, y,
+             NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM u),
+    per AS (
+      SELECT decile,
+             CAST(SUM(variant) AS BIGINT) AS nt,
+             CAST(SUM(1 - variant) AS BIGINT) AS nc,
+             CAST(SUM(variant * y) AS BIGINT) AS ct,
+             CAST(SUM((1 - variant) * y) AS BIGINT) AS cc
+      FROM dec GROUP BY decile),
+    cum AS (
+      SELECT decile,
+             SUM(nt) OVER w AS nt, SUM(nc) OVER w AS nc,
+             SUM(ct) OVER w AS ct, SUM(cc) OVER w AS cc
+      FROM per WINDOW w AS (ORDER BY decile))
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(nt AS BIGINT) AS cum_treated,
+           CAST(nc AS BIGINT) AS cum_control,
+           CAST(ct AS BIGINT) AS cum_treated_conv,
+           CAST(cc AS BIGINT) AS cum_control_conv,
+           CASE WHEN nc > 0 THEN
+             FLOOR((CAST(ct * nc - cc * nt AS DOUBLE) / nc) * 1e6 + 0.5) / 1e6
+           END AS qini,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+             FLOOR((CAST(ct * nc - cc * nt AS DOUBLE)
+                    / (CAST(nt AS DOUBLE) * nc)) * 1e6 + 0.5) / 1e6
+           END AS uplift_rate
+    FROM cum
+    """,
+)
+def q_eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve (H207) — the TARGETING readout of the causal
+    family (ATE/CUPED/IPW say what the treatment did ON AVERAGE; uplift
+    modeling asks WHO to treat, and the Qini curve is its gains chart —
+    incremental conversions if you only treat the top k% by score):
+    users split by the family's variant convention (user_id % 2),
+    ranked by engagement score into NTILE(10) deciles on a
+    fully-deterministic key, then per cumulative decile the Qini value
+    Q = ct - cc*(nt/nc) and the uplift rate, each collapsed to ONE exact
+    integer cross-ratio with a single double division — no intermediate
+    rate float. A flat curve means the score does not find the
+    persuadables. One user rollup, one global rank window, 10-row
+    running sums."""
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "score"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    ).select(
+        "*", (F.col("user_id") % 2).cast("int").alias("variant")
+    )
+    dec_w = Window.orderBy(F.col("score").desc(), "user_id")
+    dec = u.select("variant", "y", F.ntile(10).over(dec_w).alias("decile"))
+    per = dec.groupBy("decile").agg(
+        F.sum("variant").cast("long").alias("nt"),
+        F.sum(1 - F.col("variant")).cast("long").alias("nc"),
+        F.sum(F.col("variant") * F.col("y")).cast("long").alias("ct"),
+        F.sum((1 - F.col("variant")) * F.col("y")).cast("long").alias("cc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.sum("nt").over(w).cast("long").alias("nt"),
+        F.sum("nc").over(w).cast("long").alias("nc"),
+        F.sum("ct").over(w).cast("long").alias("ct"),
+        F.sum("cc").over(w).cast("long").alias("cc"),
+    )
+    num = (F.col("ct") * F.col("nc") - F.col("cc") * F.col("nt")).cast("double")
+    return cum.select(
+        "decile",
+        F.col("nt").alias("cum_treated"),
+        F.col("nc").alias("cum_control"),
+        F.col("ct").alias("cum_treated_conv"),
+        F.col("cc").alias("cum_control_conv"),
+        F.when(F.col("nc") > 0, PAR.round6(num / F.col("nc"))).alias("qini"),
+        F.when(
+            (F.col("nt") > 0) & (F.col("nc") > 0),
+            PAR.round6(num / (F.col("nt").cast("double") * F.col("nc"))),
+        ).alias("uplift_rate"),
+    )
+
+
+@register(
+    "q_quality_delivery_gaps",
+    # Delivery-completeness audit per event type: active days vs span,
+    # missing-day count, and the LONGEST consecutive gap (ordered lag
+    # over the type's distinct-day domain) — the "which feed has silent
+    # holes" companion to the freshness clock (H191). Pure integers.
+    oracle="""
+    WITH td AS (
+      SELECT DISTINCT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events),
+    gaps AS (
+      SELECT event_type, d,
+             d - LAG(d) OVER (PARTITION BY event_type ORDER BY d) - 1 AS gap
+      FROM td)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+           CAST(MAX(d) - MIN(d) + 1 - COUNT(*) AS BIGINT) AS missing_days,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap_days,
+           FLOOR((CAST(COUNT(*) AS DOUBLE) / (MAX(d) - MIN(d) + 1))
+                 * 1e6 + 0.5) / 1e6 AS completeness
+    FROM gaps GROUP BY event_type
+    """,
+)
+def q_quality_delivery_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-gap completeness audit (H208) — the freshness clock's
+    (H191) INTERIOR twin: freshness asks "did the feed stop at the
+    end"; this asks "does it have silent HOLES in the middle" (a feed
+    can be perfectly fresh today and have dropped last Tuesday): per
+    event type, active-day count vs calendar span, missing days, the
+    longest consecutive gap (ordered lag over the type's distinct-day
+    domain — day-sized, never event-sized), and the completeness ratio.
+    Pure integer day arithmetic; one distinct + one lag window + one
+    rollup."""
+    e = _events(spark, sf_dir)
+    td = e.select(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("d")
+    gaps = td.select(
+        "event_type", "d", (F.col("d") - F.lag("d").over(w) - 1).alias("gap")
+    )
+    span = F.max("d") - F.min("d") + 1
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("active_days"),
+        span.cast("long").alias("span_days"),
+        (span - F.count("*")).cast("long").alias("missing_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("longest_gap_days"),
+        PAR.round6(F.count("*").cast("double") / span).alias("completeness"),
+    )
+
+
+@register(
+    "q_eval_srm_check",
+    # Sample-ratio-mismatch check — the most common real A/B bug: the
+    # observed variant split (user_id % 2 over DISTINCT users) tested
+    # against the designed 50/50 with chi2 = (n0-n1)^2/N and
+    # z = (2*n0-N)/sqrt(N), both exact integers up to one sqrt; the
+    # 3.841 (95%) flag spelled as an integer cross-comparison so no
+    # threshold float decides.
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS variant
+      FROM events),
+    m AS (
+      SELECT CAST(SUM(1 - variant) AS BIGINT) AS n0,
+             CAST(SUM(variant) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u)
+    SELECT n AS n_users, n0 AS n_control, n1 AS n_treated,
+           FLOOR((CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / n) * 1e6 + 0.5)
+             / 1e6 AS chi2,
+           FLOOR(((2 * n0 - n) / sqrt(CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+             AS z_score,
+           CAST(CASE WHEN 1000000 * (n0 - n1) * (n0 - n1) > 3841459 * n
+                THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM m
+    """,
+)
+def q_eval_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (H209) — the A/B family's smoke alarm
+    and the most common REAL experiment bug (a biased logger, a bot
+    filter hitting one arm, a redirect dropping users — all invalidate
+    every downstream estimate, and SPRT/CUPED/DiD will happily read a
+    corrupted split): the observed variant split over DISTINCT users
+    tested against the designed 50/50; chi2 = (n0-n1)^2/N and
+    z = (2n0-N)/sqrt(N) exact up to one sqrt, and the 95% flag decided
+    by the INTEGER cross-comparison 1e6*(n0-n1)^2 > 3841459*N — no
+    threshold float, no libm call, so the flag can never straddle. One
+    distinct + one global aggregate."""
+    e = _events(spark, sf_dir)
+    u = e.select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).distinct()
+    m = u.agg(
+        F.sum(1 - F.col("variant")).cast("long").alias("n0"),
+        F.sum("variant").cast("long").alias("n1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    diff = F.col("n0") - F.col("n1")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treated"),
+        PAR.round6((diff * diff).cast("double") / F.col("n")).alias("chi2"),
+        PAR.round6(
+            (2 * F.col("n0") - F.col("n")).cast("double")
+            / F.sqrt(F.col("n").cast("double"))
+        ).alias("z_score"),
+        F.when(
+            F.lit(1000000) * diff * diff > F.lit(3841459) * F.col("n"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
+    )
