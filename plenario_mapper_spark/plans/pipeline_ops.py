@@ -17208,7 +17208,7 @@ def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM split c JOIN pred p ON p.dow = c.dow WHERE c.s = 0),
     nq AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
-             CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k
+             CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
       FROM resid),
     qh AS (
       SELECT n_cal, k, r6 AS q6
@@ -17235,7 +17235,8 @@ def q_eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-gated into calibration/eval halves (the leakage-safe-split
     discipline), the DOW-mean forecaster fit on calibration only,
     conformal q_hat = the exact ceil((n+1)*0.9)-th order statistic of
-    integer micro residuals, and the guarantee AUDITED as empirical
+    integer micro residuals (the rank computed as (9(n+1)+9) DIV 10 —
+    double CEIL overshoots on integral products, 50*0.9 -> 45.0000...7), and the guarantee AUDITED as empirical
     coverage on the held-out half. Residuals and the quantile are pure
     integers; two double divisions at presentation. Shape: one day
     rollup, a 7-row broadcast predictor, one rank over the calibration
@@ -17269,9 +17270,11 @@ def q_eval_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.abs(F.lit(1000000) * F.col("y") - F.col("p6")).alias("r6"))
     )
     resid = resid.persist()
+    # integer ceil(9*(n+1)/10): CEIL((n+1)*0.9) in doubles is WRONG when
+    # (n+1)*0.9 is integral (50*0.9 = 45.000000000000007 -> ceil 46)
     nq = resid.agg(
         F.count("*").cast("long").alias("n_cal"),
-        F.ceil((F.count("*") + 1) * F.lit(0.9)).cast("long").alias("k"),
+        F.floor(((F.count("*") + 1) * 9 + 9) / 10).cast("long").alias("k"),
     )
     ranked = resid.select(
         "r6", F.row_number().over(Window.orderBy("r6")).alias("rn")
