@@ -17976,11 +17976,14 @@ def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vector scored with the bit-exact pre-normalized cosine fold
     (the q_embed_cosine_topk IEEE discipline), max-cosine per doc on the
     1e6 grid, and flag counts across a 0.80/0.90/0.95/0.99 threshold
-    ladder — the curve a data steward reads before picking the cut. At
-    100 TB the benchmark side is the SMALL side by construction
-    (broadcast); production swaps the exact scan for the IVF index probe
-    (H2) with this exact form as its recall oracle. One broadcast join +
-    a per-doc max + a 4-row ladder."""
+    ladder — the curve a data steward reads before picking the cut.
+    Scale argument: the md5 gate is a TEST-DATA stand-in for a real
+    benchmark suite, whose size is FIXED (MMLU/GSM8K-class, thousands of
+    rows) and does not grow with the corpus — so the scoring join is
+    O(corpus x |bench|) with a constant, broadcast-able right side (the
+    plan pin asserts the broadcast); at very high query volume the exact
+    scan swaps for the IVF index probe (H2) with this exact form as its
+    recall oracle. One broadcast join + a per-doc max + a 4-row ladder."""
     e = _t(spark, sf_dir, "embeddings")
     gate = (
         F.conv(

@@ -957,3 +957,16 @@ def test_bucketed_join_has_no_exchange_on_either_side(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     # idempotence: the second call is a catalog hit (same names, no rewrite)
     assert ensure_bucketed_pair(spark, SF) == (o_name, l_name)
+
+
+def test_semantic_decontaminate_broadcasts_benchmark_side(spark):
+    """The decontamination scoring join must broadcast the (fixed-size in
+    production) benchmark side — a shuffle or sort-merge here would mean the
+    plan treats both sides as corpus-scale."""
+    plan = _plan(QUERIES["q_doc_semantic_decontaminate"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # a sort-merge join is fine on the 4-row threshold ladder, but never on
+    # the corpus-scale scoring pass (its join carries the vector columns)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "threshold_micro" in line, plan
