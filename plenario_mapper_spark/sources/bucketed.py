@@ -74,3 +74,37 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .saveAsTable(name)
         )
     return o_name, l_name
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a bucketed (and bucket-sorted) catalog table. With
+    `path`, an external table at that location (warehouse.dir is a static
+    conf — an explicit location sidesteps it). The generic writer under
+    ensure_bucketed_pair's orders/lineitem convenience."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+):
+    """Join two identically-bucketed catalog tables on their bucket key.
+
+    With matching bucketing this is a shuffle-free sort-merge join; Spark
+    verifies via the catalog's bucket spec, nothing to hint."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
