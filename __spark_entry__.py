@@ -395,7 +395,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_events_active_coverage (H204), q_events_max_drawdown (H205),
 # q_events_ar1_meanreversion (H206),
 # q_eval_qini_uplift (H207), q_quality_delivery_gaps (H208),
-# q_eval_srm_check (H209).
+# q_eval_srm_check (H209),
+# q_eval_psm_att (H210), q_events_periodogram (H211),
+# q_embed_triplet_margin (H212), q_events_skew_kurtosis (H213).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

@@ -18550,3 +18550,469 @@ def q_eval_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("srm_flag"),
     )
+
+
+@register(
+    "q_eval_psm_att",
+    # 1-NN propensity-score matching (with replacement) for the ATT:
+    # treated users matched to the nearest control on the integer
+    # engagement score via two ordered IGNORE-NULLS window carries (no
+    # pair join), same-score controls eligible through the sort order
+    # (control before treated at equal score), matched outcome = the
+    # exact mean of control outcomes AT the matched score, per-treated
+    # effects grid-snapped before the unordered mean.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    ctrl_s AS (
+      SELECT score,
+             SUM(CAST(y AS HUGEINT)) AS sy, CAST(COUNT(*) AS BIGINT) AS sc
+      FROM u WHERE variant = 0 GROUP BY score),
+    seq AS (
+      SELECT user_id, variant, score, y,
+             LAST_VALUE(CASE WHEN variant = 0 THEN score END IGNORE NULLS)
+               OVER (ORDER BY score, variant, user_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_c,
+             FIRST_VALUE(CASE WHEN variant = 0 THEN score END IGNORE NULLS)
+               OVER (ORDER BY score, variant, user_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c
+      FROM u),
+    matched AS (
+      SELECT s.user_id, s.score, s.y,
+             CASE
+               WHEN s.prev_c IS NULL THEN s.next_c
+               WHEN s.next_c IS NULL THEN s.prev_c
+               WHEN s.score - s.prev_c <= s.next_c - s.score THEN s.prev_c
+               ELSE s.next_c END AS m_score
+      FROM seq s WHERE s.variant = 1),
+    effects AS (
+      SELECT m.score, m.m_score,
+             CAST(FLOOR((CAST(m.y AS DOUBLE)
+                         - CAST(c.sy AS DOUBLE) / c.sc) + 0.5) AS BIGINT)
+               AS eff_micro,
+             abs(m.score - m.m_score) AS dist
+      FROM matched m JOIN ctrl_s c ON c.score = m.m_score)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE variant = 0)
+             AS n_controls,
+           FLOOR((CAST(SUM(eff_micro) AS DOUBLE) / (COUNT(*) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS att,
+           FLOOR((CAST(SUM(dist) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
+             AS mean_match_dist
+    FROM effects
+    """,
+)
+def q_eval_psm_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching ATT (H210) — the causal family's
+    MATCHING member (IPW H152 reweights everyone; stratification H150
+    coarsens into quintiles; 1-NN matching compares each treated user to
+    its closest control — the design reviewers ask for when overlap is
+    thin): nearest control on the integer engagement score found by TWO
+    ordered IGNORE-NULLS window carries (last control at-or-below,
+    first control at-or-above — controls sort before treated at equal
+    score, so exact matches resolve at distance 0), with-replacement
+    matched outcome = the exact integer mean of control outcomes AT the
+    matched score, per-treated effects snapped to whole micro units
+    before the unordered mean. No pair join anywhere — the match is one
+    global sort (range partition at scale) + one score-keyed join
+    against the control-score rollup."""
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select("*", (F.col("user_id") % 2).cast("int").alias("variant"))
+    u = u.persist()
+    dec = "decimal(38,0)"
+    ctrl_s = (
+        u.filter(F.col("variant") == 0)
+        .groupBy("score")
+        .agg(
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.count("*").cast("long").alias("sc"),
+        )
+    )
+    w_ord = Window.orderBy("score", "variant", "user_id")
+    ctrl_score = F.when(F.col("variant") == 0, F.col("score"))
+    seq = u.select(
+        "user_id",
+        "variant",
+        "score",
+        "y",
+        F.last(ctrl_score, ignorenulls=True)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prev_c"),
+        F.first(ctrl_score, ignorenulls=True)
+        .over(w_ord.rowsBetween(0, Window.unboundedFollowing))
+        .alias("next_c"),
+    )
+    matched = seq.filter(F.col("variant") == 1).select(
+        "user_id",
+        "score",
+        "y",
+        F.when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(
+            F.col("score") - F.col("prev_c") <= F.col("next_c") - F.col("score"),
+            F.col("prev_c"),
+        )
+        .otherwise(F.col("next_c"))
+        .alias("m_score"),
+    )
+    ctrl_renamed = ctrl_s.select(
+        F.col("score").alias("c_score"), "sy", "sc"
+    )
+    effects = matched.join(
+        ctrl_renamed, matched.m_score == ctrl_renamed.c_score
+    ).select(
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - F.col("sy").cast("double") / F.col("sc")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("eff_micro"),
+        F.abs(F.col("score") - F.col("m_score")).alias("dist"),
+    )
+    nc = u.filter(F.col("variant") == 0).agg(
+        F.count("*").cast("long").alias("n_controls")
+    )
+    return effects.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.sum("eff_micro").alias("se"),
+        F.sum("dist").alias("sd"),
+    ).crossJoin(F.broadcast(nc)).select(
+        "n_treated",
+        "n_controls",
+        PAR.round6(
+            F.col("se").cast("double") / (F.col("n_treated") * F.lit(1e6))
+        ).alias("att"),
+        PAR.round6(F.col("sd").cast("double") / F.col("n_treated")).alias(
+            "mean_match_dist"
+        ),
+    )
+
+
+@register(
+    "q_events_periodogram",
+    # Discrete periodogram of the daily series at candidate periods 2-14
+    # days: per-day cos/sin terms (explicit pi literal, identical libm
+    # args) snapped to the 1e6 grid before the unordered sums, power =
+    # (C^2 + S^2)/N^2 — the spectral view that finds periodicity the ACF
+    # can only hint at.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    base AS (SELECT MIN(d) AS d0, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    grid AS (SELECT unnest(range(2, 15)) AS p),
+    terms AS (
+      SELECT grid.p AS p, base.n,
+             CAST(FLOOR(daily.y * cos(2 * 3.141592653589793
+                        * (daily.d - base.d0) / grid.p) * 1e6 + 0.5)
+               AS BIGINT) AS c6,
+             CAST(FLOOR(daily.y * sin(2 * 3.141592653589793
+                        * (daily.d - base.d0) / grid.p) * 1e6 + 0.5)
+               AS BIGINT) AS s6
+      FROM daily, base, grid)
+    SELECT CAST(p AS INT) AS period_days,
+           FLOOR(((CAST(SUM(c6) AS DOUBLE) / 1e6) * (CAST(SUM(c6) AS DOUBLE) / 1e6)
+                  + (CAST(SUM(s6) AS DOUBLE) / 1e6) * (CAST(SUM(s6) AS DOUBLE) / 1e6))
+                 / (CAST(MAX(n) AS DOUBLE) * MAX(n)) * 1e6 + 0.5) / 1e6
+             AS power
+    FROM terms GROUP BY p
+    """,
+)
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram (H211) — the SPECTRAL member of the
+    time-series family (the ACF H75 hints at periodicity through lag
+    correlations; the periodogram measures the energy AT each candidate
+    period directly, the right tool for "is the cycle 7 days or 3.5"):
+    power(P) = (Sum y cos(2 pi t/P))^2 + (Sum y sin(...))^2 over a
+    2..14-day period grid, normalized by N^2. Each day's cos/sin term
+    snaps to the 1e6 grid before the unordered sums (libm cos/sin get
+    IDENTICAL double args in both engines — t is an integer day offset,
+    pi an explicit 16-digit literal, never an engine pi() constant);
+    squaring happens once per period on the summed exact integers. One
+    day rollup x 13 grid rows — day-domain sized."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    base = daily.agg(
+        F.min("d").alias("d0"), F.count("*").cast("long").alias("n")
+    )
+    grid = spark.createDataFrame([(p,) for p in range(2, 15)], "p long")
+    pi2 = F.lit(2 * 3.141592653589793)
+    arg = pi2 * (F.col("d") - F.col("d0")) / F.col("p")
+    terms = (
+        daily.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "p",
+            "n",
+            F.floor(F.col("y") * F.cos(arg) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("c6"),
+            F.floor(F.col("y") * F.sin(arg) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("s6"),
+        )
+    )
+    c = F.sum("c6").cast("double") / F.lit(1e6)
+    s = F.sum("s6").cast("double") / F.lit(1e6)
+    return terms.groupBy(F.col("p").cast("int").alias("period_days")).agg(
+        PAR.round6(
+            (c * c + s * s) / (F.max("n").cast("double") * F.max("n"))
+        ).alias("power")
+    )
+
+
+@register(
+    "q_embed_triplet_margin",
+    # Triplet-margin audit of the embedding space: anchor sample by id
+    # gate, positive = next same-label id (label-partition lead),
+    # negative = the half-rotation rank partner (the H169 pairing trick
+    # — one equi-join, no search), dropped if it shares the label;
+    # margins cos(a,p) - cos(a,n) from the bit-exact normalized fold,
+    # grid-snapped per triplet.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    n AS (SELECT vec_id, label,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), v),
+                     (acc, t) -> acc + t * t))) AS u
+          FROM e),
+    pos AS (
+      SELECT vec_id, label, u,
+             LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS p_id
+      FROM n),
+    rk AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS r,
+             COUNT(*) OVER () AS cnt
+      FROM n),
+    anchors AS (
+      SELECT p.vec_id, p.label, p.u, p.p_id,
+             (SELECT r2.vec_id FROM rk r1, rk r2
+              WHERE r1.vec_id = p.vec_id
+                AND r2.r = (r1.r + r1.cnt // 2) % r1.cnt) AS n_id
+      FROM pos p
+      WHERE p.vec_id % 17 = 0 AND p.p_id IS NOT NULL),
+    scored AS (
+      SELECT a.label,
+             CAST(FLOOR((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [a.u[j] * pu.u[j] FOR j IN generate_series(1, len(a.u))]),
+                 (acc, t) -> acc + t)
+               - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [a.u[j] * nu.u[j] FOR j IN generate_series(1, len(a.u))]),
+                 (acc, t) -> acc + t)) * 1e6 + 0.5) AS BIGINT) AS margin6
+      FROM anchors a
+      JOIN n pu ON pu.vec_id = a.p_id
+      JOIN n nu ON nu.vec_id = a.n_id
+      WHERE nu.label <> a.label)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           FLOOR((CAST(SUM(margin6) AS DOUBLE) / (COUNT(*) * 1e6))
+                 * 1e6 + 0.5) / 1e6 AS mean_margin,
+           CAST(SUM(CASE WHEN margin6 < 200000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM scored GROUP BY label
+    """,
+)
+def q_embed_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit (H212) — the metric-learning health check of
+    the embedding family (norm audit H134 checks magnitudes, isotropy
+    checks spread, silhouette H190 checks cluster geometry; the triplet
+    margin checks the RANKING property training actually optimizes:
+    cos(anchor, same-label) should beat cos(anchor, other-label) by a
+    margin): anchors by deterministic id gate, positive = the next
+    same-label id (one label-partition lead — no search), negative = the
+    half-rotation rank partner (the Fellegi-Sunter pairing trick: one
+    equi-join on rank, uniformly mixing, dropped in the rare case it
+    shares the label), margins from the bit-exact pre-normalized cosine
+    fold, grid-snapped per triplet before the label rollup; violations
+    counted under a 0.2 margin. Cost: three broadcastable joins on ids —
+    linear, no pair enumeration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    n = emb.select(
+        "vec_id", "label", F.transform(v, lambda x: x / norm).alias("u")
+    )
+    n = n.persist()
+    w_lbl = Window.partitionBy("label").orderBy("vec_id")
+    pos = n.select(
+        "vec_id", "label", "u", F.lead("vec_id").over(w_lbl).alias("p_id")
+    )
+    w_all = Window.orderBy("vec_id")
+    rk = n.select(
+        "vec_id",
+        (F.row_number().over(w_all) - 1).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    partner = rk.select(
+        F.col("vec_id").alias("partner_id"), F.col("r").alias("pr")
+    )
+    anchors = (
+        pos.filter((F.col("vec_id") % 17 == 0) & F.col("p_id").isNotNull())
+        .join(rk, "vec_id")
+        .join(
+            partner,
+            F.col("pr")
+            == F.pmod(F.col("r") + F.expr("cnt DIV 2"), F.col("cnt")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "u",
+            "p_id",
+            F.col("partner_id").alias("n_id"),
+        )
+    )
+    pu = n.select(F.col("vec_id").alias("p_id"), F.col("u").alias("p_u"))
+    nu = n.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("u").alias("n_u"),
+    )
+
+    def cosf(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = (
+        anchors.join(pu, "p_id")
+        .join(nu, "n_id")
+        .filter(F.col("n_label") != F.col("label"))
+        .select(
+            "label",
+            F.floor(
+                (cosf(F.col("u"), F.col("p_u")) - cosf(F.col("u"), F.col("n_u")))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("margin6"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_triplets"),
+        PAR.round6(
+            F.sum("margin6").cast("double") / (F.count("*") * F.lit(1e6))
+        ).alias("mean_margin"),
+        F.sum(F.when(F.col("margin6") < 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+
+@register(
+    "q_events_skew_kurtosis",
+    # Exact third/fourth-moment shape statistics per event type: raw
+    # moments S1..S4 over integer CENT values in decimal(38,0) (cents,
+    # not micros — the 4th power of a micro wraps even HUGEINT), central
+    # moments and the g1/excess-g2 ratios assembled in ONE fixed double
+    # op sequence shared by both engines.
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s1,
+             SUM(CAST(v AS HUGEINT) * v) AS s2,
+             SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+             SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+      FROM x GROUP BY event_type)
+    SELECT event_type, n AS n_events,
+           FLOOR((CAST(s1 AS DOUBLE) / (n * 100)) * 1e6 + 0.5) / 1e6
+             AS mean_value,
+           FLOOR(((CAST(s3 AS DOUBLE) / n
+                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                   + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n))
+                  / pow(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                        1.5)) * 1e6 + 0.5) / 1e6 AS skewness,
+           FLOOR(((CAST(s4 AS DOUBLE) / n
+                   - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                   + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s2 AS DOUBLE) / n)
+                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  / ((CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     * (CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                  - 3) * 1e6 + 0.5) / 1e6 AS excess_kurtosis
+    FROM m
+    """,
+)
+def q_events_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness / excess kurtosis (H213) — the SHAPE members the
+    moments family stopped short of (q_agg_stats gives mean/stddev;
+    risk and anomaly reviews need the 3rd and 4th: heavy tails and
+    asymmetry are what break every Gaussian assumption downstream): raw
+    moments S1..S4 over integer CENT values accumulated exactly in
+    decimal(38,0) — cents, not micros, because a micro value's 4th
+    power (~1e46) wraps even 38-digit decimal, while cents (~1e20 per
+    term) hold to ~1e17 rows per group — then g1 = m3/m2^1.5 and
+    g2 = m4/m2^2 - 3 assembled in one fixed double op sequence written
+    IDENTICALLY in both engines (every subterm spelled s_k/n — no
+    algebraic shortcuts on one side only). One scan, one 5-key rollup,
+    fully partial-aggregable."""
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(dec)
+    m = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(vd).alias("s1"),
+        F.sum(vd * F.col("v")).alias("s2"),
+        F.sum(vd * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(vd * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n = F.col("n")
+    a1 = F.col("s1").cast("double") / n
+    a2 = F.col("s2").cast("double") / n
+    a3 = F.col("s3").cast("double") / n
+    a4 = F.col("s4").cast("double") / n
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1
+    return m.select(
+        "event_type",
+        n.alias("n_events"),
+        PAR.round6(F.col("s1").cast("double") / (n * F.lit(100))).alias(
+            "mean_value"
+        ),
+        PAR.round6(m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
+        PAR.round6(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )
