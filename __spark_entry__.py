@@ -397,7 +397,9 @@ _R9_WINDOW_NOW_BACK = [
 # q_eval_qini_uplift (H207), q_quality_delivery_gaps (H208),
 # q_eval_srm_check (H209),
 # q_eval_psm_att (H210), q_events_periodogram (H211),
-# q_embed_triplet_margin (H212), q_events_skew_kurtosis (H213).
+# q_embed_triplet_margin (H212), q_events_skew_kurtosis (H213),
+# q_events_pettitt_changepoint (H214), q_agg_weighted_quantiles (H215),
+# q_graph_kcore_peel (H216).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics

@@ -19016,3 +19016,278 @@ def q_events_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(m3 / F.pow(m2, F.lit(1.5))).alias("skewness"),
         PAR.round6(m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "q_events_pettitt_changepoint",
+    # Pettitt nonparametric changepoint test on the daily series, in its
+    # rank computational form: with doubled midranks r2 = 2R = 2*rank +
+    # ties - 1 (integral), each term r2_i - (n+1) equals the exact
+    # integer sign-sum sum_j sgn(x_i - x_j) — the doubling CANCELS, so
+    # U_t = prefix sum of those terms, K = max|U_t| at the earliest
+    # argmax day; p ~ 2 exp(-6K^2/(n^3+n^2)) is the single float op.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY d),
+    rked AS (
+      SELECT d,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS r2,
+             COUNT(*) OVER () AS n
+      FROM daily),
+    u AS (
+      SELECT d, n,
+             SUM(r2 - (n + 1)) OVER (ORDER BY d) AS u2
+      FROM rked),
+    best AS (
+      SELECT d, n, abs(u2) AS k2,
+             ROW_NUMBER() OVER (ORDER BY abs(u2) DESC, d) AS rk
+      FROM u)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(d AS BIGINT) AS changepoint_day,
+           CAST(k2 AS BIGINT) AS k_statistic,
+           FLOOR(2 * exp(-6.0 * CAST(k2 AS DOUBLE) * CAST(k2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)) * 1e6 + 0.5) / 1e6
+             AS p_approx
+    FROM best WHERE rk = 1
+    """,
+)
+def q_events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (H214) — the NONPARAMETRIC member of the
+    changepoint family (CUSUM H51 assumes a known in-control mean and
+    chases shifts from it; Pettitt asks "did the distribution change
+    SOMEWHERE, and where" with no distributional assumption — the
+    standard first pass on a series you haven't modeled yet): the rank
+    computational form keeps everything integral: the doubled midrank
+    identity r2 - (n+1) = sum_j sgn(x_i - x_j) (the doubling cancels
+    against the (n+1) shift) makes U_t a pure integer prefix sum,
+    K = max|U| at the earliest argmax day, and the classic
+    approximation p ~ 2 exp(-6K^2/(n^3+n^2)) spends the only float.
+    One day rollup + one global rank window + one prefix sum — all on
+    the day domain."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    rked = daily.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        ).alias("r2"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    w_pfx = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    u = rked.select(
+        "d", "n", F.sum(F.col("r2") - (F.col("n") + 1)).over(w_pfx).alias("u2")
+    )
+    best = u.select(
+        "d",
+        "n",
+        F.abs(F.col("u2")).alias("k2"),
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("u2")).desc(), "d"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    k = F.col("k2").cast("double")
+    n_d = F.col("n").cast("double")
+    return best.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").cast("long").alias("changepoint_day"),
+        F.col("k2").cast("long").alias("k_statistic"),
+        PAR.round6(
+            2 * F.exp(-F.lit(6.0) * k * k / (n_d * F.col("n") * F.col("n") + n_d * F.col("n")))
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q_agg_weighted_quantiles",
+    # EXACT weighted quantiles per return flag (weights = integer
+    # quantity units): cumulative-weight prefix over the sorted value
+    # domain, the q-quantile = the smallest value whose cumulative
+    # weight reaches q*W — membership decided by the INTEGER
+    # cross-comparison 20*cumw >= q20*W, so no quantile float exists.
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS g,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem),
+    dom AS (
+      SELECT g, v, SUM(w) AS w FROM x GROUP BY g, v),
+    cum AS (
+      SELECT g, v,
+             SUM(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+             SUM(w) OVER (PARTITION BY g) AS tw
+      FROM dom),
+    qs AS (SELECT unnest([5, 10, 15, 19]) AS q20),
+    hit AS (
+      SELECT cum.g, qs.q20, cum.v,
+             ROW_NUMBER() OVER (PARTITION BY cum.g, qs.q20 ORDER BY cum.v)
+               AS rk
+      FROM cum, qs WHERE 20 * cum.cw >= qs.q20 * cum.tw)
+    SELECT g AS returnflag, CAST(q20 * 5 AS INT) AS percentile,
+           FLOOR((CAST(v AS DOUBLE) / 100) * 1e6 + 0.5) / 1e6 AS value
+    FROM hit WHERE rk = 1
+    """,
+)
+def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles (H215) — the aggregate surface neither
+    percentile_approx nor plain exact percentiles cover: when each row
+    carries a WEIGHT (quantity units, revenue, exposure time), the
+    median you want is the value splitting the weighted mass, not the
+    row count. Quantile membership is decided by the pure integer
+    cross-comparison 20*cumw >= q20*W (quantile grid in twentieths —
+    no q*W float ever compared), over a cumulative-weight prefix on the
+    counted (group, value) DOMAIN — never a row-level sort. One rollup
+    + one partitioned prefix window + a 4-point quantile grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    )
+    dom = x.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    cum = dom.select(
+        "g",
+        "v",
+        F.sum("w")
+        .over(Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+    )
+    qs = spark.createDataFrame([(5,), (10,), (15,), (19,)], "q20 long")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(20 * F.col("cw") >= F.col("q20") * F.col("tw"))
+        .select(
+            "g",
+            "q20",
+            "v",
+            F.row_number()
+            .over(Window.partitionBy("g", "q20").orderBy("v"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return hit.select(
+        F.col("g").alias("returnflag"),
+        (F.col("q20") * 5).cast("int").alias("percentile"),
+        PAR.round6(F.col("v").cast("double") / F.lit(100)).alias("value"),
+    )
+
+
+@register(
+    "q_graph_kcore_peel",
+    # Bounded k-core decomposition (k=3, 3 synchronous peel rounds) of
+    # the part co-purchase graph: each round drops nodes whose degree
+    # within the SURVIVING subgraph is < k; the oracle unrolls the same
+    # three rounds as chained CTEs — every intermediate survivor set is
+    # integer-exact in both engines.
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    und AS (
+      SELECT a AS s, b AS d FROM pairs
+      UNION ALL SELECT b, a FROM pairs),
+    s0 AS (SELECT s AS node FROM und GROUP BY s HAVING COUNT(*) >= 3),
+    s1 AS (
+      SELECT u.s AS node FROM und u
+      JOIN s0 x ON x.node = u.s JOIN s0 y ON y.node = u.d
+      GROUP BY u.s HAVING COUNT(*) >= 3),
+    s2 AS (
+      SELECT u.s AS node FROM und u
+      JOIN s1 x ON x.node = u.s JOIN s1 y ON y.node = u.d
+      GROUP BY u.s HAVING COUNT(*) >= 3),
+    deg2 AS (
+      SELECT u.s AS node, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM und u
+      JOIN s2 x ON x.node = u.s JOIN s2 y ON y.node = u.d
+      GROUP BY u.s)
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT DISTINCT s FROM und))
+             AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS core_size,
+           CAST((SELECT COALESCE(SUM(dg), 0) // 2 FROM deg2) AS BIGINT)
+             AS core_edges,
+           CAST((SELECT COALESCE(MIN(dg), 0) FROM deg2) AS BIGINT)
+             AS core_min_degree
+    FROM (SELECT 1)
+    """,
+)
+def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (H216) — the graph family's DENSITY-floor
+    member (triangles H23 measure local cohesion, communities H165 name
+    groups; the k-core names the maximal subgraph where EVERYONE keeps
+    >= k ties after the hangers-on leave — the standard backbone
+    extraction before any expensive graph algorithm runs): 3 synchronous
+    rounds of "drop nodes with in-subgraph degree < 3", fixed budget
+    (the PageRank tol=None determinism trade; full peeling converges in
+    a data-dependent round count the oracle could not unroll), reporting
+    survivor count, in-core edges, and the surviving minimum degree.
+    Per round: one edge-sized join against the survivor set + one
+    degree rollup — cost ∝ |E| per round, the CC discipline with
+    per-round materialization."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    und = pairs.select(F.col("a").alias("s"), F.col("b").alias("d")).unionByName(
+        pairs.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    und = und.persist()
+    und.count()  # materialize: each round's plan must read the CACHE, not
+    # replay the pair join (the CC discipline) — without this the final tree
+    # embeds und 4x and the local driver OOMs building duplicate broadcasts
+    surv = und.groupBy("s").agg(F.count("*").alias("dg")).filter(
+        F.col("dg") >= 3
+    ).select(F.col("s").alias("node"))
+    for _ in range(2):
+        surv = surv.persist()
+        surv.count()
+        sx = surv.select(F.col("node").alias("sx"))
+        sy = surv.select(F.col("node").alias("sy"))
+        surv = (
+            und.join(sx, und.s == F.col("sx"))
+            .join(sy, und.d == F.col("sy"))
+            .groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= 3)
+            .select(F.col("s").alias("node"))
+        )
+    surv = surv.persist()
+    surv.count()
+    sx = surv.select(F.col("node").alias("sx"))
+    sy = surv.select(F.col("node").alias("sy"))
+    deg2 = (
+        und.join(sx, und.s == F.col("sx"))
+        .join(sy, und.d == F.col("sy"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    n_nodes = und.select("s").distinct().agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    core = deg2.agg(
+        F.count("*").cast("long").alias("core_size"),
+        F.expr("CAST(COALESCE(SUM(dg), 0) DIV 2 AS BIGINT)").alias("core_edges"),
+        F.coalesce(F.min("dg"), F.lit(0)).cast("long").alias("core_min_degree"),
+    )
+    return n_nodes.crossJoin(F.broadcast(core)).select(
+        "n_nodes", "core_size", "core_edges", "core_min_degree"
+    )
