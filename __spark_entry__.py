@@ -405,15 +405,15 @@ _R9_WINDOW_NOW_BACK = [
 # migrated r8-window queries not re-verified in this round's 9 analytics
 # slots).
 #
-# r11 WINDOW PLAN (the mid pool, now 72 names, exceeds the 50-slot window
+# r11 WINDOW PLAN (the mid pool, now 79 names, exceeds the 50-slot window
 # for the first time — the rotation needs an explicit order): the r11
 # _FRONT takes the 50 OLDEST never-driver-verified mids in registration
 # order — H133a/H138-H171 (the 35 registered before the first r10 close)
-# then H172-H186 (the first 15 of this session's additions). The r12
-# window then owes: H187-H209 (23 names) + the 29 migration-debt r8
+# then H172-H186 (the first 15 of the second session's additions). The
+# r12 window then owes: H187-H216 (30 names) + the 29 migration-debt r8
 # greens + any r11 mids. Every mid is t2-MATCH at sf0.001 + sf0.01 (and
-# the session batches at sf0.1 + a float-fuzz clone + a text-mutated
-# clone where text-sensitive) — see PERF_NOTES round-10 records.
+# the second-session batches additionally at sf0.1 + the float-fuzz AND
+# text-mutated clones) — see PERF_NOTES round-10 records.
 _BACK = _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",
