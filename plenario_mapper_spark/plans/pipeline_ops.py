@@ -19291,3 +19291,287 @@ def q_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.crossJoin(F.broadcast(core)).select(
         "n_nodes", "core_size", "core_edges", "core_min_degree"
     )
+
+
+@register(
+    "q_events_peak_concurrency",
+    # Sweep-line peak concurrency over 5-minute activity windows: +1/-1
+    # deltas ordered by (instant, delta) — ends sort before starts at the
+    # same microsecond, the half-open-interval pact — running sum, max,
+    # and the earliest instant that attains it. Pure integers.
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events),
+    deltas AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL SELECT e, -1 FROM iv),
+    run AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM deltas),
+    best AS (
+      SELECT t, conc,
+             ROW_NUMBER() OVER (ORDER BY conc DESC, t) AS rk
+      FROM run)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_sessions,
+           CAST(conc AS BIGINT) AS peak_concurrency,
+           CAST(t AS BIGINT) AS peak_at_us
+    FROM best WHERE rk = 1
+    """,
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (H217) — the CAPACITY question the interval
+    family was missing (the union H204 says how much total time was
+    covered; capacity planning needs the MAXIMUM simultaneous load, the
+    number that sizes the fleet): classic sweep line — every 5-minute
+    activity window emits a +1 at its start and a -1 at its end, one
+    global (instant, delta) sort runs the prefix sum, and the peak is
+    max(running) at its earliest attaining instant. The tie pact is the
+    half-open-interval rule: at the same microsecond the -1 sorts before
+    the +1, so back-to-back windows never double-count. Pure integer
+    microseconds end to end; one global sort (range partition at scale)
+    + one prefix window."""
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        F.expr("unix_micros(ts)").alias("s"),
+        (F.expr("unix_micros(ts)") + F.lit(300000000)).alias("e"),
+    )
+    iv = iv.persist()
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_run = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = deltas.select("t", "delta", F.sum("delta").over(w_run).alias("conc"))
+    best = run.select(
+        "t",
+        "conc",
+        F.row_number().over(Window.orderBy(F.col("conc").desc(), "t")).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    n = iv.agg(F.count("*").cast("long").alias("n_sessions"))
+    return best.crossJoin(F.broadcast(n)).select(
+        "n_sessions",
+        F.col("conc").cast("long").alias("peak_concurrency"),
+        F.col("t").cast("long").alias("peak_at_us"),
+    )
+
+
+@register(
+    "q_eval_overlap_ks",
+    # Covariate-overlap diagnostic for the matching/weighting family: the
+    # exact two-sample KS statistic between treated and control
+    # engagement-score distributions — ECDF max gap as one integer
+    # cross-comparison per domain value |F_t*n_c*... | kept as exact
+    # integer cross products, max picked on the integer grid.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS score
+      FROM events GROUP BY user_id),
+    dom AS (
+      SELECT score,
+             CAST(SUM(variant) AS BIGINT) AS ct,
+             CAST(SUM(1 - variant) AS BIGINT) AS cc
+      FROM u GROUP BY score),
+    tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cc) AS BIGINT) AS nc
+      FROM dom),
+    ecdf AS (
+      SELECT score,
+             SUM(ct) OVER (ORDER BY score) AS cum_t,
+             SUM(cc) OVER (ORDER BY score) AS cum_c
+      FROM dom),
+    gaps AS (
+      SELECT score,
+             abs(cum_t * (SELECT nc FROM tot) - cum_c * (SELECT nt FROM tot))
+               AS gap_x
+      FROM ecdf),
+    best AS (
+      SELECT score, gap_x,
+             ROW_NUMBER() OVER (ORDER BY gap_x DESC, score) AS rk
+      FROM gaps)
+    SELECT tot.nt AS n_treated, tot.nc AS n_controls,
+           CAST(best.score AS BIGINT) AS ks_at_score,
+           FLOOR((CAST(best.gap_x AS DOUBLE)
+                  / (CAST(tot.nt AS DOUBLE) * tot.nc)) * 1e6 + 0.5) / 1e6
+             AS ks_statistic
+    FROM best, tot WHERE best.rk = 1
+    """,
+)
+def q_eval_overlap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-overlap KS diagnostic (H218) — the PRECONDITION check
+    for the whole matching/weighting family (PSM H210 and IPW H152
+    silently extrapolate when treated and control covariate
+    distributions barely overlap; the two-sample KS statistic between
+    the arms' score distributions is the standard one-number overlap
+    report, read next to SMD H112): exact ECDF max gap with every
+    comparison an integer cross product |cumF_t*n_c - cumF_c*n_t| over
+    the counted score DOMAIN (never a per-row sort), the single double
+    division at presentation. One user rollup + one domain rollup + one
+    ordered prefix window."""
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score")
+    ).select("*", (F.col("user_id") % 2).cast("int").alias("variant"))
+    dom = u.groupBy("score").agg(
+        F.sum("variant").cast("long").alias("ct"),
+        F.sum(1 - F.col("variant")).cast("long").alias("cc"),
+    )
+    tot = dom.agg(
+        F.sum("ct").cast("long").alias("nt"), F.sum("cc").cast("long").alias("nc")
+    )
+    w_ecdf = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = dom.select(
+        "score",
+        F.sum("ct").over(w_ecdf).alias("cum_t"),
+        F.sum("cc").over(w_ecdf).alias("cum_c"),
+    )
+    gaps = ecdf.crossJoin(F.broadcast(tot)).select(
+        "score",
+        "nt",
+        "nc",
+        F.abs(F.col("cum_t") * F.col("nc") - F.col("cum_c") * F.col("nt")).alias(
+            "gap_x"
+        ),
+    )
+    best = gaps.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("gap_x").desc(), "score"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_controls"),
+        F.col("score").cast("long").alias("ks_at_score"),
+        PAR.round6(
+            F.col("gap_x").cast("double")
+            / (F.col("nt").cast("double") * F.col("nc"))
+        ).alias("ks_statistic"),
+    )
+
+
+@register(
+    "q_part_abc_xyz_matrix",
+    # ABC-XYZ inventory matrix: revenue classes by the exclusive integer
+    # cumulative rule (H160), variability classes by PURE INTEGER
+    # comparisons on the monthly-demand CV — X if 4*(M*s2 - s1^2) < s1^2,
+    # Y if (M*s2 - s1^2) < s1^2, else Z — zero-sales months counted
+    # through the corpus month span, no CV float ever classified.
+    oracle="""
+    WITH months AS (
+      SELECT CAST(COUNT(DISTINCT year(l_shipdate) * 12 + month(l_shipdate))
+        AS BIGINT) AS m
+      FROM lineitem),
+    pm AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+             SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                 AS HUGEINT)) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    pp AS (
+      SELECT l_partkey,
+             SUM(CAST(q AS HUGEINT)) AS s1,
+             SUM(CAST(q AS HUGEINT) * q) AS s2,
+             SUM(rev) AS rev
+      FROM pm GROUP BY l_partkey),
+    xyz AS (
+      SELECT l_partkey, rev,
+             CASE WHEN 4 * ((SELECT m FROM months) * s2 - s1 * s1)
+                       < s1 * s1 THEN 'X'
+                  WHEN ((SELECT m FROM months) * s2 - s1 * s1)
+                       < s1 * s1 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM pp),
+    r AS (
+      SELECT l_partkey, rev, xyz_class,
+             COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cume,
+             SUM(rev) OVER () AS tot
+      FROM xyz),
+    cls AS (
+      SELECT CASE WHEN 5 * cume < 4 * tot THEN 'A'
+                  WHEN 20 * cume < 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             xyz_class, rev, tot
+      FROM r)
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           FLOOR((CAST(SUM(rev) AS DOUBLE) / MAX(CAST(tot AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS revenue_share
+    FROM cls GROUP BY abc_class, xyz_class
+    """,
+)
+def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix (H219) — the two-axis classification
+    every supply planner actually runs (ABC H160 ranks by revenue VALUE;
+    XYZ ranks by demand PREDICTABILITY — an AX part is forecastable
+    bread-and-butter, an AZ part is high-stakes chaos needing safety
+    stock, a CZ part is a delisting candidate): monthly demand per part
+    over the corpus month span (zero-sales months count through the span
+    M — a part selling once is VOLATILE, not stable), variability
+    classes decided by PURE INTEGER comparisons on the CV identity
+    cv^2 = (M*s2 - s1^2)/s1^2 — X below 0.5 via 4*(M*s2-s1^2) < s1^2,
+    Y below 1.0, else Z — and revenue classes by H160's exclusive
+    integer cumulative rule. No CV float is ever classified. One
+    (part, month) rollup, one part rollup, one rank window over the
+    part domain, a <=9-cell matrix out."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    mi = F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    months = li.agg(F.countDistinct(mi).cast("long").alias("m"))
+    pm = li.groupBy("l_partkey", mi.alias("mi")).agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias("q"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                + F.lit(0.5)
+            ).cast(dec)
+        ).alias("rev"),
+    )
+    pp = pm.groupBy("l_partkey").agg(
+        F.sum(F.col("q").cast(dec)).alias("s1"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("s2"),
+        F.sum("rev").alias("rev"),
+    )
+    var_num = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    xyz = pp.crossJoin(F.broadcast(months)).select(
+        "l_partkey",
+        "rev",
+        F.when(4 * var_num < F.col("s1") * F.col("s1"), "X")
+        .when(var_num < F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    w_cume = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    r = xyz.select(
+        "xyz_class",
+        "rev",
+        F.coalesce(F.sum("rev").over(w_cume), F.lit(0).cast(dec)).alias("cume"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    cls = r.select(
+        F.when(5 * F.col("cume") < 4 * F.col("tot"), "A")
+        .when(20 * F.col("cume") < 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "xyz_class",
+        "rev",
+        "tot",
+    )
+    return cls.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        PAR.round6(
+            F.sum("rev").cast("double") / F.max(F.col("tot")).cast("double")
+        ).alias("revenue_share"),
+    )
