@@ -401,18 +401,19 @@ _R9_WINDOW_NOW_BACK = [
 # q_events_pettitt_changepoint (H214), q_agg_weighted_quantiles (H215),
 # q_graph_kcore_peel (H216),
 # q_events_peak_concurrency (H217), q_eval_overlap_ks (H218),
-# q_part_abc_xyz_matrix (H219).
+# q_part_abc_xyz_matrix (H219),
+# q_embed_hubness_audit (H220), q_part_price_indices (H221).
 # They are the r11 rotation's first
 # claimants alongside the 29 remaining migration-debt r8 greens (the
 # migrated r8-window queries not re-verified in this round's 9 analytics
 # slots).
 #
-# r11 WINDOW PLAN (the mid pool, now 82 names, exceeds the 50-slot window
+# r11 WINDOW PLAN (the mid pool, now 84 names, exceeds the 50-slot window
 # for the first time — the rotation needs an explicit order): the r11
 # _FRONT takes the 50 OLDEST never-driver-verified mids in registration
 # order — H133a/H138-H171 (the 35 registered before the first r10 close)
 # then H172-H186 (the first 15 of the second session's additions). The
-# r12 window then owes: H187-H219 (33 names) + the 29 migration-debt r8
+# r12 window then owes: H187-H221 (35 names) + the 29 migration-debt r8
 # greens + any r11 mids. Every mid is t2-MATCH at sf0.001 + sf0.01 (and
 # the second-session batches additionally at sf0.1 + the float-fuzz AND
 # text-mutated clones) — see PERF_NOTES round-10 records.

@@ -19575,3 +19575,272 @@ def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / F.max(F.col("tot")).cast("double")
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "q_embed_hubness_audit",
+    # Hubness audit over the 1-in-50 sample: how unevenly vectors appear
+    # in each other's cosine top-5 lists (the high-dimensional ANN
+    # pathology where a few "hub" points dominate every neighbor list):
+    # k-occurrence counts from the bit-exact rounded-grid ranking, their
+    # exact integer skewness moments, and the top hub.
+    oracle="""
+    WITH samp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 50 = 0),
+    n AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_prepend(CAST(0 AS DOUBLE), v),
+                     (acc, t) -> acc + t * t))) AS u
+          FROM samp),
+    scored AS (
+      SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+             FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [q.u[j] * i.u[j] FOR j IN generate_series(1, len(q.u))]),
+                 (acc, t) -> acc + t) * 1e6 + 0.5) AS c6
+      FROM n q JOIN n i ON i.vec_id <> q.vec_id),
+    top5 AS (
+      SELECT item_id FROM (
+        SELECT query_id, item_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c6 DESC, item_id) AS rk
+        FROM scored) WHERE rk <= 5),
+    occ AS (
+      SELECT s.vec_id, CAST(COALESCE(t.k, 0) AS BIGINT) AS k
+      FROM samp s LEFT JOIN (
+        SELECT item_id, COUNT(*) AS k FROM top5 GROUP BY item_id) t
+        ON t.item_id = s.vec_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(k AS HUGEINT)) AS s1,
+             SUM(CAST(k AS HUGEINT) * k) AS s2,
+             SUM(CAST(k AS HUGEINT) * k * k) AS s3,
+             CAST(MAX(k) AS BIGINT) AS k_max
+      FROM occ),
+    hub AS (
+      SELECT vec_id FROM occ, m WHERE occ.k = m.k_max
+      ORDER BY vec_id LIMIT 1)
+    SELECT m.n AS n_sampled, m.k_max,
+           (SELECT CAST(vec_id AS BIGINT) FROM hub) AS top_hub_id,
+           FLOOR(((CAST(m.s3 AS DOUBLE) / m.n
+                   - 3 * (CAST(m.s1 AS DOUBLE) / m.n)
+                     * (CAST(m.s2 AS DOUBLE) / m.n)
+                   + 2 * (CAST(m.s1 AS DOUBLE) / m.n)
+                     * (CAST(m.s1 AS DOUBLE) / m.n)
+                     * (CAST(m.s1 AS DOUBLE) / m.n))
+                  / pow(CAST(m.s2 AS DOUBLE) / m.n
+                        - (CAST(m.s1 AS DOUBLE) / m.n)
+                          * (CAST(m.s1 AS DOUBLE) / m.n), 1.5))
+                 * 1e6 + 0.5) / 1e6 AS k_occurrence_skew
+    FROM m
+    """,
+)
+def q_embed_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (H220) — the high-dimensional ANN pathology the
+    recall certifications (H2) can't see: in high dimensions a few "hub"
+    vectors appear in EVERYONE's top-k while antihubs appear in no
+    one's, silently skewing retrieval, dedup, and kNN-graph quality
+    (Radovanovic et al. JMLR'10); the diagnostic is the skewness of the
+    k-occurrence distribution (how often each vector shows up in others'
+    top-5). Quadratic by definition, so it runs on the deterministic
+    1-in-50 id-gate sample (the silhouette discipline); rankings use the
+    bit-exact rounded-grid cosine with (c6 desc, id) tie pacts; the
+    skewness comes from exact integer moments (the H213 machinery — k is
+    a small count, cubes are safe); antihubs (k=0) enter through the
+    left join. One sample-pair scoring pass + two rollups."""
+    e = _t(spark, sf_dir, "embeddings")
+    samp = e.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    n = samp.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / norm).alias("u")
+    )
+    n = n.persist()
+    q, i = n.alias("q"), n.alias("i")
+    cos = F.aggregate(
+        F.zip_with(F.col("q.u"), F.col("i.u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = q.join(i, F.col("q.vec_id") != F.col("i.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("i.vec_id").alias("item_id"),
+        F.floor(cos * 1e6 + F.lit(0.5)).alias("c6"),
+    )
+    top5 = scored.select(
+        "query_id",
+        "item_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("c6").desc(), "item_id"
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    occ_counts = top5.groupBy("item_id").agg(F.count("*").alias("k"))
+    occ = samp.select("vec_id").join(
+        occ_counts, samp.vec_id == occ_counts.item_id, "left"
+    ).select(
+        "vec_id", F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k")
+    )
+    occ = occ.persist()
+    dec = "decimal(38,0)"
+    kd = F.col("k").cast(dec)
+    m = occ.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(kd).alias("s1"),
+        F.sum(kd * F.col("k")).alias("s2"),
+        F.sum(kd * F.col("k") * F.col("k")).alias("s3"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+    hub = (
+        occ.crossJoin(F.broadcast(m.select("k_max")))
+        .filter(F.col("k") == F.col("k_max"))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("top_hub_id"))
+    )
+    nn = F.col("n")
+    a1 = F.col("s1").cast("double") / nn
+    a2 = F.col("s2").cast("double") / nn
+    a3 = F.col("s3").cast("double") / nn
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    return m.crossJoin(F.broadcast(hub)).select(
+        nn.alias("n_sampled"),
+        "k_max",
+        F.col("top_hub_id").cast("long").alias("top_hub_id"),
+        PAR.round6(m3 / F.pow(m2, F.lit(1.5))).alias("k_occurrence_skew"),
+    )
+
+
+@register(
+    "q_part_price_indices",
+    # Laspeyres and Paasche price indices between the two calendar halves
+    # of the shipping range (the H184 midpoint split): per-part unit
+    # prices as exact micro-revenue/quantity rationals, every basket sum
+    # a grid-snapped per-part term, the indices one double division each;
+    # Fisher = sqrt(L*P) rides along.
+    oracle="""
+    WITH days AS (
+      SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS dd,
+             l_partkey,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+               AS BIGINT) AS rm
+      FROM lineitem),
+    mid AS (SELECT (MIN(dd) + MAX(dd)) // 2 AS m FROM days),
+    pp AS (
+      SELECT CASE WHEN dd <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS h,
+             l_partkey,
+             SUM(CAST(q AS HUGEINT)) AS q,
+             SUM(CAST(rm AS HUGEINT)) AS rev
+      FROM days GROUP BY 1, 2),
+    traded AS (
+      SELECT a.l_partkey,
+             a.q AS q0, a.rev AS r0, b.q AS q1, b.rev AS r1
+      FROM (SELECT * FROM pp WHERE h = 0) a
+      JOIN (SELECT * FROM pp WHERE h = 1) b ON b.l_partkey = a.l_partkey
+      WHERE a.q > 0 AND b.q > 0),
+    terms AS (
+      SELECT
+        CAST(FLOOR(CAST(r1 AS DOUBLE) / q1 * CAST(q0 AS DOUBLE) + 0.5)
+          AS BIGINT) AS p1q0,
+        CAST(FLOOR(CAST(r0 AS DOUBLE) / q0 * CAST(q0 AS DOUBLE) + 0.5)
+          AS BIGINT) AS p0q0,
+        CAST(FLOOR(CAST(r1 AS DOUBLE) / q1 * CAST(q1 AS DOUBLE) + 0.5)
+          AS BIGINT) AS p1q1,
+        CAST(FLOOR(CAST(r0 AS DOUBLE) / q0 * CAST(q1 AS DOUBLE) + 0.5)
+          AS BIGINT) AS p0q1
+      FROM traded)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_in_both,
+           FLOOR((CAST(SUM(p1q0) AS DOUBLE) / SUM(p0q0)) * 1e6 + 0.5) / 1e6
+             AS laspeyres,
+           FLOOR((CAST(SUM(p1q1) AS DOUBLE) / SUM(p0q1)) * 1e6 + 0.5) / 1e6
+             AS paasche,
+           FLOOR(sqrt((CAST(SUM(p1q0) AS DOUBLE) / SUM(p0q0))
+                      * (CAST(SUM(p1q1) AS DOUBLE) / SUM(p0q1)))
+                 * 1e6 + 0.5) / 1e6 AS fisher
+    FROM terms
+    """,
+)
+def q_part_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices (H221) — the
+    basket-weighted answer to "did PRICES move, holding the mix fixed"
+    that the volume/price decomposition (H117) and elasticity regression
+    (H187) bracket but don't give: Laspeyres weights by the BASE-period
+    basket (what yesterday's mix costs today), Paasche by the CURRENT
+    basket, Fisher is their geometric mean; the L-P gap itself measures
+    substitution. Halves split at the integer midpoint day (the H184
+    convention), unit prices are exact micro-revenue/quantity rationals,
+    each basket term p_i*q_j snaps to whole micro units before the
+    unordered part-domain sums, and each index is one double division
+    over exact integers. Parts must trade in BOTH halves (documented —
+    an index over a changing basket is the H184 migration question, not
+    a price question). One (half, part) rollup + one part-domain join."""
+    li = _t(spark, sf_dir, "lineitem")
+    days = li.select(
+        F.expr("CAST(unix_micros(l_shipdate) DIV 86400000000 AS BIGINT)").alias(
+            "dd"
+        ),
+        "l_partkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rm"),
+    )
+    mid = days.agg(F.expr("CAST((MIN(dd) + MAX(dd)) DIV 2 AS BIGINT)").alias("m"))
+    dec = "decimal(38,0)"
+    pp = (
+        days.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("dd") <= F.col("m"), 0).otherwise(1).alias("h"),
+            "l_partkey",
+            "q",
+            "rm",
+        )
+        .groupBy("h", "l_partkey")
+        .agg(
+            F.sum(F.col("q").cast(dec)).alias("q"),
+            F.sum(F.col("rm").cast(dec)).alias("rev"),
+        )
+    )
+    a = pp.filter(F.col("h") == 0).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("rev").alias("r0")
+    )
+    b = pp.filter(F.col("h") == 1).select(
+        F.col("l_partkey").alias("pk2"), F.col("q").alias("q1"), F.col("rev").alias("r1")
+    )
+    both = a.join(b, a.l_partkey == b.pk2).filter(
+        (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+
+    def term(r, qden, qmul):
+        return (
+            F.floor(
+                F.col(r).cast("double")
+                / F.col(qden).cast("double")
+                * F.col(qmul).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+        )
+
+    terms = both.select(
+        term("r1", "q1", "q0").alias("p1q0"),
+        term("r0", "q0", "q0").alias("p0q0"),
+        term("r1", "q1", "q1").alias("p1q1"),
+        term("r0", "q0", "q1").alias("p0q1"),
+    )
+    lasp = F.sum("p1q0").cast("double") / F.sum("p0q0")
+    paas = F.sum("p1q1").cast("double") / F.sum("p0q1")
+    return terms.agg(
+        F.count("*").cast("long").alias("n_parts_in_both"),
+        PAR.round6(lasp).alias("laspeyres"),
+        PAR.round6(paas).alias("paasche"),
+        PAR.round6(F.sqrt(lasp * paas)).alias("fisher"),
+    )
