@@ -229,8 +229,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # first; ewma + fano ceded their slots to the changed-oracle canaries).
 # Remaining migration debt after this window: 31 r8-green migrated queries,
 # the r11 window's first claimants. Demoted to _BACK: the whole r9 window.
+#
+# Round-11 rotation (VERDICT r10 items 1+2 — run the committed window, freeze
+# growth): registry growth is FROZEN at 337 this round (len(plans.QUERIES) ==
+# 337 at close; no new operators). The window is EXACTLY the committed r10
+# plan (the "r11 WINDOW PLAN" note below, written at r10 close): the 50
+# OLDEST never-driver-verified mids in registration order, computed from the
+# CORRECTNESS_r01-r10 artifact JSONs (85 never-verified total) —
+# q_embed_hard_negatives_indexed (H133's production-path certification,
+# registered first among the mids) then H138-H171's queries (34 names,
+# bm25 .. power_mde) then the first 15 of H172-H186 (gini .. supplier_rca).
+# After this window the never-verified debt drops to 35 (H187-H221), which
+# plus the 29 migration-debt r8 greens are the committed r12 window's
+# claimants (64 names > 50 slots: r12 takes the 35 never-verified first —
+# the driver gate is the check the builder cannot run — then the 15 oldest
+# migration-debt greens; the last 14 re-verifies complete in r13).
+# Demoted to _BACK: the whole r10 window (50/50 green in CORRECTNESS_r10.json).
 _FRONT = [
-    # -- the 10 r9 mid additions (H128-H137), never driver-verified --
+    # -- H133a: the hard-negatives production path (index-probed), registered
+    #    mid-r10 right after its linear-scan twin went driver-green --
+    "q_embed_hard_negatives_indexed",
+    # -- H138-H171 in registration order --
+    "q_search_bm25_topk",
+    "q_doc_winnowing",
+    "q_embed_ivf_cell_balance",
+    "q_doc_mixture_temperature",
+    "q_doc_padding_waste",
+    "q_embed_davies_bouldin",
+    "q_scan_csv_json_roundtrip",
+    "q_eval_poisson_bootstrap_ci",
+    "q_events_click_purchase_pairs",
+    "q_events_kleinberg_bursts",
+    "q_eval_diff_in_diff",
+    "q_eval_cuped_adjusted",
+    "q_eval_stratified_ate",
+    "q_eval_wilcoxon_signed_rank",
+    "q_eval_ipw_ate",
+    "q_eval_cmh_odds",
+    "q_eval_sprt_decision",
+    "q_sample_group_kfold",
+    "q_eval_jackknife_ratio_ci",
+    "q_doc_heldout_perplexity",
+    "q_embed_pair_cosine_histogram",
+    "q_eval_isotonic_calibration",
+    "q_part_abc_class",
+    "q_eval_ucb1_arms",
+    "q_doc_rendezvous_shards",
+    "q_events_segmented_trend",
+    "q_scan_orc_roundtrip",
+    "q_graph_label_prop_3",
+    "q_embed_prefix_norm_share",
+    "q_events_entry_exit",
+    "q_events_trending_types",
+    "q_link_fs_u_weights",
+    "q_events_lifecycle_states",
+    "q_eval_power_mde",
+    # -- the first 15 of H172-H186 in registration order --
+    "q_customer_gini",
+    "q_supplier_hhi",
+    "q_events_spearman_corr",
+    "q_eval_lift_deciles",
+    "q_doc_target_encode_loo",
+    "q_survival_nelson_aalen",
+    "q_link_sorted_neighborhood",
+    "q_events_lagged_xcorr",
+    "q_events_seasonal_decomp",
+    "q_graph_link_prediction",
+    "q_eval_ndcg",
+    "q_part_abc_migration",
+    "q_join_bucketed_colocated",
+    "q_events_kendall_tau",
+    "q_supplier_rca",
+]
+# The whole r10 window (50/50 green in CORRECTNESS_r10.json), demoted.
+_R10_WINDOW_NOW_BACK = [
+    # -- the 10 r9 mid additions (H128-H137), driver-green r10 --
     "q_embed_semantic_dedup",
     "q_doc_global_shuffle",
     "q_doc_quality_yield_curve",
@@ -417,7 +490,7 @@ _R9_WINDOW_NOW_BACK = [
 # greens + any r11 mids. Every mid is t2-MATCH at sf0.001 + sf0.01 (and
 # the second-session batches additionally at sf0.1 + the float-fuzz AND
 # text-mutated clones) — see PERF_NOTES round-10 records.
-_BACK = _R9_WINDOW_NOW_BACK + [
+_BACK = _R10_WINDOW_NOW_BACK + _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",
     "q_agg_rollup",
@@ -615,8 +688,13 @@ _BACK = _R9_WINDOW_NOW_BACK + [
 
 def _ordered(names: list[str]) -> list[str]:
     front = [n for n in _FRONT if n in names]
-    back = [n for n in _BACK if n in names and n not in set(front)]
-    mid = [n for n in names if n not in set(front) | set(back)]
+    seen = set(front)
+    back = []
+    for n in _BACK:
+        if n in names and n not in seen:
+            back.append(n)
+            seen.add(n)
+    mid = [n for n in names if n not in seen]
     return front + mid + back
 
 

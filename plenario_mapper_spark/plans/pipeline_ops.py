@@ -19836,8 +19836,15 @@ def q_part_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         term("r1", "q1", "q1").alias("p1q1"),
         term("r0", "q0", "q1").alias("p0q1"),
     )
-    lasp = F.sum("p1q0").cast("double") / F.sum("p0q0")
-    paas = F.sum("p1q1").cast("double") / F.sum("p0q1")
+    # HUGEINT-twin discipline (q_customer_gini / q_supplier_hhi, ADVICE r10):
+    # each basket term is ~1e12 micro units per part, so a LongType sum wraps
+    # silently past ~9.2e18 at the 100 TB part domain while DuckDB's
+    # SUM(BIGINT) promotes to HUGEINT — sum in decimal(38,0), divide once.
+    def ssum(c):
+        return F.sum(F.col(c).cast(dec))
+
+    lasp = ssum("p1q0").cast("double") / ssum("p0q0").cast("double")
+    paas = ssum("p1q1").cast("double") / ssum("p0q1").cast("double")
     return terms.agg(
         F.count("*").cast("long").alias("n_parts_in_both"),
         PAR.round6(lasp).alias("laspeyres"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -59,7 +60,23 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     l_name = f"lineitem_bkt_{suffix}"
     if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(l_name):
         return o_name, l_name
-    root = os.path.join(tempfile.gettempdir(), f"bucketed_{suffix}")
+    # Data dir is scoped by the Spark application id (ADVICE r10): two
+    # concurrent sessions over the same testdata each miss their own catalog
+    # and would otherwise race mode("overwrite") writes into one shared
+    # world-predictable path, clobbering files the other session is reading.
+    # Per-app scoping makes the path private; superseded layouts from
+    # regenerated testdata (different suffix, same app) are reclaimed below
+    # so tmp does not accumulate stale bucket files unbounded.
+    app_id = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    root = os.path.join(tmp, f"bucketed_{app_id}_{suffix}")
+    prefix = f"bucketed_{app_id}_"
+    try:
+        for d in os.listdir(tmp):
+            if d.startswith(prefix) and d != os.path.basename(root):
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+    except OSError:
+        pass
     for name, table, key in (
         (o_name, "orders", "o_orderkey"),
         (l_name, "lineitem", "l_orderkey"),
