@@ -88,35 +88,56 @@ def main() -> None:
     # round's walls move on untouched queries, identical fingerprints + counts
     # prove environment variance mechanically; a changed fingerprint names the
     # plan that actually changed.
+    # Executor task time alongside wall (VERDICT r10 item 3): wall on a shared
+    # box moves with host contention even when plans are bit-identical
+    # (r8-r10: 4.4s vs 5.4s vs 6.2s on the same fingerprints). Executor task
+    # time (the UI's "Task Time", executorRunTime summed over the run's
+    # stages) and raw CPU time (executorCpuTime) are contention-stable, so a
+    # wall move WITHOUT a task/cpu move is mechanically attributable to the
+    # host regime. Each timed run gets its own job group; stage metrics come
+    # from the AppStatusStore (works with spark.ui.enabled=false).
     timings: dict[str, float] = {}
+    task_secs: dict[str, float] = {}
     plans: dict[str, dict] = {}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    store = sc._jsc.sc().statusStore()
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = float("inf"), 0
+        best_task = float("inf")
+        best_cpu = float("inf")
         df = None
-        sc.setJobGroup(f"bench:{name}", name)
-        jobs_before = set(tracker.getJobIdsForGroup(f"bench:{name}") or [])
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        best = min(best, time.perf_counter() - t0)
-        group_jobs = [
-            j
-            for j in (tracker.getJobIdsForGroup(f"bench:{name}") or [])
-            if j not in jobs_before
-        ]
-        sc.setJobGroup("bench:untracked", "")
-        for _ in range(2):
+        group_jobs: list[int] = []
+        for i in range(3):
+            grp = f"bench:{name}:{i}"
+            sc.setJobGroup(grp, name)
+            jobs_before = set(tracker.getJobIdsForGroup(grp) or [])
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.perf_counter() - t0)
+            run_jobs = [
+                j
+                for j in (tracker.getJobIdsForGroup(grp) or [])
+                if j not in jobs_before
+            ]
+            if i == 0:
+                group_jobs = run_jobs
+            run_ms, cpu_ns = _executor_time(store, tracker, run_jobs)
+            best_task = min(best_task, run_ms / 1e3)
+            best_cpu = min(best_cpu, cpu_ns / 1e9)
+        sc.setJobGroup("bench:untracked", "")
         timings[name] = round(best, 3)
+        task_secs[name] = round(best_task, 2) if best_task < float("inf") else -1.0
         plans[name] = _plan_facts(df, tracker, group_jobs)
+        plans[name]["task_sec"] = task_secs[name]
+        plans[name]["cpu_sec"] = (
+            round(best_cpu, 2) if best_cpu < float("inf") else -1.0
+        )
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows) "
+            f"# {name}: {timings[name]:.3f}s wall / {task_secs[name]:.2f}s task / "
+            f"{plans[name]['cpu_sec']:.2f}s cpu ({n} rows) "
             f"plan={plans[name]['fingerprint'][:10]} "
             f"jobs/stages/tasks={plans[name]['jobs']}/{plans[name]['stages']}/"
             f"{plans[name]['tasks']}",
@@ -151,6 +172,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # contention-stable twin of "queries" (see the loop comment): a wall
+        # move with an unmoved task_sec is host regime, not a plan regression
+        "task_sec": task_secs,
+        "task_sec_total": round(sum(v for v in task_secs.values() if v > 0), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extra,
     }
@@ -174,11 +199,39 @@ def main() -> None:
     # compact summary line so even a whole-tail json.loads would succeed.
     print(json.dumps({"metric": "plan_fingerprints", "plans": plans}), file=sys.stderr)
     final_line = json.dumps(summary)
-    if len(final_line) > 1500:  # keep well under the ~2000-char capture
+    if len(final_line) > 1900:  # keep under the ~2000-char capture
+        # degrade in value order: per-query task times first (the totals and
+        # BENCH_DETAIL.json keep them), per-query walls only as a last resort
+        summary["task_sec"] = {"in_detail_file": True, "n": len(task_secs)}
+        final_line = json.dumps(summary)
+    if len(final_line) > 1900:
         summary["queries"] = {"total_only": True, "n": len(timings)}
         final_line = json.dumps(summary)
     print(final_line)
     spark.stop()
+
+
+def _executor_time(store, tracker, job_ids: list[int]) -> tuple[int, int]:
+    """Sum executorRunTime (ms) and executorCpuTime (ns) over one run's stages.
+
+    Reads the driver's AppStatusStore (the store behind the UI/REST API;
+    available even with spark.ui.enabled=false). Skipped stages (reused
+    shuffle output) have no attempt recorded — they cost nothing, skip them.
+    """
+    run_ms = 0
+    cpu_ns = 0
+    for j in job_ids:
+        info = tracker.getJobInfo(j)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            try:
+                sd = store.lastStageAttempt(sid)
+            except Exception:
+                continue  # skipped stage: no attempt, no cost
+            run_ms += sd.executorRunTime()
+            cpu_ns += sd.executorCpuTime()
+    return run_ms, cpu_ns
 
 
 def _plan_facts(df, tracker, job_ids: list[int]) -> dict:
