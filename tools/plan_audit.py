@@ -112,7 +112,34 @@ def summarize(df) -> dict:
     }
 
 
+def slowest_registry(spark, qs, top_n: int = 10) -> dict[str, float]:
+    """Wall-time every registry query once at SF and return the top_n slowest.
+
+    VERDICT r10 item 4: scale-killer audits used to depend on bench
+    membership — a registry query could be the slowest thing in the repo
+    (q_graph_kcore_peel, 14s sf0.1) and never show up in PLANS.md. One
+    measured sweep decides membership instead of a hand-kept list.
+    """
+    import time
+
+    from plenario_mapper_spark.plans.registry import release_query_caches
+
+    walls: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF).count()
+        except Exception as exc:
+            print(f"# sweep: {name} failed: {exc}", file=sys.stderr)
+            continue
+        walls[name] = round(time.perf_counter() - t0, 3)
+        release_query_caches(spark)
+    return dict(sorted(walls.items(), key=lambda kv: -kv[1])[:top_n])
+
+
 def main() -> None:
+    import json
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as E
@@ -130,21 +157,44 @@ def main() -> None:
     # ANN certification trio went stale in PLANS.md when their form changed
     # in r6 (VERDICT r6 item 4) because only q_ann_ivf_topk is a headliner
     extra = ["q_ann_lsh_topk", "q_embed_near_dup"]
+    # top-10 slowest registry queries by a measured one-pass sweep (VERDICT
+    # r10 item 4); --skip-sweep reuses bench membership only (fast iteration)
+    slow: dict[str, float] = {}
+    if "--skip-sweep" not in sys.argv:
+        slow = slowest_registry(spark, qs)
+        print(f"# slowest registry queries: {slow}", file=sys.stderr)
+    # x10-data wall ratios measured by tools/sf1_scale.py (VERDICT r10 item
+    # 7: the sub-linear counter-evidence belongs inline with each plan)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_ratios: dict[str, float] = {}
+    try:
+        with open(os.path.join(root, ".bench_data", "sf1_ratios.json")) as f:
+            sf1_ratios = json.load(f)["ratios"]
+    except (OSError, KeyError, ValueError):
+        pass
     out = [
-        "# PLANS — physical-plan audit of the bench headline set",
+        "# PLANS — physical-plan audit: bench headliners + slowest registry queries",
         "",
         f"Generated by `tools/plan_audit.py` at sf_dir=`{SF}`. Each row is a",
         "parquet scan of the query's executed plan (AQE final where available,",
         "via a JVM tree walk that excludes cached persist-time subtrees);",
         "the summary line counts shuffles / broadcasts / Python boundaries —",
         "the facts that decide whether the plan survives a 100x scale-up.",
+        "Where tools/sf1_scale.py has measured the query, the x10-data wall",
+        "ratio is quoted inline: sub-linear (<10) means the sf0.1 DuckDB-ratio",
+        "gap is per-job fixed cost, not a scaling defect.",
         "",
     ]
-    for name in HEADLINE + extra:
+    audited: list[str] = []
+    for name in HEADLINE + extra + [n for n in slow if n not in set(HEADLINE + extra)]:
         df = qs[name](spark, SF)
         df.count()  # let AQE finalize
         s = summarize(df)
-        out.append(f"## {name}")
+        audited.append(name)
+        header = f"## {name}"
+        if name in slow:
+            header += f" (registry-sweep wall {slow[name]:.1f}s — top-10 slowest)"
+        out.append(header)
         out.append("")
         out.append(
             f"shuffles={s['shuffles']} (+{s['range_shuffles']} range) "
@@ -152,6 +202,13 @@ def main() -> None:
             f"cached_reads={s['cached_reads']} "
             f"python_boundaries={s['python']} cartesian={s['cartesian']}"
         )
+        if name in sf1_ratios and sf1_ratios[name] is not None:
+            out.append("")
+            out.append(
+                f"x10-data wall ratio (sf1/sf0.1, tools/sf1_scale.py): "
+                f"**{sf1_ratios[name]:.2f}x** "
+                f"({'sub-linear' if sf1_ratios[name] < 10 else 'SUPER-LINEAR — investigate'})"
+            )
         out.append("")
         if s["scans"]:
             out.append("| scan | pushed filters | columns read |")
@@ -161,10 +218,9 @@ def main() -> None:
                     f"| {sc['table']} | `{sc['pushed'] or '-'}` | {sc['n_cols']} |"
                 )
         out.append("")
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(HEADLINE) + len(extra)} queries)")
+    print(f"wrote PLANS.md ({len(audited)} queries)")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,24 @@ def run_json(cmd: list[str]) -> dict:
     return json.loads(line)
 
 
+def _soak_attrib(soak: dict) -> str:
+    """One-phrase attribution from the warm soak's durationMs breakdown:
+    what share of trigger time was addBatch (real pipeline work) vs the
+    per-batch fixed costs (planning, offset/WAL commits)."""
+    try:
+        tot = soak["runs"][-1]["duration_ms_totals"]
+        trigger = tot.get("triggerExecution", 0)
+        add = tot.get("addBatch", 0)
+        if trigger <= 0:
+            return ""
+        return (
+            f" (warm breakdown: addBatch {add / trigger:.0%} of "
+            f"triggerExecution, rest is per-batch planning/commit fixed cost)"
+        )
+    except (KeyError, IndexError, TypeError):
+        return ""
+
+
 def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "?"
     force = "--force" in sys.argv
@@ -90,18 +108,24 @@ def main() -> None:
         f"## Round-{rnd} closing numbers (tools/round_close.py, this machine, "
         "sf0.1 local[32])",
         "",
-        f"Headline total **{bench['value']} s** over {len(bench['queries'])} "
-        "queries; largest: "
+        f"Headline total **{bench['value']} s** wall / "
+        f"**{bench.get('task_sec_total', 'n/a')} s** executor task time over "
+        f"{len(bench['queries'])} queries; largest: "
         + ", ".join(
             f"{n} {t:.3f}"
             for n, t in sorted(
                 bench["queries"].items(), key=lambda kv: -kv[1]
             )[:4]
         )
-        + ".",
+        + ". Task time is contention-stable: a wall move with an unmoved "
+        "task total is host regime, not a plan regression.",
         f"Stream burst (best-of-3 x 3 batches): "
         f"**{bench.get('stream_pipeline_rows_per_sec', 'n/a')} rows/s**; "
-        f"soak (1 x 9 batches, 900k rows): **{soak['value']} rows/s**.",
+        f"soak (1 x 9 batches, 900k rows): "
+        f"**{soak['value']} rows/s warm** / "
+        f"{soak.get('cold_rows_per_sec', 'n/a')} cold"
+        + _soak_attrib(soak)
+        + ".",
         f"DuckDB ratio aggregate **{ratio['value']}x** "
         f"(spark {ratio['spark_total_sec']} s / duckdb "
         f"{ratio['duckdb_total_sec']} s"

@@ -10,7 +10,14 @@ Query set: the persistent >2x duck-ratio members (q3/q5/q9 since r7;
 q_mapper_split_events + q_window_rank added r10 — the two non-TPC-H members
 that never had a scale datapoint) plus the r9 embedding family additions
 (q_embed_semantic_dedup, q_embed_pca_power — VERDICT r9 item 4: heaviest new
-t2 rows, no scaled measurement until now).
+t2 rows, no scaled measurement until now), plus the r10-verdict heavy tail
+(VERDICT r10 item 4): q_graph_kcore_peel (slowest registry member, 14s
+sf0.1), q_search_bm25_topk, q_embed_silhouette.
+
+The x10 ratios are also written to .bench_data/sf1_ratios.json so
+tools/plan_audit.py can carry them inline in PLANS.md (VERDICT r10 item 7 —
+the sub-linear counter-evidence for the duck-ratio weak rows lives next to
+each plan instead of in round-old notes).
 
 Usage: python tools/sf1_scale.py [sf1_dir]   (default .bench_data/sf1)
 """
@@ -32,6 +39,9 @@ QUERIES = [
     "q_window_rank",
     "q_embed_semantic_dedup",
     "q_embed_pca_power",
+    "q_graph_kcore_peel",
+    "q_search_bm25_topk",
+    "q_embed_silhouette",
 ]
 
 
@@ -71,6 +81,16 @@ def main() -> None:
         n: round(big[n] / base[n], 2) if base[n] > 0 else None for n in QUERIES
     }
     print(json.dumps({"metric": "x10_data_wall_ratio", "ratios": ratios}))
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_data",
+        "sf1_ratios.json",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"ratios": ratios, "sf0.1_walls": base, "sf1_walls": big}, f, indent=1
+        )
     spark.stop()
 
 
