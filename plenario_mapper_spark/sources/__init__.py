@@ -12,6 +12,10 @@ from plenario_mapper_spark.sources.observations import (
     parquet_obs_source,
 )
 from plenario_mapper_spark.sources.evolved import read_evolved
+from plenario_mapper_spark.sources.kinesis_py import (
+    KinesisPyDataSource,
+    kinesis_py_source,
+)
 from plenario_mapper_spark.sources.metadata_store import (
     jdbc_metadata_provider,
     normalize_metadata_frames,
@@ -23,6 +27,8 @@ __all__ = [
     "file_obs_source",
     "kinesis_replay_source",
     "kinesis_source",
+    "KinesisPyDataSource",
+    "kinesis_py_source",
     "parquet_obs_source",
     "jdbc_metadata_provider",
     "normalize_metadata_frames",

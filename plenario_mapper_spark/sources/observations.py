@@ -41,10 +41,20 @@ def kinesis_source(
         ) from e
 
 
-def decode_kinesis_records(raw: DataFrame, payload_col: str = "data") -> DataFrame:
-    """base64 payload -> observation columns, with malformed JSON routed to a
-    `_corrupt` column instead of killing the stream (kcl_app.js:38-48)."""
-    json_text = F.unbase64(F.col(payload_col)).cast("string")
+def decode_kinesis_records(
+    raw: DataFrame, payload_col: str = "data", payload_encoding: str = "base64"
+) -> DataFrame:
+    """Payload -> observation columns, with malformed JSON routed to a
+    `_corrupt` column instead of killing the stream (kcl_app.js:38-48).
+
+    payload_encoding="base64" matches the KCL MultiLangDaemon's stdin protocol
+    (the reference's wire, kcl_app.js:38) and `kinesis_replay_source`;
+    "binary" matches API-level sources that deliver the blob already
+    de-base64'd (boto3 / connector `data` columns, sources/kinesis_py.py)."""
+    if payload_encoding == "binary":
+        json_text = F.col(payload_col).cast("string")
+    else:
+        json_text = F.unbase64(F.col(payload_col)).cast("string")
     parsed = F.from_json(
         json_text,
         OBS_JSON_SCHEMA,
