@@ -25,6 +25,10 @@ def kinesis_source(
     Returns the raw connector frame (payload in `data` as binary/base64);
     feed through `decode_kinesis_records`. Requires the spark-kinesis connector
     on the classpath — raises a clear error locally where it is absent.
+    Where no connector jar exists, `sources.kinesis_py.kinesis_py_source` is
+    the in-box alternative: the same options against the same endpoint via
+    the PySpark Python Data Source API (KCL-model driver-side polling;
+    e2e-tested in tests/test_kinesis_source.py).
     """
     try:
         return (
