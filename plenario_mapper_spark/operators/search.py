@@ -50,13 +50,22 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  — always positive (Lucene form)
     s_t = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     """
-    toks = docs.select(
+    base = docs.select(
         F.col(id_col).alias("id"), TX.tokens(F.col(text_col)).alias("toks")
-    ).select("id", F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
-    stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
-    corpus = stats.agg(
-        F.count("*").cast("long").alias("n_docs"),
+    )
+    # corpus stats come from the PRE-explode frame: dl is size(toks), known
+    # before any generator runs, so the full token relation never shuffles —
+    # only query-term matches do (the r11 fix; the old groupBy("id") over
+    # the exploded tokens re-shuffled docs x avgdl rows to recover a value
+    # already present per doc, 7x the whole query's wall at 10x data).
+    # n_docs counts docs with >= 1 token, mirroring what explode-based
+    # counting did (and the oracle's COUNT(DISTINCT doc_id) FROM unnested).
+    corpus = base.select(F.size("toks").alias("dl")).agg(
+        F.count(F.when(F.col("dl") > 0, True)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    toks = base.select(
+        "id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
     )
     tf = (
         toks.filter(F.col("tok").isin(list(terms)))
