@@ -175,25 +175,51 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs — the brute-force baseline that verifies the
-    MinHash path (and the DuckDB-oracle-able variant). Quadratic: use only on
-    bounded subsets; the LSH path is the 100 TB route."""
+    """EXACT n-gram Jaccard pairs (the DuckDB-oracle-able variant; also the
+    recall truth the MinHash path is certified against).
+
+    Computed via the gram-keyed inverted index, NOT an all-pairs theta-join
+    (r11 rewrite): docs reduce to distinct (id, gram) rows at the scan,
+    |A∩B| comes from the gram EQUI-join counted per (id_a, id_b), and
+    |A∪B| = |A| + |B| − |A∩B| from broadcast per-doc sizes. For any
+    threshold > 0 this is the IDENTICAL pair set — a pair sharing zero
+    grams has J = 0 and can never qualify — with cost Σ_g df(g)² (docs
+    pair only through shared grams) instead of n²·|sh| (the old form
+    burned ~740 s of CPU on 5000 docs computing array_intersect over
+    12.5M mostly-empty pairs). The residual 100 TB hazard is gram skew
+    (a boilerplate gram in d docs contributes d² join rows) — AQE skew
+    splitting bounds the task, and `ngram_containment_pairs`'s
+    max_doc_freq stop-gram guard is the documented escape hatch where an
+    approximation is acceptable; here the semantics stay exact."""
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
     sh_udf = make_shingles_udf(shingle_n)
-    s = _spread(df).select(
-        F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("sh")
+    grams = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(sh_udf(F.col(text_col))).alias("gram")
     )
-    a, b = s.alias("a"), s.alias("b")
+    # two consumers (sizes + both sides of the pair join) — eager persist,
+    # same discipline as ngram_containment_pairs
+    grams = grams.persist()
+    grams.count()
+    sizes = grams.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        grams.join(grams.withColumnRenamed("id", "id_b"), "gram")
+        .filter(F.col("id") < F.col("id_b"))
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    j = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
         )
-        .filter(F.col("j") >= threshold)
-        .select("id_a", "id_b", PAR.round6("j").alias("jaccard"))
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(j >= threshold)
+        .select("id_a", "id_b", PAR.round6(j).alias("jaccard"))
     )
 
 
