@@ -242,8 +242,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # After this window the never-verified debt drops to 35 (H187-H221), which
 # plus the 29 migration-debt r8 greens are the committed r12 window's
 # claimants (64 names > 50 slots: r12 takes the 35 never-verified first —
-# the driver gate is the check the builder cannot run — then the 15 oldest
-# migration-debt greens; the last 14 re-verifies complete in r13).
+# the driver gate is the check the builder cannot run — then the
+# CHANGED-CODE CANARIES from this round's perf work (the ADVICE discipline:
+# an engine change after a driver green stales the row): the six
+# ngram_jaccard_pairs-derived queries whose edge generation moved to the
+# gram-keyed inverted index in r11 (q_ngram_jaccard_pairs,
+# q_dedup_cluster_cc, q_doc_leakage_safe_split, q_dedup_incremental_cc,
+# q_entity_survivorship, q_dedup_cross_source_rate — all 8 family members
+# t2-MATCH at sf0.01 on the change commit, identical doubles by
+# construction); then the oldest migration-debt greens with whatever slots
+# remain; the residue completes in r13. (q_search_bm25_topk and
+# q_join_bucketed_colocated also changed in r11 but sit IN the r11 window,
+# so their driver rows certify the new code directly; q_graph_kcore_peel
+# and q_part_price_indices changed too and are already r12 never-verified
+# claimants.)
 # Demoted to _BACK: the whole r10 window (50/50 green in CORRECTNESS_r10.json).
 _FRONT = [
     # -- H133a: the hard-negatives production path (index-probed), registered
