@@ -140,18 +140,20 @@ def slowest_registry(spark, qs, top_n: int = 10) -> dict[str, float]:
 def main() -> None:
     import json
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as E
     from bench import HEADLINE
+    from plenario_mapper_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    # get_spark, not a bare builder: the registry sweep runs all 337 queries
+    # in one session and the audit phase builds broadcasts on top of that —
+    # the 1g default driver heap OOM'd at exactly that point once the sweep
+    # grew past ~330 queries (r11). The engine session sets the 32g driver.
+    spark = get_spark(
+        app_name="plan-audit",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
     )
+    spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     # non-headline queries whose plan shape the audit must still track: the
     # ANN certification trio went stale in PLANS.md when their form changed
