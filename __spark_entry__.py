@@ -257,7 +257,101 @@ def entry(spark: SparkSession) -> DataFrame:
 # and q_part_price_indices changed too and are already r12 never-verified
 # claimants.)
 # Demoted to _BACK: the whole r10 window (50/50 green in CORRECTNESS_r10.json).
+#
+# Round-12 rotation (VERDICT r11 item 1 — clear the ENTIRE certification
+# debt): the window is EXACTLY the committed r11 plan. Slots 1-35: the 35
+# never-driver-verified registry queries (H187-H221's rows, registry
+# positions 302-336), recomputed in registration order from the
+# CORRECTNESS_r01-r11 artifact JSONs (tests/test_driver_window.py re-derives
+# this from the same explicit file list). After this window EVERY one of the
+# 337 registered queries has >=1 driver-green CORRECTNESS row — the
+# never-verified debt goes to ZERO. Slots 36-42: the 7 changed-code canaries
+# (the ADVICE discipline: an engine change after a driver green stales the
+# row) — the six ngram_jaccard_pairs-derived queries whose edge generation
+# moved to the gram-keyed inverted index in r11 (q_ngram_jaccard_pairs,
+# q_dedup_cluster_cc, q_doc_leakage_safe_split, q_dedup_incremental_cc,
+# q_entity_survivorship, q_dedup_cross_source_rate; q_graph_kcore_peel and
+# q_part_price_indices also changed in r11 and are already in slots 1-35)
+# plus q_search_bm25_topk (its r11 driver row ran against the rewritten
+# corpus-stats path the same round the rewrite landed; the r11 verdict asked
+# for one clean re-verify). Slots 43-50: the 8 OLDEST migration-debt r8
+# greens in registration order (queries whose scale-6 rounding sites were
+# migrated to FLOOR(x*1e6+0.5)/1e6 in r9 after their r8 driver green; queue
+# recomputed mechanically this round from the artifacts + the oracle-text
+# audit = 31 names, superseding the hand-kept "29" in the r11 note):
+# q_pareto_frontier, q_sample_weighted, q_ngram_containment_pairs,
+# q_vocab_topn_coverage, q_doc_curriculum_shards, q_sets_kmv_overlap,
+# q_dedup_prefix_jaccard, q_embed_jl_distortion. Remaining migration debt
+# after this window: 23 names, the committed r13 window's front (registration
+# order): q_doc_impute_missing, q_events_ewma_smooth, q_sample_weighted_group,
+# q_quality_fk_audit, q_doc_pmi_cooccurrence, q_doc_lexicon_stats,
+# q_doc_emd_length_drift, q_doc_source_overlap, q_doc_quantile_normalize,
+# q_events_itemset_pairs, q_audit_benford_digits, q_skew_key_audit,
+# q_privacy_k_anonymity, q_search_rrf_fusion, q_events_markov_transitions,
+# q_doc_ngram_novelty, q_doc_simpson_diversity, q_graph_degree_hist,
+# q_window_percentile_rank, q_vocab_zipf_fit, q_doc_readability,
+# q_supplier_pareto_deciles, q_events_fano_burstiness.
+# Demoted to _BACK: the whole r11 window (50/50 green in CORRECTNESS_r11.json).
 _FRONT = [
+    # -- slots 1-35: the 35 never-driver-verified (H187-H221), registration
+    #    order, recomputed from CORRECTNESS_r01-r11 --
+    "q_part_price_elasticity",
+    "q_customer_theil",
+    "q_graph_modularity",
+    "q_embed_silhouette",
+    "q_quality_freshness",
+    "q_orders_backlog_aging",
+    "q_events_holt_winters",
+    "q_doc_byte_entropy",
+    "q_agg_mode_exact",
+    "q_eval_mrr",
+    "q_eval_conformal_interval",
+    "q_graph_assortativity",
+    "q_eval_brier_decomposition",
+    "q_events_mann_kendall",
+    "q_eval_brown_forsythe",
+    "q_doc_cramers_v",
+    "q_doc_semantic_decontaminate",
+    "q_events_active_coverage",
+    "q_events_max_drawdown",
+    "q_events_ar1_meanreversion",
+    "q_eval_qini_uplift",
+    "q_quality_delivery_gaps",
+    "q_eval_srm_check",
+    "q_eval_psm_att",
+    "q_events_periodogram",
+    "q_embed_triplet_margin",
+    "q_events_skew_kurtosis",
+    "q_events_pettitt_changepoint",
+    "q_agg_weighted_quantiles",
+    "q_graph_kcore_peel",
+    "q_events_peak_concurrency",
+    "q_eval_overlap_ks",
+    "q_part_abc_xyz_matrix",
+    "q_embed_hubness_audit",
+    "q_part_price_indices",
+    # -- slots 36-42: changed-code canaries (r11 inverted-index rewrite family
+    #    in registration order, then the bm25 re-verify) --
+    "q_ngram_jaccard_pairs",
+    "q_dedup_cluster_cc",
+    "q_doc_leakage_safe_split",
+    "q_dedup_incremental_cc",
+    "q_entity_survivorship",
+    "q_dedup_cross_source_rate",
+    "q_search_bm25_topk",
+    # -- slots 43-50: the 8 oldest migration-debt r8 greens, registration
+    #    order --
+    "q_pareto_frontier",
+    "q_sample_weighted",
+    "q_ngram_containment_pairs",
+    "q_vocab_topn_coverage",
+    "q_doc_curriculum_shards",
+    "q_sets_kmv_overlap",
+    "q_dedup_prefix_jaccard",
+    "q_embed_jl_distortion",
+]
+# The whole r11 window (50/50 green in CORRECTNESS_r11.json), demoted.
+_R11_WINDOW_NOW_BACK = [
     # -- H133a: the hard-negatives production path (index-probed), registered
     #    mid-r10 right after its linear-scan twin went driver-green --
     "q_embed_hard_negatives_indexed",
@@ -502,7 +596,7 @@ _R9_WINDOW_NOW_BACK = [
 # greens + any r11 mids. Every mid is t2-MATCH at sf0.001 + sf0.01 (and
 # the second-session batches additionally at sf0.1 + the float-fuzz AND
 # text-mutated clones) — see PERF_NOTES round-10 records.
-_BACK = _R10_WINDOW_NOW_BACK + _R9_WINDOW_NOW_BACK + [
+_BACK = _R11_WINDOW_NOW_BACK + _R10_WINDOW_NOW_BACK + _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",
     "q_agg_rollup",

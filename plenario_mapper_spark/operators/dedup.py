@@ -174,6 +174,8 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+    stop_gram_policy: str = "error",
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs (the DuckDB-oracle-able variant; also the
     recall truth the MinHash path is certified against).
@@ -188,11 +190,27 @@ def ngram_jaccard_pairs(
     burned ~740 s of CPU on 5000 docs computing array_intersect over
     12.5M mostly-empty pairs). The residual 100 TB hazard is gram skew
     (a boilerplate gram in d docs contributes d² join rows) — AQE skew
-    splitting bounds the task, and `ngram_containment_pairs`'s
-    max_doc_freq stop-gram guard is the documented escape hatch where an
-    approximation is acceptable; here the semantics stay exact."""
+    splitting bounds the *task*, but nothing bounds the total pair MASS.
+
+    `max_doc_freq` is the skew guard (r11 VERDICT item 2): when set, grams
+    with document frequency above the cutoff ("stop-grams") are detected
+    BEFORE the pair join can d²-explode, and
+      - stop_gram_policy="error" (default): raise ValueError naming the
+        stop-gram count, the worst df, and the pair mass the join would
+        have generated — "exact but finishes" is then an explicit caller
+        decision, never a silent surprise;
+      - stop_gram_policy="exclude": log one warning with the same counts
+        and measure Jaccard on the informative grams only (the
+        `ngram_containment_pairs` semantics — an explicit, documented
+        approximation, exact when every gram's df <= the cutoff).
+    Default max_doc_freq=None keeps the historical exact semantics
+    byte-for-byte (all registry oracles run this path)."""
     from plenario_mapper_spark.functions.pandas_sigs import make_shingles_udf
 
+    if stop_gram_policy not in ("error", "exclude"):
+        raise ValueError(
+            f"stop_gram_policy must be 'error' or 'exclude', got {stop_gram_policy!r}"
+        )
     sh_udf = make_shingles_udf(shingle_n)
     grams = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(sh_udf(F.col(text_col))).alias("gram")
@@ -201,6 +219,40 @@ def ngram_jaccard_pairs(
     # same discipline as ngram_containment_pairs
     grams = grams.persist()
     grams.count()
+    if max_doc_freq is not None:
+        stop = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df_g"))
+            .filter(F.col("df_g") > max_doc_freq)
+        )
+        # single bounded row: stop-gram census, never the grams themselves
+        census = stop.agg(
+            F.count("*").alias("n_stop"),
+            F.max("df_g").alias("worst_df"),
+            F.sum(F.col("df_g") * F.col("df_g")).alias("pair_mass"),
+        ).collect()[0]
+        if census["n_stop"]:
+            detail = (
+                f"{census['n_stop']} gram(s) exceed max_doc_freq={max_doc_freq} "
+                f"(worst df={census['worst_df']}; they alone would emit "
+                f"~{census['pair_mass']} join rows)"
+            )
+            if stop_gram_policy == "error":
+                grams.unpersist()
+                raise ValueError(
+                    f"ngram_jaccard_pairs skew guard: {detail}. Re-run with "
+                    "stop_gram_policy='exclude' to drop them (approximate), "
+                    "or raise/unset max_doc_freq to keep exact semantics."
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs excluding stop-grams: %s", detail
+            )
+            pruned = grams.join(stop.select("gram"), "gram", "left_anti").persist()
+            pruned.count()
+            grams.unpersist()
+            grams = pruned
     sizes = grams.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
     inter = (
         grams.join(grams.withColumnRenamed("id", "id_b"), "gram")

@@ -1024,6 +1024,86 @@ def test_containment_max_doc_freq_guard(spark):
     assert sorted(map(tuple, same)) == sorted(map(tuple, loose))
 
 
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs skew guard (VERDICT r11 item 2): a Zipfian boilerplate
+# gram must never silently d²-explode the inverted-index pair join
+# ---------------------------------------------------------------------------
+
+
+def _zipf_boilerplate_corpus(spark, n_docs=30):
+    """Every doc opens with the same boilerplate bigram source ('terms of');
+    docs 0 and 1 additionally share a RARE informative bigram. Zipf shape:
+    one gram with df=n_docs, a df=2 gram, the rest df=1."""
+    rows = []
+    for i in range(n_docs):
+        rare = "shared rare" if i < 2 else f"unique{i} only{i}"
+        rows.append((i, f"terms of {rare}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_skew_guard_off_by_default_and_noop_above_all_df(spark):
+    df = _zipf_boilerplate_corpus(spark, n_docs=6)
+    exact = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(df, "doc_id", "text", 0.01, 2).collect())
+    )
+    assert len(exact) == 15  # every pair shares the boilerplate gram
+    # cutoff >= every gram's df: both policies reduce to the exact form
+    for policy in ("error", "exclude"):
+        same = sorted(
+            map(
+                tuple,
+                DD.ngram_jaccard_pairs(
+                    df,
+                    "doc_id",
+                    "text",
+                    0.01,
+                    2,
+                    max_doc_freq=6,
+                    stop_gram_policy=policy,
+                ).collect(),
+            )
+        )
+        assert same == exact
+
+
+def test_jaccard_skew_guard_raises_loudly_with_pair_mass(spark):
+    df = _zipf_boilerplate_corpus(spark, n_docs=30)
+    with pytest.raises(ValueError) as ei:
+        DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", 0.01, 2, max_doc_freq=5
+        ).collect()
+    msg = str(ei.value)
+    # the census names the explosion before the join runs: df=30 boilerplate
+    # gram ('terms of') -> 900 join rows it alone would emit
+    assert "max_doc_freq=5" in msg
+    assert "worst df=30" in msg
+    assert "900" in msg
+
+
+def test_jaccard_skew_guard_exclude_bounds_pair_mass(spark):
+    n = 30
+    df = _zipf_boilerplate_corpus(spark, n_docs=n)
+    # unguarded: the boilerplate gram pairs EVERY doc with every other
+    loose = DD.ngram_jaccard_pairs(df, "doc_id", "text", 0.01, 2).collect()
+    assert len(loose) == n * (n - 1) // 2  # 435 — the d² blowup in miniature
+    # guarded-exclude: only the informative df=2 gram generates candidates,
+    # so the pair mass collapses from C(30,2) to exactly one pair and J is
+    # measured on informative grams only (docs 0/1: grams {'of shared',
+    # 'shared rare'} after dropping 'terms of' -> J = 2/2 = 1.0)
+    guarded = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", 0.01, 2, max_doc_freq=5, stop_gram_policy="exclude"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in guarded] == [(0, 1, 1.0)]
+
+
+def test_jaccard_skew_guard_rejects_unknown_policy(spark):
+    df = _zipf_boilerplate_corpus(spark, n_docs=3)
+    with pytest.raises(ValueError, match="stop_gram_policy"):
+        DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", 0.01, 2, max_doc_freq=1, stop_gram_policy="drop"
+        )
+
+
 # The DuckDB formulation that q_embed_cosine_topk / _ANN_EXACT_TOPK_CTE use:
 # pre-normalize by the sequentially-folded norm, then a sequential product
 # fold — the exact IEEE op sequence of SIM.brute_force_topk.

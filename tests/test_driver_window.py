@@ -1,78 +1,102 @@
-"""Pins the r11 driver-gate contract (VERDICT r10 items 1+2).
+"""Pins the r12 driver-gate contract (VERDICT r11 item 1).
 
 The driver's correctness gate evaluates exactly the FIRST 50 entries of
 queries()/oracle_sql(); the judge byte-compares that window against the
 committed plan. These pins make the contract un-scramblable by refactors:
-the window must be EXACTLY the 50 oldest never-driver-verified registry
-queries in registration order (computed from the CORRECTNESS_r01-r10
-artifacts at commit time, duplicated literally here), and the registry is
-frozen at 337 until the certification debt clears.
+slots 1-35 must be EXACTLY the 35 never-driver-verified registry queries in
+registration order (computed from the explicit CORRECTNESS_r01-r11 artifact
+list the window was derived from — per ADVICE r11, the derivation no longer
+globs, so a new artifact cannot silently change what the window *should*
+have been), slots 36-50 are the committed changed-code canaries + oldest
+migration-debt re-verifies, and the artifact-freshness tripwire lives in
+its own test that tolerates this round's own CORRECTNESS_r12.json.
 """
 
 from __future__ import annotations
 
-R11_WINDOW = [
-    "q_embed_hard_negatives_indexed",
+import json
+import os
+
+# The artifacts the r12 window was derived from. Frozen: the derivation test
+# below reads exactly these files, so landing CORRECTNESS_r12.json (this
+# round's own gate output) cannot retroactively re-shape the window.
+R12_SOURCE_ARTIFACTS = [f"CORRECTNESS_r{i:02d}.json" for i in range(1, 12)]
+
+# This round's own artifact, produced by the driver at round close AFTER this
+# commit. Its appearance is expected and must not red the suite; anything
+# NEWER means the window is stale and the rotation must be recomputed.
+R12_OWN_ARTIFACT = "CORRECTNESS_r12.json"
+
+R12_WINDOW = [
+    # -- slots 1-35: the 35 never-driver-verified (H187-H221), registration
+    #    order (re-derived from R12_SOURCE_ARTIFACTS by the test below) --
+    "q_part_price_elasticity",
+    "q_customer_theil",
+    "q_graph_modularity",
+    "q_embed_silhouette",
+    "q_quality_freshness",
+    "q_orders_backlog_aging",
+    "q_events_holt_winters",
+    "q_doc_byte_entropy",
+    "q_agg_mode_exact",
+    "q_eval_mrr",
+    "q_eval_conformal_interval",
+    "q_graph_assortativity",
+    "q_eval_brier_decomposition",
+    "q_events_mann_kendall",
+    "q_eval_brown_forsythe",
+    "q_doc_cramers_v",
+    "q_doc_semantic_decontaminate",
+    "q_events_active_coverage",
+    "q_events_max_drawdown",
+    "q_events_ar1_meanreversion",
+    "q_eval_qini_uplift",
+    "q_quality_delivery_gaps",
+    "q_eval_srm_check",
+    "q_eval_psm_att",
+    "q_events_periodogram",
+    "q_embed_triplet_margin",
+    "q_events_skew_kurtosis",
+    "q_events_pettitt_changepoint",
+    "q_agg_weighted_quantiles",
+    "q_graph_kcore_peel",
+    "q_events_peak_concurrency",
+    "q_eval_overlap_ks",
+    "q_part_abc_xyz_matrix",
+    "q_embed_hubness_audit",
+    "q_part_price_indices",
+    # -- slots 36-42: r11 changed-code canaries (inverted-index jaccard
+    #    family in registration order, then the bm25 re-verify) --
+    "q_ngram_jaccard_pairs",
+    "q_dedup_cluster_cc",
+    "q_doc_leakage_safe_split",
+    "q_dedup_incremental_cc",
+    "q_entity_survivorship",
+    "q_dedup_cross_source_rate",
     "q_search_bm25_topk",
-    "q_doc_winnowing",
-    "q_embed_ivf_cell_balance",
-    "q_doc_mixture_temperature",
-    "q_doc_padding_waste",
-    "q_embed_davies_bouldin",
-    "q_scan_csv_json_roundtrip",
-    "q_eval_poisson_bootstrap_ci",
-    "q_events_click_purchase_pairs",
-    "q_events_kleinberg_bursts",
-    "q_eval_diff_in_diff",
-    "q_eval_cuped_adjusted",
-    "q_eval_stratified_ate",
-    "q_eval_wilcoxon_signed_rank",
-    "q_eval_ipw_ate",
-    "q_eval_cmh_odds",
-    "q_eval_sprt_decision",
-    "q_sample_group_kfold",
-    "q_eval_jackknife_ratio_ci",
-    "q_doc_heldout_perplexity",
-    "q_embed_pair_cosine_histogram",
-    "q_eval_isotonic_calibration",
-    "q_part_abc_class",
-    "q_eval_ucb1_arms",
-    "q_doc_rendezvous_shards",
-    "q_events_segmented_trend",
-    "q_scan_orc_roundtrip",
-    "q_graph_label_prop_3",
-    "q_embed_prefix_norm_share",
-    "q_events_entry_exit",
-    "q_events_trending_types",
-    "q_link_fs_u_weights",
-    "q_events_lifecycle_states",
-    "q_eval_power_mde",
-    "q_customer_gini",
-    "q_supplier_hhi",
-    "q_events_spearman_corr",
-    "q_eval_lift_deciles",
-    "q_doc_target_encode_loo",
-    "q_survival_nelson_aalen",
-    "q_link_sorted_neighborhood",
-    "q_events_lagged_xcorr",
-    "q_events_seasonal_decomp",
-    "q_graph_link_prediction",
-    "q_eval_ndcg",
-    "q_part_abc_migration",
-    "q_join_bucketed_colocated",
-    "q_events_kendall_tau",
-    "q_supplier_rca",
+    # -- slots 43-50: the 8 oldest migration-debt r8 greens, registration
+    #    order --
+    "q_pareto_frontier",
+    "q_sample_weighted",
+    "q_ngram_containment_pairs",
+    "q_vocab_topn_coverage",
+    "q_doc_curriculum_shards",
+    "q_sets_kmv_overlap",
+    "q_dedup_prefix_jaccard",
+    "q_embed_jl_distortion",
 ]
+
+
+def _root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _entry():
     import importlib.util
-    import os
     import sys
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_under_test", os.path.join(root, "__spark_entry__.py")
+        "spark_entry_under_test", os.path.join(_root(), "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules.setdefault("spark_entry_under_test", mod)
@@ -80,9 +104,9 @@ def _entry():
     return mod
 
 
-def test_first_50_is_the_committed_r11_window():
+def test_first_50_is_the_committed_r12_window():
     e = _entry()
-    assert list(e.oracle_sql())[:50] == R11_WINDOW
+    assert list(e.oracle_sql())[:50] == R12_WINDOW
 
 
 def test_queries_and_oracles_share_one_ordering():
@@ -99,27 +123,39 @@ def test_registry_frozen_at_337():
     assert set(ORACLES) == set(QUERIES)  # zero rows-only entries
 
 
-def test_window_is_never_driver_verified_and_oldest_first():
-    """The window must equal the first 50 never-driver-verified registry
-    names in registration order, recomputed from the artifacts on disk —
-    if a future round adds a CORRECTNESS file, this pin goes stale LOUDLY
-    and the rotation comment in __spark_entry__.py says what to do."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def test_window_head_is_every_never_driver_verified_query():
+    """Slots 1-35 must equal ALL never-driver-verified registry names in
+    registration order, recomputed from the EXPLICIT r01-r11 artifact list
+    (not a glob — ADVICE r11: a new artifact must not change the derivation
+    the window was committed against). After the r12 gate runs this window,
+    the never-verified debt is zero."""
     verified: set[str] = set()
-    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    assert len(arts) == 10, (
-        "a new CORRECTNESS artifact landed — recompute the window "
-        "(see the round-11 rotation note in __spark_entry__.py)"
-    )
-    for f in arts:
-        with open(f) as fh:
+    for name in R12_SOURCE_ARTIFACTS:
+        with open(os.path.join(_root(), name)) as fh:
             verified.update(json.load(fh))
     from plenario_mapper_spark.plans import QUERIES
 
     never = [n for n in QUERIES if n not in verified]
-    assert never[:50] == R11_WINDOW
-    assert len(never) == 85  # 35 remain: the committed r12 claimants
+    assert never == R12_WINDOW[:35]
+
+
+def test_artifact_freshness_tripwire():
+    """Separate, independently-updatable staleness alarm (ADVICE r11): the
+    only CORRECTNESS artifacts allowed on disk are the r01-r11 sources plus
+    this round's own r12 output. Anything newer means a later round landed
+    without rotating the window — recompute _FRONT in __spark_entry__.py
+    (see the round-12 rotation note there) and update this module's pins."""
+    import glob
+
+    found = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(_root(), "CORRECTNESS_r*.json"))
+    }
+    allowed = set(R12_SOURCE_ARTIFACTS) | {R12_OWN_ARTIFACT}
+    unexpected = found - allowed
+    assert not unexpected, (
+        f"newer CORRECTNESS artifact(s) landed ({sorted(unexpected)}) — the "
+        "committed window is stale; recompute the rotation (round-12 note in "
+        "__spark_entry__.py) and update tests/test_driver_window.py"
+    )
+    assert set(R12_SOURCE_ARTIFACTS) <= found

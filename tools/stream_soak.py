@@ -49,13 +49,20 @@ def main() -> None:
     for label in ("cold", "warm"):
         load = round(os.getloadavg()[0], 1)
         progress: list[dict] = []
-        rows, secs = _stream_throughput(
+        rows, secs, task_sec, cpu_sec = _stream_throughput(
             spark, sf_dir, n_batches=9, runs=1, progress_sink=progress
         )
         runs.append(
             {
                 "label": label,
                 "rows_per_sec": round(rows / secs),
+                # CPU-normalized twin (VERDICT r11 item 5): decides
+                # host-regime vs regression on identical fingerprints
+                "rows_per_task_cpu_sec": (
+                    round(rows / cpu_sec) if cpu_sec > 0 else -1
+                ),
+                "task_sec": round(task_sec, 2),
+                "cpu_sec": round(cpu_sec, 2),
                 "rows": rows,
                 "sec": round(secs, 3),
                 "loadavg_at_start": load,
@@ -69,6 +76,7 @@ def main() -> None:
             {
                 "metric": "stream_soak_rows_per_sec",
                 "value": warm["rows_per_sec"],
+                "rows_per_task_cpu_sec": warm["rows_per_task_cpu_sec"],
                 "cold_rows_per_sec": runs[0]["rows_per_sec"],
                 "rows": warm["rows"],
                 "sec": warm["sec"],
