@@ -64,16 +64,29 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # concurrent sessions over the same testdata each miss their own catalog
     # and would otherwise race mode("overwrite") writes into one shared
     # world-predictable path, clobbering files the other session is reading.
-    # Per-app scoping makes the path private; superseded layouts from
-    # regenerated testdata (different suffix, same app) are reclaimed below
-    # so tmp does not accumulate stale bucket files unbounded.
+    # Per-app scoping makes the path private. Sibling same-app dirs are
+    # reclaimed ONLY when their suffix has no registered bucket tables in
+    # this session (ADVICE r11): one session legitimately holds several
+    # live suffixes (a tri-scale run materializes sf0.1 AND sf1), and
+    # deleting a registered sibling's files while its catalog entries stay
+    # behind makes the tableExists early-return above hand out tables whose
+    # data is gone. Unregistered same-app dirs can only be torn leftovers
+    # from a crashed writer earlier in this app — those are safe to delete.
+    # The live-suffix set is bounded by the scales used in one session, so
+    # keeping registered layouts does not grow tmp unbounded.
     app_id = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     root = os.path.join(tmp, f"bucketed_{app_id}_{suffix}")
     prefix = f"bucketed_{app_id}_"
     try:
         for d in os.listdir(tmp):
-            if d.startswith(prefix) and d != os.path.basename(root):
+            if not d.startswith(prefix) or d == os.path.basename(root):
+                continue
+            sib = d[len(prefix):]
+            sib_registered = spark.catalog.tableExists(
+                f"orders_bkt_{sib}"
+            ) or spark.catalog.tableExists(f"lineitem_bkt_{sib}")
+            if not sib_registered:
                 shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
     except OSError:
         pass

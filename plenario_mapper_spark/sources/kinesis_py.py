@@ -80,6 +80,8 @@ class KinesisPyDataSource(DataSource):
       region               AWS region (default us-east-1)
       endpoint_url         custom endpoint (moto/localstack/VPC endpoint)
       starting_position    trim_horizon (default) | latest
+      latest_anchor_margin_sec  clock-skew safety margin subtracted from the
+                           LATEST anchor (default 5; see reader docstring)
       max_records_per_shard  per-batch per-shard cap (default 10000)
       aws_access_key_id / aws_secret_access_key   explicit credentials
                            (default: boto3's standard resolution chain)
@@ -112,6 +114,16 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
     — a silent data-loss window. AT_TIMESTAMP(query start) is the exact
     "skip history, lose nothing thereafter" semantics (the same resolution
     the Flink/kinesis-sql connectors use).
+
+    Clock-skew guard (ADVICE r11): the anchor compares the DRIVER's clock
+    against SERVER-side ApproximateArrivalTimestamp values; if the driver
+    runs ahead of Kinesis, records arriving in the skew window at query
+    start would be silently skipped. The anchor therefore subtracts
+    `latest_anchor_margin_sec` (default 5 s — well past typical NTP drift).
+    The trade is explicitly toward at-least-once: up to margin seconds of
+    pre-start records are included rather than any post-start record lost;
+    downstream dedup (the mapper's exactly-once sink contract keys on the
+    record, not arrival) absorbs them the same way it absorbs a replay.
     """
 
     def __init__(self, options: dict) -> None:
@@ -136,6 +148,13 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             or options.get("maxrecordspershard")
             or 10000
         )
+        self._latest_margin = float(
+            options.get("latest_anchor_margin_sec")
+            or options.get("latestanchormarginsec")
+            or 5.0
+        )
+        if self._latest_margin < 0:
+            raise ValueError("latest_anchor_margin_sec must be >= 0")
         self._boto = None
 
     # -- boto3 plumbing -----------------------------------------------------
@@ -182,7 +201,13 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         import time
 
-        anchor = time.time() if self._start_pos == "LATEST" else None
+        # margin-shifted anchor: never lose a post-start record to driver
+        # clock skew; at worst re-read `margin` seconds of pre-start records
+        anchor = (
+            time.time() - self._latest_margin
+            if self._start_pos == "LATEST"
+            else None
+        )
         entries = {}
         for s in self._list_shards():
             e: dict = {"seq": None, "closed": False}

@@ -60,3 +60,41 @@ def test_colocated_join_matches_plain_join(spark, bucketed_tables):
         .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
     )
     assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_live_suffixes_coexist_and_torn_leftovers_reclaimed(spark):
+    """ADVICE r11 (medium): one session holding two sf_dirs must keep BOTH
+    bucketed layouts readable — materializing B must not delete A's data
+    files out from under A's still-registered catalog tables — while an
+    UNREGISTERED same-app sibling dir (torn leftover from a crashed writer)
+    is still reclaimed."""
+    import os
+    import shutil
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    tmp = tempfile.gettempdir()
+    # plant a torn leftover: same-app dir whose suffix has no catalog tables
+    torn = os.path.join(tmp, f"bucketed_{app_id}_deadbeef0000")
+    os.makedirs(torn, exist_ok=True)
+    try:
+        o_a, l_a = B.ensure_bucketed_pair(spark, "/root/testdata/sf0.001")
+        o_b, l_b = B.ensure_bucketed_pair(spark, "/root/testdata/sf0.01")
+        assert o_a != o_b  # distinct source identities -> distinct suffixes
+        # A's layout survived B's materialization: tables read end-to-end
+        n_a = spark.table(l_a).count()
+        n_b = spark.table(l_b).count()
+        assert 0 < n_a < n_b
+        # and a THIRD call for A early-returns to working tables
+        o_a2, l_a2 = B.ensure_bucketed_pair(spark, "/root/testdata/sf0.001")
+        assert (o_a2, l_a2) == (o_a, l_a)
+        assert spark.table(o_a2).count() == spark.table(o_a).count()
+        # the torn (unregistered) sibling was reclaimed by the sweep
+        assert not os.path.exists(torn)
+    finally:
+        shutil.rmtree(torn, ignore_errors=True)
+        for t in (
+            spark.catalog.listTables()
+        ):  # drop only this test's bucket tables
+            if t.name.startswith(("orders_bkt_", "lineitem_bkt_")):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

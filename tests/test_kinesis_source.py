@@ -359,11 +359,15 @@ def test_reshard_children_open_only_after_parent_drains():
 def test_latest_start_skips_history_but_children_dont():
     """starting_position=latest skips pre-existing records on the initial
     shards, but a post-reshard CHILD still starts at its trim horizon —
-    records routed to it after the reshard must not be skipped."""
+    records routed to it after the reshard must not be skipped. Margin
+    pinned to 0 here so 'history' means everything strictly before now;
+    the default skew margin has its own test below."""
     fake = _FakeKinesis()
     fake.add_shard("s0")
     fake.put("s0", b"old")
-    reader = _reader(fake, starting_position="latest")
+    reader = _reader(
+        fake, starting_position="latest", latest_anchor_margin_sec="0"
+    )
     rows, off = reader.read(reader.initialOffset())
     assert list(rows) == []  # history skipped
     fake.put("s0", b"new")
@@ -413,3 +417,98 @@ def test_per_batch_cap_resumes_next_batch():
         rows, off = reader.read(off)
         seen.extend(bytes(r[4]) for r in rows)
     assert seen == [f"r{i}".encode() for i in range(7)]
+
+
+def test_latest_anchor_margin_guards_clock_skew():
+    """ADVICE r11: the LATEST anchor compares the driver's clock against
+    server-side arrival stamps; the margin pulls the anchor back so a
+    driver clock running AHEAD of Kinesis cannot silently skip records
+    arriving in the skew window at query start. Records inside the margin
+    window are included (the documented at-least-once trade); records
+    older than the margin stay skipped."""
+    import time
+
+    fake = _FakeKinesis()
+    fake.add_shard("s0")
+    fake.put("s0", b"ancient")
+    fake.put("s0", b"skew-window")
+    now = time.time()
+    # place arrivals relative to the query-start clock explicitly
+    fake.shards["s0"]["records"][0]["_arrival"] = now - 120.0
+    fake.shards["s0"]["records"][1]["_arrival"] = now - 2.0
+    reader = _reader(
+        fake, starting_position="latest", latest_anchor_margin_sec="60"
+    )
+    rows, _ = reader.read(reader.initialOffset())
+    assert [bytes(r[4]) for r in rows] == [b"skew-window"]
+    # default margin is 5 s; negative rejected
+    assert KinesisSimpleStreamReader({"stream_name": "s"})._latest_margin == 5.0
+    with pytest.raises(ValueError, match="latest_anchor_margin_sec"):
+        KinesisSimpleStreamReader(
+            {"stream_name": "s", "latest_anchor_margin_sec": "-1"}
+        )
+
+
+def test_midstream_split_with_restart_no_loss_no_dup():
+    """VERDICT r11 item 4 — the last untested corner of the A1 contract
+    (kcl_manager.js:45-148 semantics): a split lands WHILE the query is
+    consuming (parent still has an undrained tail), the query is killed and
+    restarted from the checkpoint in the MIDDLE of the parent→children
+    transition, and every record still arrives exactly once in per-shard
+    order. The restart is simulated the way Structured Streaming actually
+    recovers a SimpleDataSourceStreamReader: a FRESH reader instance
+    replays the WAL-committed range via readBetweenOffsets, then resumes
+    read() from the committed end offset."""
+    fake = _FakeKinesis()
+    fake.add_shard("parent")
+    fake.put("parent", b"p1")
+    fake.put("parent", b"p2")
+
+    reader = _reader(fake)
+    o0 = reader.initialOffset()
+    rows1, o1 = reader.read(o0)
+    rows1 = list(rows1)
+    assert [bytes(r[4]) for r in rows1] == [b"p1", b"p2"]
+
+    # mid-stream: more parent traffic lands, THEN the split happens while
+    # the query is between batches — the parent closes with an undrained
+    # tail and the children immediately carry post-split traffic
+    fake.put("parent", b"p3")
+    fake.close("parent")
+    fake.add_shard("childA", parent="parent")
+    fake.add_shard("childB", parent="parent")
+    fake.put("childA", b"a1")
+    fake.put("childB", b"b1")
+
+    rows2, o2 = reader.read(o1)
+    rows2 = list(rows2)
+    assert [bytes(r[4]) for r in rows2] == [b"p3"]  # parent tail drains
+    assert o2["shards"]["parent"]["closed"] is True
+    assert "childA" not in o2["shards"]  # children open next batch
+
+    # CRASH + RESTART in the middle of the transition: the engine re-creates
+    # the reader and replays the committed-but-unfinished batch range
+    reader2 = _reader(fake)
+    replay2 = [bytes(r[4]) for r in reader2.readBetweenOffsets(o1, o2)]
+    assert replay2 == [b"p3"]  # exact range: no dup of p1/p2, no loss of p3
+
+    rows3, o3 = reader2.read(o2)  # parent drained -> children open
+    rows3 = list(rows3)
+    assert sorted(bytes(r[4]) for r in rows3) == [b"a1", b"b1"]
+    assert o3["shards"]["childA"]["seq"] is not None
+
+    # SECOND restart, now mid-children: replay the child batch exactly
+    fake.put("childA", b"a2")  # traffic keeps flowing during the restart
+    reader3 = _reader(fake)
+    replay3 = sorted(bytes(r[4]) for r in reader3.readBetweenOffsets(o2, o3))
+    assert replay3 == [b"a1", b"b1"]  # a2 arrived after o3: not replayed
+
+    rows4, o4 = reader3.read(o3)
+    rows4 = list(rows4)
+    assert [bytes(r[4]) for r in rows4] == [b"a2"]
+
+    # exactly-once over the whole run: every record seen once, in per-shard
+    # order, across two crash/restart cycles spanning the reshard
+    seen = [bytes(r[4]) for batch in (rows1, rows2, rows3, rows4) for r in batch]
+    assert sorted(seen) == [b"a1", b"a2", b"b1", b"p1", b"p2", b"p3"]
+    assert len(seen) == len(set(seen))
