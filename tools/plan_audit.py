@@ -137,6 +137,43 @@ def slowest_registry(spark, qs, top_n: int = 10) -> dict[str, float]:
     return dict(sorted(walls.items(), key=lambda kv: -kv[1])[:top_n])
 
 
+# Hand-maintained constraint notes, injected under the named query's section
+# on every regeneration (the generator REWRITES PLANS.md wholesale; anything
+# typed into the file directly is lost on the next run — r12 lesson). Keep a
+# note when a measured design constraint must outlive the metrics around it.
+CONSTRAINT_NOTES: dict[str, str] = {
+    "q_graph_pagerank": """\
+**Round-budget constraint note (VERDICT r11 item 3, r12 — measured):**
+quiet-box profile at sf0.1: edge-set setup (scan + concat + distinct of
+1.18M edges) 9.3 s, then 12 unrolled tol=None rounds at ~1.3 s each — the
+round cost is stage scheduling over a 21k-node rank vector, not data. At
+the 10x sf1 clone the whole query is 54 s (x10-data ratio **1.6x**,
+strongly sub-linear). Three structural findings, each measured:
+1. **The k-core semi-join trick does NOT transfer**: PageRank's
+   conserved-mass contract updates every node's rank every round — there
+   is no shrinking survivor set to semi-join against.
+2. **Batching k rounds per materialization is ~4x WORSE** (120-125 s vs
+   31-33 s at sf0.1, k=4, with and without lazy persist() on intermediate
+   rounds): each round reads the previous rank vector twice (dangling +
+   contribution branches) at a projection boundary with no shared
+   Exchange, and the per-round dangling scalar is a broadcast-exchange
+   child whose serialized sub-job re-plans the whole unmaterialized
+   prefix. Per-round checkpointing IS the optimum for conserved-mass
+   iteration.
+3. **Static-relation folding is wall-NEUTRAL at test scale** (33.4 vs
+   33.3 s sf0.1; 54.6 vs 53.8 s sf1): AQE already broadcasts the
+   node-sized rank side into the edge join, so the old per-round
+   ranks⋈out_deg join never re-shuffled the edge cache here. r12 keeps
+   the refactor (out-degree folded into the edge cache once, src-keyed at
+   persist; dangling set precomputed) for the 100 TB regime it exists
+   for: with billions of nodes the rank vector cannot broadcast, and then
+   the src-partitioned edge cache is what keeps the per-round exchange
+   node-sized instead of edge-sized.
+Residual wall = per-job fixed cost x an irreducible round count; the
+oracle pins 12 rounds, and the sf1 ratio says the shape scales.""",
+}
+
+
 def main() -> None:
     import json
 
@@ -211,6 +248,9 @@ def main() -> None:
                 f"**{sf1_ratios[name]:.2f}x** "
                 f"({'sub-linear' if sf1_ratios[name] < 10 else 'SUPER-LINEAR — investigate'})"
             )
+        if name in CONSTRAINT_NOTES:
+            out.append("")
+            out.append(CONSTRAINT_NOTES[name])
         out.append("")
         if s["scans"]:
             out.append("| scan | pushed filters | columns read |")
