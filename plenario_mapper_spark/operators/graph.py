@@ -174,6 +174,14 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
+    # Materialize the iteration's static relations, then release the RAW
+    # edge cache: e is setup-only (nodes / out_deg / e_deg all derive from
+    # it) and keeping it cached through the rounds would hold TWO edge-sized
+    # relations in executor memory for the whole iteration — the footprint
+    # that matters at real edge counts, invisible at toy scale.
+    e_deg.count()
+    dangling_nodes.count()
+    e.unpersist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for i in range(max_iterations):

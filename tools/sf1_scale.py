@@ -42,6 +42,18 @@ QUERIES = [
     "q_graph_kcore_peel",
     "q_search_bm25_topk",
     "q_embed_silhouette",
+    # r12 widening: the rest of the measured registry-sweep top-10 (the
+    # graph/iterative family took over after the r11 jaccard rewrite) —
+    # every slowest query now carries a x10-data datapoint in PLANS.md
+    "q_graph_pagerank",
+    "q_graph_modularity",
+    "q_graph_triangles",
+    "q_graph_link_prediction",
+    "q_graph_label_prop_3",
+    "q_graph_khop_distance",
+    "q_part_price_elasticity",
+    "q_dedup_incremental_near",
+    "q_dedup_cluster_cc",
 ]
 
 
