@@ -507,7 +507,11 @@ def test_release_query_caches_spares_caller_caches(spark):
     QUERIES["q_dedup_minhash"](spark, "/root/testdata/sf0.001").count()
     owned = list(_OWNED_PERSISTS.get(spark, []))
     assert owned, "registry build tracked no persists — interception broken"
-    assert all(df.storageLevel != StorageLevel.NONE for df in owned)
+    # an operator may release its own SETUP-ONLY cache early (r12: pagerank
+    # unpersists the raw edge relation once its derived statics materialize)
+    # — those tracked frames are legitimately dead before the release; the
+    # interception property needs at least one still-live owned persist
+    assert any(df.storageLevel != StorageLevel.NONE for df in owned)
     # the caller's DataFrame was persisted outside any registry build
     assert all(df is not mine for df in owned)
 
