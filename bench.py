@@ -163,11 +163,18 @@ def main() -> None:
             extra["stream_pipeline_rows_per_task_cpu_sec"] = (
                 round(rows / cpu_sec) if cpu_sec > 0 else -1
             )
+        # Only print the CPU-normalized clause when it was actually measured
+        # (ADVICE r12: a literal "-1 rows/task-cpu-sec" reads as a value).
+        cpu_clause = (
+            f"{extra['stream_pipeline_rows_per_task_cpu_sec']:,} "
+            "rows/task-cpu-sec; "
+            if extra.get("stream_pipeline_rows_per_task_cpu_sec", -1) > 0
+            else ""
+        )
         print(
             f"# stream pipeline: {rows} rows in {secs:.2f}s "
             f"({rows / secs:,.0f} rows/s; "
-            f"{extra.get('stream_pipeline_rows_per_task_cpu_sec', -1):,} "
-            f"rows/task-cpu-sec; reference ceiling ~10,000 rows/s/shard)",
+            f"{cpu_clause}reference ceiling ~10,000 rows/s/shard)",
             file=sys.stderr,
         )
     except Exception as exc:  # never lose the headline metric to the extra

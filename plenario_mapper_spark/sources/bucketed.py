@@ -31,6 +31,13 @@ from pyspark.sql import SparkSession
 
 N_BUCKETS = 8
 
+# sf_dir -> the suffix most recently materialized for it in this process.
+# When regenerated testdata rotates a dir's content identity, the superseded
+# suffix's catalog tables are dropped at the next materialization (ADVICE
+# r12) so the reclaim sweep below can delete its data dir instead of keeping
+# it alive for the whole app via the sib_registered check.
+_LIVE_SUFFIX: dict[str, str] = {}
+
 
 def _ident(sf_dir: str) -> str:
     """Content identity of the (orders, lineitem) pair: regenerated testdata
@@ -59,6 +66,7 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     o_name = f"orders_bkt_{suffix}"
     l_name = f"lineitem_bkt_{suffix}"
     if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(l_name):
+        _LIVE_SUFFIX[os.path.realpath(sf_dir)] = suffix
         return o_name, l_name
     # Data dir is scoped by the Spark application id (ADVICE r10): two
     # concurrent sessions over the same testdata each miss their own catalog
@@ -74,6 +82,18 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # from a crashed writer earlier in this app — those are safe to delete.
     # The live-suffix set is bounded by the scales used in one session, so
     # keeping registered layouts does not grow tmp unbounded.
+    # A catalog miss with a DIFFERENT suffix previously live for this same
+    # sf_dir means the testdata was regenerated: drop the superseded
+    # suffix's tables so its data dir becomes eligible for the sweep below
+    # (registered-but-stale layouts otherwise accumulate until app exit).
+    dir_key = os.path.realpath(sf_dir)
+    prev = _LIVE_SUFFIX.get(dir_key)
+    if prev is not None and prev != suffix:
+        for stale in (f"orders_bkt_{prev}", f"lineitem_bkt_{prev}"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {stale}")
+            except Exception:
+                pass
     app_id = spark.sparkContext.applicationId
     tmp = tempfile.gettempdir()
     root = os.path.join(tmp, f"bucketed_{app_id}_{suffix}")
@@ -103,6 +123,7 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .option("path", os.path.join(root, name))
             .saveAsTable(name)
         )
+    _LIVE_SUFFIX[dir_key] = suffix
     return o_name, l_name
 
 

@@ -148,11 +148,13 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             or options.get("maxrecordspershard")
             or 10000
         )
-        self._latest_margin = float(
-            options.get("latest_anchor_margin_sec")
-            or options.get("latestanchormarginsec")
-            or 5.0
+        # Explicit None check (not an `or` chain): a caller passing "" or
+        # another falsy-but-present value must fail loudly like a negative
+        # does, not silently fall through to the 5.0 default (ADVICE r12).
+        margin_raw = options.get(
+            "latest_anchor_margin_sec", options.get("latestanchormarginsec")
         )
+        self._latest_margin = 5.0 if margin_raw is None else float(margin_raw)
         if self._latest_margin < 0:
             raise ValueError("latest_anchor_margin_sec must be >= 0")
         self._boto = None

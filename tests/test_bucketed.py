@@ -98,3 +98,43 @@ def test_two_live_suffixes_coexist_and_torn_leftovers_reclaimed(spark):
         ):  # drop only this test's bucket tables
             if t.name.startswith(("orders_bkt_", "lineitem_bkt_")):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_regenerated_testdata_drops_superseded_suffix(spark, tmp_path):
+    """ADVICE r12 (low): regenerating a dir's testdata rotates its content
+    identity; the superseded suffix's catalog tables must be dropped at the
+    next materialization so the reclaim sweep can delete its data dir,
+    instead of the stale layout staying registered (and its dir kept) for
+    the rest of the app's lifetime."""
+    import os
+    import shutil
+    import tempfile
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "regen_sf"
+    d.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    sf_dir = str(d)
+    try:
+        o_old, l_old = B.ensure_bucketed_pair(spark, sf_dir)
+        # regenerate: rewrite one file so size/mtime (identity) changes
+        os.utime(d / "orders.parquet", (0, 0))
+        o_new, l_new = B.ensure_bucketed_pair(spark, sf_dir)
+        assert o_new != o_old
+        # superseded catalog entries are gone; the new pair reads fine
+        assert not spark.catalog.tableExists(o_old)
+        assert not spark.catalog.tableExists(l_old)
+        assert spark.table(l_new).count() > 0
+        # and the superseded data dir was reclaimed by the sweep (it runs
+        # before the write; a THIRD materialization of any dir sweeps it)
+        app_id = spark.sparkContext.applicationId
+        old_suffix = o_old[len("orders_bkt_"):]
+        old_dir = os.path.join(tempfile.gettempdir(), f"bucketed_{app_id}_{old_suffix}")
+        os.utime(d / "orders.parquet", (1, 1))
+        B.ensure_bucketed_pair(spark, sf_dir)
+        assert not os.path.exists(old_dir)
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(("orders_bkt_", "lineitem_bkt_")):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -225,6 +225,7 @@ def main() -> None:
         "",
     ]
     audited: list[str] = []
+    consumed_notes: set[str] = set()
     for name in HEADLINE + extra + [n for n in slow if n not in set(HEADLINE + extra)]:
         df = qs[name](spark, SF)
         df.count()  # let AQE finalize
@@ -251,6 +252,7 @@ def main() -> None:
         if name in CONSTRAINT_NOTES:
             out.append("")
             out.append(CONSTRAINT_NOTES[name])
+            consumed_notes.add(name)
         out.append("")
         if s["scans"]:
             out.append("| scan | pushed filters | columns read |")
@@ -260,6 +262,16 @@ def main() -> None:
                     f"| {sc['table']} | `{sc['pushed'] or '-'}` | {sc['n_cols']} |"
                 )
         out.append("")
+    # A CONSTRAINT_NOTES key that no longer matches a rendered query means a
+    # hand-maintained measured-constraint note silently vanished from
+    # PLANS.md (ADVICE r12) — fail loudly instead.
+    orphaned = sorted(set(CONSTRAINT_NOTES) - consumed_notes)
+    if orphaned:
+        print(
+            f"WARNING: CONSTRAINT_NOTES not consumed (query renamed/dropped?): "
+            f"{orphaned}",
+            file=sys.stderr,
+        )
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote PLANS.md ({len(audited)} queries)")
