@@ -292,7 +292,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # q_window_percentile_rank, q_vocab_zipf_fit, q_doc_readability,
 # q_supplier_pareto_deciles, q_events_fano_burstiness.
 # Demoted to _BACK: the whole r11 window (50/50 green in CORRECTNESS_r11.json).
+#
+# Round-13 rotation + the STEADY-STATE RE-VERIFICATION POLICY (VERDICT r12
+# item 1 — certification debt hit zero in r12; this codifies how it stays
+# zero). The standing window recipe, in priority order, enforced by
+# tests/test_driver_window.py from the artifact JSONs:
+#   1. NEVER-DRIVER-VERIFIED queries first (the driver gate is the one check
+#      the builder cannot run locally) — this round: the six r13 additions
+#      (BPE tokenizer train/apply/pack, PQ train/encode/ADC).
+#   2. CHANGED-CODE CANARIES: any query whose engine/source code changed
+#      after its latest driver green — this round q_join_bucketed_colocated
+#      (sources/bucketed.py gained the superseded-suffix drop).
+#   3. The STALEST rows, oldest latest-round first, registration order
+#      within a round, until the 50 slots fill — this round: the 4 r4
+#      scalar rows, all 37 r5 rows, and the 2 oldest r6 rows.
+# INVARIANT (the policy the tripwire makes mechanical): after each round's
+# artifact lands, no registry query's latest driver row may be older than 7
+# rounds — equivalently, every query whose latest row predates
+# (current_round - 7) MUST be in the committed window. At 343 queries and
+# 50 slots the rotation revisits everything well inside the horizon as long
+# as rules 1-2 stay small; if they ever crowd out rule 3, the horizon test
+# fails loudly and the window must split across two rounds explicitly.
 _FRONT = [
+    # -- slots 1-6: the r13 never-driver-verified additions, registration
+    #    order --
+    "q_vocab_bpe_train",
+    "q_doc_bpe_tokenize",
+    "q_doc_pack_bpe_budget",
+    "q_embed_pq_train",
+    "q_embed_pq_encode",
+    "q_embed_pq_adc_topk",
+    # -- slot 7: changed-code canary (sources/bucketed.py, ADVICE r12) --
+    "q_join_bucketed_colocated",
+    # -- slots 8-11: the r4-vintage rows (oldest in the registry) --
+    "q_scalar_datetime",
+    "q_scalar_string",
+    "q_scalar_json",
+    "q_scalar_array_hof",
+    # -- slots 12-48: every r5-vintage row, registration order --
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_ship_latency",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q_events_gap_fill",
+    "q_agg_hll_rollup",
+    "q_events_funnel",
+    "q_events_cohort_retention",
+    "q_events_winsorized",
+    "q_events_rolling_window",
+    "q_events_sliding_window",
+    "q_join_nullsafe",
+    "q_events_attribution",
+    "q_events_throttle_batch",
+    "q_binary_phash_dedup",
+    "q_quality_constraints",
+    "q_doc_mixture_weights",
+    "q_doc_span_dedup",
+    "q_events_sessions_closed",
+    "q_graph_triangles",
+    "q_scd2_versions",
+    "q_dedup_fuzzy_names",
+    "q_layout_zorder_key",
+    "q_merge_upsert_delete",
+    "q_rollup_incremental_maintain",
+    "q_scd2_point_in_time",
+    "q_geo_radius_join",
+    "q_geo_grid_timeseries",
+    "q_join_dpp_partitioned",
+    "q_join_interval_overlap",
+    "q_profile_orders",
+    "q_table_diff",
+    # -- slots 49-50: the 2 oldest r6-vintage rows --
+    "q1_pricing_summary",
+    "q_agg_distinct",
+]
+# The whole r12 window (50/50 green in CORRECTNESS_r12.json), demoted.
+_R12_WINDOW_NOW_BACK = [
     # -- slots 1-35: the 35 never-driver-verified (H187-H221), registration
     #    order, recomputed from CORRECTNESS_r01-r11 --
     "q_part_price_elasticity",
@@ -596,7 +676,7 @@ _R9_WINDOW_NOW_BACK = [
 # greens + any r11 mids. Every mid is t2-MATCH at sf0.001 + sf0.01 (and
 # the second-session batches additionally at sf0.1 + the float-fuzz AND
 # text-mutated clones) — see PERF_NOTES round-10 records.
-_BACK = _R11_WINDOW_NOW_BACK + _R10_WINDOW_NOW_BACK + _R9_WINDOW_NOW_BACK + [
+_BACK = _R12_WINDOW_NOW_BACK + _R11_WINDOW_NOW_BACK + _R10_WINDOW_NOW_BACK + _R9_WINDOW_NOW_BACK + [
     "q1_pricing_summary",
     "q_agg_distinct",
     "q_agg_rollup",

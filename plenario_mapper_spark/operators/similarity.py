@@ -776,3 +776,229 @@ def semantic_dedup_greedy(
         schema="id long, assigned_cid long, is_kept boolean",
     )
     return out.select(F.col("id").alias(id_col), "assigned_cid", "is_kept")
+
+
+# --------------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN companion to the IVF index
+# --------------------------------------------------------------------------------
+
+def pq_train(
+    items: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011): split
+    every vector into m contiguous subvectors and run Lloyd's k-means
+    independently per subspace. Returns (m, cid, centroid: array<double>) —
+    m*k rows, the whole compressed-index vocabulary.
+
+    Same iteration contract as kmeans_iterate (deterministic lowest-id
+    seeds, broadcast-assign, two-phase average update, smallest-cid
+    tie-break), except every stage is keyed by subspace: ONE broadcast join
+    on `m` scores all m subspaces in one pass instead of m sequential fits.
+    Scale shape per round: the codebook side is m*k rows (broadcast); the
+    update shuffles m*k*(d/m) = k*d cells after map-side partials,
+    independent of corpus size. The exploded subvector relation is persisted
+    once — it is read 2*n_iter+ times and re-slicing vectors per round would
+    rescan the corpus."""
+    it = items.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    dim = len(it.select("_v").head()["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    subs = (
+        it.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(mi).alias("m"),
+                            F.slice("_v", mi * sub + 1, sub).alias("sv"),
+                        )
+                        for mi in range(m)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .persist()
+    )
+    try:
+        # deterministic seeds: the k LOWEST ids' subvectors, cid = seed id
+        # (genuinely lowest — not `id < k` — for sparse/offset id spaces)
+        seed_ids = it.orderBy("_id").limit(k).select("_id")
+        cent = subs.join(F.broadcast(seed_ids), "_id").select(
+            "m", F.col("_id").alias("cid"), F.col("sv").alias("centroid")
+        )
+        for _ in range(n_iter):
+            a = _pq_assign(subs, cent)
+            cent = (
+                a.select("m", "cid", F.posexplode("sv").alias("i", "x"))
+                .groupBy("m", "cid", "i")
+                .agg(F.avg("x").alias("mv"))
+                .groupBy("m", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mv"))),
+                        lambda s: s["mv"],
+                    ).alias("centroid")
+                )
+            )
+        # materialize the final codebook off the persisted subs before the
+        # finally-unpersist (m*k rows; callers collect it anyway)
+        rows = cent.collect()
+    finally:
+        subs.unpersist()
+    spark = items.sparkSession
+    return spark.createDataFrame(rows, "m int, cid bigint, centroid array<double>")
+
+
+def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) nearest-centroid: broadcast join keyed on the
+    subspace, squared-L2 JVM fold, argmin via struct-min with smallest-cid
+    tie-break — the _nearest contract, subspace-keyed."""
+    dist = F.aggregate(
+        F.zip_with("sv", "centroid", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cent), "m")
+        .select("_id", "m", "sv", F.col("cid"), dist.alias("dist"))
+        .groupBy("_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("_b"), F.first("sv").alias("sv"))
+        .select(
+            "_id",
+            "m",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+            "sv",
+        )
+    )
+
+
+def pq_codebook_by_subspace(codebook: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collect a trained codebook for literal inlining: {m: [(cid, centroid),
+    ...] sorted by cid}. Bounded collect — m*k rows (32 at the defaults),
+    the size of any tokenizer/codec artifact a pipeline ships to executors."""
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook.collect():
+        out.setdefault(int(r["m"]), []).append((int(r["cid"]), list(r["centroid"])))
+    for mi in out:
+        out[mi].sort()
+    return out
+
+
+def _pq_best_exprs(vec, cb: dict[int, list[tuple[int, list[float]]]], sub: int):
+    """Per-subspace argmin against an INLINED codebook: for each m, an array
+    of (dist, cid) structs over the k literal centroids, reduced with
+    array_min (orders by dist then cid — the shared tie-break). Pure JVM
+    expressions: encode never joins, never shuffles — it runs in the scan
+    stage, which is the point of PQ at 100 TB (compress on ingest at scan
+    speed; store m codes instead of d floats)."""
+    best = []
+    for mi in sorted(cb):
+        sv = F.slice(vec, mi * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(x)) for x in cvec]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cvec in cb[mi]
+            ]
+        )
+        best.append(F.array_min(cands))
+    return best
+
+
+def pq_encode(
+    items: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest-centroid codes against a trained
+    codebook. Returns (id, pq_code 'c0-c1-..-cm', recon_err = total squared
+    quantization error). The codebook is collected (m*k rows) and inlined as
+    literals, so the encode plan is a single narrow projection over the
+    scan — no join, no shuffle (pinned by tests/test_pq.py)."""
+    cb = pq_codebook_by_subspace(codebook)
+    sub = len(next(iter(cb.values()))[0][1])
+    vec = F.col(vec_col).cast("array<double>")
+    best = _pq_best_exprs(vec, cb, sub)
+    return items.select(
+        F.col(id_col),
+        F.concat_ws("-", *[b["cid"].cast("string") for b in best]).alias("pq_code"),
+        sum(
+            [b["dist"] for b in best[1:]], best[0]["dist"]
+        ).alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    items: DataFrame,
+    codebook: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, every corpus
+    vector is its PQ code, and distance is a sum of m table lookups. The
+    per-subspace lookup table (k distances from the query's subvector to the
+    subspace's centroids) is computed driver-side from the collected
+    codebook and inlined as literal maps — the scoring pass is again a pure
+    scan-stage projection; only the final top-k ranks (TakeOrdered, no full
+    sort). Returns (rank, id, adc_dist, exact_dist) — exact distance rides
+    along so the quantization error of the ranking itself is auditable."""
+    cb = pq_codebook_by_subspace(codebook)
+    sub = len(next(iter(cb.values()))[0][1])
+    vec = F.col(vec_col).cast("array<double>")
+    best = _pq_best_exprs(vec, cb, sub)
+    adc_terms = []
+    for pos, mi in enumerate(sorted(cb)):
+        qsub = probe[mi * sub : (mi + 1) * sub]
+        lut = {
+            cid: sum((q - c) * (q - c) for q, c in zip(qsub, cvec))
+            for cid, cvec in cb[mi]
+        }
+        lut_map = F.map_from_arrays(
+            F.array(*[F.lit(int(c)).cast("long") for c in sorted(lut)]),
+            F.array(*[F.lit(float(lut[c])) for c in sorted(lut)]),
+        )
+        adc_terms.append(F.element_at(lut_map, best[pos]["cid"]))
+    adc = sum(adc_terms[1:], adc_terms[0])
+    exact = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in probe]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = items.select(
+        F.col(id_col), adc.alias("adc_dist"), exact.alias("exact_dist")
+    )
+    w = Window.orderBy("adc_dist", id_col)
+    return (
+        scored.orderBy("adc_dist", id_col)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", id_col, "adc_dist", "exact_dist")
+    )

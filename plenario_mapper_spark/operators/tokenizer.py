@@ -1,0 +1,120 @@
+"""BPE tokenizer TRAINING over a corpus (the §2.H companion to
+functions/bpe.py's committed-vocab APPLY side).
+
+Sennrich-style byte-pair encoding learns merges greedily: count adjacent
+symbol pairs across the corpus, fuse the most frequent pair, repeat. The
+scale-defining design choice is WHAT relation the loop iterates over: the
+DISTINCT-WORD table weighted by corpus counts, never the corpus itself. A
+100 TB corpus pays one corpus scan (the word groupBy), then every merge
+round costs O(vocabulary) — pair explode over ~10M distinct words, one
+vocab-keyed aggregation, one argmax. The corpus text never participates
+again.
+
+Per round the argmax pair is collected to the driver — ONE row per round,
+bounded by n_merges (the same bounded-collect contract as the kmeans
+centroid seeds); the word sequences themselves are never collected. Merge
+application is the functions/bpe.py delimiter-replace expression, so each
+round's sequence state is a nested JVM expression over the CACHED word-count
+relation rather than a materialized intermediate: round k's single job
+re-evaluates k literal replaces over vocab-sized cached rows, which is
+cheaper than a persist/checkpoint churn per round at any scale where the
+vocabulary fits an executor (it does: vocab rows are words, not documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from plenario_mapper_spark.functions import bpe as B
+from plenario_mapper_spark.functions import text as TX
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_word_len: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a document corpus. Returns
+    [(left, right, pair_count), ...] in rank order. Deterministic: pair
+    counts are exact integers weighted by word frequency; ties break
+    lexicographic (left, right) — engine-reproducible, which is what lets
+    q_vocab_bpe_train's oracle re-derive the identical table in SQL."""
+    wc = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str, int]] = []
+        seq = B.char_seq(F.col("w"))
+        for _ in range(n_merges):
+            syms = B.symbols(seq)
+            # guard the fully-merged (single-symbol) word: Spark's
+            # sequence(1, 0) counts DOWN ([1, 0]) instead of returning
+            # empty, which would index past the array
+            idx = F.when(
+                F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            pairs = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            )
+            best = (
+                wc.select(F.explode(pairs).alias("p"), "c")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("c").cast("long").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
+            merges.append((l, r, int(n)))
+            seq = B.apply_merge(seq, l, r)
+        return merges
+    finally:
+        wc.unpersist()
+
+
+def bpe_train(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame form of the merge table: (rank, left_sym, right_sym,
+    merged, n_pair) — the artifact a pipeline persists as its tokenizer."""
+    merges = bpe_train_merges(docs, n_merges, text_col=text_col)
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, merged string, n_pair long",
+    )
+
+
+def bpe_word_token_map(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, n_tok): exact BPE token count per DISTINCT word under a
+    committed merge table. The apply-side scale shape: the merge fold runs
+    once per vocabulary entry; per-document counts then come from a join of
+    doc word counts against this (broadcastable, vocab-bounded) map — the
+    corpus text never re-tokenizes per occurrence."""
+    return (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            B.token_count(B.apply_merges(B.char_seq(F.col("w")), merges))
+            .cast("long")
+            .alias("n_tok"),
+        )
+    )

@@ -20,6 +20,7 @@ from plenario_mapper_spark.operators import similarity as SIM
 from plenario_mapper_spark.plans.registry import register
 from plenario_mapper_spark.plans.relational import _events, _t  # noqa: F401
 from plenario_mapper_spark.functions import parity as PAR
+from plenario_mapper_spark.functions import bpe as BP
 # _t normalizes any TIMESTAMP_NTZ column to LTZ (see relational._t) so the
 # whole surface survives driver-side parquet-encoding changes.
 
@@ -19854,4 +19855,417 @@ def q_part_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         PAR.round6(lasp).alias("laspeyres"),
         PAR.round6(paas).alias("paasche"),
         PAR.round6(F.sqrt(lasp * paas)).alias("fisher"),
+    )
+
+
+# --------------------------------------------------------------------------------
+# r13 additions (registry unfrozen per VERDICT r12 item 2): real BPE tokenizer
+# train/apply with exact token-budget packing, and product quantization as the
+# memory-bounded ANN companion to the IVF index.
+# --------------------------------------------------------------------------------
+
+_BPE_TRAIN_K = 10
+
+# DuckDB mirror of functions.text.tokens over lowered text (the corpus word
+# relation every BPE oracle starts from).
+_SQL_BPE_WORDS = (
+    "SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),"
+    " x -> x <> '')) AS w FROM documents"
+)
+
+
+def _bpe_train_oracle(n: int) -> str:
+    """Unrolled Sennrich training in SQL: n rounds of pair-count -> argmax ->
+    delimiter-replace over the weighted distinct-word relation (the exact
+    loop operators/tokenizer.bpe_train runs as DataFrame jobs)."""
+    pair_unnest = (
+        "unnest([{'l': sy[i], 'r': sy[i+1]} FOR i IN"
+        " generate_series(1, len(sy)-1)], recursive := true)"
+    )
+    # Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and with
+    # s{k} referenced by both p{k+1} and s{k+1} (and b{k} referenced three
+    # times) the inlined expansion is O(3^n) scans of the base parquet —
+    # at n=10 that exhausts the process fd limit before returning a row.
+    ctes = [
+        f"toks AS MATERIALIZED ({_SQL_BPE_WORDS})",
+        "wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks"
+        " WHERE length(w) >= 2 GROUP BY w)",
+        f"s0 AS MATERIALIZED (SELECT {BP.sql_char_seq('w')} AS seq, c FROM wc)",
+    ]
+    for k in range(1, n + 1):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT l, r, CAST(SUM(c) AS BIGINT) AS n FROM ("
+            f"SELECT c, {pair_unnest} FROM "
+            f"(SELECT string_split(trim(seq, '@'), '@@') AS sy, c FROM s{k - 1})"
+            ") GROUP BY l, r)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT replace(seq, "
+            f"'@' || (SELECT l FROM b{k}) || '@@' || (SELECT r FROM b{k}) || '@', "
+            f"'@' || (SELECT l FROM b{k}) || (SELECT r FROM b{k}) || '@') AS seq, c "
+            f"FROM s{k - 1})"
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, n AS n_pair FROM b{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register("q_vocab_bpe_train", oracle=_bpe_train_oracle(_BPE_TRAIN_K))
+def q_vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training (the iterated form q_vocab_bpe_merge_step's
+    docstring promised): learn the first 10 merges from the corpus — per
+    round, count adjacent SYMBOL pairs (symbols grow as merges fuse, not
+    fixed-width char bigrams) weighted by word frequency over the
+    DISTINCT-WORD relation, fuse the (count desc, pair asc) argmax
+    everywhere left-to-right, repeat. operators/tokenizer.bpe_train; merge
+    application is a pure JVM literal-replace over the delimiter encoding
+    (functions/bpe.py), so each round is one vocab-sized aggregation plus a
+    ONE-ROW collect. At 100 TB: one corpus scan builds the word counts; all
+    10 rounds run over the ~10M-row vocabulary. The oracle unrolls the
+    identical 10 rounds as chained CTEs — every learned merge and its exact
+    corpus pair-count is hash-compared."""
+    from plenario_mapper_spark.operators import tokenizer as TK
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    return TK.bpe_train(spark, d, _BPE_TRAIN_K)
+
+
+# Apply-side: exact token counts under the COMMITTED merge table
+# (functions/bpe.COMMITTED_MERGES — trained once on sf0.01, shipped like
+# tokenizer.json). Shared CTE prefix for the two apply queries.
+_SQL_BPE_APPLY = f"""
+    t AS MATERIALIZED (SELECT doc_id, unnest(
+            list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                        x -> x <> '')) AS w
+          FROM documents),
+    m AS MATERIALIZED (SELECT w, CAST({BP.sql_token_count(BP.sql_apply_merges(BP.sql_char_seq('w'), BP.COMMITTED_MERGES))} AS BIGINT) AS n_tok
+          FROM (SELECT DISTINCT w FROM t)),
+    a AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+          FROM t JOIN m USING (w) GROUP BY doc_id)
+"""
+
+
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_words, n_bpe_tokens) under the committed vocab —
+    the apply-side scale shape: the 16-merge fold runs once per DISTINCT
+    word (vocab-bounded), per-doc counts come from a broadcastable
+    word->n_tok map joined to doc word counts; the corpus text never
+    re-tokenizes per occurrence."""
+    from plenario_mapper_spark.functions import text as TX
+    from plenario_mapper_spark.operators import tokenizer as TK
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    d = spread_to_parallelism(_t(spark, sf_dir, "documents"))
+    wmap = TK.bpe_word_token_map(d, BP.COMMITTED_MERGES)
+    docw = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    agg = (
+        docw.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return d.select("doc_id", "source").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0).cast("long")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_doc_bpe_tokenize",
+    oracle=f"""
+    WITH {_SQL_BPE_APPLY}
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BPE tokenization against the committed 16-merge vocabulary —
+    the upgrade over functions/text.bpe_token_count's regex heuristic: per
+    doc, the true token count a trainer's data loader would see. The merge
+    fold is 16 nested literal replaces (whole-stage codegen; DuckDB replace
+    has identical left-to-right semantics) applied to the DISTINCT-word
+    relation only; docs join the vocab map. At 100 TB the fold cost is
+    O(vocab), the join broadcasts the vocab side, and the doc-word groupBy
+    is the only corpus-sized shuffle."""
+    return _bpe_doc_counts(spark, sf_dir).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+
+
+@register(
+    "q_doc_pack_bpe_budget",
+    oracle=f"""
+    WITH {_SQL_BPE_APPLY},
+    c AS (SELECT d.source, d.doc_id, COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+          FROM documents d LEFT JOIN a USING (doc_id)),
+    p AS (SELECT source, doc_id, n_bpe_tokens,
+                 SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM c)
+    SELECT source, doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((cum_tokens - 1) / 512) AS BIGINT) AS pack_id
+    FROM p
+    """,
+)
+def q_doc_pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing with EXACT BPE counts (the
+    q_doc_pack_sequences upgrade VERDICT r12 item 2 asked for): packs of
+    512 real tokens under the committed vocab, cumulative in stable doc_id
+    order within each source. Same scale shape as the word-count packer —
+    one window shuffle on source, groups pack independently — but the
+    budget now matches what the training context window actually consumes,
+    so pack boundaries are loader-exact."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _bpe_doc_counts(spark, sf_dir)
+        .select("source", "doc_id", "n_bpe_tokens")
+        .withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w))
+        .withColumn(
+            "pack_id", F.floor((F.col("cum_tokens") - 1) / F.lit(512)).cast("long")
+        )
+    )
+
+
+# --- product quantization (operators/similarity.pq_*): M=4 subspaces of 16
+# dims over the 64-dim embeddings, k=8 centroids each, 2 Lloyd rounds,
+# deterministic lowest-id seeds — the kmeans_iterate contract per subspace.
+_PQ_M, _PQ_K, _PQ_SUB, _PQ_NITER = 4, 8, 16, 2
+
+_SQL_R6 = "CAST(FLOOR(({x}) * 1e6 + 0.5) / 1e6 AS DOUBLE)"
+
+
+def _pq_assign_sql(sub_t: str, cent_t: str) -> str:
+    return (
+        "SELECT vec_id, cid FROM ("
+        "SELECT t.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY t.vec_id "
+        "ORDER BY list_sum(list_transform(range(1, len(t.v)+1), "
+        "i -> (t.v[i] - c.centroid[i])^2)), c.cid) AS rn "
+        f"FROM {sub_t} t CROSS JOIN {cent_t} c) WHERE rn = 1"
+    )
+
+
+def _pq_assign_dist_sql(sub_t: str, cent_t: str) -> str:
+    return (
+        "SELECT vec_id, cid, d FROM ("
+        "SELECT t.vec_id, c.cid, "
+        "list_sum(list_transform(range(1, len(t.v)+1), "
+        "i -> (t.v[i] - c.centroid[i])^2)) AS d, "
+        "ROW_NUMBER() OVER (PARTITION BY t.vec_id "
+        "ORDER BY list_sum(list_transform(range(1, len(t.v)+1), "
+        "i -> (t.v[i] - c.centroid[i])^2)), c.cid) AS rn "
+        f"FROM {sub_t} t CROSS JOIN {cent_t} c) WHERE rn = 1"
+    )
+
+
+def _pq_update_sql(assign_t: str, sub_t: str) -> str:
+    return (
+        "SELECT cid, list(mv ORDER BY i) AS centroid FROM ("
+        "SELECT cid, CAST(z[2] AS INT) AS i, AVG(CAST(z[1] AS DOUBLE)) AS mv "
+        "FROM (SELECT a.cid AS cid, unnest(list_zip(t.v, range(1, len(t.v)+1))) AS z "
+        f"FROM {assign_t} a JOIN {sub_t} t ON a.vec_id = t.vec_id) "
+        "GROUP BY cid, i) GROUP BY cid"
+    )
+
+
+def _pq_train_ctes() -> tuple[list[str], dict[int, str]]:
+    """Shared oracle prefix: the unrolled per-subspace Lloyd fit. Returns
+    (CTE list, {m: final-codebook CTE name}). All MATERIALIZED — each CTE is
+    referenced by the next round's assign AND update, so plain (inlined)
+    CTEs would expand exponentially in rounds (cf. _bpe_train_oracle)."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"seed AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_PQ_K})",
+    ]
+    cents: dict[int, str] = {}
+    for mi in range(_PQ_M):
+        lo, hi = mi * _PQ_SUB + 1, (mi + 1) * _PQ_SUB
+        ctes.append(
+            f"e{mi} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        ctes.append(
+            f"c0_{mi} AS MATERIALIZED (SELECT t.vec_id AS cid, t.v AS centroid "
+            f"FROM e{mi} t JOIN seed s ON t.vec_id = s.vec_id)"
+        )
+        prev = f"c0_{mi}"
+        for it in range(1, _PQ_NITER + 1):
+            ctes.append(
+                f"a{it}_{mi} AS MATERIALIZED ({_pq_assign_sql(f'e{mi}', prev)})"
+            )
+            ctes.append(
+                f"c{it}_{mi} AS MATERIALIZED ({_pq_update_sql(f'a{it}_{mi}', f'e{mi}')})"
+            )
+            prev = f"c{it}_{mi}"
+        cents[mi] = prev
+    return ctes, cents
+
+
+def _pq_train_oracle() -> str:
+    ctes, cents = _pq_train_ctes()
+    flat = "\n    UNION ALL ".join(
+        f"SELECT CAST({mi} AS INT) AS m, cid, CAST(z[2] AS INT) AS i, "
+        + _SQL_R6.format(x="CAST(z[1] AS DOUBLE)")
+        + " AS c FROM (SELECT cid, unnest(list_zip(centroid, "
+        f"range(1, len(centroid)+1))) AS z FROM {cents[mi]})"
+        for mi in range(_PQ_M)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + flat
+
+
+def _pq_encode_oracle() -> str:
+    ctes, cents = _pq_train_ctes()
+    for mi in range(_PQ_M):
+        ctes.append(
+            f"enc{mi} AS MATERIALIZED ({_pq_assign_dist_sql(f'e{mi}', cents[mi])})"
+        )
+    joins = " ".join(
+        f"JOIN enc{mi} x{mi} USING (vec_id)" for mi in range(1, _PQ_M)
+    )
+    code = " || '-' || ".join(f"CAST(x{mi}.cid AS VARCHAR)" for mi in range(_PQ_M))
+    errsum = " + ".join(f"x{mi}.d" for mi in range(_PQ_M))
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        f"SELECT vec_id, {code} AS pq_code, "
+        + _SQL_R6.format(x=errsum)
+        + f" AS recon_err FROM enc0 x0 {joins}"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    ctes, cents = _pq_train_ctes()
+    ctes.append("probe AS MATERIALIZED (SELECT v FROM e ORDER BY vec_id LIMIT 1)")
+    for mi in range(_PQ_M):
+        lo, hi = mi * _PQ_SUB + 1, (mi + 1) * _PQ_SUB
+        ctes.append(
+            f"enc{mi} AS MATERIALIZED ({_pq_assign_sql(f'e{mi}', cents[mi])})"
+        )
+        ctes.append(
+            f"lut{mi} AS MATERIALIZED (SELECT c.cid, "
+            "list_sum(list_transform(range(1, len(c.centroid)+1), "
+            f"i -> (q.v[i] - c.centroid[i])^2)) AS d "
+            f"FROM {cents[mi]} c CROSS JOIN "
+            f"(SELECT v[{lo}:{hi}] AS v FROM probe) q)"
+        )
+    joins = " ".join(
+        f"JOIN enc{mi} x{mi} USING (vec_id) JOIN lut{mi} l{mi} ON x{mi}.cid = l{mi}.cid"
+        for mi in range(1, _PQ_M)
+    )
+    adcsum = " + ".join(f"l{mi}.d" for mi in range(_PQ_M))
+    ctes.append(
+        f"adc AS MATERIALIZED (SELECT vec_id, {adcsum} AS adc_d "
+        f"FROM enc0 x0 JOIN lut0 l0 ON x0.cid = l0.cid {joins})"
+    )
+    ctes.append(
+        "ex AS MATERIALIZED (SELECT t.vec_id, "
+        "list_sum(list_transform(range(1, len(t.v)+1), "
+        "i -> (t.v[i] - p.v[i])^2)) AS exact_d FROM e t CROSS JOIN probe p)"
+    )
+    ctes.append(
+        "top AS MATERIALIZED (SELECT a.vec_id, a.adc_d, ex.exact_d "
+        "FROM adc a JOIN ex USING (vec_id) ORDER BY a.adc_d, a.vec_id LIMIT 10)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_d, vec_id) AS INT) AS rank, "
+        "vec_id, "
+        + _SQL_R6.format(x="adc_d") + " AS adc_dist, "
+        + _SQL_R6.format(x="exact_d") + " AS exact_dist FROM top"
+    )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_train(e, m=_PQ_M, k=_PQ_K, n_iter=_PQ_NITER)
+
+
+@register("q_embed_pq_train", oracle=_pq_train_oracle())
+def q_embed_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al.; the
+    memory-bounded ANN companion to q_ann_ivf_topk's IVF index): per-subspace
+    Lloyd fits, all M subspaces in ONE broadcast-join pass per round —
+    operators/similarity.pq_train. Output is the flattened codebook
+    (m, cid, dim index, value): m*k*(d/m) = 512 cells, every trained float
+    hash-compared at the engine-agreeing 6-decimal grid. Assignment-flip
+    parity argument as q_embed_kmeans_iterate (two centroids equidistant to
+    ~1e-12). At 100 TB the codebook is k*d cells regardless of corpus size;
+    training cost per round is one corpus-subvector pass + a k*d-cell
+    shuffle after map-side partials."""
+    cb = _pq_codebook(spark, sf_dir)
+    return cb.select(
+        "m", "cid", F.posexplode("centroid").alias("i0", "c0")
+    ).select(
+        "m",
+        "cid",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        PAR.round6(F.col("c0")).alias("c"),
+    )
+
+
+@register("q_embed_pq_encode", oracle=_pq_encode_oracle())
+def q_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE — compress every vector to its m nearest-centroid codes plus
+    the total squared quantization error. The trained codebook (m*k = 32
+    rows, a bounded artifact-sized collect) is INLINED as literals, so the
+    encode itself is a single narrow projection in the scan stage: no join,
+    no shuffle, no Python (pinned by tests/test_pq.py's plan assertion).
+    That is the 100 TB contract: compression happens at ingest scan speed,
+    and downstream ANN stores m bytes per vector instead of d floats. The
+    oracle re-derives codebook, codes, and error end-to-end in SQL."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    enc = SIM.pq_encode(e, cb)
+    return enc.select(
+        "vec_id", "pq_code", PAR.round6(F.col("recon_err")).alias("recon_err")
+    )
+
+
+@register("q_embed_pq_adc_topk", oracle=_pq_adc_oracle())
+def q_embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (the search side of the compressed
+    index): the probe (lowest-vec_id vector, deterministic) stays exact;
+    every corpus vector is scored as the sum of m lookup-table entries
+    (query-subvector -> centroid distances, computed driver-side from the
+    32-row codebook and inlined as literal maps). Scoring is again pure
+    scan-stage expression work; ranking is TakeOrdered(10). exact_dist rides
+    along so ADC's quantization error is auditable row-by-row. At 100 TB:
+    per-query scoring cost is m lookups per vector — no vector arithmetic at
+    all once codes exist — which is why PQ serves billion-vector ANN from
+    RAM."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    probe_row = (
+        e.orderBy("vec_id").limit(1).select(
+            F.col("embedding").cast("array<double>").alias("v")
+        ).head()
+    )
+    probe = [float(x) for x in probe_row["v"]]
+    top = SIM.pq_adc_topk(e, cb, probe, k=10)
+    return top.select(
+        "rank",
+        "vec_id",
+        PAR.round6(F.col("adc_dist")).alias("adc_dist"),
+        PAR.round6(F.col("exact_dist")).alias("exact_dist"),
     )
