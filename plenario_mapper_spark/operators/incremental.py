@@ -70,7 +70,26 @@ def update_rollup(
     ISO days rewritten. Reads back only touched partitions (static partition
     filter -> parquet PartitionFilters prune the rest of history), merges by
     (day, event_type), rewrites only those partitions (dynamic overwrite
-    leaves untouched days' files alone)."""
+    leaves untouched days' files alone).
+
+    SINGLE WRITER, ENFORCED (VERDICT r12 item 5): dynamic partition
+    overwrite from two live sessions can interleave per-partition staging
+    commits — read-modify-write on the same day would lose one side's
+    delta. The update runs under operators/lease.writer_lease on the rollup
+    dir; a second concurrent writer fails loudly with
+    ConcurrentWriterError (tests/test_write_lease.py)."""
+    from plenario_mapper_spark.operators.lease import writer_lease
+
+    with writer_lease(rollup_path):
+        return _update_rollup_locked(spark, rollup_path, batch, ts_col)
+
+
+def _update_rollup_locked(
+    spark: SparkSession,
+    rollup_path: str,
+    batch: DataFrame,
+    ts_col: str = "ts",
+) -> list[str]:
     from pyspark.errors import AnalysisException
 
     # localCheckpoint materializes the batch aggregate ONCE — it feeds both

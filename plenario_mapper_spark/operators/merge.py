@@ -356,7 +356,33 @@ def merge_into(
     the bucket ids rewritten. `changes` carries the full row schema plus
     optionally `deleted_col` (bool) and `seq_col` for within-batch ordering
     (highest seq wins per key; omitted -> the changeset must be unique per
-    key and is validated to be). First call creates the table."""
+    key and is validated to be). First call creates the table.
+
+    SINGLE WRITER, ENFORCED (VERDICT r12 item 5): the journal protocol makes
+    one writer crash-safe, but two LIVE sessions merging the same table
+    would interleave bucket swaps and silently lose updates. The whole merge
+    therefore runs under operators/lease.writer_lease on the table dir — a
+    second concurrent writer gets ConcurrentWriterError immediately; a
+    CRASHED writer's lease is broken after its TTL and the journal rolls its
+    merge forward/back as before (two-session contention and takeover are
+    pinned in tests/test_write_lease.py)."""
+    from plenario_mapper_spark.operators.lease import writer_lease
+
+    with writer_lease(path):
+        return _merge_into_locked(
+            spark, path, changes, key, n_buckets, seq_col, deleted_col
+        )
+
+
+def _merge_into_locked(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    n_buckets: int,
+    seq_col: str | None,
+    deleted_col: str,
+) -> list[int]:
     from pyspark.errors import AnalysisException
 
     recover_merge(path)  # complete any interrupted predecessor first
