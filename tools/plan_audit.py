@@ -211,6 +211,12 @@ def main() -> None:
             sf1_ratios = json.load(f)["ratios"]
     except (OSError, KeyError, ValueError):
         pass
+    sf10: dict = {}
+    try:
+        with open(os.path.join(root, ".bench_data", "sf10_ratios.json")) as f:
+            sf10 = json.load(f)
+    except (OSError, ValueError):
+        pass
     out = [
         "# PLANS — physical-plan audit: bench headliners + slowest registry queries",
         "",
@@ -248,6 +254,20 @@ def main() -> None:
                 f"x10-data wall ratio (sf1/sf0.1, tools/sf1_scale.py): "
                 f"**{sf1_ratios[name]:.2f}x** "
                 f"({'sub-linear' if sf1_ratios[name] < 10 else 'SUPER-LINEAR — investigate'})"
+            )
+        x100 = (sf10.get("x100_wall_ratio") or {}).get(name)
+        if x100 is not None:
+            d1 = (sf10.get("decade1_wall_ratio") or {}).get(name)
+            d2 = (sf10.get("decade2_wall_ratio") or {}).get(name)
+            t100 = (sf10.get("x100_task_ratio") or {}).get(name)
+            out.append("")
+            out.append(
+                f"x100-data wall ratio (sf10/sf0.1, tools/sf10_scale.py): "
+                f"**{x100:.1f}x** "
+                f"({'sub-linear across two decades' if x100 < 100 else 'SUPER-LINEAR — investigate'}; "
+                f"per-decade {d1:.1f}x then {d2:.1f}x"
+                + (f"; executor-task x100 {t100:.1f}x" if t100 is not None else "")
+                + ")"
             )
         if name in CONSTRAINT_NOTES:
             out.append("")

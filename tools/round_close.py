@@ -99,6 +99,13 @@ def main() -> None:
     ratio_cmd = [sys.executable, "tools/duck_ratio.py"]
     if "--bench-json" in sys.argv:
         ratio_cmd += ["--bench-json", sys.argv[sys.argv.index("--bench-json") + 1]]
+    else:
+        # default to the round's own driver artifact when it exists (VERDICT
+        # r12 item 6): the 2x-budget number then uses the judge's
+        # methodology (driver walls vs warm DuckDB) without being asked
+        auto = f"BENCH_r{int(rnd):02d}.json" if str(rnd).isdigit() else ""
+        if auto and os.path.exists(os.path.join(ROOT, auto)):
+            ratio_cmd += ["--bench-json", auto]
     loads["duck_ratio"] = _await_quiet("duck_ratio", force)
     ratio = run_json(ratio_cmd)
 
@@ -142,6 +149,11 @@ def main() -> None:
         f"{LOAD_CEILING}{', FORCED' if force else ''}): "
         + ", ".join(f"{k} {v}" for k, v in loads.items())
         + ".",
+        "",
+        # the raw ratio record, greppable as a standing artifact (r12 item 6)
+        "```json",
+        json.dumps({"round": rnd, **{k: ratio[k] for k in sorted(ratio)}}),
+        "```",
         "",
     ]
     with open(os.path.join(ROOT, "PERF_NOTES.md"), "a") as f:
