@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    apex_batches: int = 1,
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph —
     the third graph family (clustering/cohesion next to CC's components and
     PageRank's centrality; the local-clustering numerator used for
@@ -46,7 +51,21 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
     an OR of orientations. Shuffles: degree agg (node-keyed), wedge join
     (apex-keyed), closure join ((a,b)-keyed), final count (node-keyed) —
     all hash-partitioned equi-joins that AQE sizes; nothing is collected,
-    nothing broadcast-sized is assumed."""
+    nothing broadcast-sized is assumed.
+
+    apex_batches (r13, measured at the sf10 decade): the wedge relation is
+    the TRANSIENT-DISK hot spot — wedge count is ~sum(out_deg^2), ~150M at
+    sf0.1 and ~15 BILLION (~300 GB of shuffle) at the x100 clone, which
+    overflows a single box's spill space even though a cluster's aggregate
+    disk absorbs it trivially. apex_batches=K runs the quadratic stage as K
+    driver-loop passes over DISJOINT apex subsets (hash(apex) % K):
+    per-pass wedge volume is total/K, each pass's per-node partial counts
+    materialize via eager localCheckpoint (node-sized, tiny) so the pass's
+    shuffle files become garbage before the next pass starts (JVM GC
+    nudged, same discipline as pagerank's round caches). Every triangle has
+    exactly ONE apex, so apex partitioning is exact — results are identical
+    to the one-pass plan, pinned by tests/test_graph.py. K=1 (default) is
+    the cluster plan; a 32-core/77GB box runs the x100 clone at K=16."""
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -72,19 +91,51 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     ).persist()
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst"))).select(
-        F.col("e1.src").alias("apex"),
-        F.col("e1.dst").alias("u"),
-        F.col("e2.dst").alias("v"),
-    )
-    closed = wedges.join(
-        und, (wedges.u == und.a) & (wedges.v == und.b)
-    ).select("apex", "u", "v")
+    def _counts_for(apex_filter) -> DataFrame:
+        e1 = oriented.alias("e1")
+        if apex_filter is not None:
+            e1 = oriented.filter(apex_filter).alias("e1")
+        e2 = oriented.alias("e2")
+        wedges = e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        ).select(
+            F.col("e1.src").alias("apex"),
+            F.col("e1.dst").alias("u"),
+            F.col("e2.dst").alias("v"),
+        )
+        closed = wedges.join(
+            und, (wedges.u == und.a) & (wedges.v == und.b)
+        ).select("apex", "u", "v")
+        return (
+            closed.select(F.explode(F.array("apex", "u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("n_triangles"))
+        )
+
+    if apex_batches <= 1:
+        return _counts_for(None)
+    spark = edges.sparkSession
+    partials: list[DataFrame] = []
+    for k in range(apex_batches):
+        p = _counts_for(
+            F.pmod(F.hash(F.col("src")), F.lit(apex_batches)) == k
+        ).localCheckpoint(eager=True)
+        partials.append(p)
+        # the pass's wedge shuffle is now garbage (lineage truncated);
+        # nudge the JVM so ContextCleaner reclaims its spill files before
+        # the next pass needs the disk
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
     return (
-        closed.select(F.explode(F.array("apex", "u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_triangles"))
+        out.groupBy("node")
+        .agg(F.sum("n_triangles").cast("long").alias("n_triangles"))
     )
 
 

@@ -2595,6 +2595,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangles_counts_df(
+    spark: SparkSession, sf_dir: str, apex_batches: int = 1
+) -> DataFrame:
+    """The q_graph_triangles body without the top-20 presentation — shared
+    with tools/sf10_scale.py, which runs the x100 clone with apex_batches=16
+    (the single-box transient-disk bound; see graph.triangle_counts)."""
+    from plenario_mapper_spark.operators.graph import triangle_counts
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = l.alias("x"), l.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return triangle_counts(pairs, apex_batches=apex_batches)
+
+
 @register(
     "q_graph_triangles",
     oracle="""
@@ -2630,17 +2648,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge derivation is itself scale-shaped: the lineitem self-join is keyed
     on l_orderkey (co-partitioned, orders are small groups), pairs are
     deduplicated before any quadratic work."""
-    from plenario_mapper_spark.operators.graph import triangle_counts
-
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = l.alias("x"), l.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
     return (
-        triangle_counts(pairs)
+        triangles_counts_df(spark, sf_dir)
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )

@@ -186,3 +186,22 @@ def test_component_sizes_hand_checked(spark):
     assert got[3]["n_components"] == 1 and got[3]["n_nodes"] == 3
     assert got[2]["n_components"] == 2 and got[2]["n_nodes"] == 4
     assert abs(got[3]["node_share"] - 3 / 7) < 1e-6
+
+
+def test_triangle_counts_apex_batched_equals_one_pass(spark):
+    """apex_batches partitions triangles by their unique apex, so the K-pass
+    plan (the single-box transient-disk bound for the x100 clone) must
+    return the identical per-node counts as the one-pass plan."""
+    import random
+
+    from plenario_mapper_spark.operators.graph import triangle_counts
+
+    rng = random.Random(41)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(400)})
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    one = sorted(map(tuple, triangle_counts(df).collect()))
+    for k in (2, 5):
+        batched = sorted(map(tuple, triangle_counts(df, apex_batches=k).collect()))
+        assert batched == one, k

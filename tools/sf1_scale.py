@@ -58,7 +58,10 @@ QUERIES = [
 
 
 def time_set(
-    spark, sf_dir: str, queries: list[str] | None = None
+    spark,
+    sf_dir: str,
+    queries: list[str] | None = None,
+    overrides: dict | None = None,
 ) -> tuple[dict[str, float], dict[str, float]]:
     """(walls, task_secs) per query, warm best-of-2. Executor task time
     rides along (VERDICT r12 item 7): wall ratios on a 32-thread box
@@ -76,8 +79,11 @@ def time_set(
     walls: dict[str, float] = {}
     tasks: dict[str, float] = {}
     for name in queries or QUERIES:
-        Q[name](spark, sf_dir).count()  # warm (codegen, file index, workers)
+        fn = (overrides or {}).get(name) or Q[name]
+        fn(spark, sf_dir).count()  # warm (codegen, file index, workers)
         release_query_caches(spark)
+        if overrides and name in overrides:
+            spark.catalog.clearCache()  # override fns persist outside the registry
         best = float("inf")
         best_task = float("inf")
         for i in range(2):  # warm best-of-2, the PERF_NOTES convention
@@ -85,7 +91,7 @@ def time_set(
             sc.setJobGroup(grp, name)
             jobs_before = set(tracker.getJobIdsForGroup(grp) or [])
             t0 = time.perf_counter()
-            Q[name](spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
             run_jobs = [
                 j
@@ -95,6 +101,8 @@ def time_set(
             run_ms, _cpu = BENCH._executor_time(store, tracker, run_jobs)
             best_task = min(best_task, run_ms / 1e3)
             release_query_caches(spark)
+            if overrides and name in overrides:
+                spark.catalog.clearCache()
         sc.setJobGroup("sfscale:untracked", "")
         walls[name] = round(best, 3)
         tasks[name] = round(best_task, 2) if best_task < float("inf") else -1.0
