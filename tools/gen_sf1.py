@@ -14,6 +14,16 @@ at their original cardinality EXCEPT customer/part/supplier keys referenced by
 shifted facts, which are replicated with the same shift (TPC-H scales those
 with sf too, so this matches the spec's shape). Dates/values are untouched.
 
+documents.text is additionally made REPLICA-DISJOINT (r13): replica r>0 has
+its letters caesar-shifted by r%25+1 (token lengths, counts, and structure
+identical; digits/punctuation untouched; replica 0 verbatim). Verbatim copies
+made every doc a member of a REPLICAS-sized exact-duplicate cluster, so any
+text-similarity workload saw candidate-pair growth quadratic in REPLICAS by
+construction (the x100 clone put ~25 billion pairs through the jaccard path
+and died on spill) — measuring the testdata artifact, not the engine. The
+shift keeps each replica an internally-identical corpus in a disjoint
+"alphabet", the same disjointness contract the key shift gives the joins.
+
 Usage: python tools/gen_sf1.py [out_dir]   (default .bench_data/sf1, gitignored)
 """
 
@@ -78,6 +88,20 @@ def main() -> None:
                 col = src[name]
                 if name in keys and r > 0:
                     col = pa.compute.add(col, r * strides[name])
+                elif t == "documents" and name == "text" and r > 0:
+                    shift = r % 25 + 1
+                    lower = "abcdefghijklmnopqrstuvwxyz"
+                    upper = lower.upper()
+                    tbl = str.maketrans(
+                        lower + upper,
+                        lower[shift:] + lower[:shift]
+                        + upper[shift:] + upper[:shift],
+                    )
+                    col = pa.array(
+                        [None if s is None else s.translate(tbl)
+                         for s in col.to_pylist()],
+                        type=pa.string(),
+                    )
                 cols[name] = col
             shifted = pa.table(cols, schema=None).cast(src.schema)
             pq.write_table(
