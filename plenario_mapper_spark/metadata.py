@@ -109,9 +109,12 @@ def sensor_kmap(mapping: DataFrame) -> DataFrame:
             fp,
         )
     rows = sorted(by_sensor.items())
-    return (
-        spark.createDataFrame(rows, KMAP_SCHEMA) if rows else empty_kmap(spark)
-    )
+    # JVM literal relation, not createDataFrame: the registry is re-scanned by
+    # every mapper job (and per micro-batch in streaming), and the pickled-RDD
+    # form spawns a fleet of Python workers per scan — see functions/local_rel.
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
+    return local_rows(spark, rows, KMAP_SCHEMA) if rows else empty_kmap(spark)
 
 
 def feature_registry(feature_meta: DataFrame) -> list[dict]:
@@ -130,5 +133,9 @@ def feature_registry(feature_meta: DataFrame) -> list[dict]:
 
 def empty_kmap(spark) -> DataFrame:
     """Empty schema registry — models the reference's startup state (map = {},
-    type_map = {}, app/mapper.js:36-40), where every record is a discrepancy."""
-    return spark.createDataFrame([], KMAP_SCHEMA)
+    type_map = {}, app/mapper.js:36-40), where every record is a discrepancy.
+    Built as an empty JVM LocalRelation (zero tasks, no Python scan) — the
+    stale side of batch 1 joins this against the whole batch."""
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
+    return local_rows(spark, [], KMAP_SCHEMA)

@@ -34,7 +34,9 @@ BLACKLIST_SCHEMA = "sensor string"
 
 
 def empty_blacklist(spark) -> DataFrame:
-    return spark.createDataFrame([], BLACKLIST_SCHEMA)
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
+    return local_rows(spark, [], BLACKLIST_SCHEMA)
 
 
 def _dne_message() -> F.Column:

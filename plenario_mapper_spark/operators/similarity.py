@@ -855,8 +855,10 @@ def pq_train(
         rows = cent.collect()
     finally:
         subs.unpersist()
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
     spark = items.sparkSession
-    return spark.createDataFrame(rows, "m int, cid bigint, centroid array<double>")
+    return local_rows(spark, rows, "m int, cid bigint, centroid array<double>")
 
 
 def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:

@@ -91,8 +91,11 @@ def bpe_train(
 ) -> DataFrame:
     """DataFrame form of the merge table: (rank, left_sym, right_sym,
     merged, n_pair) — the artifact a pipeline persists as its tokenizer."""
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
     merges = bpe_train_merges(docs, n_merges, text_col=text_col)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)],
         "rank int, left_sym string, right_sym string, merged string, n_pair long",
     )

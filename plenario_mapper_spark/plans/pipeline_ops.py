@@ -21,6 +21,7 @@ from plenario_mapper_spark.plans.registry import register
 from plenario_mapper_spark.plans.relational import _events, _t  # noqa: F401
 from plenario_mapper_spark.functions import parity as PAR
 from plenario_mapper_spark.functions import bpe as BP
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 # _t normalizes any TIMESTAMP_NTZ column to LTZ (see relational._t) so the
 # whole surface survives driver-side parquet-encoding changes.
 
@@ -63,11 +64,11 @@ def _events_registry(spark: SparkSession):
         SENSOR_METADATA_SCHEMA,
     )
 
-    sensor_meta = spark.createDataFrame(
-        [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+    sensor_meta = _local_rows(
+        spark, [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
     )
-    feature_meta = spark.createDataFrame(
-        [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+    feature_meta = _local_rows(
+        spark, [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
     )
     return metadata.sensor_kmap(metadata.build_mapping(sensor_meta, feature_meta))
 
@@ -219,7 +220,8 @@ def q_mapper_alerts_invalid_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = _events_as_obs(spark, sf_dir).withColumn(
         "seq", F.col("meta_id").cast("long")
     )
-    sensor_meta = spark.createDataFrame(
+    sensor_meta = _local_rows(
+        spark,
         [
             ("click", {"k": "click_feature.k"}),
             ("error", {"k": "click_feature.k"}),
@@ -229,7 +231,8 @@ def q_mapper_alerts_invalid_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         SENSOR_METADATA_SCHEMA,
     )
-    feature_meta = spark.createDataFrame(
+    feature_meta = _local_rows(
+        spark,
         [
             ("click_feature", [("k", "INTEGER")]),
             ("view_feature", [("v", "DOUBLE")]),
@@ -6037,7 +6040,8 @@ def q_audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count("*").cast("long").alias("n_obs"))
     )
-    bf = spark.createDataFrame(
+    bf = _local_rows(
+        spark,
         [(1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906)], "digit int, p double"
     )
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
@@ -10555,7 +10559,8 @@ def q_compaction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(frag, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         [
             (
                 n_rows,
@@ -10975,8 +10980,8 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k + 1, ranked[k], r6(abs(v[ranked[k]])), r6(lam), r6(lam / tr))
         for k in range(5)
     ]
-    return spark.createDataFrame(
-        data, "rank int, dim int, loading double, eigval double, explained double"
+    return _local_rows(
+        spark, data, "rank int, dim int, loading double, eigval double, explained double"
     )
 
 
@@ -11981,7 +11986,8 @@ def q_scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_j, c_j = summary(FMT.read_jsonl(spark, f"{work}/jsonl", staged.schema))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         [
             (
                 n0,
@@ -14221,7 +14227,8 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_orc, c_orc = summary(FMT.read_orc(spark, f"{work}/orc", staged.schema))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_rows(
+        spark,
         [
             (
                 n0,
@@ -14890,8 +14897,8 @@ def q_eval_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * n_d * F.lit(1e12))
         ).alias("var_y"),
     )
-    grid = spark.createDataFrame(
-        [(100,), (1000,), (10000,), (100000,)], "n_per_arm long"
+    grid = _local_rows(
+        spark, [(100,), (1000,), (10000,), (100000,)], "n_per_arm long"
     )
     z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
     mde = z * F.sqrt(F.lit(2) * F.col("var_y") / F.col("n_per_arm"))
@@ -15560,7 +15567,7 @@ def q_events_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
     )
-    lags = spark.createDataFrame([(i,) for i in range(8)], "lag long")
+    lags = _local_rows(spark, [(i,) for i in range(8)], "lag long")
     a = daily.alias("a")
     b = daily.alias("b")
     dec = "decimal(38,0)"
@@ -18036,8 +18043,8 @@ def q_doc_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = mx.persist()
     counts = mx.agg(F.count("*").cast("long").alias("n_corpus"))
     nb = bench.agg(F.count("*").cast("long").alias("n_bench"))
-    ladder = spark.createDataFrame(
-        [(800000,), (900000,), (950000,), (990000,)], "threshold_micro long"
+    ladder = _local_rows(
+        spark, [(800000,), (900000,), (950000,), (990000,)], "threshold_micro long"
     )
     flags = (
         mx.crossJoin(F.broadcast(ladder))
@@ -18771,7 +18778,7 @@ def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = daily.agg(
         F.min("d").alias("d0"), F.count("*").cast("long").alias("n")
     )
-    grid = spark.createDataFrame([(p,) for p in range(2, 15)], "p long")
+    grid = _local_rows(spark, [(p,) for p in range(2, 15)], "p long")
     pi2 = F.lit(2 * 3.141592653589793)
     arg = pi2 * (F.col("d") - F.col("d0")) / F.col("p")
     terms = (
@@ -19173,7 +19180,7 @@ def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cw"),
         F.sum("w").over(Window.partitionBy("g")).alias("tw"),
     )
-    qs = spark.createDataFrame([(5,), (10,), (15,), (19,)], "q20 long")
+    qs = _local_rows(spark, [(5,), (10,), (15,), (19,)], "q20 long")
     hit = (
         cum.crossJoin(F.broadcast(qs))
         .filter(20 * F.col("cw") >= F.col("q20") * F.col("tw"))

@@ -226,8 +226,10 @@ class MapperStream:
         if self.sinks.alert_poster is not None:
             alerts.foreachPartition(_partition_push(self.sinks.alert_poster))
         new_bl = new_blacklist.collect()  # tiny (per-sensor)
+        from plenario_mapper_spark.functions.local_rel import local_rows
+
         self._save_blacklist(
-            self.spark.createDataFrame(new_bl, A.BLACKLIST_SCHEMA)
+            local_rows(self.spark, new_bl, A.BLACKLIST_SCHEMA)
             if new_bl
             else A.empty_blacklist(self.spark)
         )
