@@ -338,12 +338,18 @@ def _stream_throughput(
 
     n_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
+    # JVM literal frames, not createDataFrame: a pickled-RDD meta frame costs a
+    # 32-slice Python-worker scan EVERY time the per-batch registry refresh
+    # touches it (metadata._pin_local still collects it once per batch). A
+    # production provider reads JDBC/parquet — also JVM-native.
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
     def metadata_provider(s):
-        sensor_meta = s.createDataFrame(
-            [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
+        sensor_meta = local_rows(
+            s, [("click", {"k": "click_feature.k"})], SENSOR_METADATA_SCHEMA
         )
-        feature_meta = s.createDataFrame(
-            [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
+        feature_meta = local_rows(
+            s, [("click_feature", [("k", "INTEGER")])], FEATURE_METADATA_SCHEMA
         )
         return sensor_meta, feature_meta
 

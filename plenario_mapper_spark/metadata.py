@@ -46,6 +46,23 @@ def lower_feature_metadata(feature_meta: DataFrame) -> DataFrame:
     )
 
 
+def _pin_local(df: DataFrame) -> DataFrame:
+    """Evaluate a registry dimension once and rebuild it as a JVM literal
+    relation. Registry dimensions are KB-sized by contract, but they usually
+    arrive as driver-created frames whose plan is a pickled Python RDD sliced
+    to defaultParallelism — and with no size statistics, the build_mapping
+    join plans as a full 32-partition sort-merge join over Python scans
+    (measured 24-88 executor task-sec PER MICRO-BATCH at bench). Pinning
+    costs one tiny collect and makes every downstream registry plan a pure
+    local-relation job with exact (KB) size estimates."""
+    from plenario_mapper_spark.functions.local_rel import local_rows
+
+    try:
+        return local_rows(df.sparkSession, df.collect(), df.schema)
+    except Exception:
+        return df  # e.g. a streaming frame: keep the caller's plan
+
+
 def build_mapping(sensor_meta: DataFrame, feature_meta: DataFrame) -> DataFrame:
     """Flatten both dimensions into (sensor, raw_key, feature, property, type).
 
@@ -55,8 +72,8 @@ def build_mapping(sensor_meta: DataFrame, feature_meta: DataFrame) -> DataFrame:
     coercion error, matching the reference's unrecognized-type branch
     (app/mapper.js:233-239).
     """
-    sm = lower_sensor_metadata(sensor_meta)
-    fm = lower_feature_metadata(feature_meta)
+    sm = lower_sensor_metadata(_pin_local(sensor_meta))
+    fm = lower_feature_metadata(_pin_local(feature_meta))
 
     keys = sm.select(
         F.col("name").alias("sensor"),
@@ -121,7 +138,7 @@ def feature_registry(feature_meta: DataFrame) -> list[dict]:
     """Driver-side list of features and their typed properties — the sink-table
     registry (DDL pre-created in the reference, tests/configure_tests.js:79-161).
     Small by construction (a schema registry), so collecting it is correct."""
-    fm = lower_feature_metadata(feature_meta)
+    fm = lower_feature_metadata(_pin_local(feature_meta))
     return [
         {
             "feature": r["name"],

@@ -3731,6 +3731,11 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plenario_mapper_spark.operators import geo as GEO
 
     r = 5_000_000
+    # Deliberately NOT spread_to_parallelism'd (r13 measured): the md5 coord
+    # work is ~0.4 cpu-sec at sf0.1 and the round-robin exchange (with its
+    # sort-before-repartition) costs more task time than it parallelizes away
+    # (interleaved A/B: task 0.46 -> 0.86 s for ~0.08 s median wall). On a
+    # well-split production input the scan parallelizes for free.
     pts = GEO.derive_coords_udeg(
         _events(spark, sf_dir).select("event_id"), "event_id"
     )
