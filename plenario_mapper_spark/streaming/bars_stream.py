@@ -40,6 +40,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = (
     "day date, event_type string, "
@@ -129,7 +130,7 @@ class BarStream:
         if before is not None:
             ids = [i for i in ids if i < before]
         if not ids:
-            return self.spark.createDataFrame([], STATE_SCHEMA)
+            return _local_rows(self.spark, [], STATE_SCHEMA)
         return self.spark.read.parquet(
             os.path.join(self.state_dir, "bars", f"batch_id={ids[-1]}")
         )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from plenario_mapper_spark.functions import parity as PAR
 from plenario_mapper_spark.functions import text as TX
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 _TB_BUCKETS = 256
 POSTING_SCHEMA = "tok string, id long, tf long, dl long, tb int"
@@ -75,13 +76,13 @@ class Bm25IndexStream:
             return empty
 
     def postings(self) -> DataFrame:
-        empty = self.spark.createDataFrame([], POSTING_SCHEMA).withColumn(
+        empty = _local_rows(self.spark, [], POSTING_SCHEMA).withColumn(
             "batch_id", F.lit(None).cast("long")
         )
         return self._read_state_parquet("postings", empty)
 
     def stats(self) -> DataFrame:
-        empty = self.spark.createDataFrame([], STAT_SCHEMA).withColumn(
+        empty = _local_rows(self.spark, [], STAT_SCHEMA).withColumn(
             "batch_id", F.lit(None).cast("long")
         )
         return self._read_state_parquet("stats", empty)

@@ -40,6 +40,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = "series string, c double, n_seen long"
 
@@ -95,7 +96,7 @@ class CusumStream:
         rows = [
             (s, float(c), int(n)) for s, (c, n) in sorted(self._read_state().items())
         ]
-        return self.spark.createDataFrame(rows, STATE_SCHEMA)
+        return _local_rows(self.spark, rows, STATE_SCHEMA)
 
     def alarms(self, decision_band: float) -> DataFrame:
         """Series whose statistic has crossed the decision band."""
@@ -133,7 +134,7 @@ class CusumStream:
         }
         merged = {**prior, **folded}  # untouched series carry forward
         rows = [(s, float(c), int(n)) for s, (c, n) in sorted(merged.items())]
-        self.spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
+        _local_rows(self.spark, rows, STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.state_dir, "cusum", f"batch_id={batch_id}"))
 

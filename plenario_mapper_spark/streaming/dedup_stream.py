@@ -63,6 +63,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from plenario_mapper_spark.operators import dedup as DD
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 CORPUS_SCHEMA = "doc_id long, text string"
 COMPONENT_SCHEMA = "node long, component long"
@@ -116,7 +117,7 @@ class NearDupStream:
     def components(self) -> DataFrame:
         v = self._latest_version()
         if v is None:
-            return self.spark.createDataFrame([], COMPONENT_SCHEMA)
+            return _local_rows(self.spark, [], COMPONENT_SCHEMA)
         return self.spark.read.parquet(
             os.path.join(self._components_root(), f"version={v}")
         ).select("node", "component")
@@ -139,7 +140,7 @@ class NearDupStream:
 
     def pairs(self) -> DataFrame:
         """The accumulated near-dup evidence log (empty before any batch)."""
-        empty = self.spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        empty = _local_rows(self.spark, [], "id_a long, id_b long, jaccard double")
         return self._read_state_parquet("pairs", empty).select(
             "id_a", "id_b", "jaccard"
         )
@@ -148,7 +149,7 @@ class NearDupStream:
         """The accumulated (id, bk, batch_id) band index (empty before any
         batch). `exclude_batch` drops one batch partition — a replayed
         micro-batch must not probe its own prior delivery."""
-        empty = self.spark.createDataFrame([], BAND_SCHEMA).withColumn(
+        empty = _local_rows(self.spark, [], BAND_SCHEMA).withColumn(
             "batch_id", F.lit(None).cast("long")
         )
         idx = self._read_state_parquet("bands", empty)
@@ -231,7 +232,7 @@ class NearDupStream:
                 .select("id", "_txt")
             )
         else:
-            old_texts = self.spark.createDataFrame([], "id long, _txt string")
+            old_texts = _local_rows(self.spark, [], "id long, _txt string")
         corpus_texts = old_texts.unionByName(
             batch.select(
                 F.col(self.id_col).alias("id"), F.col(self.text_col).alias("_txt")

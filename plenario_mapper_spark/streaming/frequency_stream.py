@@ -38,6 +38,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from plenario_mapper_spark.operators import frequency as FQ
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = "item string, est long, dec long, n long"
 
@@ -88,7 +89,7 @@ class HeavyHittersStream:
         """Current (item, est) candidates (empty before any batch)."""
         counters, _, _ = self._read_state()
         rows = [(it, int(c)) for it, c in counters.items()]
-        return self.spark.createDataFrame(rows, "item string, est long")
+        return _local_rows(self.spark, rows, "item string, est long")
 
     def bounds(self) -> tuple[int, int]:
         """(total_dec, n_seen): every item's undercount is <= total_dec."""
@@ -122,7 +123,7 @@ class HeavyHittersStream:
 
         out_rows = [(it, int(c), 0, 0) for it, c in counters.items()]
         out_rows.append((None, 0, int(total_dec), int(n_seen)))
-        self.spark.createDataFrame(out_rows, STATE_SCHEMA).coalesce(1).write.mode(
+        _local_rows(self.spark, out_rows, STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.state_dir, "summary", f"batch_id={batch_id}"))
 

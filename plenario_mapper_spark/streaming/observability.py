@@ -19,6 +19,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 PROGRESS_SCHEMA = (
     "query_id string, run_id string, batch_id long, timestamp string, "
@@ -59,7 +60,7 @@ class ProgressRecorder(StreamingQueryListener):
         pass
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(self.rows, PROGRESS_SCHEMA)
+        return _local_rows(spark, self.rows, PROGRESS_SCHEMA)
 
 
 def throughput_summary(progress: DataFrame) -> DataFrame:

@@ -49,6 +49,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from plenario_mapper_spark.operators import similarity as SIM
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 KEPT_SCHEMA = "id long, assigned_cid long, v array<double>, cb int"
 DECISION_SCHEMA = "id long, assigned_cid long, is_kept boolean"
@@ -115,7 +116,7 @@ class SemanticDedupStream:
             return empty
 
     def kept(self, exclude_batch: int | None = None) -> DataFrame:
-        empty = self.spark.createDataFrame([], KEPT_SCHEMA).withColumn(
+        empty = _local_rows(self.spark, [], KEPT_SCHEMA).withColumn(
             "batch_id", F.lit(None).cast("long")
         )
         k = self._read_state_parquet("kept", empty)
@@ -124,7 +125,7 @@ class SemanticDedupStream:
         return k.select("id", "assigned_cid", "v", "cb")
 
     def decisions(self) -> DataFrame:
-        empty = self.spark.createDataFrame([], DECISION_SCHEMA).withColumn(
+        empty = _local_rows(self.spark, [], DECISION_SCHEMA).withColumn(
             "batch_id", F.lit(None).cast("long")
         )
         return self._read_state_parquet("decisions", empty).select(

@@ -37,6 +37,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from plenario_mapper_spark.operators import sketches as SK
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = "label string, h long"
 
@@ -81,7 +82,7 @@ class KmvStream:
         if before is not None:
             ids = [i for i in ids if i < before]
         if not ids:
-            return self.spark.createDataFrame([], STATE_SCHEMA)
+            return _local_rows(self.spark, [], STATE_SCHEMA)
         return self.spark.read.parquet(
             os.path.join(self.state_dir, "sketch", f"batch_id={ids[-1]}")
         )

@@ -38,6 +38,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = (
     "variant int, walk long, n_obs long, decision string, n_at_decision long"
@@ -99,7 +100,7 @@ class SprtStream:
             (v, int(w), int(n), d, None if nd is None else int(nd))
             for v, (w, n, d, nd) in sorted(self._read_state().items())
         ]
-        return self.spark.createDataFrame(rows, STATE_SCHEMA)
+        return _local_rows(self.spark, rows, STATE_SCHEMA)
 
     # -- the micro-batch body -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -137,7 +138,7 @@ class SprtStream:
             (v, int(w), int(n), d, None if nd is None else int(nd))
             for v, (w, n, d, nd) in sorted(merged.items())
         ]
-        self.spark.createDataFrame(rows, STATE_SCHEMA).coalesce(1).write.mode(
+        _local_rows(self.spark, rows, STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.state_dir, "sprt", f"batch_id={batch_id}"))
 

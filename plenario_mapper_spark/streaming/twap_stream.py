@@ -32,6 +32,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from plenario_mapper_spark.functions import parity as PAR
+from plenario_mapper_spark.functions.local_rel import local_rows as _local_rows
 
 STATE_SCHEMA = (
     "day date, event_type string, "
@@ -100,7 +101,7 @@ class TwapStream:
         if before is not None:
             ids = [i for i in ids if i < before]
         if not ids:
-            return self.spark.createDataFrame([], STATE_SCHEMA)
+            return _local_rows(self.spark, [], STATE_SCHEMA)
         return self.spark.read.parquet(
             os.path.join(self.state_dir, "twap", f"batch_id={ids[-1]}")
         )
