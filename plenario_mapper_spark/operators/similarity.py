@@ -943,11 +943,21 @@ def pq_encode(
     sub = len(next(iter(cb.values()))[0][1])
     vec = F.col(vec_col).cast("array<double>")
     best = _pq_best_exprs(vec, cb, sub)
-    return items.select(
+    # Stage the per-subspace argmin structs through their own projection (the
+    # annotate()/normalize() let-binding idiom): each `best[mi]` is an
+    # array_min over k interpreted distance folds and is referenced TWICE
+    # below (cid in pq_code, dist in recon_err) — inlined, the whole argmin
+    # tree evaluates 2x per row (r13 measured the staged form ~2x faster at
+    # sf0.1). CollapseProject keeps non-cheap multi-use aliases staged.
+    staged = items.select(
+        F.col(id_col), *[b.alias(f"_b{i}") for i, b in enumerate(best)]
+    )
+    bcols = [F.col(f"_b{i}") for i in range(len(best))]
+    return staged.select(
         F.col(id_col),
-        F.concat_ws("-", *[b["cid"].cast("string") for b in best]).alias("pq_code"),
+        F.concat_ws("-", *[b["cid"].cast("string") for b in bcols]).alias("pq_code"),
         sum(
-            [b["dist"] for b in best[1:]], best[0]["dist"]
+            [b["dist"] for b in bcols[1:]], bcols[0]["dist"]
         ).alias("recon_err"),
     )
 
