@@ -87,7 +87,10 @@ def _coercion_messages() -> F.Column:
 
 
 def alert_events(
-    stale_annotated: DataFrame, fresh_annotated: DataFrame, order_col: str = "seq"
+    stale_annotated: DataFrame,
+    fresh_annotated: DataFrame,
+    order_col: str = "seq",
+    stale_all_discrepant: bool = False,
 ) -> DataFrame:
     """Per-record alert events BEFORE blacklist dedup.
 
@@ -95,11 +98,21 @@ def alert_events(
     batch against the two registry snapshots; rows are matched by `order_col`
     (a stable per-record sequence the caller attaches before annotating).
     Returns (seq, sensor, kind ∈ {error, resolve}, messages array).
+
+    `stale_all_discrepant=True` asserts the stale registry was EMPTY (the
+    reference's startup state, map == {}): annotated against it, kmap is NULL
+    for every row, so discrepant == true without running the annotate pass —
+    the caller passes fresh_annotated for both sides and skips a full
+    variant/HOF pass over the batch (streaming/pipeline.py batch 1).
     """
     stale = stale_annotated.select(
         order_col,
         F.col("sensor").alias("_s_sensor"),
-        (F.col("kmap").isNull() | (F.size("bad_keys") > 0)).alias("discrepant"),
+        (
+            F.lit(True)
+            if stale_all_discrepant
+            else (F.col("kmap").isNull() | (F.size("bad_keys") > 0))
+        ).alias("discrepant"),
     )
     fresh = fresh_annotated.alias("f")
     df = fresh.join(stale.filter("discrepant"), order_col, "inner")
@@ -178,7 +191,13 @@ def derive_alerts(
     fresh_annotated: DataFrame,
     blacklist: DataFrame,
     order_col: str = "seq",
+    stale_all_discrepant: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """events + state fold in one call -> (alerts, new_blacklist)."""
-    ev = alert_events(stale_annotated, fresh_annotated, order_col)
+    ev = alert_events(
+        stale_annotated,
+        fresh_annotated,
+        order_col,
+        stale_all_discrepant=stale_all_discrepant,
+    )
     return apply_blacklist(ev, blacklist)

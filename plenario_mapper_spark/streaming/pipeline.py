@@ -172,8 +172,19 @@ class MapperStream:
         # comparison degenerates correctly (no transitions fire).
         fresh_ann = M.annotate(norm, fresh_kmap).persist()
         unchanged, fresh_snap = self._registry_unchanged(fresh_kmap)
+        stale_all_discrepant = False
         if unchanged:
             stale_ann = fresh_ann
+        elif self._stale_snap == []:
+            # EMPTY stale registry (the reference's startup state): annotating
+            # against it would only prove that every record is a discrepancy
+            # (kmap is NULL for every row), so skip the second full
+            # variant/HOF pass over the batch — alert_events derives the
+            # stale side from fresh_ann with discrepant == true. This is the
+            # first (cold) micro-batch of every stream, which previously paid
+            # the annotate cost twice.
+            stale_ann = fresh_ann
+            stale_all_discrepant = True
         else:
             stale_ann = M.annotate(norm, self._stale_kmap).persist()
 
@@ -221,7 +232,10 @@ class MapperStream:
 
         # F4: alert derivation + durable blacklist state
         blacklist = self._load_blacklist()
-        alerts, new_blacklist = A.derive_alerts(stale_ann, fresh_ann, blacklist)
+        alerts, new_blacklist = A.derive_alerts(
+            stale_ann, fresh_ann, blacklist,
+            stale_all_discrepant=stale_all_discrepant,
+        )
         alerts.write.mode("append").json(self.sinks.alert_dir)
         if self.sinks.alert_poster is not None:
             alerts.foreachPartition(_partition_push(self.sinks.alert_poster))
