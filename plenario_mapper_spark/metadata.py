@@ -54,13 +54,22 @@ def _pin_local(df: DataFrame) -> DataFrame:
     join plans as a full 32-partition sort-merge join over Python scans
     (measured 24-88 executor task-sec PER MICRO-BATCH at bench). Pinning
     costs one tiny collect and makes every downstream registry plan a pure
-    local-relation job with exact (KB) size estimates."""
+    local-relation job with exact (KB) size estimates.
+
+    Idempotent and cheap to repeat: a frame that is already a literal relation
+    (local_rows output — including a prior pin) is returned as-is, so callers
+    can pin once at entry (streaming.process_batch) and the pins inside
+    build_mapping/feature_registry become no-ops instead of extra collects."""
+    if getattr(df, "_plenario_local", False):
+        return df
+    from pyspark.errors import AnalysisException
+
     from plenario_mapper_spark.functions.local_rel import local_rows
 
     try:
         return local_rows(df.sparkSession, df.collect(), df.schema)
-    except Exception:
-        return df  # e.g. a streaming frame: keep the caller's plan
+    except AnalysisException:
+        return df  # a streaming frame: collect() is unsupported, keep the plan
 
 
 def build_mapping(sensor_meta: DataFrame, feature_meta: DataFrame) -> DataFrame:

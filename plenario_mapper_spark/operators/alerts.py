@@ -27,9 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from plenario_mapper_spark.functions import coercion as C
-from plenario_mapper_spark.operators import mapper as M
-
 BLACKLIST_SCHEMA = "sensor string"
 
 
@@ -65,9 +62,32 @@ def _unknown_keys_message() -> F.Column:
     )
 
 
-def _coercion_messages() -> F.Column:
+def _coercion_messages(fused: bool) -> F.Column:
     # One message per coercion-error key (app/mapper.js:443-451), using the ORIGINAL
     # value (errors[key] snapshots it) and its JS typeof.
+    if fused:
+        # The per-entry fields (property/typ and the String(value)/typeof
+        # renditions `orig`/`tof`) were computed in annotate's single pass over
+        # the variant map and pre-filtered into `_errs` by sink_projection — no
+        # registry or variant-map probe runs here, so the alert branch adds no
+        # interpreted variant work to the cached batch.
+        return F.transform(
+            F.col("_errs"),
+            lambda x: F.concat(
+                F.lit("Property "),
+                x["property"],
+                F.lit(" of sensor "),
+                F.col("sensor"),
+                F.lit(" expected type "),
+                F.coalesce(x["typ"], F.lit("undefined")),
+                F.lit(" and could not correctly coerce value "),
+                x["orig"],
+                F.lit(" of type "),
+                x["tof"],
+            ),
+        )
+    from plenario_mapper_spark.functions import coercion as C
+
     kmap = F.col("kmap")
     return F.transform(
         "error_keys",
@@ -105,19 +125,34 @@ def alert_events(
     the caller passes fresh_annotated for both sides and skips a full
     variant/HOF pass over the batch (streaming/pipeline.py batch 1).
     """
-    stale = stale_annotated.select(
-        order_col,
-        F.col("sensor").alias("_s_sensor"),
-        (
-            F.lit(True)
+    if stale_annotated is fresh_annotated:
+        # Same frame on both sides — the steady state (registry unchanged) and
+        # the startup state (stale empty, flag set). The join on the unique
+        # order_col would match every row to ITSELF, so the row's own
+        # discrepancy bit decides directly: same rows, no shuffle, no
+        # sort-merge self-join over the whole batch (measured ~14 executor
+        # task-sec per 100k-row batch for the join form on cached input).
+        df = (
+            fresh_annotated
             if stale_all_discrepant
-            else (F.col("kmap").isNull() | (F.size("bad_keys") > 0))
-        ).alias("discrepant"),
-    )
-    fresh = fresh_annotated.alias("f")
-    df = fresh.join(stale.filter("discrepant"), order_col, "inner")
+            else fresh_annotated.filter(
+                ~F.col("_known") | (F.size("bad_keys") > 0)
+            )
+        )
+    else:
+        stale = stale_annotated.select(
+            order_col,
+            F.col("sensor").alias("_s_sensor"),
+            (
+                F.lit(True)
+                if stale_all_discrepant
+                else (~F.col("_known") | (F.size("bad_keys") > 0))
+            ).alias("discrepant"),
+        )
+        fresh = fresh_annotated.alias("f")
+        df = fresh.join(stale.filter("discrepant"), order_col, "inner")
 
-    unknown_sensor = F.col("kmap").isNull()
+    unknown_sensor = ~F.col("_known")
     still_bad = F.size("bad_keys") > 0
 
     kind = (
@@ -132,7 +167,7 @@ def alert_events(
                 F.when(
                     F.size("invalid_keys") > 0, F.array(_unknown_keys_message())
                 ).otherwise(F.array().cast("array<string>")),
-                _coercion_messages(),
+                _coercion_messages("_errs" in fresh_annotated.columns),
             ),
         )
         .otherwise(F.array().cast("array<string>"))

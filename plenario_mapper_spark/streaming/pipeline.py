@@ -141,8 +141,23 @@ class MapperStream:
     # -- the micro-batch body -------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = self.spark
-        # F3: refresh the registry once per batch (vs per-record in the ref)
+        # Label every sink job (guide §1.5) so the UI and the status store
+        # attribute the batch's task time per sink instead of per batch id.
+        sc = spark.sparkContext
+
+        def _label(what: str) -> None:
+            sc.setJobDescription(f"mapper[{batch_id}]: {what}")
+
+        _label("registry refresh")
+        # F3: refresh the registry once per batch (vs per-record in the ref).
+        # Pin both dimensions to driver-local literal relations HERE, once —
+        # build_mapping and feature_registry pin too, but _pin_local is
+        # idempotent on an already-pinned frame, so this costs at most one
+        # collect per dimension per batch (zero when the provider already
+        # returns local_rows frames).
         sensor_meta, feature_meta = self.metadata_provider(spark)
+        sensor_meta = metadata._pin_local(sensor_meta)
+        feature_meta = metadata._pin_local(feature_meta)
         mapping = metadata.build_mapping(sensor_meta, feature_meta)
         fresh_kmap = metadata.sensor_kmap(mapping).cache()
         registry = metadata.feature_registry(feature_meta)
@@ -162,15 +177,31 @@ class MapperStream:
 
         obs = spread_to_parallelism(obs)
         norm = M.normalize(obs)
-        # Persist the annotation(s) for the life of the batch: every sink below
+        # Persist the annotation for the life of the batch: every sink below
         # (per-feature routes, dead-letter, emits, alert derivation) consumes
-        # them, and the variant/HOF annotate pass is the pipeline's dominant
+        # it, and the variant/HOF annotate pass is the pipeline's dominant
         # cost — without the cache each sink re-runs it (~4-5x per batch).
+        # The cached layout is sink_projection's: VARIANT-FREE (annotate renders
+        # every sink-ready field in its single pass, carry_variant=False drops
+        # the raw values and the per-row registry copy) and PRE-FILTERED into
+        # per-sink columns (_clean/_errs/misfit_json), so each sink's cache read
+        # prunes to exactly its own column and runs no per-entry filter or
+        # variant re-interpretation.
         # In steady state the stale and fresh registry snapshots are IDENTICAL
         # (metadata changes are rare events), and annotate is a pure function of
         # (batch, registry) — so one pass serves both roles and the alert
         # comparison degenerates correctly (no transitions fire).
-        fresh_ann = M.annotate(norm, fresh_kmap).persist()
+        fresh_ann = M.sink_projection(
+            M.annotate(
+                norm,
+                fresh_kmap,
+                typed=True,
+                emit=True,
+                misfit=True,
+                alert=True,
+                carry_variant=False,
+            )
+        ).persist()
         unchanged, fresh_snap = self._registry_unchanged(fresh_kmap)
         stale_all_discrepant = False
         if unchanged:
@@ -186,7 +217,13 @@ class MapperStream:
             stale_ann = fresh_ann
             stale_all_discrepant = True
         else:
-            stale_ann = M.annotate(norm, self._stale_kmap).persist()
+            # registry actually changed: the stale side only feeds the alert
+            # join's per-row `discrepant` bit, so annotate with every sink
+            # rendition off and project just the columns alert_events reads.
+            # Consumed exactly once — no persist.
+            stale_ann = M.annotate(
+                norm, self._stale_kmap, carry_variant=False
+            ).select("seq", "sensor", "_known", "bad_keys")
 
         result = M.MapperResult(
             annotated=fresh_ann,
@@ -205,6 +242,7 @@ class MapperStream:
         # partition pruning applies on read. At 100 TB, add a time partition column
         # here; the loop is over the (small) registry, not the data.
         for feature, fdf in result.features.items():
+            _label(f"feature sink {feature}")
             if self.sinks.per_feature_writer is not None:
                 for net in [r["network"] for r in fdf.select("network").distinct().collect()]:
                     self.sinks.per_feature_writer(
@@ -214,6 +252,7 @@ class MapperStream:
                 os.path.join(self.sinks.lake_dir, feature)
             )
 
+        _label("dead-letter sink")
         result.dead_letter.write.mode("append").partitionBy("network").parquet(
             self.sinks.dead_letter_dir
         )
@@ -225,20 +264,29 @@ class MapperStream:
             # task re-invokes the pusher with the same rows, so receivers
             # dedupe on (node, datetime, feature) when exactly-once matters.
             result.emits.persist()
+        _label("emit sink")
         result.emits.write.mode("append").json(self.sinks.emit_dir)
         if self.sinks.emit_pusher is not None:
+            _label("emit push")
             result.emits.foreachPartition(_partition_push(self.sinks.emit_pusher))
             result.emits.unpersist()
 
         # F4: alert derivation + durable blacklist state
+        _label("alert sink")
         blacklist = self._load_blacklist()
-        alerts, new_blacklist = A.derive_alerts(
-            stale_ann, fresh_ann, blacklist,
-            stale_all_discrepant=stale_all_discrepant,
-        )
+        # Persist the per-record EVENTS (seq, sensor, kind, messages): the
+        # alert sink and the blacklist fold both consume them, and without the
+        # cache each re-runs the fresh x stale discrepancy join and the
+        # message rendering over the whole batch (measured ~2x the alert cost
+        # per batch). Tiny relative to the batch (discrepant rows only).
+        ev = A.alert_events(
+            stale_ann, fresh_ann, stale_all_discrepant=stale_all_discrepant
+        ).persist()
+        alerts, new_blacklist = A.apply_blacklist(ev, blacklist)
         alerts.write.mode("append").json(self.sinks.alert_dir)
         if self.sinks.alert_poster is not None:
             alerts.foreachPartition(_partition_push(self.sinks.alert_poster))
+        _label("blacklist state")
         new_bl = new_blacklist.collect()  # tiny (per-sensor)
         from plenario_mapper_spark.functions.local_rel import local_rows
 
@@ -247,9 +295,9 @@ class MapperStream:
             if new_bl
             else A.empty_blacklist(self.spark)
         )
+        sc.setJobDescription(None)
 
-        if stale_ann is not fresh_ann:
-            stale_ann.unpersist()
+        ev.unpersist()
         fresh_ann.unpersist()
         # next batch validates against this batch's registry (the ref's cached
         # map); unpersist the OUTGOING snapshot or a long-running stream leaks
