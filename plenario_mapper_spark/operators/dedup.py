@@ -131,7 +131,15 @@ def minhash_near_dup_pairs(
     docs) would quadratically blow up — AQE skew-join splitting handles it.
     """
     rows_per_band = num_hashes // bands
-    base = _spread(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    # Arrow-UDF stage: floor the split at ~4k rows/task so each Python batch
+    # amortizes worker + transfer fixed cost (guide §4.2; at sf0.1 the full
+    # 32-way spread made 600-row batches that ran FASTER on 8 cores than 32).
+    # Inert at scale: rows/4096 >> cores.
+    from plenario_mapper_spark.operators.partitioning import spread_to_parallelism
+
+    base = spread_to_parallelism(df, min_rows_per_task=4096).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+    )
     sig_udf = minhash_signature(num_hashes, shingle_n)
     # Persist AND eagerly materialize the signature table: it is tiny (id + K
     # longs per doc) and is read by both self-join sides — which Spark runs

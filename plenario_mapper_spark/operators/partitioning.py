@@ -92,15 +92,59 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(padded / max(max_split, 1)))
 
 
-def spread_to_parallelism(df: DataFrame) -> DataFrame:
+def estimate_scan_rows(df: DataFrame) -> int | None:
+    """Total row count of the leaf parquet files from their FOOTERS alone
+    (no job, no scan) — None for non-parquet/non-local/wide-plan inputs.
+    Same narrow-chain guard as estimate_scan_partitions: past a join/agg the
+    leaf row count no longer bounds the stage's rows."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(n in plan for n in _WIDE_NODES):
+            return None
+        files = list(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        if not path.startswith("/") or not path.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
+def spread_to_parallelism(df: DataFrame, min_rows_per_task: int = 1) -> DataFrame:
     """Repartition to cluster parallelism iff the scan under-parallelizes.
 
     The tiny shuffle of raw input costs milliseconds; the CPU-bound work it
     parallelizes costs tens of seconds. On a 100 TB input with thousands of
     splits the estimate exceeds the core count and this is a metadata-only
-    no-op — no shuffle, no plan materialization."""
+    no-op — no shuffle, no plan materialization.
+
+    ``min_rows_per_task`` floors the split for VECTORIZED-UDF stages (guide
+    §4.2): an Arrow batch below a few thousand rows is dominated by Python
+    worker and transfer fixed costs, so a small input is spread to
+    ceil(rows / min_rows_per_task) tasks instead of full parallelism —
+    measured at sf0.1 this is why the signature stages ran FASTER on 8 cores
+    than 32 (BENCH scaling block r13). Rows come from parquet footers
+    (metadata only); at production scale ceil(rows/min) exceeds the core
+    count and the floor is inert. Default 1 = the classic full-spread (right
+    for JVM-side CPU work, where per-task fixed cost is microseconds)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     est = estimate_scan_partitions(df)
     if est is None:  # non-file source: fall back to the exact (costlier) probe
         est = df.rdd.getNumPartitions()
+    if min_rows_per_task > 1:
+        n_rows = estimate_scan_rows(df)
+        if n_rows is not None:
+            target = max(1, min(target, math.ceil(n_rows / min_rows_per_task)))
     return df if est >= target else df.repartition(target)

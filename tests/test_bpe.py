@@ -113,3 +113,30 @@ def test_train_query_registered_with_oracle():
 
     for q in ("q_vocab_bpe_train", "q_doc_bpe_tokenize", "q_doc_pack_bpe_budget"):
         assert q in QUERIES and q in ORACLES
+
+
+def test_batched_trainer_equals_sequential_and_reference(spark):
+    """The top-K batched round trips (_greedy_merge_batch) must produce the
+    EXACT merge table of strictly-sequential greedy rounds, including on
+    tie-heavy and self-pair corpora where batching must refuse to batch."""
+    corpora = [
+        # natural-ish text (batching accepts 2-3 merges per round trip)
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "low new wider wide wide")],
+        # heavy exact-count ties: lexicographic tie-breaks must survive
+        [(1, "ab ab cd cd ef ef gh gh"), (2, "ab cd ef gh")],
+        # self-pairs (aa) and overlapping runs: spawn-form blocking territory
+        [(1, "aaaa aaa aa baab abab"), (2, "aab baa aaab")],
+        # shared symbols across the top pairs: most candidates must be rejected
+        [(1, "er re er re err ree erre"), (2, "rer ere er re")],
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        batched = TK.bpe_train_merges(docs, 8, batch_k=16)
+        sequential = TK.bpe_train_merges(docs, 8, batch_k=1)
+        assert batched == sequential, rows
+        words = []
+        for _, t in docs.collect():
+            words += [w for w in t.lower().split() if len(w) >= 2]
+        want, _ = _ref_train(Counter(words), 8)
+        assert batched == want, rows
